@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Aggregation surface (SURVEY §2.4): hash aggregation with partial/final
+  * phases, HAVING, distinct aggregates, rollup/cube/grouping sets, and
+  * HyperLogLog approximate distinct.
+  *
+  * The reference has no aggregation (its pipeline is element-wise,
+  * /root/reference/main.py:78-110); this is north-star extension surface.
+  * All queries compile to `HashAggregateExec` with map-side partial
+  * aggregation — the shuffle moves one row per (group × partition), not the
+  * fact table, which is what makes these viable at 100 TB.
+  */
+object AggQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_groupby"         -> aggGroupBy _,
+    "q_agg_having"          -> aggHaving _,
+    "q_agg_distinct"        -> aggDistinct _,
+    "q_agg_rollup"          -> aggRollup _,
+    "q_agg_cube"            -> aggCube _,
+    "q_agg_grouping_sets"   -> aggGroupingSets _,
+    "q_agg_approx_distinct" -> aggApproxDistinct _
+  )
+
+  // q_agg_approx_distinct is deliberately absent: HLL estimates are not
+  // hash-matchable across engines (SURVEY §2.4); its accuracy is bounded
+  // against the exact count in AggQueriesSpec instead.
+  val oracle: Map[String, String] = Map(
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_having" ->
+      """SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin
+  )
+
+  /** TPC-H-Q1-shape pricing summary — also the flagship `SparkEntry.entry`. */
+  def aggGroupBy(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))),
+          2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Post-aggregation predicate (HAVING) — a plain filter above the agg. */
+  def aggHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+
+  /** Multiple distinct aggregates per group — Catalyst rewrites through
+    * Expand into a two-phase aggregation (`RewriteDistinctAggregates`). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Hierarchical subtotals; null grouping slots are coalesced to a sentinel
+    * so the output carries no NULL ordering ambiguity (SURVEY §7.5). */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"),
+        col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** All grouping combinations (Expand with 4 projections). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"),
+        col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Explicit grouping sets via SQL (the one §2.4 shape the DataFrame API
+    * does not expose directly). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+            |  coalesce(l_linestatus, 'ALL') AS ls,
+            |  count(1) AS n,
+            |  round(sum(l_extendedprice), 2) AS sum_price
+            |FROM lineitem_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** HLL++ approximate distinct users per event type (no oracle — bounded
+    * against the exact count in the spec). */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+}

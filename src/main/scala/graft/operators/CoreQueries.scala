@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Scan / projection / filter / sort / limit / set operations (SURVEY §2.1,
+  * §2.2, §2.6).
+  *
+  * The reference's only element-wise transform is `beam.Map(print)`
+  * (/root/reference/main.py:109) and its implied `beam.Filter` capability;
+  * here those become declarative `select`/`filter` so Catalyst pushes
+  * predicates and projections into the Parquet scan (row-group skip + column
+  * prune) — essential at 100 TB, where a scan that reads all columns for a
+  * 3-column projection is already the bottleneck.
+  *
+  * Determinism contract (SURVEY §7.5): every query ends with ORDER BY on a
+  * unique key set; doubles surfaced through arithmetic are rounded identically
+  * to the DuckDB oracle twin.
+  */
+object CoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet"      -> scanParquet _,
+    "q_project_expr"      -> projectExpr _,
+    "q_filter_predicate"  -> filterPredicate _,
+    "q_case_when"         -> caseWhen _,
+    "q_sort_multi"        -> sortMulti _,
+    "q_topk"              -> topK _,
+    "q_union_all"         -> unionAll _,
+    "q_union_distinct"    -> unionDistinct _,
+    "q_intersect"         -> intersectQ _,
+    "q_except"            -> exceptQ _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Per-row double arithmetic is bit-identical across engines when the op
+    // order matches, so the products are emitted UNROUNDED: rounding here
+    // would reintroduce engine-specific half-at-boundary behavior (Spark
+    // rounds the shortest decimal repr, DuckDB scales in binary). Rounding
+    // is reserved for aggregates, where accumulation order differs.
+    "q_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_case_when" ->
+      """SELECT
+        |  CASE WHEN o_totalprice < 100000 THEN 'small'
+        |       WHEN o_totalprice < 250000 THEN 'medium'
+        |       ELSE 'large' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderpriority DESC, o_totalprice ASC, o_orderkey ASC""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "q_union_all" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey, o_orderpriority""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin
+  )
+
+  /** Full scan + projection; Catalyst prunes the read schema to 4 columns. */
+  def scanParquet(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Computed projection — per-row double arithmetic in the same op order as
+    * the oracle, emitted unrounded so results are bit-identical. */
+  def projectExpr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conjunctive range + equality predicate; all four conjuncts are
+    * Parquet-pushable (verified by the plan-shape spec). */
+  def filterPredicate(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conditional projection folded into an aggregation. */
+  def caseWhen(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 250000, "medium")
+          .otherwise("large")
+          .as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("bucket")
+
+  /** Multi-key sort, mixed directions; o_orderkey makes the order total. */
+  def sortMulti(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy(
+        col("o_orderpriority").desc,
+        col("o_totalprice").asc,
+        col("o_orderkey").asc)
+
+  /** Global top-k — planned as TakeOrderedAndProject (per-partition heaps,
+    * no full sort/shuffle of the fact table). */
+  def topK(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(100)
+
+  /** Bag union of two filtered subsets (no dedup shuffle). */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val b = o.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderpriority")
+    a.unionByName(b).orderBy("o_orderkey", "o_orderpriority")
+  }
+
+  /** Set union — union + distinct (hash-agg dedup). */
+  def unionDistinct(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_nationkey").as("nk"))
+      .union(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  /** Customers that placed both an open and a finished order. */
+  def intersectQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Customers that never placed an urgent order. */
+  def exceptQ(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select("c_custkey")
+      .except(
+        orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Join surface (SURVEY §2.3): inner / broadcast / outer / semi / anti /
+  * multiway / range / as-of.
+  *
+  * The reference has a single PCollection and no joins
+  * (/root/reference/main.py:78-110); this is north-star extension surface.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - Dimension joins (region, nation, supplier, part at TPC-H ratios) stay
+  *    under the broadcast threshold; `broadcast()` is explicit where the
+  *    statistics might not prove it, so no shuffle of the fact side ever
+  *    happens for them.
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key once;
+  *    AQE handles skew-splitting at runtime.
+  *  - The as-of join deliberately avoids the naive inequality-join + argmax
+  *    (quadratic blow-up per key) in favor of a single sort within user
+  *    partitions + a running "last seen" window — one shuffle, O(n log n),
+  *    the plan that survives a 100× scale-up.
+  */
+object JoinQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"     -> joinInner _,
+    "q_join_broadcast" -> joinBroadcast _,
+    "q_join_left"      -> joinLeft _,
+    "q_join_semi"      -> joinSemi _,
+    "q_join_anti"      -> joinAnti _,
+    "q_join_multiway"  -> joinMultiway _,
+    "q_join_range"     -> joinRange _,
+    "q_join_asof"      -> joinAsof _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_urgent,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region
+        |  JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_range" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, epoch_us(c.ts) AS click_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin
+  )
+
+  /** Equi inner join orders⋈customer — sort-merge/shuffled-hash at scale,
+    * AQE may demote to broadcast when the dim side is small. */
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+      .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+        "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Small-dim join with an explicit broadcast hint — asserted in the
+    * plan-shape spec (BroadcastHashJoinExec, zero shuffle). */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  /** Left outer with null extension: customers keep a row (count 0) when
+    * they have no urgent order. */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_urgent"),
+        round(coalesce(sum("o_totalprice"), lit(0)), 2).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join (EXISTS) — left_semi never materializes the right columns. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Anti join (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** 4-hop star join (TPC-H Q5 shape): the two tiny dims broadcast; the
+    * orders⋈lineitem backbone is the only real shuffle. */
+  def joinMultiway(s: SparkSession, d: String): DataFrame =
+    broadcast(region(s, d))
+      .join(broadcast(nation(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** Range (theta) join anchored on an equi key — the equi conjunct keeps
+    * Catalyst on a hash/merge join with the band as a post-filter, never a
+    * broadcast-nested-loop. */
+  def joinRange(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(
+        orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** As-of join: each purchase event matched to the user's latest click at
+    * or before it (DuckDB `ASOF JOIN` semantics: greatest c.ts <= p.ts).
+    *
+    * Implementation is the scale path: one sort per user partition with a
+    * running last-click window — clicks sort before other types at equal
+    * timestamps so the <= bound is inclusive — instead of an inequality
+    * join whose per-key fan-out is quadratic. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn(
+        "last_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("last_click_us").as("click_us"))
+      .orderBy("event_id")
+  }
+}

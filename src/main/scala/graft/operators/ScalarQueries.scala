@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.Tables._
+
+/** Scalar function library (SURVEY §2.7): string / date / math / JSON /
+  * array / map functions — all built-in Catalyst expressions, fully inside
+  * whole-stage codegen (no UDFs, per the §2.10 preference order).
+  *
+  * `q_json_extract` mirrors the reference's single act of parsing —
+  * `json.loads(get_secret())` at /root/reference/main.py:71 — as columnar
+  * JSON extraction over the `events.props` JSON-string column.
+  *
+  * Type parity with the DuckDB oracle is explicit: Spark int-typed results
+  * are cast to long where DuckDB returns BIGINT, and float arithmetic is
+  * promoted to double *before* any rounding on both sides (SURVEY §7.5).
+  */
+object ScalarQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> stringFuncs _,
+    "q_date_funcs"   -> dateFuncs _,
+    "q_math_funcs"   -> mathFuncs _,
+    "q_json_extract" -> jsonExtract _,
+    "q_array_funcs"  -> arrayFuncs _,
+    "q_map_funcs"    -> mapFuncs _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  substr(p_name, 1, 5) AS prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '#', p_type) AS brand_type,
+        |  (p_name LIKE '%re%') AS has_re,
+        |  replace(p_type, 'ECONOMY', 'ECO') AS typ,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_str
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |       DATE '2002-01-01') AS INT) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_1dp,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |  round(sqrt(l_quantity), 4) AS qty_sqrt,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  round(abs(l_extendedprice - 30000), 2) AS dist_30k,
+        |  round(ln(l_extendedprice), 4) AS price_ln
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS e_first,
+        |  round(CAST(embedding[64] AS DOUBLE), 4) AS e_last,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+        |  round(list_sum(list_transform(embedding[1:8],
+        |    x -> CAST(x AS DOUBLE))), 4) AS head_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        col("p_name").like("%re%").as("has_re"),
+        regexp_replace(col("p_type"), "ECONOMY", "ECO").as("typ"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_str"))
+      .orderBy("p_partkey")
+
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_1dp"),
+        ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
+        floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+        round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        round(abs(col("l_extendedprice") - 30000), 2).as("dist_30k"),
+        round(log(col("l_extendedprice")), 4).as("price_ln"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Columnar JSON scalar extraction over `events.props`. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Higher-order array functions over the embedding column — element
+    * access, slicing, and a sequential double fold (same accumulation
+    * order as DuckDB's list_sum, so results agree pre-rounding). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4)
+          .as("e_first"),
+        round(element_at(col("embedding"), 64).cast("double"), 4)
+          .as("e_last"),
+        round(
+          aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x), 4)
+          .as("vec_sum"),
+        round(
+          aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, x) => acc + x), 4).as("head_sum"))
+      .orderBy("vec_id")
+
+  /** JSON string → MapType, then map functions (sorted keys CSV + lookup);
+    * maps are never emitted raw (unordered — SURVEY §7.5). */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy("event_id")
+}

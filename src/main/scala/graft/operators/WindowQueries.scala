@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Window-function surface (SURVEY §2.5): ranking, running analytic frames,
+  * lag/lead, ntile and RANGE frames.
+  *
+  * Extension surface (the reference's Beam SDK carries windowing as a model
+  * concept, /root/reference/main.py:8, but the pipeline itself never uses
+  * it). All partitions here are keyed (customer / user / priority) so state
+  * distributes; the one global window (`ntile`) is documented as a
+  * single-partition operation you only run on pre-aggregated data at scale.
+  */
+object WindowQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank"        -> windowRank _,
+    "q_window_running"     -> windowRunning _,
+    "q_window_lag"         -> windowLag _,
+    "q_window_ntile_range" -> windowNtileRange _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  lead(event_id, 1) OVER w AS next_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_window_ntile_range" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |    AS quartile,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_in_band
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+  )
+
+  /** Top-3 orders per customer with all three ranking flavors; the ordering
+    * (o_totalprice DESC, o_orderkey) is total, so row_number is stable. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running revenue per customer — a sequential fold within each partition,
+    * identical accumulation order to the oracle, so the doubles agree. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Inter-event gap per user in exact integer microseconds (no float
+    * drift), plus a lead() column. */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ntile quartiles (global — run on pre-aggregated data at scale) and a
+    * value-RANGE frame count per priority band. */
+  def windowNtileRange(s: SparkSession, d: String): DataFrame = {
+    val wq = Window.orderBy("o_totalprice", "o_orderkey")
+    val wr = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        ntile(4).over(wq).cast("long").as("quartile"),
+        count(lit(1)).over(wr).as("n_in_band"))
+      .orderBy("o_orderkey")
+  }
+}
