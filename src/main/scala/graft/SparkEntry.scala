@@ -24,7 +24,9 @@ object SparkEntry {
       AggQueries.queries ++
       JoinQueries.queries ++
       WindowQueries.queries ++
-      ScalarQueries.queries
+      ScalarQueries.queries ++
+      TextQueries.queries ++
+      SimilarityQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / algorithm-specific
@@ -34,5 +36,7 @@ object SparkEntry {
       AggQueries.oracle ++
       JoinQueries.oracle ++
       WindowQueries.oracle ++
-      ScalarQueries.oracle
+      ScalarQueries.oracle ++
+      TextQueries.oracle ++
+      SimilarityQueries.oracle
 }

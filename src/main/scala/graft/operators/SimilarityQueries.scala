@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.VectorOps._
+
+/** Similarity search + fuzzy deduplication over the `embeddings` and
+  * `documents` tables (SURVEY §2.8 — the north-star LLM-pipeline surface;
+  * nothing like this exists in the 113-line reference).
+  *
+  * Scale design (100 TB):
+  *   - `q_sim_topk` broadcasts the single probe vector and computes cosine
+  *     in the scan stage — a map-only pass + TakeOrderedAndProject; on a
+  *     1000-executor cluster this is embarrassingly parallel.
+  *   - `q_dedup_embed` is the brute-force O(n²) baseline kept for the
+  *     oracle; the scale path is `q_ann_ivf` (inverted-file pruning: only
+  *     nprobe clusters are scanned) and `q_sim_pairs_lsh` (banded MinHash:
+  *     candidates only materialize where a band collides — the shuffle key
+  *     is the band signature, never the pair space).
+  *   - `q_dedup_simhash` reduces each document to one 64-bit signature and
+  *     finds hamming-≤3 pairs by the 4×16-bit pigeonhole block join —
+  *     signature generation is one aggregation, candidate generation joins
+  *     on 16-bit block equality, so the pair space is never enumerated.
+  *
+  * Determinism: every score surfaced is `round(·, 4)`; thresholds and sort
+  * keys are applied to the *rounded* value so Spark and the DuckDB oracle
+  * take the same boundary decisions (SURVEY §7.5).
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk"      -> simTopK _,
+    "q_dedup_embed"   -> dedupEmbed _,
+    "q_sim_pairs_lsh" -> simPairsLsh _,
+    "q_dedup_simhash" -> dedupSimhash _,
+    "q_ann_ivf"       -> annIvf _
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Explicit double-precision formula on both sides (NOT DuckDB's
+    // list_cosine_similarity, which computes in float32): float inputs are
+    // cast to double element-wise, summed sequentially, rounded to 4 dp.
+    "q_sim_topk" ->
+      """WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(p.pv,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    a.label AS label1, b.label AS label2,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT v1, v2, label1, label2, cos_sim FROM scored
+        |WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin
+  )
+
+  /** Brute-force cosine top-k against one probe vector (vec_id 0): the
+    * exact baseline every ANN variant is measured against. Probe is a
+    * 1-row broadcast; the big side is a single map-only scan ending in
+    * TakeOrderedAndProject (per-partition heaps — no global sort). */
+  def simTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Embedding-cosine near-duplicate pairs — exact O(n²) variant, broadcast
+    * nested-loop on the smaller side. Kept as the oracle-checked baseline;
+    * at 100 TB the same output is produced by LSH/IVF candidate pruning
+    * (see q_ann_ivf / q_sim_pairs_lsh) with this as the verify step. */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "label", "embedding")
+    val a = e.toDF("v1", "label1", "ea")
+    val b = e.toDF("v2", "label2", "eb")
+    a.join(broadcast(b), col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), col("label1"), col("label2"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("v1", "v2")
+  }
+
+  // --- MinHash / LSH over document shingles ------------------------------
+
+  private val MinhashK = 16 // 4 bands × 4 rows
+  private val Bands = 4
+  private val Rows = 4
+  private val Prime = 2147483647L // 2^31-1; keeps a*h+b < 2^52, ANSI-safe
+
+  /** Deterministic hash-family parameters (odd multipliers, fixed seed —
+    * no runtime randomness, so results are stable across runs/engines). */
+  private val hashParams: Seq[(Long, Long)] =
+    (0 until MinhashK).map(i => (2L * i + 1001L, 7919L * i + 131L))
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private def shingleCol(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+
+  /** (doc_id, shingle) distinct pairs — the shared substrate for exact
+    * Jaccard and MinHash. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingleCol(col("toks"))).as("shingle"))
+      .distinct()
+
+  /** Fuzzy near-dup pairs via banded MinHash.
+    *
+    * Pipeline: shingle → xxhash64 → k permutation-min signatures (one
+    * aggregation) → band → self-join on (band, 4-row signature slice) →
+    * distinct candidates → exact-Jaccard verification ≥ 0.5.
+    *
+    * The shuffle key is the band signature: pairs only materialize on a
+    * collision, which is what lets this run where the O(n²) join cannot.
+    * Probabilistic recall (1-(1-s⁴)⁴) is why this query has no SQL oracle;
+    * the property test instead checks every exact-Jaccard-≥0.8 pair from
+    * q_dedup_ngram is recovered. */
+  def simPairsLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime)))
+    // k min-hash values per doc: min((a*h+b) mod p) per hash function.
+    val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(Prime))).as(s"mh$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Band signature = the 4 minhashes of the band packed into one string.
+    val bandRows = sigs.select(
+      col("doc_id"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until Rows).map(r =>
+            col(s"mh${b * Rows + r}")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val cands = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // Exact-Jaccard verification of the candidate pairs only.
+    val sh2 = docShingles(s, d)
+    val cnt = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh2.as("a")
+      .join(sh2.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("ca.n") + col("cb.n") - col("common"))
+    cands
+      .join(common, Seq("d1", "d2"))
+      .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per document (tf-weighted
+    * majority vote per bit of xxhash64(token)), then hamming-≤3 pairs via
+    * the 4×16-bit pigeonhole block join (any pair within hamming 3 must
+    * agree on at least one of 4 blocks — exact recall, no enumeration of
+    * the pair space). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sig = tf
+      .select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote",
+        when(expr("(shiftright(h, bit) & 1) = 1"), col("tf"))
+          .otherwise(-col("tf")))
+      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .withColumn("bitval",
+        when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+    val blocks = sig.select(
+      col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("blkval",
+        expr("shiftright(simhash, blk * 16) & 65535"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") &&
+          col("x.blkval") === col("y.blkval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(expr("x.simhash ^ y.simhash")).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  /** IVF-style approximate nearest neighbors: partition-level pruning.
+    *
+    * Centroids are the per-cluster dimension means (the testdata's `label`
+    * is the cluster assignment — in production this is the k-means step,
+    * identical plumbing); a probe scans only its `nprobe`=3 nearest
+    * clusters instead of the full table. At 100 TB the embeddings table is
+    * bucketed/partitioned by cluster id so the pruned scan is a partition
+    * prune, not a filter. Recall vs the exact baseline is property-tested
+    * (AnnSpec), not oracled — pruning is the point. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val dims = e.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val centroids = dims.groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .withColumnRenamed("label", "cl")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    // nprobe nearest clusters per probe (centroid table is tiny: broadcast).
+    val wc = Window.partitionBy("probe_id")
+      .orderBy(col("cdist").desc, col("cl"))
+    val probeClusters = probes
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", round(cosine(col("pv"), col("centroid")), 4))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= 3)
+      .select("probe_id", "pv", "cl")
+    // Scan only rows whose label is in the probe's nprobe clusters.
+    val wn = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probeClusters
+      .join(e, col("label") === col("cl") &&
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pv"), col("embedding")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wn).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "vec_id", "cos_sim", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+}

@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis / deduplication operators over the `documents` table
+  * (SURVEY §2.8 — the LLM-data-pipeline north star; the reference has no
+  * text processing at all, its one parsing act is `json.loads` at
+  * /root/reference/main.py:71).
+  *
+  * Scale design (100 TB): every operator here is a pure column-expression or
+  * shuffle-on-content pipeline —
+  *   - tokenization/fingerprints are codegen'd per-row expressions (no UDFs,
+  *     no serialization wall, whole-stage codegen keeps them in the scan
+  *     stage);
+  *   - exact dedup is a hash-aggregate on the normalized text (one shuffle,
+  *     map-side partial agg);
+  *   - n-gram near-dup is the *sparse* similarity join: explode to
+  *     (shingle, doc) pairs and shuffle on shingle, never the O(n²) cross
+  *     join — the standard inverted-index trick that survives a 1000×
+  *     scale-up (cf. MinHashLSH in Spark MLlib which materializes the same
+  *     banded shape).
+  *
+  * Determinism (SURVEY §7.5): integer/rational arithmetic wherever possible;
+  * `ln` only in tf-idf where 4-dp rounding absorbs last-ulp libm drift;
+  * ranking always on the rounded score with a lexicographic tiebreak.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"      -> dedupExact _,
+    "q_text_tokens"      -> textTokens _,
+    "q_text_lang_stats"  -> textLangStats _,
+    "q_tfidf"            -> tfidf _,
+    "q_text_quality"     -> textQuality _,
+    "q_text_langid"      -> textLangId _,
+    "q_text_tokcount"    -> textTokCount _,
+    "q_text_fingerprint" -> textFingerprint _,
+    "q_dedup_ngram"      -> dedupNgram _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        |  min(n_chars) AS n_chars
+        |FROM (SELECT doc_id, n_chars,
+        |        trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+        |      FROM documents)
+        |GROUP BY norm ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
+    "q_text_lang_stats" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n.n_docs / df.df), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('a', 'the'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS avg_tok_len,
+        |  round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (1 - CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('a', 'the'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    (length(text) - length(replace(text, 'th', ''))) / 2 AS c_en,
+        |    (length(text) - length(replace(text, 'er', ''))) / 2 AS c_de,
+        |    (length(text) - length(replace(text, 'qu', ''))) / 2 AS c_fr,
+        |    (length(text) - length(replace(text, 'rt', ''))) / 2 AS c_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |       WHEN c_fr >= c_es THEN 'fr'
+        |       ELSE 'es' END AS predicted,
+        |  CAST(c_en AS BIGINT) AS c_en, CAST(c_de AS BIGINT) AS c_de,
+        |  CAST(c_fr AS BIGINT) AS c_fr, CAST(c_es AS BIGINT) AS c_es
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_tokcount" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
+        |    AS bpe_est,
+        |  CAST(greatest(len(string_split(text, ' ')),
+        |       ceil(length(replace(text, ' ', '')) / 4.0)) AS BIGINT)
+        |    AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id, md5(text) AS fp_doc,
+        |  CASE WHEN len(toks) < 3 THEN md5(text)
+        |       ELSE list_aggregate(list_transform(range(1, len(toks) - 1),
+        |              i -> md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                       toks[i+2])), 'min')
+        |  END AS fp_shingle_min
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, common,
+        |  round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.6
+        |ORDER BY d1, d2""".stripMargin
+  )
+
+  /** Normalized text column shared by dedup ops: lower, collapse runs of
+    * spaces, trim — byte-identical to the DuckDB side. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), " +", " "))
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** 3-token shingles of a token array (1-based `element_at`, same as
+    * DuckDB's 1-based list index). Caller guards size < 3. */
+  private def shingles(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+
+  /** Exact dedup: hash-aggregate on normalized text, keep the smallest
+    * doc_id per group. One shuffle on the text hash; at 100 TB this is a
+    * map-side-combined group-by, the cheapest possible exact dedup. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), normText(col("text")).as("norm"))
+      .groupBy("norm")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        min("n_chars").as("n_chars"))
+      .drop("norm")
+      .orderBy("doc_id")
+
+  /** Tokenize → explode → word frequency. The explode happens inside the
+    * scan stage (generator in whole-stage codegen); the single shuffle is
+    * the count aggregation. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+
+  /** Per-language/source corpus stats. */
+  def textLangStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang", "source")
+
+  /** tf-idf scored terms, top 5 per document.
+    *
+    * Two aggregations (tf by doc×term, df by term) + a broadcast of the
+    * tiny df/N sides. Ranking is on the *rounded* score with a term
+    * tiebreak so Spark and DuckDB rank identically even when the unrounded
+    * doubles differ in the last ulp. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val t = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTerm = t.distinct().groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Quality scoring: token count, stopword ratio, mean token length, and a
+    * composite score — all rational arithmetic (no libm), so the oracle
+    * match is exact before rounding. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t)
+    val nStop = size(filter(t, x => x.isin("a", "the")))
+    val stopRatio = nStop.cast("double") / nTok
+    documents(s, d).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok,
+        4).as("avg_tok_len"),
+      round(least(lit(1.0), nTok / lit(100.0)) * (lit(1) - stopRatio), 4)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by character-bigram marker counting — the occurrence count
+    * of each language's marker bigram via the length-difference trick
+    * (pure integer arithmetic, identical in any engine), argmax with a
+    * fixed precedence order for ties. */
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    def cnt(m: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), m, ""))) / 2
+    val (cEn, cDe, cFr, cEs) = (cnt("th"), cnt("er"), cnt("qu"), cnt("rt"))
+    documents(s, d).select(
+      col("doc_id"), col("lang"),
+      when(cEn >= cDe && cEn >= cFr && cEn >= cEs, "en")
+        .when(cDe >= cFr && cDe >= cEs, "de")
+        .when(cFr >= cEs, "fr")
+        .otherwise("es").as("predicted"),
+      cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"),
+      cFr.cast("long").as("c_fr"), cEs.cast("long").as("c_es"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a compression-style estimate
+    * (chars/4, the BPE rule of thumb), and the max of the two. */
+  def textTokCount(s: SparkSession, d: String): DataFrame = {
+    val ws = size(toks(col("text")))
+    val bpe = ceil(length(regexp_replace(col("text"), " ", "")) / lit(4.0))
+    documents(s, d).select(
+      col("doc_id"),
+      ws.cast("long").as("ws_tokens"),
+      bpe.cast("long").as("bpe_est"),
+      greatest(ws, bpe).cast("long").as("est_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: whole-document md5 plus the minimum md5 over
+    * 3-token shingles (a 1-permutation MinHash — the content-defined
+    * fingerprint that survives small edits). Everything stays inside
+    * whole-stage codegen: split → transform → md5 → array_min. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), col("text"), t.as("toks"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_doc"),
+        when(size(col("toks")) < 3, md5(col("text")))
+          .otherwise(array_min(transform(shingles(col("toks")), md5(_))))
+          .as("fp_shingle_min"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard near-dup pairs via the sparse inverted-index join:
+    * explode distinct (doc, shingle), shuffle on shingle, count common
+    * shingles per pair, filter Jaccard ≥ 0.6.
+    *
+    * Never materializes the O(n²) cross join — pair candidates only exist
+    * where a shingle is shared. At 100 TB the one refinement needed is a
+    * stop-shingle filter (drop shingles occurring in >x% of docs) to bound
+    * the per-shingle fan-out; with this corpus's vocabulary the fan-out is
+    * already small, and correctness of the threshold filter is unaffected
+    * because ultra-common shingles cannot push a pair over Jaccard 0.6 on
+    * their own. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = t
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("shingle"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("ca.n") + col("cb.n") - col("common"))
+    pairs
+      .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
+      .filter(jac >= 0.6)
+      .select(col("d1"), col("d2"), col("common"),
+        round(jac, 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+}
