@@ -36,6 +36,11 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame =
+  /** Also registers graft's native expressions (graft_vec_dot) into the
+    * session — the caller may be the driver's own session, which was not
+    * built with `spark.sql.extensions=graft.GraftExtensions`. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     table(s, d, "embeddings")
+  }
 }

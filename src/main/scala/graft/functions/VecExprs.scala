@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product over two `ArrayType(FloatType)` columns.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) have no
+  * `doGenCode` — they evaluate interpreted, allocating a lambda frame per
+  * element. For the O(n²) similarity joins (SURVEY §2.8) that interpreted
+  * inner loop dominated the benchmark (q_dedup_embed: 72 s of a 120 s
+  * total at sf0.1). This expression is the SURVEY §7.2 "optional custom
+  * Expression" path: a tight primitive loop over the two float arrays,
+  * fused into whole-stage codegen with no per-element boxing.
+  *
+  * Accumulation is sequential left-to-right in double (float casts exact),
+  * the same order as the HOF formulation and DuckDB's `list_sum`, so oracle
+  * hashes are unchanged.
+  *
+  * Null semantics: null array → null (nullIntolerant); null *elements*
+  * cannot occur in the embeddings data (dense Gaussian draws) and are not
+  * supported.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left.dataType), isFloat(right.dataType))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      def get(v: String, t: DataType) =
+        if (isFloat(t)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${get(a, left.dataType)} * ${get(b, right.dataType)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatVecDot = copy(newLeft, newRight)
+}
+
+/** Registration of graft's native expressions.
+  *
+  * Two paths, same registry entries:
+  *   - `GraftExtensions` for `spark.sql.extensions=graft.GraftExtensions`
+  *     (cluster deployment: every session gets the functions);
+  *   - `GraftFunctions.register(spark)` for sessions we did not build
+  *     (the driver hands us its own session), idempotent.
+  */
+object GraftFunctions {
+  private val fns: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+
+  def install(ext: SparkSessionExtensions): Unit =
+    fns.foreach(ext.injectFunction)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.install(ext)
+}

@@ -3,11 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType(FloatType)` embedding columns using Spark's
-  * higher-order functions — `zip_with`/`transform`/`aggregate` are Catalyst
-  * expressions that stay inside whole-stage codegen, so there is no
-  * serialization wall and no UDF call per row (SURVEY §2.10 preference
-  * order: built-ins > HOFs > Aggregator > udf).
+/** Vector math over `ArrayType(FloatType)` embedding columns.
+  *
+  * Backed by the codegen'd [[FloatVecDot]] Catalyst expression (SURVEY
+  * §2.10 preference order: a native Expression with `doGenCode` beats the
+  * interpreted `zip_with`/`aggregate` higher-order functions, which
+  * dominated the O(n²) similarity joins). Callers must have the function
+  * registered in their session — `graft.Tables.embeddings` does this, as
+  * does `spark.sql.extensions=graft.GraftExtensions`.
   *
   * All accumulation is in DOUBLE (float32 inputs cast exactly), folding
   * left-to-right — the same sequential order DuckDB's `list_sum` uses, so
@@ -18,14 +21,10 @@ object VectorOps {
 
   /** Σ aᵢ·bᵢ in double precision. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_vec_dot", a, b)
 
   /** ‖a‖₂ in double precision. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; caller guarantees non-zero vectors (embeddings are
     * dense Gaussian draws — zero norm cannot occur). */
