@@ -26,7 +26,8 @@ object SparkEntry {
       WindowQueries.queries ++
       ScalarQueries.queries ++
       TextQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / algorithm-specific
@@ -38,5 +39,6 @@ object SparkEntry {
       WindowQueries.oracle ++
       ScalarQueries.oracle ++
       TextQueries.oracle ++
-      SimilarityQueries.oracle
+      SimilarityQueries.oracle ++
+      StreamQueries.oracle
 }
