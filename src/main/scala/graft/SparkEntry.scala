@@ -27,7 +27,8 @@ object SparkEntry {
       ScalarQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++
+      graft.multimodal.MediaQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / algorithm-specific
@@ -40,5 +41,6 @@ object SparkEntry {
       ScalarQueries.oracle ++
       TextQueries.oracle ++
       SimilarityQueries.oracle ++
-      StreamQueries.oracle
+      StreamQueries.oracle ++
+      graft.multimodal.MediaQueries.oracle
 }

@@ -1,0 +1,184 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata travelling next to an opaque media payload. */
+case class MediaMeta(kind: String, width: Int, height: Int,
+    sampleRate: Int, nFrames: Int)
+
+/** One media row: opaque bytes + typed metadata (SURVEY §1.2 "multimodal
+  * columns" — binary payload, schema'd sidecar). */
+case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+/** Decoded-frame batch produced by the decode stage. */
+case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+/** Per-media feature vector produced by the extract stage. */
+case class MediaFeatures(media_id: Long, kind: String,
+    features: Array[Float])
+
+/** Multimodal column handling (north-star mandate): image/audio/video as
+  * opaque `binary` columns with typed metadata, decode / feature-extract /
+  * resize / frame-sample as distributed batch operators.
+  *
+  * The real codec libraries are not in this container, so the DECODE KERNEL
+  * IS A DETERMINISTIC FAKE (clearly marked below): it fabricates pixel
+  * bytes from the payload via a rolling hash. Everything around it — the
+  * binary column schema, the Dataset[T] encoders, the mapPartitions batch
+  * shape (iterator-in/iterator-out, one codec init per partition, never
+  * per row), partitioning, and the declared-query surface — is real Spark
+  * plumbing, tested at both unit and query level, and is exactly what a
+  * JNI/FFmpeg-backed kernel would drop into.
+  *
+  * Scale notes (100 TB): payloads stay opaque end-to-end — no shuffle ever
+  * carries decoded frames unless the operator's output IS frames; decode
+  * runs mapPartitions so per-partition codec state is amortized; metadata
+  * predicates (kind/width/duration) are plain columns, so Catalyst pushes
+  * them to the scan and whole partitions of oversized media are skipped
+  * before a single byte of payload is decoded.
+  */
+object MediaOps {
+
+  /** Fabricate a media table from the documents table: payload = the
+    * document bytes, metadata derived deterministically. Stands in for a
+    * real `binaryFile`/object-store read; at scale this is
+    * `spark.read.format("binaryFile")` over the media lake. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(6)) * 64 + 64).cast("int").as("height"),
+        lit(16000).as("sampleRate"),
+        (pmod(col("n_chars"), lit(16)) + 1).cast("int").as("nFrames"))
+        .as("meta"))
+
+  // ------------------------------------------------------------------
+  // ??? DECODE KERNEL — deterministic fake standing in for the codec ???
+  // A real deployment replaces `fakeDecodeFrame` with the image/audio
+  // library call; signature and batch shape stay identical.
+  // ------------------------------------------------------------------
+  private[multimodal] def fakeDecodeFrame(payload: Array[Byte],
+      frameIdx: Int, frameLen: Int): Array[Byte] = {
+    val out = new Array[Byte](frameLen)
+    var h = 1125899906842597L + frameIdx * 31L
+    var i = 0
+    while (i < frameLen) {
+      h = 31 * h + (if (payload.isEmpty) 0 else payload(i % payload.length))
+      out(i) = (h >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Frame-sample: decode every k-th frame of each media row.
+    * mapPartitions: iterator-in/iterator-out so a real codec is opened
+    * once per partition (not per row), frames stream out without
+    * materializing a whole partition in memory. */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int,
+      frameLen: Int = 64): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // (real kernel: open codec context here, once per partition)
+      rows.flatMap { m =>
+        (0 until m.meta.nFrames by everyK).iterator.map { f =>
+          FrameRow(m.media_id, f, fakeDecodeFrame(m.payload, f, frameLen))
+        }
+      }
+    }
+  }
+
+  /** Feature extraction: fixed-width byte histogram over the decoded
+    * payload, normalized to [0,1] — the stand-in for an embedding model
+    * forward pass. Output is an `Array[Float]` column compatible with
+    * every §2.8 similarity operator (ANN over media features is exactly
+    * feature-extract ∘ q_sim_topk). */
+  def extractFeatures(media: Dataset[MediaRow],
+      bins: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val hist = new Array[Float](bins)
+        val decoded = fakeDecodeFrame(m.payload, 0,
+          math.max(1, m.payload.length))
+        var i = 0
+        while (i < decoded.length) {
+          hist((decoded(i) & 0xff) * bins / 256) += 1f
+          i += 1
+        }
+        var b = 0
+        while (b < bins) { hist(b) /= decoded.length; b += 1 }
+        MediaFeatures(m.media_id, m.meta.kind, hist)
+      }
+    }
+  }
+
+  /** Resize: pure metadata transform (target dims recorded; payload
+    * untouched until a decode stage consumes it — lazy resize, the only
+    * sane contract at 100 TB where most media is filtered out before any
+    * pixel work). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta",
+      struct(col("meta.kind"), lit(w).cast("int").as("width"),
+        lit(h).cast("int").as("height"), col("meta.sampleRate"),
+        col("meta.nFrames")))
+}
+
+/** Declared-query surface for the multimodal path. */
+object MediaQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta"     -> multimodalMeta _,
+    "q_multimodal_features" -> multimodalFeatures _
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Payload stays opaque: byte length + md5 fingerprint + metadata
+    // predicate, never decoded. DuckDB twin operates on the same bytes.
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST((doc_id % 8) * 64 + 64 AS INT) AS width,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents
+        |WHERE (doc_id % 8) * 64 + 64 >= 256
+        |ORDER BY media_id""".stripMargin
+  )
+
+  /** Metadata + fingerprint scan with a metadata predicate — demonstrates
+    * that filtering media by sidecar columns never touches payload bytes
+    * (the filter is on `meta.width`, pushed ahead of the md5 projection).
+    */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    MediaOps.mediaTable(s, d)
+      .filter(col("meta.width") >= 256)
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        col("meta.width").as("width"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy("media_id")
+
+  /** Deterministic fake-decode feature extraction through the full typed
+    * mapPartitions pipeline; rows-only driver check (the fake kernel has
+    * no SQL twin), invariants property-tested in MultimodalSpec. */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = MediaOps.mediaTable(s, d).as[MediaRow]
+    MediaOps.extractFeatures(media, bins = 16)
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        round(element_at(col("features"), 1).cast("double"), 4)
+          .as("f0"),
+        round(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 4).as("f_sum"))
+      .orderBy("media_id")
+  }
+}
