@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator edge cases on tiny literal frames (SURVEY §5.2): nulls in join
+  * keys, empty groups, rank ties, UTC date boundaries, empty arrays. */
+class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
+
+  private def importedImplicits = {
+    val s = spark; s.implicits
+  }
+
+  test("null join keys never match (inner) and null-extend (left)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("k", "lv")
+    val r = Seq((Some(1L), "x"), (None, "y")).toDF("k", "rv")
+    val inner = l.join(r, Seq("k"), "inner").collect()
+    assert(inner.length === 1 && inner.head.getAs[String]("lv") === "a")
+    val left = l.join(r, Seq("k"), "left").orderBy("lv").collect()
+    assert(left.length === 3)
+    assert(left.count(_.isNullAt(2)) === 2, "null keys must null-extend")
+  }
+
+  test("aggregation over an empty frame yields zero counts, null sums") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    val row = empty.agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().head
+    assert(row.getLong(0) === 0L)
+    assert(row.isNullAt(1))
+  }
+
+  test("rank vs dense_rank vs row_number on ties") {
+    import spark.implicits._
+    val df = Seq(("a", 10), ("b", 10), ("c", 5)).toDF("id", "v")
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val out = df.select(col("id"), rank().over(w).as("r"),
+      dense_rank().over(w).as("dr"), row_number().over(w).as("rn"))
+      .orderBy("rn").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+      r.getInt(3))).toSeq ===
+      Seq(("a", 1, 1, 1), ("b", 2, 2, 2), ("c", 3, 3, 3)))
+    // Without the id tiebreak, a and b genuinely tie:
+    val w2 = Window.orderBy(col("v").desc)
+    val tied = df.select(rank().over(w2).as("r")).collect().map(_.getInt(0))
+    assert(tied.sorted.toSeq === Seq(1, 1, 3))
+  }
+
+  test("graft_vec_dot: empty arrays give 0.0, mismatched lengths truncate") {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir) // registers graft_vec_dot
+    val df = Seq(
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(1f, 2f, 3f), Array(2f, 3f, 4f)),
+      (Array(1f, 2f), Array(5f, 5f, 5f))).toDF("a", "b")
+    val out = df.select(call_function("graft_vec_dot", col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(0.0, 20.0, 15.0))
+  }
+
+  test("timestamp filtering respects UTC at day boundaries") {
+    import spark.implicits._
+    val df = Seq("2023-12-31 23:59:59.999", "2024-01-01 00:00:00.000")
+      .toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val n = df.filter(col("ts") >= lit("2024-01-01").cast("timestamp"))
+      .count()
+    assert(n === 1L)
+  }
+
+  test("set ops partition a set: except ∪ intersect = original (distinct)") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3, 4, 5).toDF("v")
+    val b = Seq(4, 5, 6).toDF("v")
+    val recombined = a.except(b).union(a.intersect(b))
+    assert(recombined.orderBy("v").collect().map(_.getInt(0)).toSeq ===
+      Seq(1, 2, 3, 4, 5))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal._
+
+/** Multimodal plumbing invariants: schema, batch shape, determinism, and
+  * partitioning-independence of the mapPartitions stages. */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  private def media = {
+    import spark.implicits._
+    MediaOps.mediaTable(spark, sfDir).as[MediaRow]
+  }
+
+  test("media table schema: opaque binary payload + typed metadata struct") {
+    val df = MediaOps.mediaTable(spark, sfDir)
+    val f = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(f("payload") === "binary")
+    assert(f("meta").startsWith("struct<kind:string,width:int"))
+  }
+
+  test("frame sampling: every k-th frame, correct count per row") {
+    import spark.implicits._
+    val k = 4
+    val frames = MediaOps.sampleFrames(media, everyK = k)
+    val perRow = frames.groupByKey(_.media_id).count().collect().toMap
+    val expected = media.collect()
+      .map(m => m.media_id -> ((m.meta.nFrames + k - 1) / k).toLong).toMap
+    assert(perRow === expected)
+    assert(frames.collect().forall(_.frame.length === 64))
+  }
+
+  test("decode is deterministic and partitioning-independent") {
+    import spark.implicits._
+    val a = MediaOps.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val b = MediaOps.extractFeatures(media.repartition(7)).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a === b, "features must not depend on physical partitioning")
+  }
+
+  test("features are a normalized histogram (sums to 1)") {
+    val feats = MediaOps.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val s = f.features.map(_.toDouble).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"histogram sum $s for ${f.media_id}")
+      assert(f.features.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
+  test("feature vectors feed the similarity operators (array<float>)") {
+    import spark.implicits._
+    val feats = MediaOps.extractFeatures(media).toDF()
+    val df = feats.select(
+      graft.functions.VectorOps.cosine(col("features"), col("features"))
+        .as("self_cos"))
+    // cos(x,x) = 1 — proves the multimodal output plugs into VectorOps.
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("resize rewrites metadata only, payload bytes untouched") {
+    val before = MediaOps.mediaTable(spark, sfDir)
+    val after = MediaOps.resize(before, 224, 224)
+    val a = after.select(col("meta.width"), col("meta.height")).distinct()
+      .collect()
+    assert(a.length === 1 && a.head.getInt(0) === 224)
+    val pb = before.select(md5(col("payload"))).collect().map(_.getString(0))
+    val pa = after.select(md5(col("payload"))).collect().map(_.getString(0))
+    assert(pb.toSeq === pa.toSeq)
+  }
+
+  test("metadata predicates prune before payload work (plan check)") {
+    val df = MediaQueries.multimodalMeta(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // The width filter must sit below the md5 projection in the plan.
+    assert(plan.contains("Filter"), plan)
+    df.collect() // and the query actually runs
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Plan-shape assertions (SURVEY §5.5): the 100 TB mandate is enforced
+  * here — pushdown, pruning, broadcast, and top-k fusion must actually
+  * fire, not be assumed. */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def finalPlanString(df: DataFrame): String = {
+    df.collect() // run so AQE settles on the final plan
+    executed(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q_filter_predicate pushes all conjuncts into the parquet scan") {
+    val plan = executed(CoreQueries.filterPredicate(spark, sfDir)).toString
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("l_shipdate"), "shipdate range not pushed")
+    assert(plan.contains("l_quantity"), "quantity bound not pushed")
+  }
+
+  test("q_scan_parquet prunes the read schema to the projected columns") {
+    val plan = executed(CoreQueries.scanParquet(spark, sfDir)).toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_shipdate"),
+      s"unprojected column read: $readSchema")
+  }
+
+  test("q_join_broadcast plans a broadcast hash join") {
+    val plan = finalPlanString(JoinQueries.joinBroadcast(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_topk fuses into TakeOrderedAndProject") {
+    val plan = executed(CoreQueries.topK(spark, sfDir)).toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_join_range stays an equi hash/merge join, never BNLJ/cartesian") {
+    val plan = finalPlanString(JoinQueries.joinRange(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_join_asof avoids cartesian products") {
+    val plan = finalPlanString(JoinQueries.joinAsof(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("projection arithmetic runs inside whole-stage codegen") {
+    // The pre-execution AQE wrapper hides codegen spans; in the settled
+    // final plan a whole-stage-codegen span prints as a `*(n)` prefix.
+    val plan = finalPlanString(CoreQueries.projectExpr(spark, sfDir))
+    assert(plan.contains("*("), s"no codegen span: $plan")
+  }
+
+  test("graft_vec_dot participates in whole-stage codegen") {
+    val df = SimilarityQueries.simTopK(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("graft_vec_dot"), plan)
+    // The projection computing graft_vec_dot must sit inside a codegen
+    // span (`*(n) Project`), proving doGenCode is used, not fallback eval.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_vec_dot") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
+      s"vec_dot not in a codegen stage: $plan")
+  }
+
+  test("q_agg_groupby uses two-phase hash aggregation") {
+    val plan = finalPlanString(AggQueries.aggGroupBy(spark, sfDir))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial"), "no map-side partial aggregation")
+  }
+}

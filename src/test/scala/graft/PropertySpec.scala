@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SimilarityQueries, TextQueries}
+
+/** Algebraic laws (SURVEY §5.3) + the LSH recall contract. Spark-backed
+  * properties sample a few generated cases per law (each sample is a
+  * distributed job); deterministic seeds keep runs reproducible. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  /** Deterministic scalacheck sampling without the scalatestplus bridge
+    * (not in the offline cache). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(40), Seed(42L + i)))
+
+  private val intList = Gen.listOf(Gen.chooseNum(-50, 50))
+
+  test("union-all count additivity") {
+    import spark.implicits._
+    for ((xs, ys) <- samples(Gen.zip(intList, intList), 5)) {
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      assert(a.unionByName(b).count() === xs.length + ys.length)
+    }
+  }
+
+  test("except/intersect partition the left multiset's distinct values") {
+    import spark.implicits._
+    for ((xs, ys) <- samples(Gen.zip(intList, intList), 5)) {
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      val n = a.except(b).count() + a.intersect(b).count()
+      assert(n === xs.distinct.length)
+    }
+  }
+
+  test("windowed tumbling counts sum to the global count") {
+    val events = Tables.events(spark, sfDir)
+    val windowed = events
+      .groupBy(window(col("ts"), "10 minutes")).count()
+      .agg(sum("count")).collect().head.getLong(0)
+    assert(windowed === events.count())
+  }
+
+  test("LSH recall: every exact-Jaccard ≥ 0.8 pair is recovered") {
+    val exact = TextQueries.dedupNgram(spark, sfDir)
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.simPairsLsh(spark, sfDir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    val missed = exact -- lsh
+    assert(missed.isEmpty,
+      s"high-similarity pairs missed by LSH banding: $missed")
+  }
+
+  test("LSH precision: every reported pair meets the Jaccard threshold") {
+    val bad = SimilarityQueries.simPairsLsh(spark, sfDir)
+      .filter(col("jaccard") < 0.5).count()
+    assert(bad === 0L)
+  }
+
+  test("ANN-IVF finds true near neighbors (recall vs exact top-k)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    // Exact top-5 per probe by brute force.
+    val probes = e.filter(col("vec_id") < 5).toDF("probe_id", "pv")
+    val exact = probes.crossJoin(e)
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorOps.cosine(col("pv"), col("embedding"))
+          .as("c"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityQueries.annIvf(spark, sfDir)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // This testdata's cluster labels are uncorrelated with cosine
+    // geometry (see annIvf scaladoc), so IVF recall here is the pruning
+    // fraction: nprobe/k = 4/10. Assert the pruning math holds (with
+    // sampling slack); real embeddings would score far higher.
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.25, f"IVF recall@5 below pruning bound: $recall%.2f")
+  }
+
+  test("minhash signature similarity tracks exact Jaccard (bound check)") {
+    // Pure-JVM property: the (a*h+b) mod p family used by simPairsLsh,
+    // evaluated directly on generated shingle sets.
+    val params = (0 until 64).map(i => (2L * i + 1001L, 7919L * i + 131L))
+    val p = 2147483647L
+    def minhash(s: Set[Long]): Seq[Long] =
+      params.map { case (a, b) => s.map(h => (a * h + b) % p).min }
+    // Scramble raw ids across the full [0, p) range first — exactly what
+    // the Spark pipeline's xxhash64(shingle) step does. Without it,
+    // a*h+b never wraps mod p and the family degenerates to a monotonic
+    // map (every set with the same minimum id would collide).
+    // fmix64-style scramble (offset first: fmix(0) = 0, and scalacheck's
+    // chooseNum loves emitting 0). A tiny scrambled value would dominate
+    // the argmin of every (a*h+b) mod p — the one degenerate point of the
+    // family, which xxhash64 in the real pipeline avoids the same way.
+    def scramble(x: Long): Long = {
+      var h = x + 0x9e3779b97f4a7c15L
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      Math.floorMod(h, p - 1) + 1
+    }
+    val setGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000L))
+    for ((xs, ys) <- samples(Gen.zip(setGen, setGen), 20)) {
+      val (sa, sb) = (xs.map(scramble).toSet, ys.map(scramble).toSet)
+      val jac = (sa & sb).size.toDouble / (sa | sb).size
+      val est = minhash(sa).zip(minhash(sb))
+        .count { case (x, y) => x == y }.toDouble / params.size
+      assert(math.abs(est - jac) <= 0.35,
+        f"minhash estimate $est%.2f far from jaccard $jac%.2f")
+    }
+  }
+}

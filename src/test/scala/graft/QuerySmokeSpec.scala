@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query executes on sf0.001 (SURVEY §5.6) and the
+  * SparkEntry contract invariants hold. */
+class QuerySmokeSpec extends AnyFunSuite with SparkFixture {
+
+  test("entry returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("query keys follow the q_ naming contract") {
+    assert(SparkEntry.queries.keys.forall(_.startsWith("q_")))
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sfDir)
+      // Materialize fully (not just count) so expression evaluation and
+      // result encoding are exercised for every column.
+      val rows = df.collect()
+      assert(rows.length >= 0)
+    }
+  }
+}

@@ -1,0 +1,202 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Event
+
+/** Watermark / state / late-data semantics with explicit multi-batch
+  * MemoryStream scripts (SURVEY §5.4, §7.3.2) — the behaviors where
+  * streaming genuinely diverges from batch, which the declared
+  * oracle-checked streaming queries deliberately avoid. Never wall-clock:
+  * every batch boundary is an explicit processAllAvailable(). */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, uid: Long = 1L,
+      typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(t), uid, typ, v, "{}")
+
+  private var nameSeq = 0
+  private def startToMemory(df: DataFrame, mode: OutputMode)
+      : (StreamingQuery, String) = {
+    nameSeq += 1
+    val name = s"stream_spec_$nameSeq"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    (q, name)
+  }
+
+  test("tumbling windows finalize when the watermark passes (append mode)") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](org.apache.spark.sql.Encoders.product[Event], spark)
+    val agg = ms.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).count()
+    val (q, name) = startToMemory(agg, OutputMode.Append())
+    try {
+      // Batch 1: two events in the 10:00 window. Nothing can finalize yet.
+      ms.addData(ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:04:00"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0,
+        "window emitted before watermark passed")
+      // Batch 2: event at 10:30 → watermark 10:25 > 10:10 → first window out.
+      ms.addData(ev(3, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // Watermark from batch 2's max event time applies to batch 3; an
+      // empty nudge batch lets the finalized window flush.
+      ms.addData(ev(4, "2024-01-01 10:31:00"))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .select(col("window.start").cast("string"), col("count")).collect()
+      assert(out.length === 1)
+      assert(out.head.getString(0).startsWith("2024-01-01 10:00"))
+      assert(out.head.getLong(1) === 2L)
+    } finally q.stop()
+  }
+
+  test("late event beyond the watermark is dropped (SURVEY q_stream_late)") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](org.apache.spark.sql.Encoders.product[Event], spark)
+    val agg = ms.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).count()
+    val (q, name) = startToMemory(agg, OutputMode.Append())
+    try {
+      ms.addData(ev(1, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 11:00:00")) // watermark → 10:55
+      q.processAllAvailable()
+      // Late: 10:02 is far behind the 10:55 watermark → must not revive
+      // or alter the already-finalized 10:00 window.
+      ms.addData(ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 11:01:00")) // nudge
+      q.processAllAvailable()
+      val first = spark.table(name)
+        .filter(col("window.start") === lit("2024-01-01 10:00:00")
+          .cast("timestamp")).collect()
+      assert(first.length === 1)
+      assert(first.head.getAs[Long]("count") === 1L,
+        "late event leaked into a finalized window")
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap and split across it") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](org.apache.spark.sql.Encoders.product[Event], spark)
+    val agg = ms.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    val (q, name) = startToMemory(agg, OutputMode.Append())
+    try {
+      // Two events 10 min apart (one session), then 40 min silence → split.
+      ms.addData(ev(1, "2024-01-01 09:00:00"), ev(2, "2024-01-01 09:10:00"),
+        ev(3, "2024-01-01 09:50:00"))
+      q.processAllAvailable()
+      // Advance watermark far past both sessions so they finalize.
+      ms.addData(ev(4, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(5, "2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      val sessions = spark.table(name)
+        .select(col("session_window.start").cast("string").as("s"),
+          col("count"))
+        .orderBy("s").collect()
+      assert(sessions.length >= 2)
+      assert(sessions(0).getString(0).startsWith("2024-01-01 09:00"))
+      assert(sessions(0).getLong(1) === 2L, "first session must merge 2 events")
+      assert(sessions(1).getString(0).startsWith("2024-01-01 09:50"))
+      assert(sessions(1).getLong(1) === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops dupes, then forgets old keys") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](org.apache.spark.sql.Encoders.product[Event], spark)
+    val deduped = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val (q, name) = startToMemory(deduped, OutputMode.Append())
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1, "in-batch duplicate survived")
+      ms.addData(ev(1, "2024-01-01 10:05:00")) // within watermark → dropped
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1, "within-watermark dup survived")
+      // Far later re-occurrence: state for key 1 has been evicted — the
+      // bounded-state contract (exactly why this beats dropDuplicates at
+      // 100 TB: state is watermark-bounded, not unbounded).
+      ms.addData(ev(99, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(1, "2024-01-01 12:00:30"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 3,
+        "evicted key should re-admit after watermark horizon")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState event-time timeout emits a final record") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](org.apache.spark.sql.Encoders.product[Event], spark)
+    val out = ms.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, it: Iterator[Event], st: GroupState[Long]) => {
+          if (st.hasTimedOut) {
+            val n = st.get
+            st.remove()
+            Iterator((uid, n, true)) // final flush on timeout
+          } else {
+            // Timeout anchored to event time (not the watermark — during
+            // batch 1 the watermark is still epoch 0 and a
+            // watermark-anchored timeout would fire immediately).
+            val events = it.toSeq
+            val n = st.getOption.getOrElse(0L) + events.size
+            st.update(n)
+            st.setTimeoutTimestamp(events.map(_.ts.getTime).max + 60000)
+            Iterator.empty
+          }
+        })
+      .toDF("user_id", "n", "timed_out")
+    val (q, name) = startToMemory(out, OutputMode.Append())
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", uid = 7),
+        ev(2, "2024-01-01 10:00:30", uid = 7))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+      // Other-user event one hour later pushes the watermark past the
+      // timeout timestamp → user 7's state times out and flushes.
+      ms.addData(ev(3, "2024-01-01 11:00:00", uid = 8))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 11:30:00", uid = 8))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .filter(col("user_id") === 7).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(1) === 2L && rows.head.getBoolean(2))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts equal the batch answer (equivalence)") {
+    val streamed = graft.operators.StreamQueries
+      .streamTumbling(spark, sfDir).collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_us", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}

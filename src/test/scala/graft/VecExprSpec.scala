@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FloatVecDot
+
+/** FloatVecDot: interpreted path vs codegen path vs the HOF formulation it
+  * replaced — all three must agree bit-for-bit (same sequential double
+  * accumulation), or oracle hashes would drift. */
+class VecExprSpec extends AnyFunSuite with SparkFixture {
+
+  private val rng = new scala.util.Random(42)
+  private def vec(n: Int): Array[Float] =
+    Array.fill(n)(rng.nextFloat() * 2 - 1)
+
+  test("interpreted eval matches hand computation") {
+    val a = vec(64); val b = vec(64)
+    val expr = FloatVecDot(
+      Literal(ArrayData.toArrayData(a), ArrayType(FloatType)),
+      Literal(ArrayData.toArrayData(b), ArrayType(FloatType)))
+    val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+      s + x.toDouble * y.toDouble
+    }
+    assert(expr.eval(null) === expected)
+  }
+
+  test("codegen result equals the zip_with/aggregate HOF formulation") {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir) // registers the function
+    val df = Seq.fill(50)((vec(64), vec(64))).toDF("a", "b")
+    val out = df.select(
+      call_function("graft_vec_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1),
+        "codegen and HOF accumulation diverged")
+    }
+  }
+
+  test("mixed float/double arrays are accepted (IVF centroid path)") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), Array(0.5, 0.25))).toDF("f", "d")
+    val out = df.select(
+      call_function("graft_vec_dot", col("f"), col("d"))).collect()
+    assert(out.head.getDouble(0) === 1.0)
+  }
+
+  test("non-array input fails analysis with a typed error") {
+    import spark.implicits._
+    val df = Seq((1, Array(1f))).toDF("i", "a")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_vec_dot", col("i"), col("a")))
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_vec_dot"))
+  }
+
+  test("null array yields null (nullIntolerant)") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val out = df.select(
+      call_function("graft_vec_dot", col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+}
