@@ -28,6 +28,7 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       StreamQueries.queries ++
+      TopKQueries.queries ++
       graft.multimodal.MediaQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       TextQueries.oracle ++
       SimilarityQueries.oracle ++
       StreamQueries.oracle ++
+      TopKQueries.oracle ++
       graft.multimodal.MediaQueries.oracle
 }

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table layout for co-located, shuffle-free joins (SURVEY §2 /
+  * the 100 TB mandate's "pre-partitioning/bucketing" path).
+  *
+  * At cluster scale the dominant cost of a fact⋈fact equi join is the
+  * pairwise shuffle. Writing both tables bucketed (and sorted) by the
+  * join key moves that shuffle to WRITE time, once; every subsequent join
+  * on the key reads co-located buckets and plans a SortMergeJoin with NO
+  * Exchange on either side (asserted in BucketedLayoutSpec). This is the
+  * standard Spark answer to "reuse a partitioning across stages/jobs" —
+  * bucket metadata lives in the catalog, so it survives sessions,
+  * unlike `repartition()` which is per-plan.
+  */
+object BucketedLayout {
+
+  /** Write `df` as a bucketed, sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Co-locate two frames on their join keys with the same bucket count
+    * (equal bucket counts + same key hash ⇒ bucket i joins bucket i). */
+  def colocate(s: SparkSession, left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, buckets: Int,
+      leftTable: String, rightTable: String): (DataFrame, DataFrame) = {
+    writeBucketed(left, leftTable, leftKey, buckets)
+    writeBucketed(right, rightTable, rightKey, buckets)
+    (s.table(leftTable), s.table(rightTable))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SkewOps, TopKQueries}
+import graft.sources.BucketedLayout
+
+/** The scale-path machinery: salted joins, bucketed layouts, bounded
+  * top-k aggregation — correctness vs the naive formulation, plus the
+  * plan properties that make them worth having. */
+class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("salted join output equals the plain join (orders x customer)") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val plain = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    val salted = SkewOps.saltedEquiJoin(orders, customer,
+      "o_custkey", "c_custkey", n = 8)
+      .select("o_orderkey", "c_custkey")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join is deterministic across runs (content-hash salt)") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    def run() = SkewOps.saltedEquiJoin(orders, customer,
+      "o_custkey", "c_custkey", n = 4)
+      .select("o_orderkey").orderBy("o_orderkey").collect().toSeq
+    assert(run() === run())
+  }
+
+  test("top-k aggregator matches the window-rank formulation") {
+    val viaAgg = TopKQueries.topkGrouped(spark, sfDir).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+      .collect()
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // A fresh JVM's in-memory catalog has no record of last run's managed
+    // tables, but their directories persist — clear them.
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    val (o, l) = BucketedLayout.colocate(spark,
+      Tables.orders(spark, sfDir), "o_orderkey",
+      Tables.lineitem(spark, sfDir), "l_orderkey",
+      buckets = 4, "b_orders", "b_lineitem")
+    // Force the shuffle-based join path: at this tiny scale Catalyst
+    // would broadcast (a BroadcastExchange), hiding what bucketing buys.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select("o_orderkey", "l_linenumber")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
