@@ -29,6 +29,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       StreamQueries.queries ++
       TopKQueries.queries ++
+      PivotQueries.queries ++
+      SqlQueries.queries ++
       graft.multimodal.MediaQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +46,7 @@ object SparkEntry {
       SimilarityQueries.oracle ++
       StreamQueries.oracle ++
       TopKQueries.oracle ++
+      PivotQueries.oracle ++
+      SqlQueries.oracle ++
       graft.multimodal.MediaQueries.oracle
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The SQL-string entry path (SURVEY §3.2 P2): `spark.sql(text)` → ANTLR
+  * parse → UnresolvedPlan → the same Catalyst pipeline as the DataFrame
+  * API. These queries are authored once in portable ANSI SQL and executed
+  * verbatim by BOTH engines — the Spark side runs the exact string the
+  * DuckDB oracle runs, so this path also proves dialect-portability of
+  * the engine's SQL surface (subqueries, EXISTS, CTEs).
+  */
+object SqlQueries {
+
+  /** Portable ANSI text, shared verbatim between Spark and DuckDB. */
+  private val sqlTexts: Map[String, String] = Map(
+    // TPC-H Q3 shape: 3-way join + filtered agg + top-k.
+    "q_sql_topn_revenue" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // Correlated EXISTS / NOT EXISTS pair.
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    // CTE + integer scalar subquery (integer logic only — no float
+    // boundary risk in the correlation).
+    "q_sql_cte_scalar" ->
+      """WITH nation_size AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c_name, c_nationkey
+        |FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT c_nationkey FROM nation_size
+        |  WHERE n_cust = (SELECT max(n_cust) FROM nation_size))
+        |ORDER BY c_custkey""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqlTexts.map { case (name, text) =>
+      name -> ((s: SparkSession, d: String) => run(s, d, text))
+    }
+
+  val oracle: Map[String, String] = sqlTexts
+
+  /** Register the tables the SQL texts reference as temp views over the
+    * scale-factor dir, then execute the shared ANSI text. */
+  private def run(s: SparkSession, d: String, text: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(text)
+  }
+}
