@@ -26,8 +26,10 @@ object VectorOps {
   /** ‖a‖₂ in double precision. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; caller guarantees non-zero vectors (embeddings are
-    * dense Gaussian draws — zero norm cannot occur). */
+  /** Cosine similarity — fused single-pass expression (dot + both norms
+    * in one loop, bit-identical to the composed form). Caller guarantees
+    * non-zero vectors (embeddings are dense Gaussian draws — zero norm
+    * cannot occur). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    call_function("graft_vec_cosine", a, b)
 }

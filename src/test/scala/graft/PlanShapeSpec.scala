@@ -67,15 +67,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("*("), s"no codegen span: $plan")
   }
 
-  test("graft_vec_dot participates in whole-stage codegen") {
+  test("graft vector expressions participate in whole-stage codegen") {
     val df = SimilarityQueries.simTopK(spark, sfDir)
     val plan = finalPlanString(df)
-    assert(plan.contains("graft_vec_dot"), plan)
-    // The projection computing graft_vec_dot must sit inside a codegen
-    // span (`*(n) Project`), proving doGenCode is used, not fallback eval.
+    assert(plan.contains("graft_vec_cosine"), plan)
+    // The projection computing the vector expression must sit inside a
+    // codegen span (`*(n) Project`), proving doGenCode is used, not
+    // fallback eval.
     assert(plan.linesIterator.exists(l =>
-      l.contains("graft_vec_dot") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
-      s"vec_dot not in a codegen stage: $plan")
+      l.contains("graft_vec_cosine") &&
+        l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
+      s"vec expression not in a codegen stage: $plan")
   }
 
   test("q_agg_groupby uses two-phase hash aggregation") {

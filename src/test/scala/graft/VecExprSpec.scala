@@ -44,6 +44,20 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fused cosine equals the composed dot/norm form bit-for-bit") {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+    val df = Seq.fill(50)((vec(64), vec(64))).toDF("a", "b")
+    val out = df.select(
+      call_function("graft_vec_cosine", col("a"), col("b")).as("fused"),
+      (call_function("graft_vec_dot", col("a"), col("b")) /
+        (sqrt(call_function("graft_vec_dot", col("a"), col("a"))) *
+          sqrt(call_function("graft_vec_dot", col("b"), col("b")))))
+        .as("composed"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("mixed float/double arrays are accepted (IVF centroid path)") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f), Array(0.5, 0.25))).toDF("f", "d")
