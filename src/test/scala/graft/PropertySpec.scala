@@ -37,6 +37,21 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx_count_distinct within 5% of exact (SURVEY §2.4 contract)") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val rows = events.groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx"),
+        countDistinct("user_id").as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, ex) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(ap - ex) / ex <= 0.05,
+        s"${r.getString(0)}: approx $ap vs exact $ex")
+    }
+  }
+
   test("windowed tumbling counts sum to the global count") {
     val events = Tables.events(spark, sfDir)
     val windowed = events
