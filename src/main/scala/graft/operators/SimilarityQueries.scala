@@ -97,16 +97,28 @@ object SimilarityQueries {
     // Norms computed once per row BEFORE the pair join: the O(n²) inner
     // loop then does a single dot per pair instead of three. Numerically
     // identical to cosine(ea, eb) — same double ops, same order.
+    //
+    // Two plan details matter here (found by reading the executed plan):
+    //  - The similarity threshold lives INSIDE the join condition, written
+    //    AFTER `v1 < v2`: conjuncts short-circuit left-to-right, so the
+    //    dot runs on the n²/2 ordered pairs, not all n². (Leaving it as a
+    //    post-join .filter lets Catalyst push it into the condition ahead
+    //    of the cheap inequality — doubling the dot work.)
+    //  - The streamed side is round-robin repartitioned: the embeddings
+    //    table is one small parquet file → one input partition, which
+    //    would serialize the whole O(n²) loop on a single core. On a real
+    //    cluster the scan has many partitions and this reshuffle is a
+    //    no-op-sized safety net.
+    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-    val a = e.toDF("v1", "label1", "ea", "na")
+    val a = e.toDF("v1", "label1", "ea", "na").repartition(shufflePartitions)
     val b = e.toDF("v2", "label2", "eb", "nb")
-    a.join(broadcast(b), col("v1") < col("v2"))
+    val cosSim = round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+    a.join(broadcast(b), col("v1") < col("v2") && cosSim >= 0.4)
       .select(col("v1"), col("v2"), col("label1"), col("label2"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
-          .as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
+        cosSim.as("cos_sim"))
       .orderBy("v1", "v2")
   }
 
@@ -129,14 +141,15 @@ object SimilarityQueries {
       concat_ws(" ", element_at(t, i), element_at(t, i + 1),
         element_at(t, i + 2)))
 
-  /** (doc_id, shingle) distinct pairs — the shared substrate for exact
-    * Jaccard and MinHash. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  /** Per-document DISTINCT shingle array, built entirely in the map stage
+    * (`array_distinct` instead of explode → global distinct — no shuffle).
+    * The shared substrate for MinHash signatures and exact-Jaccard verify. */
+  private def docShingleArrays(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingleCol(col("toks"))).as("shingle"))
-      .distinct()
+      .select(col("doc_id"),
+        array_distinct(shingleCol(col("toks"))).as("sarr"))
 
   /** Fuzzy near-dup pairs via banded MinHash.
     *
@@ -150,43 +163,44 @@ object SimilarityQueries {
     * the property test instead checks every exact-Jaccard-≥0.8 pair from
     * q_dedup_ngram is recovered. */
   def simPairsLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime)))
+    // MinHash signatures are computed per-row with `array_min` over the
+    // permuted element hashes — no explode, no groupBy: the only shuffle
+    // in the whole query is the band self-join. The shingle array rides
+    // along into the band rows so the exact-Jaccard verify is a local
+    // `array_intersect` on each colliding pair (the original formulation
+    // re-ran the full inverted-index self-join over ALL docs just to score
+    // the few candidates). Both join sides are the identical plan on the
+    // identical shuffle key → ReuseExchange computes the doc pipeline once.
+    val base = docShingleArrays(s, d)
+      .withColumn("harr",
+        transform(col("sarr"), x => pmod(xxhash64(x), lit(Prime))))
     // k min-hash values per doc: min((a*h+b) mod p) per hash function.
     val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(Prime))).as(s"mh$i")
+      array_min(transform(col("harr"), h => pmod(h * a + b, lit(Prime))))
+        .as(s"mh$i")
     }
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = base.select(col("doc_id") +: col("sarr") +: sigCols: _*)
     // Band signature = the 4 minhashes of the band packed into one string.
     val bandRows = sigs.select(
-      col("doc_id"),
+      col("doc_id"), col("sarr"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", (0 until Rows).map(r =>
             col(s"mh${b * Rows + r}")): _*).as("sig"))
       }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+      .select(col("doc_id"), col("sarr"), col("bs.band"), col("bs.sig"))
     val cands = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    // Exact-Jaccard verification of the candidate pairs only.
-    val sh2 = docShingles(s, d)
-    val cnt = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh2.as("a")
-      .join(sh2.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    val jac = col("common").cast("double") /
-      (col("ca.n") + col("cb.n") - col("common"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sarr").as("sa"), col("y.sarr").as("sb"))
+      .dropDuplicates("d1", "d2")
+    // Exact-Jaccard verification, local to each candidate pair.
+    val common = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val jac = common.cast("double") /
+      (size(col("sa")) + size(col("sb")) - common)
     cands
-      .join(common, Seq("d1", "d2"))
-      .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
-      .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
       .filter(jac >= 0.5)
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
@@ -198,20 +212,23 @@ object SimilarityQueries {
     * agree on at least one of 4 blocks — exact recall, no enumeration of
     * the pair space). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
+    // One explode (token instances), ONE aggregation with 64 codegen'd
+    // conditional-sum columns — instead of the original tf-groupBy →
+    // 64×-row bit explode → two more aggregations (which pushed ~29M rows
+    // through the shuffle at sf0.1). tf-weighting is implicit: each token
+    // occurrence votes ±1, so the per-bit sum equals Σ_tokens ±tf exactly.
+    val th = documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sig = tf
-      .select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(expr("(shiftright(h, bit) & 1) = 1"), col("tf"))
-          .otherwise(-col("tf")))
-      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
-      .withColumn("bitval",
-        when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$b")
+    }
+    val sigExpr = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = th.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sigExpr.as("simhash"))
     val blocks = sig.select(
       col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("blk"))

@@ -307,6 +307,16 @@ object TextQueries {
     * because ultra-common shingles cannot push a pair over Jaccard 0.6 on
     * their own. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    // Plan shape (measured, not guessed): explode → .distinct() materializes
+    // the (doc, shingle) table behind one hash aggregation whose exchange is
+    // IDENTICAL for the join's two sides and for `cnt`, so ReuseExchange
+    // computes the shingle pipeline once. A rewrite that built per-doc
+    // distinct shingle arrays map-side (array_distinct, counts carried
+    // through the explode) benchmarked 4-5× SLOWER here: without the
+    // distinct's aggregation barrier, Catalyst inlines the interpreted
+    // shingle transform into the scan's data filters and both join inputs,
+    // and AQE broadcast-hashes a 260k-row build side instead of reusing one
+    // shuffle.
     val t = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
