@@ -53,7 +53,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (xf, yf) = (isFloat(left.dataType), isFloat(right.dataType))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecExprs.checkedLength(prettyName, x, y)
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -74,7 +74,7 @@ case class FloatVecDot(left: Expression, right: Expression)
       def get(v: String, t: DataType) =
         if (isFloat(t)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VecExprs.checkedLength("$prettyName", $a, $b);
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${get(a, left.dataType)} * ${get(b, right.dataType)};
@@ -124,7 +124,7 @@ case class FloatVecCosine(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (xf, yf) = (isFloat(left.dataType), isFloat(right.dataType))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecExprs.checkedLength(prettyName, x, y)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -149,7 +149,7 @@ case class FloatVecCosine(left: Expression, right: Expression)
       def get(v: String, t: DataType) =
         if (isFloat(t)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VecExprs.checkedLength("$prettyName", $a, $b);
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = ${get(a, left.dataType)};
@@ -162,6 +162,22 @@ case class FloatVecCosine(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): FloatVecCosine = copy(newLeft, newRight)
+}
+
+/** Shared runtime helpers for the vector expressions; methods here are
+  * called from generated Java (static forwarders), so they must stay
+  * object-level and JVM-primitive-typed. */
+object VecExprs {
+  /** Equal-dimension check: mismatched lengths are malformed data (the
+    * declared semantics are equal-dimension vectors), so fail loudly
+    * instead of silently truncating to the shorter array. */
+  def checkedLength(fn: String, x: ArrayData, y: ArrayData): Int = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx != ny) throw new IllegalArgumentException(
+      s"$fn requires equal-length arrays, got lengths $nx and $ny")
+    nx
+  }
 }
 
 /** Registration of graft's native expressions.

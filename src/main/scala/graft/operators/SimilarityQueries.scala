@@ -251,7 +251,7 @@ object SimilarityQueries {
     *
     * Centroids are the per-cluster dimension means (the testdata's `label`
     * is the cluster assignment — in production this is the k-means step,
-    * identical plumbing); a probe scans only its `nprobe`=3 nearest
+    * identical plumbing); a probe scans only its [[IvfNprobe]] nearest
     * clusters instead of the full table. At 100 TB the embeddings table is
     * bucketed/partitioned by cluster id so the pruned scan is a partition
     * prune, not a filter. Recall vs the exact baseline is property-tested
@@ -261,6 +261,10 @@ object SimilarityQueries {
     * ≈ nprobe/k, the pruning fraction — the property test asserts exactly
     * that bound; on real embeddings, k-means clusters track geometry and
     * recall is far higher at the same nprobe. */
+  /** Clusters probed per query vector in [[annIvf]]; the recall property
+    * test bounds recall by IvfNprobe/k (PropertySpec). */
+  val IvfNprobe = 4
+
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val dims = e.select(col("label"),
@@ -281,7 +285,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(centroids))
       .withColumn("cdist", round(cosine(col("pv"), col("centroid")), 4))
       .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= 4)
+      .filter(col("crnk") <= IvfNprobe)
       .select("probe_id", "pv", "cl")
     // Scan only rows whose label is in the probe's nprobe clusters.
     val wn = Window.partitionBy("probe_id")

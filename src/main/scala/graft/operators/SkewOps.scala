@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * tested in SkewSpec) — only the partitioning changes.
   *
   * The salt is derived from stable row content (xxhash64 of the fact
-  * side's columns), not `rand()`: deterministic replay matters both for
-  * the oracle harness and for streaming recovery, and a content hash
-  * spreads a hot key exactly as well as randomness.
+  * side's columns) PLUS a partition-local row counter, not `rand()`:
+  * deterministic replay matters both for the oracle harness and for
+  * streaming recovery. The counter term matters because skew often comes
+  * from fully identical duplicate rows — a pure content hash would give
+  * them all the same salt and leave the hot key unspread; the
+  * monotonically-increasing id disambiguates equal rows while staying
+  * deterministic for a fixed input partitioning (e.g. a parquet scan).
   */
 object SkewOps {
 
@@ -26,12 +30,18 @@ object SkewOps {
     * @param fact skewed side (many rows per key)
     * @param dim  replicated side (few rows per key — replicated n×)
     */
+  /** The n-way salt for `fact`: content hash + partition-local counter,
+    * so even fully identical duplicate rows spread over all n salts. */
+  def saltColumn(fact: DataFrame, n: Int): Column =
+    pmod(
+      xxhash64(fact.columns.map(col).toIndexedSeq: _*) +
+        monotonically_increasing_id(),
+      lit(n))
+
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
-    val saltCol: Column =
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(n))
-    val salted = fact.withColumn("__salt", saltCol)
+    val salted = fact.withColumn("__salt", saltColumn(fact, n))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1)).cast("array<bigint>")))
     salted

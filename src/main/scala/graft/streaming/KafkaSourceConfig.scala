@@ -63,7 +63,11 @@ final case class KafkaSaslConfig(
       if (mechanism.startsWith("SCRAM"))
         "org.apache.kafka.common.security.scram.ScramLoginModule"
       else "org.apache.kafka.common.security.plain.PlainLoginModule"
-    s"""$module required username="$username" password="$password";"""
+    // JAAS values are double-quoted strings; a credential containing `"` or
+    // `\` must be escaped or the rendered config is malformed/injectable.
+    def esc(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""$module required username="${esc(username)}" password="${esc(password)}";"""
   }
 
   def clientOptions: Map[String, String] =

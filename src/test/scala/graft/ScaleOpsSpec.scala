@@ -34,6 +34,18 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(run() === run())
   }
 
+  test("identical duplicate rows spread across salts (hot-key shape)") {
+    import spark.implicits._
+    // The classic skew shape: one hot key, all rows byte-identical. A pure
+    // content-hash salt would collapse these onto ONE reducer.
+    val fact = Seq.fill(1000)(("hot", 1L)).toDF("k", "v")
+      .repartition(4)
+    val salts = fact
+      .withColumn("__salt", SkewOps.saltColumn(fact, 8))
+      .select("__salt").distinct().count()
+    assert(salts === 8, s"expected all 8 salts used, got $salts")
+  }
+
   test("top-k aggregator matches the window-rank formulation") {
     val viaAgg = TopKQueries.topkGrouped(spark, sfDir).collect()
     val w = org.apache.spark.sql.expressions.Window

@@ -86,6 +86,16 @@ class SecretsSpec extends AnyFunSuite {
     assert(o.contains("kafka.sasl.jaas.config"))
   }
 
+  test("jaas config escapes quotes and backslashes in credentials") {
+    val sasl = KafkaSaslConfig("""al"ice""", """p\as"s""")
+    val jaas = sasl.jaasConfig
+    assert(jaas.contains("""username="al\"ice""""))
+    assert(jaas.contains("""password="p\\as\"s""""))
+    // Still exactly one terminating `";` and balanced quotes overall.
+    assert(jaas.endsWith("\";"))
+    assert(jaas.count(_ == '"') % 2 === 0)
+  }
+
   test("oauth callback class passes through (main.py:16-24 remnant)") {
     val sasl = KafkaSaslConfig("u", "p", mechanism = "OAUTHBEARER",
       loginCallbackHandlerClass = Some("example.OauthCallbackHandler"))

@@ -76,6 +76,18 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("graft_vec_dot"))
   }
 
+  test("mismatched array lengths fail loudly instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_vec_dot", col("a"), col("b")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("equal-length")), msgs(e).mkString("; "))
+  }
+
   test("null array yields null (nullIntolerant)") {
     import spark.implicits._
     val df = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
