@@ -110,18 +110,54 @@ object StreamQueries {
     * more than once in a session). */
   private val seq = new AtomicInteger
 
+  /** Checkpoint root for the bounded-replay harness: tmpfs when available.
+    * Every micro-batch commit fsyncs offset/commit logs plus one state
+    * delta file per shuffle partition; on the throwaway replay checkpoint
+    * that I/O is pure harness overhead (a production deployment points
+    * `checkpointLocation` at durable storage — that knob stays with the
+    * caller). */
+  private val ckptRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.toString
+    else System.getProperty("java.io.tmpdir")
+  }
+
+  /** State fan-out for the bounded replay. State-store commit cost is
+    * per-partition per-batch (provider init + delta file + fsync), so the
+    * short replay wants few partitions; a production cluster sizes
+    * `spark.sql.shuffle.partitions` to its core count instead — state
+    * keyed by (window, event_type) / user_id partitions the same way at
+    * any fan-out. */
+  private val replayStateParts = "8"
+
   /** Run an unbounded frame to completion: AvailableNow trigger → memory
     * sink → return the materialized table. Temp checkpoint, self
     * terminating — the streaming analogue of an action. */
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
     val name = s"graft_stream_${seq.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", replayStateParts)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // Throwaway replay checkpoint — delete, best effort.
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
     df.sparkSession.table(name)
   }
 
