@@ -31,6 +31,9 @@ object SparkEntry {
       TopKQueries.queries ++
       PivotQueries.queries ++
       SqlQueries.queries ++
+      StatsQueries.queries ++
+      GraphQueries.queries ++
+      graft.sources.SourceQueries.queries ++
       graft.multimodal.MediaQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +51,8 @@ object SparkEntry {
       TopKQueries.oracle ++
       PivotQueries.oracle ++
       SqlQueries.oracle ++
+      StatsQueries.oracle ++
+      GraphQueries.oracle ++
+      graft.sources.SourceQueries.oracle ++
       graft.multimodal.MediaQueries.oracle
 }

@@ -26,7 +26,8 @@ object ScalarQueries {
     "q_math_funcs"   -> mathFuncs _,
     "q_json_extract" -> jsonExtract _,
     "q_array_funcs"  -> arrayFuncs _,
-    "q_map_funcs"    -> mapFuncs _
+    "q_map_funcs"    -> mapFuncs _,
+    "q_regex_funcs"  -> regexFuncs _
   )
 
   val oracle: Map[String, String] = Map(
@@ -39,6 +40,18 @@ object ScalarQueries {
         |  (p_name LIKE '%re%') AS has_re,
         |  replace(p_type, 'ECONOMY', 'ECO') AS typ,
         |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_str
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    // Patterns restricted to syntax RE2 (DuckDB) and java.util.regex
+    // (Spark) interpret identically: literal classes, anchors, groups —
+    // no backrefs, no lookaround. DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's replace-all semantics.
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+        |  regexp_matches(p_name, '^(red|blue|small)') AS flagged,
+        |  CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1
+        |    AS INT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,
@@ -160,4 +173,18 @@ object ScalarQueries {
         concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
         element_at(col("m"), "k").as("k_val"))
       .orderBy("event_id")
+
+  /** Regex surface over part names: group extraction, replace-all, match
+    * test, and a regex-derived word count — patterns kept inside the
+    * RE2 ∩ java.util.regex common dialect (see oracle note). */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+        col("p_name").rlike("^(red|blue|small)").as("flagged"),
+        (length(regexp_replace(col("p_name"), "[^ ]", "")) + 1)
+          .as("n_words"))
+      .orderBy("p_partkey")
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Statistical / conditional aggregation surface (SURVEY §2.4 extension
+  * rows): moment statistics, FILTER-style conditional aggregates, ordered
+  * string aggregation, approximate quantiles, and deterministic hash
+  * sampling.
+  *
+  * Extension surface — the reference's only aggregation-shaped act is the
+  * bounded `max_num_records=3` read (/root/reference/main.py:106); all of
+  * this is the BASELINE.json relational mandate.
+  *
+  * Scale notes (100 TB):
+  *   - every aggregate here is algebraic (partial + final hash agg,
+  *     map-side combine) — one shuffle keyed by the group column;
+  *   - `q_sample_hash` is THE pattern for reproducible sampling at scale:
+  *     a pure row-local predicate on a stable key hash — no shuffle, no
+  *     coordination, the filter runs inside the scan stage, and every
+  *     engine that implements md5 draws the identical sample;
+  *   - `q_approx_quantile` (KLL-style sketch) is the scale path where the
+  *     exact `q_percentiles` sort-based answer would shuffle the world.
+  */
+object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats"       -> aggStats _,
+    "q_cond_agg"        -> condAgg _,
+    "q_agg_strings"     -> aggStrings _,
+    "q_approx_quantile" -> approxQuantile _,
+    "q_sample_hash"     -> sampleHash _
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Moment statistics agree to well past 4 dp between engines (both
+    // accumulate in double; merge-order differences are ~1e-9 relative).
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // events.value has thousands of duplicate values — the argmax carries
+    // event_id in the comparison struct so ties break deterministically.
+    "q_cond_agg" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value > 0.5) AS n_high,
+        |  bool_or(value > 0.9) AS any_vhigh,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  (max(struct_pack(value := value, event_id := event_id))).event_id
+        |    AS top_event_id
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_agg_strings" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+    // q_approx_quantile: no oracle — sketch-based, not hash-matchable;
+    // PropertySpec bounds it against the exact percentiles.
+    "q_sample_hash" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE substr(md5(l_orderkey::VARCHAR || '_' ||
+        |        l_linenumber::VARCHAR), 1, 1) IN ('0', '1')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+
+  /** Moment statistics per return flag: stddev/variance and the
+    * quantity↔price correlation/covariance. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qp"))
+      .orderBy("l_returnflag")
+
+  /** Conditional aggregates per event type: FILTER-style count, boolean
+    * any/all, and a tie-deterministic argmax (max over a (value, id)
+    * struct — lexicographic, so equal values fall back to the id). */
+  def condAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count_if(col("value") > 0.5).as("n_high"),
+        bool_or(col("value") > 0.9).as("any_vhigh"),
+        bool_and(col("value") >= 0).as("all_nonneg"),
+        max(struct(col("value"), col("event_id")))
+          .getField("event_id").as("top_event_id"))
+      .orderBy("event_type")
+
+  /** Ordered string aggregation: nation names per region, sorted inside
+    * the aggregate so the concatenation is deterministic. */
+  def aggStrings(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  /** Approximate p50/p90 per event type via the quantile sketch
+    * (mergeable, bounded memory — the 100 TB path; the exact variant is
+    * q_percentiles). Accuracy 10000 ⇒ rank error ≤ 0.01%. */
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+        lit(10000)).as("q"))
+      .select(col("event_type"),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p90"))
+      .orderBy("event_type")
+
+  /** Deterministic ~1/8 sample of lineitem: keep rows whose md5 of the
+    * stable row key starts with '0' or '1', then aggregate. Row-local,
+    * shuffle-free, reproducible on any engine/cluster layout. */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(substring(
+        md5(concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")).cast("binary")), 1, 1)
+        .isin("0", "1"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+}

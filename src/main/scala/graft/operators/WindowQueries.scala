@@ -21,7 +21,8 @@ object WindowQueries {
     "q_window_rank"        -> windowRank _,
     "q_window_running"     -> windowRunning _,
     "q_window_lag"         -> windowLag _,
-    "q_window_ntile_range" -> windowNtileRange _
+    "q_window_ntile_range" -> windowNtileRange _,
+    "q_window_first_last"  -> windowFirstLast _
   )
 
   val oracle: Map[String, String] = Map(
@@ -59,7 +60,17 @@ object WindowQueries {
         |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_in_band
         |FROM orders
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 
   /** Top-3 orders per customer with all three ranking flavors; the ordering
@@ -101,6 +112,22 @@ object WindowQueries {
           .as("gap_us"),
         lead(col("event_id"), 1).over(w).as("next_event"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** first/last/nth order per customer over the full-partition frame
+    * (UNBOUNDED..UNBOUNDED — last_value's default CURRENT ROW frame is the
+    * classic trap; nth_value is null for 1-order customers). */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** ntile quartiles (global — run on pre-aggregated data at scale) and a

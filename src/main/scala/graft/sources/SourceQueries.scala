@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Batch source/sink format coverage (SURVEY §2.1 extension rows): CSV and
+  * JSON round-trips, and a hive-partitioned parquet sink whose layout
+  * enables partition pruning on read-back.
+  *
+  * The reference's only I/O is Kafka bytes in/out (/root/reference/
+  * main.py:80-108); these are the BASELINE.json batch-source mandate. Each
+  * query WRITES the format to a scratch dir and reads it back, so the
+  * oracle (which reads the original parquet) certifies full round-trip
+  * fidelity — schema, values, and doubles surviving text encoding
+  * (Spark's shortest-round-trip double formatting).
+  *
+  * Scale notes: text formats are the interchange path, not the analytics
+  * path — no column pruning, no predicate pushdown, no row-group skipping;
+  * `q_sink_partitioned` is the pattern that matters at 100 TB (write
+  * partitioned-by-key parquet; readers that filter on the key scan only
+  * matching directories — assert in PlanShapeSpec).
+  */
+object SourceQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_csv"         -> scanCsv _,
+    "q_scan_json"        -> scanJson _,
+    "q_sink_partitioned" -> sinkPartitioned _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_scan_json" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_sink_partitioned" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  sum(n_chars) AS chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
+  )
+
+  /** Scratch dir keyed by scale-factor dir name: warmup (sf0.001) and the
+    * timed/verified run (sf0.01/0.1) never collide. */
+  private def scratch(d: String, name: String): String =
+    s"/tmp/graft-io/${new java.io.File(d).getName}/$name"
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** CSV round-trip of the nation table: write with header, read back with
+    * an explicit schema (inference is a second full pass and can drift —
+    * never used in declared queries). */
+  def scanCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "nation_csv")
+    Tables.nation(s, d).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    s.read.schema(nationSchema).option("header", "true").csv(dir)
+      .orderBy("n_nationkey")
+  }
+
+  /** JSON-lines round-trip of the supplier table; doubles survive exactly
+    * (shortest-round-trip formatting on write, exact parse on read). */
+  def scanJson(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "supplier_json")
+    Tables.supplier(s, d).write.mode("overwrite").json(dir)
+    s.read.schema(supplierSchema).json(dir)
+      .orderBy("s_suppkey")
+  }
+
+  /** Hive-partitioned parquet sink: documents written partitioned by lang,
+    * read back through the partition-discovery path and re-aggregated.
+    * A reader filtering on `lang` scans only that directory (partition
+    * pruning — PlanShapeSpec asserts PartitionFilters). */
+  def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "documents_by_lang")
+    Tables.documents(s, d).write.mode("overwrite")
+      .partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy("lang", "source")
+  }
+}

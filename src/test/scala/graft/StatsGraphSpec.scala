@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphQueries, SimilarityQueries, StatsQueries}
+import graft.sources.SourceQueries
+
+/** Round-2 operator families: statistical/conditional aggregates,
+  * deterministic sampling, connected-component dedup, and the batch
+  * source/sink round-trips. */
+class StatsGraphSpec extends AnyFunSuite with SparkFixture {
+
+  test("approx quantiles land within sketch tolerance of the exact answer") {
+    val approx = StatsQueries.approxQuantile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for ((k, (a50, a90)) <- approx) {
+      // accuracy 10000 ⇒ rank error 1e-4, but the sketch returns an actual
+      // data point while exact `percentile` interpolates — allow the gap
+      // between adjacent order statistics (relative 2%).
+      def close(a: Double, e: Double) =
+        math.abs(a - e) <= math.max(0.05, 0.02 * math.abs(e))
+      assert(close(a50, exact(k)._1), s"$k p50: $a50 vs ${exact(k)._1}")
+      assert(close(a90, exact(k)._2), s"$k p90: $a90 vs ${exact(k)._2}")
+    }
+  }
+
+  test("hash sample draws ~1/8 of lineitem, deterministically") {
+    val total = Tables.lineitem(spark, sfDir).count()
+    def sampled() = StatsQueries.sampleHash(spark, sfDir)
+      .agg(sum("n")).collect().head.getLong(0)
+    val n = sampled()
+    assert(math.abs(n.toDouble / total - 2.0 / 16) < 0.03,
+      s"sample fraction ${n.toDouble / total}")
+    assert(n === sampled(), "hash sample not deterministic")
+  }
+
+  test("argmax tiebreak is deterministic: max (value, id) struct") {
+    // Duplicate values with distinct ids: the larger id must win the tie.
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 10L), ("a", 1.0, 20L), ("a", 0.5, 99L))
+      .toDF("g", "value", "event_id")
+    val top = df.groupBy("g")
+      .agg(max(struct(col("value"), col("event_id")))
+        .getField("event_id").as("top"))
+      .collect().head.getLong(1)
+    assert(top === 20L)
+  }
+
+  test("connected components: edges closed, labels canonical, keep marks min") {
+    val cc = GraphQueries.dedupCc(spark, sfDir)
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Component label is the min id of the component: label <= node, and
+    // the label's own label is itself (canonical representative).
+    labels.foreach { case (node, comp) =>
+      assert(comp <= node)
+      assert(labels(comp) === comp, s"non-canonical label $comp")
+    }
+    // Every near-dup edge connects nodes in the SAME component.
+    val edges = SimilarityQueries.dedupEmbed(spark, sfDir)
+      .select("v1", "v2").collect()
+    edges.foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(1)),
+        s"edge ${r.getLong(0)}-${r.getLong(1)} spans components")
+    }
+    // `keep` is exactly one per component.
+    val keeps = cc.filter(col("keep")).count()
+    assert(keeps === labels.values.toSet.size.toLong)
+  }
+
+  test("csv and json round-trips preserve values exactly") {
+    val viaCsv = SourceQueries.scanCsv(spark, sfDir).collect().toSeq
+    val direct = Tables.nation(spark, sfDir)
+      .orderBy("n_nationkey").collect().toSeq
+    assert(viaCsv === direct)
+    val viaJson = SourceQueries.scanJson(spark, sfDir).collect().toSeq
+    val directS = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey").collect().toSeq
+    assert(viaJson === directS)
+  }
+
+  test("partitioned sink read-back prunes partitions on the lang filter") {
+    SourceQueries.sinkPartitioned(spark, sfDir).collect() // writes the layout
+    val dir = s"/tmp/graft-io/${new java.io.File(sfDir).getName}/documents_by_lang"
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang not in PartitionFilters:\n$scan")
+  }
+}
