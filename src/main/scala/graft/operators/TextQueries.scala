@@ -39,7 +39,8 @@ object TextQueries {
     "q_text_langid"      -> textLangId _,
     "q_text_tokcount"    -> textTokCount _,
     "q_text_fingerprint" -> textFingerprint _,
-    "q_dedup_ngram"      -> dedupNgram _
+    "q_dedup_ngram"      -> dedupNgram _,
+    "q_corpus_curate"    -> corpusCurate _
   )
 
   val oracle: Map[String, String] = Map(
@@ -151,7 +152,33 @@ object TextQueries {
         |FROM pairs
         |JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
         |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.6
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+    // The end-to-end curation pipeline: quality-score → filter → exact
+    // dedup (keep the min-id row per normalized text) → per-lang corpus
+    // stats. Same quality formula as q_text_quality, same normalization
+    // as q_dedup_exact.
+    "q_corpus_curate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (1 - CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('a', 'the'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    arg_min(lang, doc_id) AS lang,
+        |    arg_min(quality, doc_id) AS quality,
+        |    arg_min(n_tokens, doc_id) AS n_tokens
+        |  FROM (SELECT *,
+        |          trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+        |        FROM scored WHERE quality >= 0.3)
+        |  GROUP BY norm)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(quality), 4) AS avg_quality,
+        |  sum(n_tokens) AS total_tokens
+        |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -339,5 +366,34 @@ object TextQueries {
       .select(col("d1"), col("d2"), col("common"),
         round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** The end-to-end curation pipeline a training-data run actually executes:
+    * quality-score every document → drop the low-quality tail → exact-dedup
+    * on normalized text (keep the min-id row, carried through a struct-min
+    * so the whole surviving row travels in ONE aggregation) → per-language
+    * corpus stats. Composition of q_text_quality + q_dedup_exact semantics;
+    * two shuffles total (dedup group-by, lang group-by) at any scale. */
+  def corpusCurate(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val stopRatio =
+      size(filter(t, x => x.isin("a", "the"))).cast("double") / size(t)
+    val quality =
+      round(least(lit(1.0), size(t) / lit(100.0)) * (lit(1.0) - stopRatio), 4)
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(t).cast("long").as("n_tokens"), quality.as("quality"))
+      .filter(col("quality") >= 0.3)
+    scored
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("quality"),
+        col("n_tokens"))).as("r"))
+      .select(col("r.lang").as("lang"), col("r.quality").as("quality"),
+        col("r.n_tokens").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 4).as("avg_quality"),
+        sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
   }
 }
