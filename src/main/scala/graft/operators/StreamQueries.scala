@@ -49,6 +49,8 @@ object StreamQueries {
     "q_stream_sliding"  -> streamSliding _,
     "q_stream_dedup"    -> streamDedup _,
     "q_stream_stateful" -> streamStateful _,
+    "q_stream_join"     -> streamJoin _,
+    "q_stream_append_window" -> streamAppendWindow _,
     "q_batch_session"   -> batchSession _
   )
 
@@ -81,6 +83,22 @@ object StreamQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_acctbal, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    // Append-mode watermark semantics, deterministically: the final
+    // watermark is max(event time, ms floor) - 30 min; only windows whose
+    // end is at or before it are finalized and emitted. The SQL twin
+    // applies the same cut.
+    "q_stream_append_window" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING window_start_us + 3600000000 <=
+        |  (SELECT (epoch_ms(max(ts)) - 1800000) * 1000 FROM events)
+        |ORDER BY 1, 2""".stripMargin,
     // Session windows as gaps-and-islands: a >30-min silence starts a new
     // session; session end = last event + gap (Spark session_window's
     // definition).
@@ -232,6 +250,41 @@ object StreamQueries {
       .select(col("user_id"), col("agg.n_events").as("n_events"),
         round(col("agg.sum_value"), 2).as("sum_value"))
       .orderBy("user_id")
+  }
+
+  /** Stream-static join: the unbounded event stream enriched against the
+    * bounded customer dimension. The static side is broadcast — the
+    * stream is never shuffled, so at 100 TB/day of events the join adds
+    * zero exchange to the incremental plan (the dimension re-broadcasts
+    * per micro-batch, which is what keeps it consistent under dim
+    * updates). */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val enriched = EventStreams.fileStream(s, d)
+      .join(broadcast(graft.Tables.customer(s, d)),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("c_acctbal"), col("value"))
+    runToTable(enriched, OutputMode.Append()).orderBy("event_id")
+  }
+
+  /** Append-mode tumbling windows under a 30-minute watermark: unlike the
+    * Complete-mode twins above, this emits ONLY finalized windows — state
+    * for a window is evicted (and the row emitted) once the watermark
+    * passes its end; windows still open at end-of-stream are withheld.
+    * Deterministic because the final watermark is a pure function of the
+    * data (max event time - 30 min), so the oracle can apply the same
+    * cut. This is the production shape for streaming aggregation (bounded
+    * state); the no-data final micro-batch that AvailableNow runs is what
+    * flushes the last finalized windows. */
+  def streamAppendWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = EventStreams.fileStream(s, d)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Append())
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_us", "event_type")
   }
 
   /** Session windows (30-minute gap) per user — batch execution of the
