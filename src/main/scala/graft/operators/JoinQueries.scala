@@ -34,7 +34,8 @@ object JoinQueries {
     "q_join_anti"      -> joinAnti _,
     "q_join_multiway"  -> joinMultiway _,
     "q_join_range"     -> joinRange _,
-    "q_join_asof"      -> joinAsof _
+    "q_join_asof"      -> joinAsof _,
+    "q_join_skew"      -> joinSkew _
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,7 +91,14 @@ object JoinQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    // The salted join's OUTPUT is the plain join's output — only the
+    // physical key distribution differs; the oracle states exactly that.
+    "q_join_skew" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 
   /** Equi inner join orders⋈customer — sort-merge/shuffled-hash at scale,
@@ -199,4 +207,19 @@ object JoinQueries {
       .select(col("event_id"), col("last_click_us").as("click_us"))
       .orderBy("event_id")
   }
+
+  /** The skew-mitigation path as a verified query: an 8-way salted equi
+    * join (SkewOps — content-hash + row-counter salt on the fact side,
+    * dimension replicated 8×) whose aggregate provably equals the plain
+    * join's. This is the manual spread for a hot key that AQE's
+    * post-shuffle splitting can't fix (e.g. one key larger than a whole
+    * executor); salt fan-out trades dim replication for reducer
+    * parallelism. */
+  def joinSkew(s: SparkSession, d: String): DataFrame =
+    SkewOps.saltedEquiJoin(orders(s, d), customer(s, d),
+      "o_custkey", "c_custkey", n = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
 }

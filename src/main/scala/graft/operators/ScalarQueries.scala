@@ -27,7 +27,9 @@ object ScalarQueries {
     "q_json_extract" -> jsonExtract _,
     "q_array_funcs"  -> arrayFuncs _,
     "q_map_funcs"    -> mapFuncs _,
-    "q_regex_funcs"  -> regexFuncs _
+    "q_regex_funcs"  -> regexFuncs _,
+    "q_null_funcs"   -> nullFuncs _,
+    "q_date_arith"   -> dateArith _
   )
 
   val oracle: Map[String, String] = Map(
@@ -53,6 +55,26 @@ object ScalarQueries {
         |  CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1
         |    AS INT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // nvl2 has no DuckDB twin — expressed as the CASE it desugars to.
+    "q_null_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_discount, 0.0) AS disc_or_null,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg1,
+        |  CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
+        |       THEN 'discounted' ELSE 'full-price' END AS disc_label,
+        |  (nullif(l_tax, 0.0) IS NULL) AS tax_free
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Spark add_months/date_add/last_day return DATE; the DuckDB interval
+    // arithmetic is cast to DATE to agree. dayofweek: DuckDB is 0-based
+    // Sunday, Spark 1-based — Spark side subtracts 1.
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus_3m,
+        |  (o_orderdate + INTERVAL 45 DAY)::DATE AS plus_45d,
+        |  last_day(o_orderdate::DATE) AS month_end,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS yr,
@@ -173,6 +195,35 @@ object ScalarQueries {
         concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
         element_at(col("m"), "k").as("k_val"))
       .orderBy("event_id")
+
+  /** Null-handling functions over a nullable-by-construction column
+    * (nullif turns zero discounts into nulls, then coalesce/nvl2/IS NULL
+    * consume them). The testdata has no physical nulls; this manufactures
+    * and then handles them, exercising null propagation through codegen. */
+  def nullFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0))
+          .as("disc_or_neg1"),
+        nvl2(nullif(col("l_discount"), lit(0.0)),
+          lit("discounted"), lit("full-price")).as("disc_label"),
+        nullif(col("l_tax"), lit(0.0)).isNull.as("tax_free"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Calendar arithmetic: month/day offsets with end-of-month clamping,
+    * last_day, ISO week, day-of-week (normalized to DuckDB's 0=Sunday). */
+  def dateArith(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus_3m"),
+        date_add(col("o_orderdate"), 45).as("plus_45d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow_sun0"))
+      .orderBy("o_orderkey")
 
   /** Regex surface over part names: group extraction, replace-all, match
     * test, and a regex-derived word count — patterns kept inside the
