@@ -53,7 +53,22 @@ object SqlQueries {
         |WHERE c_nationkey IN (
         |  SELECT c_nationkey FROM nation_size
         |  WHERE n_cust = (SELECT max(n_cust) FROM nation_size))
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // Recursive CTE (Spark 4 WITH RECURSIVE): a 31-day date spine
+    // left-joined against sparse per-day event counts — the standard
+    // gap-filling pattern for dense time series.
+    "q_sql_recursive" ->
+      """WITH RECURSIVE spine(i) AS (
+        |  SELECT 0
+        |  UNION ALL SELECT i + 1 FROM spine WHERE i < 30)
+        |SELECT DATE '2024-01-01' + i AS day,
+        |  coalesce(n, CAST(0 AS BIGINT)) AS n_events
+        |FROM spine
+        |LEFT JOIN (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1) e
+        |  ON e.day = DATE '2024-01-01' + i
+        |ORDER BY day""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -69,6 +84,7 @@ object SqlQueries {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.events(s, d).createOrReplaceTempView("events")
     s.sql(text)
   }
 }
