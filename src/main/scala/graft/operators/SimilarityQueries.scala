@@ -36,7 +36,8 @@ object SimilarityQueries {
     "q_dedup_embed"   -> dedupEmbed _,
     "q_sim_pairs_lsh" -> simPairsLsh _,
     "q_dedup_simhash" -> dedupSimhash _,
-    "q_ann_ivf"       -> annIvf _
+    "q_ann_ivf"       -> annIvf _,
+    "q_ann_rp"        -> annRp _
   )
 
   val oracle: Map[String, String] = Map(
@@ -265,6 +266,20 @@ object SimilarityQueries {
     * test bounds recall by IvfNprobe/k (PropertySpec). */
   val IvfNprobe = 4
 
+  // --- Random-projection (sign) LSH -------------------------------------
+
+  /** Hash tables × sign bits per table for [[annRp]]. */
+  val RpTables = 4
+  val RpBits = 8
+
+  /** Fixed random hyperplanes (seeded Gaussian draws — deterministic
+    * across runs/JVMs; at deployment these constants ship with the index
+    * definition, exactly like a trained k-means codebook would). */
+  private val rpPlanes: IndexedSeq[Seq[Float]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(RpTables * RpBits)(Seq.fill(64)(rng.nextGaussian().toFloat))
+  }
+
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val dims = e.select(col("label"),
@@ -298,6 +313,50 @@ object SimilarityQueries {
       .withColumn("rnk", row_number().over(wn).cast("long"))
       .filter(col("rnk") <= 5)
       .select("probe_id", "vec_id", "cos_sim", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Random-projection (sign) LSH ANN — the third point of the ANN triad
+    * (exact q_sim_topk, partition-pruned q_ann_ivf, hash-bucketed here):
+    * each vector gets [[RpTables]] 8-bit signatures (sign of the dot
+    * against fixed hyperplanes, computed by the codegen'd graft_vec_dot
+    * in the scan stage); a probe's candidates are the vectors sharing ANY
+    * table signature, then exact cosine ranks the candidates. The
+    * shuffle key is (table, signature) — the pair space only
+    * materializes inside colliding buckets, the property that makes
+    * sign-LSH the web-scale near-neighbor pattern (collision probability
+    * per bit is 1−θ/π, so similar vectors collide with high
+    * probability while the expected bucket fraction is ~2^-bits per
+    * table). Recall/candidate-fraction invariants: PropertySpec-adjacent
+    * coverage in StatsGraphSpec; no SQL oracle (hash-family-specific). */
+  def annRp(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    def tableSig(t: Int): Column =
+      (0 until RpBits).map { b =>
+        when(dot(col("embedding"), typedlit(rpPlanes(t * RpBits + b))) >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sigs = e.select(
+      col("vec_id"), col("embedding"),
+      explode(array((0 until RpTables).map { t =>
+        struct(lit(t).as("t"), tableSig(t).as("sig"))
+      }: _*)).as("ts"))
+      .select(col("vec_id"), col("embedding"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val probes = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("t"), col("sig"))
+    val wn = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(sigs,
+      probes("t") === sigs("t") && probes("sig") === sigs("sig") &&
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("pv"), col("embedding"))
+      .dropDuplicates("probe_id", "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pv"), col("embedding")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wn).cast("long"))
+      .filter(col("rnk") <= 5)
       .orderBy("probe_id", "rnk")
   }
 }

@@ -75,6 +75,19 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(keeps === labels.values.toSet.size.toLong)
   }
 
+  test("sign-LSH ANN: per-probe invariants and determinism") {
+    val out = SimilarityQueries.annRp(spark, sfDir).collect()
+    val byProbe = out.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.length <= 5, s"probe $p returned ${rows.length} rows")
+      val scores = rows.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(scores === scores.sorted.reverse, s"probe $p not rank-ordered")
+      assert(!rows.exists(_.getLong(1) == p), "probe returned itself")
+    }
+    val again = SimilarityQueries.annRp(spark, sfDir).collect()
+    assert(out.toSeq === again.toSeq, "sign-LSH not deterministic")
+  }
+
   test("csv and json round-trips preserve values exactly") {
     val viaCsv = SourceQueries.scanCsv(spark, sfDir).collect().toSeq
     val direct = Tables.nation(spark, sfDir)
