@@ -134,7 +134,8 @@ object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"     -> multimodalMeta _,
-    "q_multimodal_features" -> multimodalFeatures _
+    "q_multimodal_features" -> multimodalFeatures _,
+    "q_multimodal_frames"   -> multimodalFrames _
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +181,22 @@ object MediaQueries {
         round(aggregate(col("features"), lit(0.0d),
           (acc, x) => acc + x.cast("double")), 4).as("f_sum"))
       .orderBy("media_id")
+  }
+
+  /** Lazy resize → every-4th-frame sampling through the typed
+    * mapPartitions decode stage: the full video-preprocessing shape
+    * (filter on metadata upstream, decode only sampled frames). Emits one
+    * row per sampled frame with its md5 — payload-derived but
+    * deterministic (fake kernel), so rows-only driver check;
+    * MultimodalSpec owns the invariants. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = MediaOps.resize(MediaOps.mediaTable(s, d), 224, 224)
+      .as[MediaRow]
+    MediaOps.sampleFrames(media, everyK = 4)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
   }
 }
