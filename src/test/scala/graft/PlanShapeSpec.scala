@@ -85,4 +85,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.contains("partial"), "no map-side partial aggregation")
   }
+
+  test("q_sample_hash filter runs in the scan stage, not post-shuffle") {
+    // The md5-predicate is row-local: it must appear as a Filter below the
+    // first Exchange (scan side), so sampled-out rows never shuffle.
+    val plan = finalPlanString(StatsQueries.sampleHash(spark, sfDir))
+    val lines = plan.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(_.contains("Filter"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(filterIdx >= 0, s"no Filter in plan:\n$plan")
+    // Plans print top-down: the scan-stage filter sits BELOW (after) the
+    // shuffle exchange lines.
+    assert(exchangeIdx < 0 || filterIdx > exchangeIdx,
+      s"sample filter above the exchange (post-shuffle):\n$plan")
+  }
+
+  test("q_agg_stats is one shuffle: partial then final hash aggregation") {
+    val plan = finalPlanString(StatsQueries.aggStats(spark, sfDir))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial"), "no map-side partial aggregation")
+    // corr/covar/stddev are all algebraic: a single exchange for the
+    // group-by (plus AQE reads); no second aggregation pass.
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("q_ann_rp bucket join is an equi join, never cartesian") {
+    val plan = finalPlanString(SimilarityQueries.annRp(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
