@@ -335,20 +335,35 @@ object TextQueries {
     * their own. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     // Plan shape (measured, not guessed): explode → .distinct() materializes
-    // the (doc, shingle) table behind one hash aggregation whose exchange is
-    // IDENTICAL for the join's two sides and for `cnt`, so ReuseExchange
-    // computes the shingle pipeline once. A rewrite that built per-doc
-    // distinct shingle arrays map-side (array_distinct, counts carried
-    // through the explode) benchmarked 4-5× SLOWER here: without the
-    // distinct's aggregation barrier, Catalyst inlines the interpreted
-    // shingle transform into the scan's data filters and both join inputs,
-    // and AQE broadcast-hashes a 260k-row build side instead of reusing one
-    // shuffle.
+    // the (doc, shingle-hash) table behind one hash aggregation whose
+    // exchange is IDENTICAL for the join's two sides and for `cnt`, so
+    // ReuseExchange computes the shingle pipeline once. Two rewrites that
+    // benchmarked SLOWER here, kept on record:
+    //  - per-doc distinct shingle arrays built map-side (array_distinct,
+    //    counts carried through the explode): 4-5× slower — without the
+    //    distinct's aggregation barrier Catalyst inlines the interpreted
+    //    shingle transform into the scan's data filters and both join
+    //    inputs, and AQE broadcast-hashes a 260k-row build side instead of
+    //    reusing one shuffle;
+    //  - PPJoin-style prefix filtering (join only on each doc's
+    //    n-⌈0.6n⌉+1 rarest shingles, exact-verify candidates against
+    //    broadcast full sets): 3× slower at sf0.1 — the df-ranking
+    //    aggregations cost more than the 1.1M-row skinny pair aggregation
+    //    they avoid. It becomes the right trade only when per-shingle
+    //    fan-out explodes (hot shingles at corpus scale), and then the
+    //    first knob is a stop-shingle cut, which — unlike prefix
+    //    filtering — changes no qualifying pair (ultra-common shingles
+    //    cannot push a pair over 0.6 alone).
+    // Shingles are carried as xxhash64 longs, not strings: every shuffle,
+    // join compare, and aggregate key drops from ~25 bytes to 8 (measured
+    // 1.4× on the whole query); a cross-doc 64-bit collision
+    // (~(260k)²/2⁶⁵ ≈ 1e-9 at sf0.1) is the accepted trade.
     val t = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
     val sh = t
-      .select(col("doc_id"), explode(shingles(col("toks"))).as("shingle"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
