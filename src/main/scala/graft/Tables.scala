@@ -34,8 +34,12 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame =
+  /** Registers graft's native expressions (graft_minhash_sigs is used by
+    * the shingle-LSH queries) — idempotent, same as [[embeddings]]. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     table(s, d, "documents")
+  }
   /** Also registers graft's native expressions (graft_vec_dot) into the
     * session — the caller may be the driver's own session, which was not
     * built with `spark.sql.extensions=graft.GraftExtensions`. */

@@ -189,6 +189,15 @@ object VecExprs {
   *     (the driver hands us its own session), idempotent.
   */
 object GraftFunctions {
+  /** Build-time extraction of a foldable array<long> coefficient argument
+    * (`graft_minhash_sigs` takes its hash family as literals — constants
+    * of the index definition, folded into the generated code). */
+  private def foldedLongs(e: Expression): Seq[Long] = e.eval(null) match {
+    case ad: ArrayData => ad.toLongArray.toSeq
+    case other => throw new IllegalArgumentException(
+      s"expected a foldable array<bigint> literal, got $other")
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_vec_dot"),
@@ -197,7 +206,13 @@ object GraftFunctions {
     (FunctionIdentifier("graft_vec_cosine"),
       new ExpressionInfo(classOf[FloatVecCosine].getName,
         "graft_vec_cosine"),
-      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))))
+      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName,
+        "graft_minhash_sigs"),
+      (args: Seq[Expression]) => MinHashSigs(args(0),
+        foldedLongs(args(1)), foldedLongs(args(2)),
+        args(3).eval(null).asInstanceOf[Long])))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

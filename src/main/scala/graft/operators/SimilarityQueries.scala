@@ -175,24 +175,30 @@ object SimilarityQueries {
     val base = docShingleArrays(s, d)
       .withColumn("harr",
         transform(col("sarr"), x => pmod(xxhash64(x), lit(Prime))))
-    // k min-hash values per doc: min((a*h+b) mod p) per hash function.
-    val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("harr"), h => pmod(h * a + b, lit(Prime))))
-        .as(s"mh$i")
-    }
-    val sigs = base.select(col("doc_id") +: col("sarr") +: sigCols: _*)
-    // Band signature = the 4 minhashes of the band packed into one string.
+    // All k min-hash values in ONE codegen'd pass over the hash array
+    // (MinHashSigs expression) — the k×(transform→array_min) HOF form
+    // evaluated interpreted, k passes with a lambda frame per element.
+    val sigArr = call_function("graft_minhash_sigs", col("harr"),
+      typedlit(hashParams.map(_._1)), typedlit(hashParams.map(_._2)),
+      lit(Prime))
+    val sigCols = (0 until MinhashK).map(i =>
+      element_at(col("mharr"), i + 1).as(s"mh$i"))
+    val sigs = base.withColumn("mharr", sigArr)
+      .select(col("doc_id") +: col("sarr") +: sigCols: _*)
+    // Band signature = xxhash64 over (band, the band's 4 minhashes) — one
+    // 8-byte join key instead of a built string. A 64-bit collision can
+    // only ADD a candidate pair, and every candidate passes through the
+    // exact-Jaccard verification below, so correctness is unaffected.
     val bandRows = sigs.select(
       col("doc_id"), col("sarr"),
       explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until Rows).map(r =>
-            col(s"mh${b * Rows + r}")): _*).as("sig"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("sarr"), col("bs.band"), col("bs.sig"))
+        xxhash64(lit(b) +: (0 until Rows).map(r =>
+          col(s"mh${b * Rows + r}")): _*).as("sig")
+      }: _*)).as("sig"))
+      .select(col("doc_id"), col("sarr"), col("sig"))
     val cands = bandRows.as("x")
       .join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.sarr").as("sa"), col("y.sarr").as("sb"))

@@ -96,4 +96,33 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
       call_function("graft_vec_dot", col("a"), col("b"))).collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("graft_minhash_sigs equals the transform/array_min HOF form") {
+    import spark.implicits._
+    Tables.documents(spark, sfDir) // registers the function
+    val prime = 2147483647L
+    val as = Seq(1001L, 1003L, 1005L)
+    val bs = Seq(131L, 8050L, 15969L)
+    val df = Seq.fill(40)(Array.fill(20)(math.abs(rng.nextLong()) % prime))
+      .toDF("harr")
+    val viaExpr = df.select(call_function("graft_minhash_sigs",
+      col("harr"), typedlit(as), typedlit(bs), lit(prime)).as("m"))
+    val viaHof = df.select(array(
+      as.zip(bs).map { case (a, b) =>
+        array_min(transform(col("harr"), h => pmod(h * a + b, lit(prime))))
+      }: _*).as("m"))
+    assert(viaExpr.collect().map(_.getSeq[Long](0)).toSeq ===
+      viaHof.collect().map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("graft_minhash_sigs: empty array yields the prime sentinel") {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+    val prime = 2147483647L
+    val df = Seq(Array.empty[Long]).toDF("harr")
+    val out = df.select(call_function("graft_minhash_sigs",
+      col("harr"), typedlit(Seq(3L, 5L)), typedlit(Seq(7L, 11L)),
+      lit(prime))).collect()
+    assert(out.head.getSeq[Long](0) === Seq(prime, prime))
+  }
 }
