@@ -212,7 +212,10 @@ object GraftFunctions {
         "graft_minhash_sigs"),
       (args: Seq[Expression]) => MinHashSigs(args(0),
         foldedLongs(args(1)), foldedLongs(args(2)),
-        args(3).eval(null).asInstanceOf[Long])))
+        args(3).eval(null).asInstanceOf[Long])),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

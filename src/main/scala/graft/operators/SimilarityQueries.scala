@@ -219,23 +219,18 @@ object SimilarityQueries {
     * agree on at least one of 4 blocks — exact recall, no enumeration of
     * the pair space). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // One explode (token instances), ONE aggregation with 64 codegen'd
-    // conditional-sum columns — instead of the original tf-groupBy →
-    // 64×-row bit explode → two more aggregations (which pushed ~29M rows
-    // through the shuffle at sf0.1). tf-weighting is implicit: each token
-    // occurrence votes ±1, so the per-bit sum equals Σ_tokens ±tf exactly.
-    val th = documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val voteCols = (0 until 64).map { b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L))
-        .as(s"v$b")
-    }
-    val sigExpr = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    val sig = th.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), sigExpr.as("simhash"))
+    // The signature is a row-local single-pass expression (SimHash64 over
+    // the token-hash array): no exploded rows, no aggregation state, no
+    // shuffle until the block join. Evolution, both steps measured: the
+    // original tf-groupBy → 64×-row bit explode → two aggregations pushed
+    // ~29M rows through the shuffle at sf0.1; the explode + 64
+    // conditional-sum agg replaced that; this removes even those. Vote
+    // semantics identical throughout: each token OCCURRENCE votes ±1 per
+    // bit (tf-weighting implicit), bit set iff the sum is positive.
+    val sig = documents(s, d)
+      .select(col("doc_id"),
+        call_function("graft_simhash64",
+          transform(toks(col("text")), t => xxhash64(t))).as("simhash"))
     val blocks = sig.select(
       col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("blk"))

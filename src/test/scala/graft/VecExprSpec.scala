@@ -115,6 +115,34 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
       viaHof.collect().map(_.getSeq[Long](0)).toSeq)
   }
 
+  test("graft_simhash64 equals the 64-conditional-sum aggregation form") {
+    import spark.implicits._
+    Tables.documents(spark, sfDir) // registers the function
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "lorem ipsum dolor sit amet"),
+      (3L, "single"),
+      (4L, "the the the the")).toDF("doc_id", "text")
+    val viaExpr = docs.select(col("doc_id"),
+      call_function("graft_simhash64",
+        transform(split(col("text"), " "), t => xxhash64(t))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val th = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$b")
+    }
+    val sigExpr = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val viaAgg = th.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaAgg)
+  }
+
   test("graft_minhash_sigs: empty array yields the prime sentinel") {
     import spark.implicits._
     Tables.documents(spark, sfDir)
