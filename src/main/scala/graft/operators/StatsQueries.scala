@@ -31,7 +31,8 @@ object StatsQueries {
     "q_cond_agg"        -> condAgg _,
     "q_agg_strings"     -> aggStrings _,
     "q_approx_quantile" -> approxQuantile _,
-    "q_sample_hash"     -> sampleHash _
+    "q_sample_hash"     -> sampleHash _,
+    "q_agg_sketch"      -> aggSketch _
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +126,28 @@ object StatsQueries {
         round(element_at(col("q"), 1), 4).as("p50"),
         round(element_at(col("q"), 2), 4).as("p90"))
       .orderBy("event_type")
+
+  /** Mergeable distinct-count sketches (DataSketches HLL): per-type user
+    * sketches, re-aggregated by sketch UNION into a global estimate —
+    * THE pattern for distinct counts at 100 TB (sketches are partial
+    * aggregates: build once per partition/day, merge at any rollup level
+    * without touching raw data again; state is order-independent, so the
+    * estimate is deterministic). No SQL oracle (implementation-specific
+    * estimates); StatsGraphSpec bounds both levels against exact. */
+  def aggSketch(s: SparkSession, d: String): DataFrame = {
+    val perType = events(s, d)
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val global = perType
+      .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+      .select(lit("__all__").as("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+    perType
+      .select(col("event_type"), hll_sketch_estimate(col("sk"))
+        .as("approx_users"))
+      .unionByName(global)
+      .orderBy("event_type")
+  }
 
   /** Deterministic ~1/8 sample of lineitem: keep rows whose md5 of the
     * stable row key starts with '0' or '1', then aggregate. Row-local,

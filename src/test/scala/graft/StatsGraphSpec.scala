@@ -32,6 +32,21 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("HLL sketch estimates land within 5% of exact at both rollup levels") {
+    val est = StatsQueries.aggSketch(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    for ((k, e) <- exact)
+      assert(math.abs(est(k) - e).toDouble / e <= 0.05, s"$k: ${est(k)} vs $e")
+    assert(math.abs(est("__all__") - exactAll).toDouble / exactAll <= 0.05,
+      s"union: ${est("__all__")} vs $exactAll")
+  }
+
   test("hash sample draws ~1/8 of lineitem, deterministically") {
     val total = Tables.lineitem(spark, sfDir).count()
     def sampled() = StatsQueries.sampleHash(spark, sfDir)
