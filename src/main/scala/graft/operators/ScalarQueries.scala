@@ -29,7 +29,8 @@ object ScalarQueries {
     "q_map_funcs"    -> mapFuncs _,
     "q_regex_funcs"  -> regexFuncs _,
     "q_null_funcs"   -> nullFuncs _,
-    "q_date_arith"   -> dateArith _
+    "q_date_arith"   -> dateArith _,
+    "q_try_funcs"    -> tryFuncs _
   )
 
   val oracle: Map[String, String] = Map(
@@ -63,6 +64,17 @@ object ScalarQueries {
         |  CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
         |       THEN 'discounted' ELSE 'full-price' END AS disc_label,
         |  (nullif(l_tax, 0.0) IS NULL) AS tax_free
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // try_* desugars to the CASE/TRY_CAST forms DuckDB evaluates
+    // identically: null on division-by-zero and on a failed cast, instead
+    // of Infinity / an error — the ingest-pipeline posture for dirty data.
+    "q_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount = 0 THEN NULL
+        |       ELSE l_extendedprice / l_discount END AS price_per_disc,
+        |  TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
+        |  TRY_CAST(substr(l_returnflag, 1, 1) || l_linenumber AS VARCHAR)
+        |    AS flag_line
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Spark add_months/date_add/last_day return DATE; the DuckDB interval
     // arithmetic is cast to DATE to agree. dayofweek: DuckDB is 0-based
@@ -224,6 +236,21 @@ object ScalarQueries {
         weekofyear(col("o_orderdate")).as("iso_week"),
         (dayofweek(col("o_orderdate")) - 1).as("dow_sun0"))
       .orderBy("o_orderkey")
+
+  /** Error-safe (`try_*`) evaluation: null on division-by-zero and failed
+    * casts instead of Infinity or a task-killing exception — the right
+    * posture for ingest over dirty data at scale (one bad record must not
+    * fail a 100 TB job). */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_discount"))
+          .as("price_per_disc"),
+        col("l_returnflag").try_cast("double").as("flag_num"),
+        concat(substring(col("l_returnflag"), 1, 1),
+          col("l_linenumber").cast("string")).as("flag_line"))
+      .orderBy("l_orderkey", "l_linenumber")
 
   /** Regex surface over part names: group extraction, replace-all, match
     * test, and a regex-derived word count — patterns kept inside the

@@ -115,6 +115,26 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(viaJson === directS)
   }
 
+  test("observe() metrics instrument a pipeline without a second pass") {
+    // Production jobs attach data-quality counters to the SAME action that
+    // produces the output (no extra scan): count + null-rate + sum ride
+    // along with the query via CollectMetrics.
+    val obs = new org.apache.spark.sql.Observation("curate-metrics")
+    val curated = Tables.documents(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("empty_texts"),
+        sum("n_chars").as("total_chars"))
+      .filter(col("n_chars") > 0)
+    val outRows = curated.count()
+    val m = obs.get
+    assert(m("rows_in").asInstanceOf[Long] === 500L)
+    assert(m("empty_texts").asInstanceOf[Long] === 0L)
+    assert(m("total_chars").asInstanceOf[Long] > 0L)
+    assert(outRows <= m("rows_in").asInstanceOf[Long])
+  }
+
   test("partitioned sink read-back prunes partitions on the lang filter") {
     SourceQueries.sinkPartitioned(spark, sfDir).collect() // writes the layout
     val dir = s"/tmp/graft-io/${new java.io.File(sfDir).getName}/documents_by_lang"
