@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide plan guard (SURVEY §4 / the 100 TB mandate): EVERY declared
+  * query's settled physical plan is checked for the failure modes that
+  * sink large-scale jobs — an accidental cartesian product, or a
+  * nested-loop join that wasn't an explicit, bounded-side decision.
+  * Individual plan-shape assertions live in PlanShapeSpec; this is the
+  * regression net that catches a future query (or a Catalyst behavior
+  * change) silently degenerating.
+  */
+class PlanGuardSpec extends AnyFunSuite with SparkFixture {
+
+  /** Queries whose BroadcastNestedLoopJoin is deliberate: a 1-row probe
+    * or tiny centroid/pair side broadcast against a big scan — the
+    * bounded O(n²) baselines and probe patterns documented in SURVEY
+    * §2.8. */
+  private val intentionalBnlj = Set(
+    "q_sim_topk",     // 1-row probe vector broadcast
+    "q_dedup_embed",  // exact O(n²) oracle baseline, broadcast build side
+    "q_dedup_cc",     // consumes q_dedup_embed's pair scan
+    "q_ann_ivf",      // tiny centroid table crossJoin(broadcast)
+    "q_tfidf",        // 1-row corpus-size scalar broadcast (cross)
+    "q_sql_recursive" // date-spine join on a derived non-equi condition
+  )
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name plans without accidental cartesian/nested-loop joins") {
+      val df = fn(spark, sfDir)
+      df.collect() // let AQE settle on the final plan
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product:\n$plan")
+      if (!intentionalBnlj(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name picked a nested-loop join (not on the allowlist):\n$plan")
+      }
+    }
+  }
+}
