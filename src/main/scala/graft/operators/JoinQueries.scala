@@ -35,7 +35,8 @@ object JoinQueries {
     "q_join_multiway"  -> joinMultiway _,
     "q_join_range"     -> joinRange _,
     "q_join_asof"      -> joinAsof _,
-    "q_join_skew"      -> joinSkew _
+    "q_join_skew"      -> joinSkew _,
+    "q_join_full"      -> joinFull _
   )
 
   val oracle: Map[String, String] = Map(
@@ -98,7 +99,20 @@ object JoinQueries {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Key ranges overlap only on [40,80): rows null-extend in BOTH
+    // directions (left-only users < 40, right-only customers >= 80).
+    "q_join_full" ->
+      """SELECT coalesce(e.user_id, o.o_custkey) AS id,
+        |  e.n_events, o.n_orders
+        |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM events WHERE user_id < 80 GROUP BY user_id) e
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM orders WHERE o_custkey >= 40 AND o_custkey < 120
+        |      GROUP BY o_custkey) o
+        |  ON e.user_id = o.o_custkey
+        |ORDER BY id""".stripMargin
   )
 
   /** Equi inner join orders⋈customer — sort-merge/shuffled-hash at scale,
@@ -222,4 +236,22 @@ object JoinQueries {
       .agg(count(lit(1)).as("n"),
         round(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("c_mktsegment")
+
+  /** Full outer join with BOTH null-extension directions exercised: the
+    * aggregated key ranges overlap only in the middle, so unmatched rows
+    * survive from each side (full outer shuffles both sides — never
+    * broadcastable — and AQE cannot demote it; reconciliation jobs at
+    * scale live with exactly this shape). */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .filter(col("user_id") < 80)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val o = orders(s, d)
+      .filter(col("o_custkey") >= 40 && col("o_custkey") < 120)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    e.join(o, col("user_id") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("user_id"), col("o_custkey")).as("id"),
+        col("n_events"), col("n_orders"))
+      .orderBy("id")
+  }
 }
