@@ -32,7 +32,8 @@ object StatsQueries {
     "q_agg_strings"     -> aggStrings _,
     "q_approx_quantile" -> approxQuantile _,
     "q_sample_hash"     -> sampleHash _,
-    "q_agg_sketch"      -> aggSketch _
+    "q_agg_sketch"      -> aggSketch _,
+    "q_agg_mode"        -> aggMode _
   )
 
   val oracle: Map[String, String] = Map(
@@ -63,6 +64,18 @@ object StatsQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,
+    // Mode with a DETERMINISTIC tiebreak: min over (-count, value)
+    // structs picks highest count, then lexicographically smallest value
+    // — both engines' bare mode() is tie-arbitrary and unusable under
+    // hash comparison.
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  (min(struct_pack(nn := -n, et := event_type))).et AS top_type,
+        |  max(n) AS top_n
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q_approx_quantile: no oracle — sketch-based, not hash-matchable;
     // PropertySpec bounds it against the exact percentiles.
     "q_sample_hash" ->
@@ -126,6 +139,21 @@ object StatsQueries {
         round(element_at(col("q"), 1), 4).as("p50"),
         round(element_at(col("q"), 2), 4).as("p90"))
       .orderBy("event_type")
+
+  /** Per-user modal event type with a deterministic tiebreak: min over
+    * (-count, value) — highest count first, then smallest value — because
+    * bare `mode()` resolves ties arbitrarily in both engines. Two
+    * algebraic aggregations, both map-side combined. */
+  def aggMode(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(
+        min(struct((-col("n")).as("nn"), col("event_type").as("et")))
+          .getField("et").as("top_type"),
+        max("n").as("top_n"))
+      .orderBy("user_id")
 
   /** Mergeable distinct-count sketches (DataSketches HLL): per-type user
     * sketches, re-aggregated by sketch UNION into a global estimate —

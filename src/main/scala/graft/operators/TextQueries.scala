@@ -40,7 +40,8 @@ object TextQueries {
     "q_text_tokcount"    -> textTokCount _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_dedup_ngram"      -> dedupNgram _,
-    "q_corpus_curate"    -> corpusCurate _
+    "q_corpus_curate"    -> corpusCurate _,
+    "q_text_bigrams"     -> textBigrams _
   )
 
   val oracle: Map[String, String] = Map(
@@ -178,7 +179,16 @@ object TextQueries {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  round(avg(quality), 4) AS avg_quality,
         |  sum(n_tokens) AS total_tokens
-        |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i))
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -382,6 +392,21 @@ object TextQueries {
         round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
   }
+
+  /** Corpus bigram frequencies, top-20 (collocation mining — the n-gram
+    * counting sibling of q_text_tokens): generator in the scan stage, one
+    * count shuffle, TakeOrderedAndProject for the top-k. */
+  def textBigrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
 
   /** The end-to-end curation pipeline a training-data run actually executes:
     * quality-score every document → drop the low-quality tail → exact-dedup

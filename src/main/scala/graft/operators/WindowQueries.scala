@@ -22,7 +22,8 @@ object WindowQueries {
     "q_window_running"     -> windowRunning _,
     "q_window_lag"         -> windowLag _,
     "q_window_ntile_range" -> windowNtileRange _,
-    "q_window_first_last"  -> windowFirstLast _
+    "q_window_first_last"  -> windowFirstLast _,
+    "q_window_trailing"    -> windowTrailing _
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,7 +71,20 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Trailing event-time window on integer microseconds: RANGE frames
+    // include all peers of the boundary values identically in both
+    // engines, so equal timestamps cannot diverge.
+    "q_window_trailing" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_last_hour,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+        |    AS v_last_hour
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin
   )
 
   /** Top-3 orders per customer with all three ranking flavors; the ordering
@@ -128,6 +142,22 @@ object WindowQueries {
         last(col("o_orderkey")).over(w).as("last_ok"),
         nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
       .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Trailing 1-hour event-time window per user (count + running spend):
+    * the "activity in the last hour" analytic, as a RANGE frame over
+    * integer epoch-microseconds — exact arithmetic, identical peer
+    * semantics on ties in both engines. */
+  def windowTrailing(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum("value").over(w), 2).as("v_last_hour"))
+      .orderBy("user_id", "event_id")
   }
 
   /** ntile quartiles (global — run on pre-aggregated data at scale) and a
