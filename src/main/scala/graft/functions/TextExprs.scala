@@ -6,6 +6,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
+/** Runtime helpers callable from generated Java (static forwarders). */
+object TextExprs {
+  /** [[MinHashSigs]] precondition: element hashes must already be reduced
+    * into [0, prime) — see the class doc for why violations cannot be
+    * silently absorbed. */
+  def checkHashRange(fn: String, h: Long, prime: Long): Unit =
+    if (h < 0 || h >= prime) throw new IllegalArgumentException(
+      s"$fn requires element hashes in [0, $prime), got $h " +
+        "(reduce with pmod before hashing)")
+}
+
 /** All k MinHash signature values of one element-hash array in a single
   * codegen'd pass.
   *
@@ -19,7 +30,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `pmod` ≡ Java `%`), so signatures are bit-identical to the HOF form.
   *
   * Empty input arrays yield `p` in every slot (the neutral "minimum of
-  * nothing" sentinel callers filter out); null input yields null.
+  * nothing" sentinel callers filter out); null input yields null; null
+  * ELEMENTS are skipped (the behavior `array_min` gives the HOF form).
+  * Element hashes outside [0, prime) are rejected loudly — the
+  * pmod ≡ `%` equivalence and the no-overflow bound both depend on that
+  * range, and accepting raw (negative) xxhash64 values would silently
+  * produce signatures that are not MinHash values of any permutation.
   */
 case class MinHashSigs(child: Expression, a: Seq[Long], b: Seq[Long],
     prime: Long) extends UnaryExpression {
@@ -43,12 +59,15 @@ case class MinHashSigs(child: Expression, a: Seq[Long], b: Seq[Long],
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (h * a(j) + b(j)) % prime
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        TextExprs.checkHashRange(prettyName, h, prime)
+        var j = 0
+        while (j < k) {
+          val v = (h * a(j) + b(j)) % prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -72,7 +91,9 @@ case class MinHashSigs(child: Expression, a: Seq[Long], b: Seq[Long],
          |java.util.Arrays.fill($mins, ${prime}L);
          |int $n = $c.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) continue;
          |  long $h = $c.getLong($i);
+         |  graft.functions.TextExprs.checkHashRange("$prettyName", $h, ${prime}L);
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
          |    if ($v < $mins[$j]) $mins[$j] = $v;
@@ -97,7 +118,8 @@ case class MinHashSigs(child: Expression, a: Seq[Long], b: Seq[Long],
   * row-local map-stage expression — no exploded rows, no 64-column agg
   * state through the shuffle. Vote math is identical (bit b of sig set
   * iff Σ votes > 0), so signatures match the aggregation form bit for
-  * bit. Empty arrays yield signature 0 (all votes 0, no bit set).
+  * bit. Empty arrays yield signature 0 (all votes 0, no bit set); null
+  * elements are skipped (they vote for nothing).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -116,11 +138,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -146,6 +170,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int[] $votes = new int[64];
          |int $n = $c.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) continue;
          |  long $h = $c.getLong($i);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;

@@ -189,13 +189,26 @@ object VecExprs {
   *     (the driver hands us its own session), idempotent.
   */
 object GraftFunctions {
-  /** Build-time extraction of a foldable array<long> coefficient argument
-    * (`graft_minhash_sigs` takes its hash family as literals — constants
-    * of the index definition, folded into the generated code). */
-  private def foldedLongs(e: Expression): Seq[Long] = e.eval(null) match {
-    case ad: ArrayData => ad.toLongArray.toSeq
+  /** Build-time extraction of a foldable integral-array coefficient
+    * argument (`graft_minhash_sigs` takes its hash family as literals —
+    * constants of the index definition, folded into the generated code).
+    * SQL integer literals parse as INT and arrays as array<int>, so both
+    * widths are accepted and widened. */
+  private def foldedLongs(e: Expression): Seq[Long] = (e.dataType, e.eval(null)) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _), ad: ArrayData) =>
+      ad.toLongArray.toSeq
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ad: ArrayData) =>
+      ad.toIntArray.toSeq.map(_.toLong)
+    case (t, other) => throw new IllegalArgumentException(
+      s"expected a foldable array<int>/array<bigint> literal, got $other: $t")
+  }
+
+  /** Widen a foldable INT or BIGINT literal to Long. */
+  private def foldedLong(e: Expression): Long = e.eval(null) match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
     case other => throw new IllegalArgumentException(
-      s"expected a foldable array<bigint> literal, got $other")
+      s"expected a foldable integral literal, got $other")
   }
 
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -212,7 +225,7 @@ object GraftFunctions {
         "graft_minhash_sigs"),
       (args: Seq[Expression]) => MinHashSigs(args(0),
         foldedLongs(args(1)), foldedLongs(args(2)),
-        args(3).eval(null).asInstanceOf[Long])),
+        foldedLong(args(3)))),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))))

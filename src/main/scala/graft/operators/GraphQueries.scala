@@ -13,16 +13,13 @@ import graft.Tables._
   * EDGES; an actual training-data dedup pass needs the transitive closure —
   * "keep one document per connected component of the near-dup graph". This
   * is the canonical last stage of a MinHash dedup pipeline (the
-  * union-find step of e.g. the C4/RefinedWeb recipes), expressed here as
-  * distributed min-label propagation.
+  * union-find step of e.g. the C4/RefinedWeb recipes), run here on GraphX
+  * Pregel (see [[dedupCc]] for the design and the measured alternative).
   *
-  * Scale design (100 TB): each iteration is one equi-join (edges ⋈ labels,
-  * shuffled on the node id) + one min-aggregation — label state never
-  * leaves the executors and converges in O(diameter) rounds (near-dup
-  * components are small cliques; diameter is 2-4 in practice). Lineage is
-  * truncated per round with `localCheckpoint` so the plan does not grow
-  * with the iteration count. The driver only sees a one-long convergence
-  * counter per round, never the data.
+  * Scale design (100 TB): only edge endpoints enter the graph — a few
+  * percent of the corpus at dedup thresholds — and each Pregel superstep
+  * exchanges labels along edges with indexed VertexRDD joins; the driver
+  * never sees label data.
   */
 object GraphQueries {
 
@@ -75,7 +72,9 @@ object GraphQueries {
     * O(diameter) rounds of fixed Catalyst/job overhead — 2.5x slower at
     * sf0.1 even with multi-hop fusion. */
   def dedupCc(s: SparkSession, d: String): DataFrame = {
-    val pairs = SimilarityQueries.dedupEmbed(s, d).select("v1", "v2")
+    // Unsorted pair pipeline — the declared q_dedup_embed adds a final
+    // ORDER BY this consumer would immediately discard.
+    val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
     // GraphX treats edges as undirected for CC (messages flow both ways);
     // each pair enters once.
     val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
@@ -84,8 +83,13 @@ object GraphQueries {
       vertexStorageLevel = StorageLevel.MEMORY_ONLY)
     val spark = s
     import spark.implicits._
-    val labels = graph.connectedComponents()
-      .vertices.toDF("vec_id", "component")
+    val cc = graph.connectedComponents()
+    // Materialize the labels, then release the Pregel caches eagerly —
+    // ContextCleaner would get there eventually, but a long-lived session
+    // (bench warm+timed, the test suites) shouldn't hold graph blocks.
+    val labels = cc.vertices.toDF("vec_id", "component").localCheckpoint()
+    cc.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
     embeddings(s, d)
       .select("vec_id")
       .join(labels, Seq("vec_id"), "left")

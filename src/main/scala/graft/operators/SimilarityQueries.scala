@@ -94,7 +94,13 @@ object SimilarityQueries {
     * nested-loop on the smaller side. Kept as the oracle-checked baseline;
     * at 100 TB the same output is produced by LSH/IVF candidate pruning
     * (see q_ann_ivf / q_sim_pairs_lsh) with this as the verify step. */
-  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbed(s: SparkSession, d: String): DataFrame =
+    embedPairs(s, d).orderBy("v1", "v2")
+
+  /** The near-dup pair pipeline WITHOUT the declared query's final sort —
+    * consumers that re-shuffle anyway (q_dedup_cc's edge build) start
+    * here. */
+  private[operators] def embedPairs(s: SparkSession, d: String): DataFrame = {
     // Norms computed once per row BEFORE the pair join: the O(n²) inner
     // loop then does a single dot per pair instead of three. Numerically
     // identical to cosine(ea, eb) — same double ops, same order.
@@ -120,7 +126,6 @@ object SimilarityQueries {
     a.join(broadcast(b), col("v1") < col("v2") && cosSim >= 0.4)
       .select(col("v1"), col("v2"), col("label1"), col("label2"),
         cosSim.as("cos_sim"))
-      .orderBy("v1", "v2")
   }
 
   // --- MinHash / LSH over document shingles ------------------------------
@@ -137,10 +142,7 @@ object SimilarityQueries {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  private def shingleCol(t: Column): Column =
-    transform(sequence(lit(1), size(t) - 2), i =>
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-        element_at(t, i + 2)))
+  private def shingleCol(t: Column): Column = TextQueries.ngrams(t, 3)
 
   /** Per-document DISTINCT shingle array, built entirely in the map stage
     * (`array_distinct` instead of explode → global distinct — no shuffle).
@@ -249,6 +251,29 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
+  /** Clusters probed per query vector in [[annIvf]]; the recall property
+    * test bounds recall by IvfNprobe/k (PropertySpec). */
+  val IvfNprobe = 4
+
+  // --- Random-projection (sign) LSH -------------------------------------
+
+  /** Hash tables × sign bits per table for [[annRp]]. */
+  val RpTables = 4
+  val RpBits = 8
+
+  /** Hyperplane dimensionality — must equal the embeddings table's vector
+    * dim (FIXTURES.md); graft_vec_dot fails loudly on a mismatch. */
+  val EmbeddingDim = 64
+
+  /** Fixed random hyperplanes (seeded Gaussian draws — deterministic
+    * across runs/JVMs; at deployment these constants ship with the index
+    * definition, exactly like a trained k-means codebook would). */
+  private val rpPlanes: IndexedSeq[Seq[Float]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(RpTables * RpBits)(
+      Seq.fill(EmbeddingDim)(rng.nextGaussian().toFloat))
+  }
+
   /** IVF-style approximate nearest neighbors: partition-level pruning.
     *
     * Centroids are the per-cluster dimension means (the testdata's `label`
@@ -263,24 +288,6 @@ object SimilarityQueries {
     * ≈ nprobe/k, the pruning fraction — the property test asserts exactly
     * that bound; on real embeddings, k-means clusters track geometry and
     * recall is far higher at the same nprobe. */
-  /** Clusters probed per query vector in [[annIvf]]; the recall property
-    * test bounds recall by IvfNprobe/k (PropertySpec). */
-  val IvfNprobe = 4
-
-  // --- Random-projection (sign) LSH -------------------------------------
-
-  /** Hash tables × sign bits per table for [[annRp]]. */
-  val RpTables = 4
-  val RpBits = 8
-
-  /** Fixed random hyperplanes (seeded Gaussian draws — deterministic
-    * across runs/JVMs; at deployment these constants ship with the index
-    * definition, exactly like a trained k-means codebook would). */
-  private val rpPlanes: IndexedSeq[Seq[Float]] = {
-    val rng = new scala.util.Random(42)
-    IndexedSeq.fill(RpTables * RpBits)(Seq.fill(64)(rng.nextGaussian().toFloat))
-  }
-
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val dims = e.select(col("label"),

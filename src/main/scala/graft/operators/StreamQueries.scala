@@ -169,11 +169,14 @@ object StreamQueries {
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // Throwaway replay checkpoint — delete, best effort.
+      // Throwaway replay checkpoint — delete, best effort. The walk
+      // stream must be closed or its directory handles leak until GC.
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       } catch { case _: java.io.IOException => () }
     }
     df.sparkSession.table(name)

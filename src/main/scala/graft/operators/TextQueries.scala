@@ -198,12 +198,17 @@ object TextQueries {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** 3-token shingles of a token array (1-based `element_at`, same as
-    * DuckDB's 1-based list index). Caller guards size < 3. */
-  private def shingles(t: Column): Column =
-    transform(sequence(lit(1), size(t) - 2), i =>
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-        element_at(t, i + 2)))
+  /** Sliding n-token windows of a token array, joined with spaces
+    * (1-based `element_at`, same as DuckDB's 1-based list index). Caller
+    * guards size < n — `sequence(1, size-(n-1))` would otherwise emit a
+    * DESCENDING sequence. Shared by shingling (n=3), bigrams (n=2), and
+    * the LSH pipeline. */
+  private[operators] def ngrams(t: Column, n: Int): Column =
+    transform(sequence(lit(1), size(t) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+
+  /** 3-token shingles of a token array. Caller guards size < 3. */
+  private def shingles(t: Column): Column = ngrams(t, 3)
 
   /** Exact dedup: hash-aggregate on normalized text, keep the smallest
     * doc_id per group. One shuffle on the text hash; at 100 TB this is a
@@ -400,9 +405,7 @@ object TextQueries {
     documents(s, d)
       .select(toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1)))).as("bigram"))
+      .select(explode(ngrams(col("toks"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
