@@ -115,6 +115,72 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(viaJson === directS)
   }
 
+  test("zorder interleaves bits exactly (reference implementation)") {
+    import spark.implicits._
+    def ref(a: Int, b: Int, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      }
+    val rng = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rng.nextInt(1 << 16), rng.nextInt(1 << 16)))
+    val out = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.sources.LayoutOps.zorder(col("a"), col("b")).as("z"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(2) === ref(r.getInt(0), r.getInt(1), 16))
+    }
+  }
+
+  test("zorder clustering tightens per-file min/max on both dimensions") {
+    // Write the same 2-D data sorted by z-curve vs by nothing; the
+    // z-ordered layout must give strictly smaller per-file bounding boxes
+    // (that is the whole point: row-group skipping on either column).
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = Seq.fill(20000)((rng.nextInt(1 << 14), rng.nextInt(1 << 14)))
+      .toDF("x", "y")
+    val base = "/tmp/graft-io/zorder-test"
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/plain")
+    graft.sources.LayoutOps
+      .zorderLayout(df, col("x"), col("y"), numFiles = 8, bits = 14)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    def avgBoxArea(dir: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(((max("x") - min("x")).cast("double") *
+          (max("y") - min("y")).cast("double")).as("area"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length
+    }
+    val plain = avgBoxArea(s"$base/plain")
+    val z = avgBoxArea(s"$base/zorder")
+    assert(z < plain * 0.9,
+      s"z-order did not tighten file bounding boxes: $z vs $plain")
+  }
+
+  test("compact rewrites a many-small-files directory to the target count") {
+    val base = "/tmp/graft-io/compact-test"
+    Tables.documents(spark, sfDir).repartition(50)
+      .write.mode("overwrite").parquet(s"$base/small")
+    val smallFiles = new java.io.File(s"$base/small")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(smallFiles === 50)
+    graft.sources.LayoutOps.compact(spark, s"$base/small",
+      s"$base/compacted", targetBytes = 512L * 1024)
+    val bigFiles = new java.io.File(s"$base/compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(bigFiles < smallFiles / 5,
+      s"expected far fewer files, got $bigFiles")
+    // Content identical (as multisets).
+    val a = Tables.documents(spark, sfDir)
+    val b = spark.read.parquet(s"$base/compacted")
+    assert(b.count() === a.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("observe() metrics instrument a pipeline without a second pass") {
     // Production jobs attach data-quality counters to the SAME action that
     // produces the output (no extra scan): count + null-rate + sum ride
