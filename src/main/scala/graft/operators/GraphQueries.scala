@@ -71,13 +71,27 @@ object GraphQueries {
     * label only travels one graph hop per materialized round, making it
     * O(diameter) rounds of fixed Catalyst/job overhead — 2.5x slower at
     * sf0.1 even with multi-hop fusion. */
+  /** Target edges per GraphX partition. Pregel's per-superstep cost has a
+    * fixed per-partition term (a task per partition per iteration across
+    * several internal RDDs) — measured here: feeding the 32-partition,
+    * 920-edge pair output straight in made CC 8× slower than one
+    * right-sized partition. */
+  private val EdgesPerPartition = 50000L
+
   def dedupCc(s: SparkSession, d: String): DataFrame = {
-    // Unsorted pair pipeline — the declared q_dedup_embed adds a final
-    // ORDER BY this consumer would immediately discard.
+    // Unsorted pair pipeline (the declared q_dedup_embed adds a final
+    // ORDER BY this consumer would discard), MATERIALIZED once: GraphX
+    // evaluates its input RDD several times (vertex derivation + Pregel),
+    // and without the checkpoint each evaluation re-runs the O(n²) scan.
     val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
+      .localCheckpoint()
+    val nEdges = pairs.count() // free on the checkpointed blocks
+    val parts = math.max(1L, (nEdges + EdgesPerPartition - 1) /
+      EdgesPerPartition).toInt
     // GraphX treats edges as undirected for CC (messages flow both ways);
-    // each pair enters once.
-    val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // each pair enters once. coalesce only ever reduces partitions.
+    val edgeRdd = pairs.rdd.coalesce(parts)
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph.fromEdges(edgeRdd, (),
       edgeStorageLevel = StorageLevel.MEMORY_ONLY,
       vertexStorageLevel = StorageLevel.MEMORY_ONLY)
