@@ -30,7 +30,9 @@ object ScalarQueries {
     "q_regex_funcs"  -> regexFuncs _,
     "q_null_funcs"   -> nullFuncs _,
     "q_date_arith"   -> dateArith _,
-    "q_try_funcs"    -> tryFuncs _
+    "q_try_funcs"    -> tryFuncs _,
+    "q_array_hof"    -> arrayHof _,
+    "q_explode_outer" -> explodeOuter _
   )
 
   val oracle: Map[String, String] = Map(
@@ -65,6 +67,33 @@ object ScalarQueries {
         |       THEN 'discounted' ELSE 'full-price' END AS disc_label,
         |  (nullif(l_tax, 0.0) IS NULL) AS tax_free
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Spark HOFs ↔ DuckDB list functions; exists/forall desugar to
+    // list_filter cardinality tests. Float elements cast to double
+    // BEFORE comparison/arithmetic on both sides.
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x::DOUBLE > 0)) AS BIGINT)
+        |    AS n_pos,
+        |  len(list_filter(embedding, x -> x::DOUBLE > 0.25)) > 0
+        |    AS any_big,
+        |  len(list_filter(embedding, x -> abs(x::DOUBLE) >= 10)) = 0
+        |    AS all_small,
+        |  round(list_transform(embedding, x -> x::DOUBLE * 2)[1], 4)
+        |    AS first_x2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // explode_outer: rows with an empty array survive with a null token —
+    // DuckDB's unnest drops them, so the twin substitutes [NULL] for
+    // empty lists before unnesting (the standard outer-unnest emulation).
+    "q_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 6)
+        |      AS longs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+        |    AS long_tok
+        |FROM t ORDER BY doc_id, long_tok""".stripMargin,
     // try_* desugars to the CASE/TRY_CAST forms DuckDB evaluates
     // identically: null on division-by-zero and on a failed cast, instead
     // of Infinity / an error — the ingest-pipeline posture for dirty data.
@@ -236,6 +265,34 @@ object ScalarQueries {
         weekofyear(col("o_orderdate")).as("iso_week"),
         (dayofweek(col("o_orderdate")) - 1).as("dow_sun0"))
       .orderBy("o_orderkey")
+
+  /** Higher-order array functions — filter/exists/forall/transform — all
+    * codegen-free lambda evaluation over the embedding arrays (the §2.10
+    * tier-2 path: no serialization wall, no UDF). */
+  def arrayHof(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x.cast("double") > 0))
+          .cast("long").as("n_pos"),
+        exists(col("embedding"), x => x.cast("double") > 0.25)
+          .as("any_big"),
+        forall(col("embedding"), x => abs(x.cast("double")) < 10)
+          .as("all_small"),
+        round(element_at(
+          transform(col("embedding"), x => x.cast("double") * 2), 1), 4)
+          .as("first_x2"))
+      .orderBy("vec_id")
+
+  /** Outer explode: documents with NO long tokens survive as one
+    * null-token row (explode would drop them — the silent-row-loss trap
+    * in fan-out pipelines). */
+  def explodeOuter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => length(x) > 6).as("longs"))
+      .select(col("doc_id"), explode_outer(col("longs")).as("long_tok"))
+      .orderBy("doc_id", "long_tok")
 
   /** Error-safe (`try_*`) evaluation: null on division-by-zero and failed
     * casts instead of Infinity or a task-killing exception — the right
