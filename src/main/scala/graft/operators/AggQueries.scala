@@ -17,6 +17,18 @@ import graft.Tables._
   */
 object AggQueries {
 
+  /** Distinct users per 1-hour event-time bucket — the distinct-agg ×
+    * time-window combination (expand + two-phase agg inside each bucket;
+    * the sketch variant at scale is q_agg_sketch per window). */
+  def aggWindowedDistinct(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(((unix_micros(col("ts")) -
+        pmod(unix_micros(col("ts")), lit(3600000000L))))
+        .as("window_start_us"))
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("window_start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_groupby"         -> aggGroupBy _,
     "q_agg_having"          -> aggHaving _,
@@ -24,13 +36,19 @@ object AggQueries {
     "q_agg_rollup"          -> aggRollup _,
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,
-    "q_agg_approx_distinct" -> aggApproxDistinct _
+    "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_windowed_distinct" -> aggWindowedDistinct _
   )
 
   // q_agg_approx_distinct is deliberately absent: HLL estimates are not
   // hash-matchable across engines (SURVEY §2.4); its accuracy is bounded
   // against the exact count in AggQueriesSpec instead.
   val oracle: Map[String, String] = Map(
+    "q_agg_windowed_distinct" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

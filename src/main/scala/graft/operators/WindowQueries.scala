@@ -23,7 +23,8 @@ object WindowQueries {
     "q_window_lag"         -> windowLag _,
     "q_window_ntile_range" -> windowNtileRange _,
     "q_window_first_last"  -> windowFirstLast _,
-    "q_window_trailing"    -> windowTrailing _
+    "q_window_trailing"    -> windowTrailing _,
+    "q_window_pct"         -> windowPct _
   )
 
   val oracle: Map[String, String] = Map(
@@ -84,7 +85,18 @@ object WindowQueries {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
         |    AS v_last_hour
         |FROM events
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    // percent_rank/cume_dist have identical definitions in both engines;
+    // the (o_totalprice, o_orderkey) ordering is total so no peer-group
+    // ambiguity survives into the hash.
+    "q_window_pct" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 
   /** Top-3 orders per customer with all three ranking flavors; the ordering
@@ -158,6 +170,19 @@ object WindowQueries {
         count(lit(1)).over(w).as("n_last_hour"),
         round(sum("value").over(w), 2).as("v_last_hour"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** Relative-position analytics per priority band: percent_rank and
+    * cume_dist over a total ordering. */
+  def windowPct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
   }
 
   /** ntile quartiles (global — run on pre-aggregated data at scale) and a
