@@ -17,6 +17,18 @@ import graft.Tables._
   */
 object AggQueries {
 
+  /** Bitwise aggregates (AND/OR/XOR folds — flag-mask consolidation and
+    * parity checks; order-insensitive, so deterministic without ordering
+    * constraints). */
+  def aggBitwise(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"))
+      .orderBy("event_type")
+
   /** Distinct users per 1-hour event-time bucket — the distinct-agg ×
     * time-window combination (expand + two-phase agg inside each bucket;
     * the sketch variant at scale is q_agg_sketch per window). */
@@ -37,7 +49,8 @@ object AggQueries {
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
-    "q_agg_windowed_distinct" -> aggWindowedDistinct _
+    "q_agg_windowed_distinct" -> aggWindowedDistinct _,
+    "q_agg_bitwise" -> aggBitwise _
   )
 
   // q_agg_approx_distinct is deliberately absent: HLL estimates are not
@@ -49,6 +62,12 @@ object AggQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_bitwise" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS uid_and,
+        |  bit_or(user_id) AS uid_or,
+        |  bit_xor(user_id) AS uid_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
