@@ -41,7 +41,8 @@ object TextQueries {
     "q_text_fingerprint" -> textFingerprint _,
     "q_dedup_ngram"      -> dedupNgram _,
     "q_corpus_curate"    -> corpusCurate _,
-    "q_text_bigrams"     -> textBigrams _
+    "q_text_bigrams"     -> textBigrams _,
+    "q_text_editdist"    -> textEditDist _
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,6 +181,15 @@ object TextQueries {
         |  round(avg(quality), 4) AS avg_quality,
         |  sum(n_tokens) AS total_tokens
         |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin,
+    // levenshtein has identical semantics in both engines; applied along
+    // the doc_id order (lag window) so the cost stays linear in docs,
+    // not O(n²) pairs.
+    "q_text_editdist" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 30),
+        |    lag(substr(text, 1, 30)) OVER (ORDER BY doc_id)) AS INT)
+        |    AS dist_prev
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_bigrams" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents),
@@ -396,6 +406,18 @@ object TextQueries {
       .select(col("d1"), col("d2"), col("common"),
         round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Edit distance between each document's 30-char prefix and its
+    * predecessor's (record-linkage / OCR-dedup staple), kept linear via
+    * the lag window rather than a pair join. First row: null distance. */
+  def textEditDist(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("p"))
+      .select(col("doc_id"),
+        levenshtein(col("p"), lag(col("p"), 1).over(w)).as("dist_prev"))
+      .orderBy("doc_id")
   }
 
   /** Corpus bigram frequencies, top-20 (collocation mining — the n-gram
