@@ -179,7 +179,7 @@ object TextQueries {
         |  GROUP BY norm)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  round(avg(quality), 4) AS avg_quality,
-        |  sum(n_tokens) AS total_tokens
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin,
     // levenshtein has identical semantics in both engines; applied along
     // the doc_id order (lag window) so the cost stays linear in docs,

@@ -40,7 +40,7 @@ object SourceQueries {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
-        |  sum(n_chars) AS chars
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin
   )

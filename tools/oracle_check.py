@@ -30,6 +30,23 @@ def compare(a, b):
     if len(a) != len(b):
         return False, f"row counts differ: {len(a)} vs {len(b)}"
     a, b = norm(a), norm(b)
+    # TYPE-STRICT gate first: the driver hashes values together with their
+    # physical types, so a DuckDB HUGEINT (object/Decimal in pandas) vs a
+    # Spark BIGINT (int64) fails the driver even when every value matches.
+    # Coercing before comparing (the old behavior) masked exactly that class
+    # of bug for two rounds — dtype mismatch is now a hard FAIL.
+    for c in a.columns:
+        ad, bd = a[c].dtype, b[c].dtype
+        if str(ad) != str(bd):
+            return False, (f"col {c}: DTYPE differs: spark={ad} vs duck={bd} "
+                           f"(driver hash is type-sensitive — add a CAST in the oracle SQL)")
+        if ad == object:
+            apy = {type(v).__name__ for v in a[c].dropna().head(100)}
+            bpy = {type(v).__name__ for v in b[c].dropna().head(100)}
+            if apy and bpy and apy != bpy:
+                return False, (f"col {c}: object payload types differ: "
+                               f"spark={sorted(apy)} vs duck={sorted(bpy)} "
+                               f"(e.g. Decimal vs int — add a CAST in the oracle SQL)")
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
