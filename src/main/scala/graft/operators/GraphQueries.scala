@@ -82,7 +82,15 @@ object GraphQueries {
     // Unsorted pair pipeline (the declared q_dedup_embed adds a final
     // ORDER BY this consumer would discard), MATERIALIZED once: GraphX
     // evaluates its input RDD several times (vertex derivation + Pregel),
-    // and without the checkpoint each evaluation re-runs the O(n²) scan.
+    // and without the checkpoint each evaluation re-runs the pair join.
+    // The feed is the blocked exact pair equi-join (SimilarityQueries.
+    // embedPairs): distributed, broadcast-free, no nested-loop plan —
+    // PlanGuardSpec asserts this query stays BNLJ/cartesian-free. The
+    // exact edge set is the oracle contract here (cos ≥ 0.4 slices the
+    // bulk of the pair distribution, where LSH candidate recall is ~10%
+    // — measured; see embedPairs doc); a production dedup at a ≥0.9
+    // threshold would feed CC from q_sim_pairs_lsh candidates instead,
+    // with the same Pregel stage unchanged.
     val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
       .localCheckpoint()
     val nEdges = pairs.count() // free on the checkpointed blocks

@@ -19,12 +19,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     * §2.8. */
   private val intentionalBnlj = Set(
     "q_sim_topk",     // 1-row probe vector broadcast
-    "q_dedup_embed",  // exact O(n²) oracle baseline, broadcast build side
-    "q_dedup_cc",     // consumes q_dedup_embed's pair scan
     "q_ann_ivf",      // tiny centroid table crossJoin(broadcast)
     "q_tfidf",        // 1-row corpus-size scalar broadcast (cross)
     "q_sql_recursive" // date-spine join on a derived non-equi condition
   )
+  // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
+  // pair-join rewrite their exact pair scan is a gid equi-join and must
+  // never regress to a nested loop.
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans without accidental cartesian/nested-loop joins") {
