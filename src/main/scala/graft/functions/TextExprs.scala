@@ -42,6 +42,21 @@ case class MinHashSigs(child: Expression, a: Seq[Long], b: Seq[Long],
 
   require(a.nonEmpty && a.length == b.length,
     "coefficient vectors must be non-empty and equal-length")
+  // The no-overflow claim (h·aᵢ+bᵢ computed in Long, then `%`) holds only
+  // for bounded non-negative coefficients: h ≤ prime-1, so the worst-case
+  // intermediate is (prime-1)·max(a)+max(b). A SQL caller passing large
+  // literals would otherwise silently wrap negative and emit values that
+  // are not MinHash signatures of any permutation. Checked with BigInt so
+  // the bound test itself cannot overflow.
+  require(prime > 1, s"prime must be > 1, got $prime")
+  require(a.forall(_ > 0) && b.forall(_ >= 0),
+    "multipliers must be positive and offsets non-negative")
+  require(
+    BigInt(prime - 1) * BigInt(a.max) + BigInt(b.max) <
+      (BigInt(1) << 62),
+    s"coefficients too large: (prime-1)*max(a)+max(b) must stay below " +
+      s"2^62 to rule out Long overflow (prime=$prime, max(a)=${a.max}, " +
+      s"max(b)=${b.max})")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

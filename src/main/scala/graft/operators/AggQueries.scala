@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -31,12 +31,20 @@ object AggQueries {
 
   /** Distinct users per 1-hour event-time bucket — the distinct-agg ×
     * time-window combination (expand + two-phase agg inside each bucket;
-    * the sketch variant at scale is q_agg_sketch per window). */
+    * the sketch variant at scale is q_agg_sketch per window).
+    *
+    * Bucket arithmetic uses `%` (sign-preserving, truncate-toward-zero —
+    * same as DuckDB's `%`), NOT `pmod`: for a pre-epoch timestamp the two
+    * differ by one full bucket, so pmod would silently diverge from the
+    * oracle on any corpus with pre-1970 rows (EdgeCaseSpec covers one). */
+  /** Start (µs) of `ts`'s 1-hour bucket under truncate-toward-zero `%` —
+    * shared with EdgeCaseSpec's pre-epoch regression test. */
+  def hourBucketStartUs(ts: Column): Column =
+    unix_micros(ts) - (unix_micros(ts) % lit(3600000000L))
+
   def aggWindowedDistinct(s: SparkSession, d: String): DataFrame =
     graft.Tables.events(s, d)
-      .groupBy(((unix_micros(col("ts")) -
-        pmod(unix_micros(col("ts")), lit(3600000000L))))
-        .as("window_start_us"))
+      .groupBy(hourBucketStartUs(col("ts")).as("window_start_us"))
       .agg(countDistinct("user_id").as("n_users"),
         count(lit(1)).as("n_events"))
       .orderBy("window_start_us")

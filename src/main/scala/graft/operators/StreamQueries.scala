@@ -51,6 +51,7 @@ object StreamQueries {
     "q_stream_stateful" -> streamStateful _,
     "q_stream_join"     -> streamJoin _,
     "q_stream_append_window" -> streamAppendWindow _,
+    "q_stream_late"     -> streamLate _,
     "q_batch_session"   -> batchSession _
   )
 
@@ -281,6 +282,66 @@ object StreamQueries {
     * flushes the last finalized windows. */
   def streamAppendWindow(s: SparkSession, d: String): DataFrame = {
     val agg = EventStreams.fileStream(s, d)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Append())
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_us", "event_type")
+  }
+
+  /** Watermark late-drop made driver-visible (rows-only check; the drop
+    * counts depend on batch boundaries, so there is no SQL twin — the
+    * assertion lives in StreamingSpec): the events table is replayed as
+    * THREE micro-batches — the newer half, an empty flush batch, then the
+    * older half arriving late.
+    *
+    * Why three, not two: a late row is dropped only when its window's
+    * state was ALREADY EVICTED in an earlier batch; eviction runs with
+    * the start-of-batch watermark, and a straggler landing in the same
+    * batch that first carries the high watermark is merged into
+    * still-live state and finalized WITH it (measured — MemoryStream
+    * scripts don't hit this because processAllAvailable interleaves
+    * no-data micro-batches that flush eviction between data batches,
+    * while AvailableNow does not). Batch 1 raises the watermark to
+    * max(ts)−30min; the empty batch 2 lets eviction finalize and emit
+    * batch 1's windows under that watermark; batch 3's stragglers then
+    * find their windows evicted and are dropped. The result — finalized
+    * windows of the newer half only — is a pure function of the data
+    * (batch order pinned by file modification times +
+    * maxFilesPerTrigger=1), and intentionally NOT the batch answer: the
+    * missing late rows are the behavior under test. */
+  def streamLate(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft-io/${new java.io.File(d).getName}/late_stream"
+    val ev = graft.Tables.events(s, d)
+    // Split at the midpoint of the event-time range; each slice lands in
+    // one file (coalesce(1)) so maxFilesPerTrigger=1 gives exactly three
+    // micro-batches. Harness-side setup cost, not the operator's plan.
+    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+      unix_micros(max(col("ts"))).as("hi")).head()
+    val splitUs = (r.getLong(0) + r.getLong(1)) / 2
+    val split = timestamp_micros(lit(splitUs))
+    ev.filter(col("ts") >= split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b1")
+    ev.filter(lit(false)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b2")
+    ev.filter(col("ts") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b3")
+    // Pin processing order: the file source picks oldest-modtime first.
+    val now = System.currentTimeMillis()
+    for ((sub, age) <- Seq("b1" -> 180000L, "b2" -> 120000L,
+           "b3" -> 60000L);
+         f <- new java.io.File(s"$base/$sub").listFiles()
+           if f.getName.endsWith(".parquet"))
+      f.setLastModified(now - age)
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$base/b*")
+    val agg = stream
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -52,11 +52,24 @@ object LayoutOps {
   def compact(s: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = new java.io.File(inDir)
-    val inputBytes = Option(fs.listFiles())
-      .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.length()).sum)
-      .getOrElse(0L)
+    // Input sizing MUST go through the Hadoop FileSystem for the path's
+    // own scheme: java.io.File silently returns null for hdfs://-/s3a://-
+    // style URIs, which would make inputBytes 0 and rewrite the whole
+    // directory into ONE file — the opposite of compaction, at exactly
+    // the scale that needs it. listFiles(recursive) also picks up
+    // hive-partitioned subdirectories.
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var inputBytes = 0L
+    val it = fs.listFiles(inPath, /* recursive = */ true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        inputBytes += f.getLen
+    }
+    require(inputBytes > 0,
+      s"compact: no parquet data found under $inDir — refusing to guess " +
+        "an output file count")
     val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     s.read.parquet(inDir)
       .repartition(nFiles)

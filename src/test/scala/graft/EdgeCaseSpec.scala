@@ -71,6 +71,24 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(n === 1L)
   }
 
+  test("hour-bucket start matches sign-preserving % for pre-epoch rows") {
+    // q_agg_windowed_distinct's bucket arithmetic must follow DuckDB's
+    // truncate-toward-zero `%` (a pmod formulation differs by one full
+    // bucket below 1970 — the fixture is all post-epoch, so only this
+    // test would catch that divergence).
+    import spark.implicits._
+    val out = Seq(
+      "1969-12-31 22:30:00", // pre-epoch, mid-bucket
+      "1970-01-01 01:30:00"  // post-epoch control
+    ).toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+      .select(graft.operators.AggQueries.hourBucketStartUs(col("ts")))
+      .collect().map(_.getLong(0))
+    // -1.5h % 1h = -0.5h under truncate-toward-zero → start = -1h
+    // (pmod would give -2h: -1.5 - (+0.5)).
+    assert(out.toSeq === Seq(-3600000000L, 3600000000L))
+  }
+
   test("set ops partition a set: except ∪ intersect = original (distinct)") {
     import spark.implicits._
     val a = Seq(1, 2, 3, 4, 5).toDF("v")

@@ -44,8 +44,10 @@ class SecretsSpec extends AnyFunSuite {
   }
 
   test("env provider maps secret names to env-var style keys") {
-    val p = new EnvSecretProvider(Map("ODNI_MSK_REST_PROXY" -> payload))
-    assert(p.fetch("odni-msk-rest.proxy").isDefined)
+    // Name exercises the full mapping: dashes AND dots → underscores,
+    // lowercase → upper.
+    val p = new EnvSecretProvider(Map("TEST_KAFKA_REST_PROXY" -> payload))
+    assert(p.fetch("test-kafka-rest.proxy").isDefined)
   }
 
   test("chained provider takes the first hit") {

@@ -181,6 +181,40 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("compact sizes its input through the path's own FileSystem scheme") {
+    // Regression for the java.io.File sizing bug: a scheme-qualified URI
+    // (file:// here, hdfs:///s3a:// in production) made listFiles return
+    // null → inputBytes 0 → the whole directory rewritten into ONE file.
+    // Input is hive-partitioned so the recursive listing is exercised too.
+    val base = "/tmp/graft-io/compact-scheme-test"
+    Tables.documents(spark, sfDir).repartition(40)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$base/small")
+    val inputBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(s"$base/small"))
+    }
+    val target = 256L * 1024
+    val expected = math.max(1, math.ceil(inputBytes.toDouble / target).toInt)
+    val n = graft.sources.LayoutOps.compact(spark, s"file://$base/small",
+      s"file://$base/compacted", targetBytes = target)
+    assert(n === expected,
+      s"file count must derive from the input's on-disk bytes: $n vs $expected")
+    assert(n > 1, "partitioned multi-MB input must not collapse to one file")
+    assert(spark.read.parquet(s"$base/compacted").count() ===
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("compact fails loudly when the input has no parquet data") {
+    val dir = "/tmp/graft-io/compact-empty-test"
+    new java.io.File(dir).mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LayoutOps.compact(spark, dir, s"$dir-out", 1024L)
+    }
+    assert(e.getMessage.contains("no parquet data"))
+  }
+
   test("observe() metrics instrument a pipeline without a second pass") {
     // Production jobs attach data-quality counters to the SAME action that
     // produces the output (no extra scan): count + null-rate + sum ride

@@ -188,6 +188,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("q_stream_late drops the straggler batch below the watermark") {
+    // The declared two-batch replay (newer half first) must show real
+    // drops: its finalized windows carry fewer events than the same
+    // watermark cut applied to the full batch answer (q_stream_append_
+    // window's shape), because batch 2's stragglers arrived below the
+    // batch-1 watermark.
+    val late = graft.operators.StreamQueries.streamLate(spark, sfDir)
+      .agg(sum("n")).head().getLong(0)
+    val oneBatch = graft.operators.StreamQueries
+      .streamAppendWindow(spark, sfDir)
+      .agg(sum("n")).head().getLong(0)
+    assert(late > 0, "late-replay query emitted nothing")
+    assert(late < oneBatch,
+      s"expected late rows to be dropped: two-batch total $late vs " +
+        s"single-batch finalized total $oneBatch")
+  }
+
   test("streaming tumbling counts equal the batch answer (equivalence)") {
     val streamed = graft.operators.StreamQueries
       .streamTumbling(spark, sfDir).collect()

@@ -143,6 +143,27 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
     assert(viaExpr === viaAgg)
   }
 
+  test("graft_minhash_sigs rejects coefficients that could overflow Long") {
+    // The no-overflow claim is (prime-1)*max(a)+max(b) < 2^62; a SQL
+    // caller passing huge literals must fail construction loudly, not
+    // silently wrap negative inside the codegen'd loop.
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+    val prime = 2147483647L
+    val df = Seq(Array(42L)).toDF("harr")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_minhash_sigs", col("harr"),
+        typedlit(Seq(Long.MaxValue / 2)), typedlit(Seq(0L)),
+        lit(prime))).collect()
+    }
+    assert(e.getMessage.contains("coefficients too large"))
+    val neg = intercept[Exception] {
+      df.select(call_function("graft_minhash_sigs", col("harr"),
+        typedlit(Seq(-3L)), typedlit(Seq(0L)), lit(prime))).collect()
+    }
+    assert(neg.getMessage.contains("multipliers must be positive"))
+  }
+
   test("graft_minhash_sigs: empty array yields the prime sentinel") {
     import spark.implicits._
     Tables.documents(spark, sfDir)
