@@ -52,6 +52,7 @@ object StreamQueries {
     "q_stream_join"     -> streamJoin _,
     "q_stream_append_window" -> streamAppendWindow _,
     "q_stream_late"     -> streamLate _,
+    "q_stream_foreach_batch" -> streamForeachBatch _,
     "q_batch_session"   -> batchSession _
   )
 
@@ -88,6 +89,12 @@ object StreamQueries {
       """SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_acctbal, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    // foreachBatch writes every micro-batch to parquet exactly once
+    // (fresh sink dir + checkpoint per run), so the read-back equals the
+    // full table — certifying no batch was lost or doubled.
+    "q_stream_foreach_batch" ->
+      """SELECT event_id, user_id, upper(event_type) AS event_type_up, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // Append-mode watermark semantics, deterministically: the final
     // watermark is max(event time, ms floor) - 30 min; only windows whose
     // end is at or before it are finalized and emitted. The SQL twin
@@ -349,6 +356,34 @@ object StreamQueries {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"))
       .orderBy("window_start_us", "event_type")
+  }
+
+  /** The `foreachBatch` sink — the production escape hatch for writing a
+    * stream to any batch-capable target (parquet here; Kafka, JDBC, a
+    * Delta merge in deployments). Each micro-batch lands via an ordinary
+    * batch write, and exactly-once over retries comes from writing
+    * idempotently w.r.t. `batchId` (a partition-by-batchId overwrite, a
+    * txn keyed on it) against the checkpoint's replay ledger; this run
+    * uses a fresh per-invocation sink dir + checkpoint, so a plain
+    * append IS exactly-once and the read-back must equal the full table
+    * — the oracle certifies no batch was lost or doubled. */
+  def streamForeachBatch(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft-io/${new java.io.File(d).getName}/" +
+      s"foreach_sink_${seq.incrementAndGet()}"
+    val transformed = EventStreams.fileStream(s, d)
+      .select(col("event_id"), col("user_id"),
+        upper(col("event_type")).as("event_type_up"), col("value"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
+    val q = transformed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy("event_id")
   }
 
   /** Session windows (30-minute gap) per user — batch execution of the
