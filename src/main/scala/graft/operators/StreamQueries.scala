@@ -363,13 +363,19 @@ object StreamQueries {
     * Delta merge in deployments). Each micro-batch lands via an ordinary
     * batch write, and exactly-once over retries comes from writing
     * idempotently w.r.t. `batchId` (a partition-by-batchId overwrite, a
-    * txn keyed on it) against the checkpoint's replay ledger; this run
-    * uses a fresh per-invocation sink dir + checkpoint, so a plain
-    * append IS exactly-once and the read-back must equal the full table
-    * — the oracle certifies no batch was lost or doubled. */
+    * txn keyed on it) against the checkpoint's replay ledger. This run
+    * writes exactly that shape — `mode("overwrite")` into a
+    * `batch=<batchId>` partition directory, so a replayed batch lands on
+    * its own path and replaces itself — and clears the sink dir up front
+    * (the scratch tree outlives the JVM; a per-session counter alone
+    * collided with a previous run's files and doubled the read-back).
+    * The oracle then certifies no batch was lost or doubled. */
   def streamForeachBatch(s: SparkSession, d: String): DataFrame = {
     val out = s"/tmp/graft-io/${new java.io.File(d).getName}/" +
       s"foreach_sink_${seq.incrementAndGet()}"
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
     val transformed = EventStreams.fileStream(s, d)
       .select(col("event_id"), col("user_id"),
         upper(col("event_type")).as("event_type_up"), col("value"))
@@ -377,13 +383,15 @@ object StreamQueries {
       .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
     val q = transformed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(out)
+        batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
       }
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out).orderBy("event_id")
+    s.read.parquet(out)
+      .select("event_id", "user_id", "event_type_up", "value")
+      .orderBy("event_id")
   }
 
   /** Session windows (30-minute gap) per user — batch execution of the

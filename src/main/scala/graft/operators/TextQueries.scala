@@ -42,7 +42,9 @@ object TextQueries {
     "q_dedup_ngram"      -> dedupNgram _,
     "q_corpus_curate"    -> corpusCurate _,
     "q_text_bigrams"     -> textBigrams _,
-    "q_text_editdist"    -> textEditDist _
+    "q_text_editdist"    -> textEditDist _,
+    "q_text_pii"         -> textPii _,
+    "q_text_repetition"  -> textRepetition _
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,7 +200,43 @@ object TextQueries {
         |  FROM t, UNNEST(range(1, len(toks))) AS u(i))
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
         |FROM bg GROUP BY bigram
-        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // Same deterministic PII augmentation, the same three patterns, and
+    // md5 over the fully-redacted text — the hash certifies every
+    // replacement byte-for-byte. DuckDB regexp_replace is single-match
+    // without the 'g' flag.
+    "q_text_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.' || (doc_id % 256) || '.0.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}'))
+        |    AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '10\.[0-9]+\.0\.1'))
+        |    AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '10\.[0-9]+\.0\.1', '<IP>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, count(*) AS f FROM t GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 4)
+        |    AS distinct_ratio,
+        |  round(CAST(max(f) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 4)
+        |    AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -461,4 +499,56 @@ object TextQueries {
         sum("n_tokens").as("total_tokens"))
       .orderBy("lang")
   }
+
+  /** PII detection + redaction — the compliance pass every training-data
+    * pipeline runs before release. Entity patterns (email, NANP-style
+    * phone, IPv4) are counted with `regexp_count` and redacted with
+    * chained `regexp_replace` — all codegen'd per-row expressions in the
+    * scan stage, zero shuffles, so at 100 TB this runs at full scan
+    * bandwidth. The synthetic corpus carries no PII, so each document is
+    * deterministically augmented with planted entities derived from its
+    * own id (both engines build the identical string); `md5` over the
+    * fully-redacted text makes the oracle certify every replacement
+    * byte-for-byte, not just the match counts. */
+  def textPii(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "10\\.[0-9]+\\.0\\.1"
+    val aug = concat(
+      col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(aug,
+      lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>")),
+      lit(ipRe), lit("<IP>"))
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_count(aug, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(aug, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(aug, lit(ipRe)).cast("long").as("n_ips"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition signals (the Gopher/C4-family quality filters): distinct-
+    * token ratio and the most-frequent-token fraction per document. Pure
+    * relational shape — explode → (doc, token) counts → per-doc ratios —
+    * two map-side-combined shuffles keyed by doc_id(+token), so it scales
+    * like any aggregation; no per-row quadratic work. High `top_frac` /
+    * low `distinct_ratio` flag boilerplate and degenerate repetition. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("f"))
+      .groupBy("doc_id")
+      .agg(
+        sum("f").as("n_tokens"),
+        round(count(lit(1)).cast("double") / sum("f").cast("double"), 4)
+          .as("distinct_ratio"),
+        round(max("f").cast("double") / sum("f").cast("double"), 4)
+          .as("top_frac"))
+      .orderBy("doc_id")
 }

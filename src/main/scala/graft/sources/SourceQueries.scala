@@ -28,6 +28,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv"         -> scanCsv _,
     "q_scan_json"        -> scanJson _,
+    "q_scan_orc"         -> scanOrc _,
     "q_sink_partitioned" -> sinkPartitioned _
   )
 
@@ -38,6 +39,9 @@ object SourceQueries {
     "q_scan_json" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_scan_orc" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
@@ -79,6 +83,19 @@ object SourceQueries {
     Tables.supplier(s, d).write.mode("overwrite").json(dir)
     s.read.schema(supplierSchema).json(dir)
       .orderBy("s_suppkey")
+  }
+
+  /** ORC round-trip of a part projection: the second columnar format
+    * (built into Spark; predicate pushdown + column pruning work the same
+    * way as parquet). The oracle reads the original parquet, so the
+    * round-trip certifies value fidelity across the format boundary —
+    * including doubles, which ORC stores natively (no text encoding). */
+  def scanOrc(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "part_orc")
+    Tables.part(s, d)
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir).orderBy("p_partkey")
   }
 
   /** Hive-partitioned parquet sink: documents written partitioned by lang,
