@@ -32,6 +32,7 @@ object StatsQueries {
     "q_agg_strings"     -> aggStrings _,
     "q_approx_quantile" -> approxQuantile _,
     "q_sample_hash"     -> sampleHash _,
+    "q_sample_stratified" -> sampleStratified _,
     "q_agg_sketch"      -> aggSketch _,
     "q_agg_mode"        -> aggMode _
   )
@@ -86,7 +87,23 @@ object StatsQueries {
         |FROM lineitem
         |WHERE substr(md5(l_orderkey::VARCHAR || '_' ||
         |        l_linenumber::VARCHAR), 1, 1) IN ('0', '1')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Same hash, same per-stratum hex-prefix rates: en docs keep 1/16,
+    // every other language 1/2 — the rebalancing downsample.
+    "q_sample_stratified" ->
+      """WITH flagged AS (
+        |  SELECT lang,
+        |    CASE WHEN lang = 'en'
+        |         THEN substr(md5(doc_id::VARCHAR), 1, 1) = '0'
+        |         ELSE substr(md5(doc_id::VARCHAR), 1, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |    END AS keep
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_sampled,
+        |  round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS realized_rate
+        |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -192,4 +209,26 @@ object StatsQueries {
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_price"))
       .orderBy("l_returnflag")
+
+  /** Deterministic STRATIFIED sampling — the corpus-rebalancing pass of a
+    * training-data pipeline (downsample the dominant language, keep the
+    * rest): per-stratum rates expressed as hex-prefix sets over the same
+    * stable md5 key as q_sample_hash (en 1/16, others 1/2). Still a pure
+    * row-local predicate — no shuffle, no per-stratum coordination, and
+    * any engine with md5 draws the identical sample; the realized rate
+    * per stratum is surfaced for the oracle to pin. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val hex = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val keep = when(col("lang") === "en", hex === "0")
+      .otherwise(hex.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    documents(s, d)
+      .select(col("lang"), keep.as("keep"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("keep")).as("n_sampled"),
+        round(count_if(col("keep")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("realized_rate"))
+      .orderBy("lang")
+  }
 }

@@ -44,7 +44,9 @@ object TextQueries {
     "q_text_bigrams"     -> textBigrams _,
     "q_text_editdist"    -> textEditDist _,
     "q_text_pii"         -> textPii _,
-    "q_text_repetition"  -> textRepetition _
+    "q_text_repetition"  -> textRepetition _,
+    "q_vocab_oov"        -> vocabOov _,
+    "q_contamination"    -> contamination _
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,7 +238,40 @@ object TextQueries {
         |    AS distinct_ratio,
         |  round(CAST(max(f) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 4)
         |    AS top_frac
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Vocab = top-64 corpus tokens (count desc, token asc tiebreak — the
+    // boundary is deterministic in both engines).
+    "q_vocab_oov" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM t GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 64)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+        |  round(CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS oov_frac
+        |FROM t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Benchmark set = doc_id % 97 = 0; 3-token shingles; a corpus doc is
+    // contaminated when ≥5 of its distinct shingles appear anywhere in
+    // the benchmark shingle set. Docs under 3 tokens have no shingles and
+    // are absent from both engines' outputs.
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents),
+        |      UNNEST(range(1, len(toks) - 1)) AS u(i))),
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |dsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT d.doc_id, CAST(count(b.s) AS BIGINT) AS n_shared,
+        |  count(b.s) >= 5 AS contaminated
+        |FROM dsh d LEFT JOIN bsh b ON d.s = b.s
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -551,4 +586,54 @@ object TextQueries {
         round(max("f").cast("double") / sum("f").cast("double"), 4)
           .as("top_frac"))
       .orderBy("doc_id")
+
+  /** Vocabulary coverage: per-document OOV fraction against the corpus's
+    * own top-64 token vocabulary (count-desc, token-asc tiebreak — the
+    * cut is deterministic in both engines). The vocab is one aggregation
+    * reduced to a tiny frame and BROADCAST back against the exploded
+    * token stream — the tokenizer-coverage check a pipeline runs before
+    * committing to a vocab/tokenizer; at 100 TB the vocab side stays
+    * kilobytes no matter the corpus size. */
+  def vocabOov(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val vocab = t.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(64)
+      .select(col("tok"), lit(1).as("inv"))
+    t.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_if(col("inv").isNull).as("n_oov"),
+        round(count_if(col("inv").isNull).cast("double") /
+          count(lit(1)).cast("double"), 4).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set contamination detection — the overlap audit run before any
+    * benchmark number is trusted: a corpus document is flagged when ≥5 of
+    * its distinct 3-token shingles appear anywhere in the benchmark
+    * set's shingle inventory (pseudo-benchmark here: doc_id % 97 = 0).
+    * The benchmark shingle set is DISTINCT-reduced and broadcast — eval
+    * sets are small by construction, so the big corpus side is never
+    * shuffled: one scan-stage hash-join probe plus the per-doc count
+    * aggregation. Docs under 3 tokens have no shingles and are absent
+    * (same in the oracle). */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("t")))).as("sh"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select("sh").distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") >= 5).as("contaminated"))
+      .orderBy("doc_id")
+  }
 }
