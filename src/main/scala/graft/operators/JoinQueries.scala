@@ -36,7 +36,8 @@ object JoinQueries {
     "q_join_range"     -> joinRange _,
     "q_join_asof"      -> joinAsof _,
     "q_join_skew"      -> joinSkew _,
-    "q_join_full"      -> joinFull _
+    "q_join_full"      -> joinFull _,
+    "q_join_bucketed"  -> joinBucketed _
   )
 
   val oracle: Map[String, String] = Map(
@@ -48,6 +49,11 @@ object JoinQueries {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey,
         |  CAST(count(o_orderkey) AS BIGINT) AS n_urgent,
@@ -264,5 +270,37 @@ object JoinQueries {
       .select(coalesce(col("user_id"), col("o_custkey")).as("id"),
         col("n_events"), col("n_orders"))
       .orderBy("id")
+  }
+
+  /** Fact⋈fact join through CO-LOCATED BUCKETED tables — the layout that
+    * moves the join shuffle to write time, once, so every later join on
+    * the key reads bucket i against bucket i with NO Exchange on either
+    * side (ScaleOpsSpec pins that plan property with broadcast disabled;
+    * at this declared query's tiny SF Catalyst is free to broadcast
+    * instead, which is also correct). Bucket metadata lives in the
+    * catalog, so unlike `repartition()` the co-location survives across
+    * jobs and sessions — the "reuse a partitioning across stages" answer
+    * at 100 TB. Tables are external under /tmp/graft-warehouse with
+    * per-SF names; stale directories from previous JVMs are cleared
+    * first (the in-memory catalog dies with the JVM, the files do not). */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val sf = new java.io.File(d).getName.replace('.', '_')
+    val (ot, lt) = (s"b_orders_q_$sf", s"b_lineitem_q_$sf")
+    def loc(t: String) = s"/tmp/graft-warehouse/$t"
+    graft.sources.BucketedLayout.dropWithLocation(s, ot, loc(ot))
+    graft.sources.BucketedLayout.dropWithLocation(s, lt, loc(lt))
+    graft.sources.BucketedLayout.writeBucketed(
+      orders(s, d).select("o_orderkey", "o_orderpriority"),
+      ot, "o_orderkey", buckets = 8, path = Some(loc(ot)))
+    graft.sources.BucketedLayout.writeBucketed(
+      lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      lt, "l_orderkey", buckets = 8, path = Some(loc(lt)))
+    s.table(ot).join(s.table(lt),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
   }
 }

@@ -16,15 +16,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedLayout {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted table. With `path` the table is
+    * external at that location (independent of `spark.sql.warehouse.dir`
+    * — the declared query path, whose harness sessions don't configure a
+    * warehouse); without, a managed table in the warehouse. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Drop `table` from the catalog AND clear its directory: the in-memory
+    * catalog dies with the JVM but table directories persist, and a
+    * create-from-scratch over a stale location fails or double-counts. */
+  def dropWithLocation(s: SparkSession, table: String, dir: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   /** Co-locate two frames on their join keys with the same bucket count
     * (equal bucket counts + same key hash ⇒ bucket i joins bucket i). */

@@ -92,4 +92,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
       assert(joined.count() === Tables.lineitem(spark, sfDir).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_join_bucketed's tables deliver the exchange-free join") {
+    // Run the declared query once (it writes + registers the per-SF
+    // external bucketed tables), then re-join those tables with broadcast
+    // disabled: the bare join must plan with NO Exchange on either side —
+    // the property the layout exists to provide.
+    graft.operators.JoinQueries.joinBucketed(spark, sfDir).collect()
+    val sf = new java.io.File(sfDir).getName.replace('.', '_')
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.table(s"b_orders_q_$sf")
+      val l = spark.table(s"b_lineitem_q_$sf")
+      val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_orderpriority", "l_extendedprice")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!plan.contains("Exchange"),
+        s"declared bucketed tables still shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
