@@ -31,7 +31,8 @@ object CoreQueries {
     "q_union_all"         -> unionAll _,
     "q_union_distinct"    -> unionDistinct _,
     "q_intersect"         -> intersectQ _,
-    "q_except"            -> exceptQ _
+    "q_except"            -> exceptQ _,
+    "q_merge_upsert"      -> mergeUpsert _
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,7 +95,26 @@ object CoreQueries {
       """SELECT c_custkey FROM customer
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // Same deterministic change-set construction: updates double n_chars
+    // for doc_id % 10 = 0, inserts append id+1000000 clones of
+    // doc_id % 50 = 0.
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |changes AS (
+        |  SELECT doc_id, lang, n_chars * 2 AS n_chars FROM base
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars FROM base
+        |  WHERE doc_id % 50 = 0)
+        |SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+        |  coalesce(c.lang, b.lang) AS lang,
+        |  CAST(coalesce(c.n_chars, b.n_chars) AS BIGINT) AS n_chars,
+        |  CASE WHEN b.doc_id IS NULL THEN 'inserted'
+        |       WHEN c.doc_id IS NULL THEN 'base'
+        |       ELSE 'updated' END AS src
+        |FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Full scan + projection; Catalyst prunes the read schema to 4 columns. */
@@ -194,4 +214,33 @@ object CoreQueries {
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
+
+  /** MERGE / upsert without a table format: full-outer join of the base
+    * table against a change set, change-side columns taking precedence —
+    * the incremental-corpus-update pattern (Delta/Iceberg MERGE INTO
+    * compiles to exactly this plan). One shuffle on the merge key; at
+    * 100 TB the base side's shuffle is avoided entirely when base is
+    * bucketed on the key (q_join_bucketed's layout) — then only the
+    * (small) change set moves. The change set here is derived
+    * deterministically from the base: doubled n_chars for doc_id % 10 = 0
+    * (updates), id+1000000 clones of doc_id % 50 = 0 (inserts). */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select("doc_id", "lang", "n_chars")
+    val changes = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 2).as("n_chars"))
+      .unionAll(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          col("n_chars")))
+      .toDF("c_doc_id", "c_lang", "c_n_chars")
+    base.join(changes, col("doc_id") === col("c_doc_id"), "full_outer")
+      .select(
+        coalesce(col("c_doc_id"), col("doc_id")).as("m_doc_id"),
+        coalesce(col("c_lang"), col("lang")).as("lang"),
+        coalesce(col("c_n_chars"), col("n_chars")).as("n_chars"),
+        when(col("doc_id").isNull, "inserted")
+          .when(col("c_doc_id").isNull, "base")
+          .otherwise("updated").as("src"))
+      .withColumnRenamed("m_doc_id", "doc_id")
+      .orderBy("doc_id")
+  }
 }

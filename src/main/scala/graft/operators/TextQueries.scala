@@ -46,7 +46,8 @@ object TextQueries {
     "q_text_pii"         -> textPii _,
     "q_text_repetition"  -> textRepetition _,
     "q_vocab_oov"        -> vocabOov _,
-    "q_contamination"    -> contamination _
+    "q_contamination"    -> contamination _,
+    "q_text_ngram_lm"    -> textNgramLm _
   )
 
   val oracle: Map[String, String] = Map(
@@ -271,7 +272,31 @@ object TextQueries {
         |SELECT d.doc_id, CAST(count(b.s) AS BIGINT) AS n_shared,
         |  count(b.s) >= 5 AS contaminated
         |FROM dsh d LEFT JOIN bsh b ON d.s = b.s
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // Identical add-one-smoothed bigram model: P(w2|w1) =
+    // (C(w1,w2)+1)/(C(w1)+V), C(w1) the corpus unigram count, V the
+    // vocabulary size; score = mean ln P over the doc's bigrams.
+    "q_text_ngram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY w1, w2),
+        |ugc AS (
+        |  SELECT tok AS w1, count(*) AS cu FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY tok),
+        |v AS (SELECT count(DISTINCT tok) AS vs FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(CAST(bgc.cbg + 1 AS DOUBLE)
+        |    / CAST(ugc.cu + v.vs AS DOUBLE))), 4) AS avg_logp
+        |FROM bg
+        |JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+        |JOIN ugc ON bg.w1 = ugc.w1
+        |CROSS JOIN v
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -619,6 +644,41 @@ object TextQueries {
     * shuffled: one scan-stage hash-join probe plus the per-doc count
     * aggregation. Docs under 3 tokens have no shingles and are absent
     * (same in the oracle). */
+  /** Bigram language-model quality scoring (the KenLM-style filter: score
+    * each document under a corpus n-gram model, drop the tails): add-one
+    * smoothed P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V), doc score = mean ln P
+    * over its bigrams. Model "training" is two count aggregations; the
+    * score pass joins the doc's bigram stream to the bigram/unigram
+    * tables on their natural keys (shuffle joins that scale with the
+    * model, not the corpus²) plus a 1-row V scalar broadcast. `ln` is
+    * libm, so the score is rounded at 4 dp like tf-idf (accumulation
+    * drift ~1e-12 — far inside the rounding). */
+  def textNgramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bg = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val toksAll = docs.select(explode(toks(col("text"))).as("tok"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val ugc = toksAll.groupBy("tok").agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("tok", "w1")
+    val v = toksAll.agg(count_distinct(col("tok")).as("vs"))
+    val logp = log((col("cbg") + 1).cast("double") /
+      (col("cu") + col("vs")).cast("double"))
+    bg.join(bgc, Seq("w1", "w2"))
+      .join(ugc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(logp), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   def contamination(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
