@@ -29,6 +29,7 @@ object SourceQueries {
     "q_scan_csv"         -> scanCsv _,
     "q_scan_json"        -> scanJson _,
     "q_scan_orc"         -> scanOrc _,
+    "q_scan_evolving"    -> scanEvolving _,
     "q_sink_partitioned" -> sinkPartitioned _
   )
 
@@ -42,6 +43,11 @@ object SourceQueries {
     "q_scan_orc" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // v1 (even ids) lacks n_chars; the merged read null-extends it.
+    "q_scan_evolving" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
@@ -96,6 +102,27 @@ object SourceQueries {
       .select("p_partkey", "p_name", "p_brand", "p_retailprice")
       .write.mode("overwrite").orc(dir)
     s.read.orc(dir).orderBy("p_partkey")
+  }
+
+  /** Schema evolution across file generations — the drift every long-lived
+    * 100 TB table accumulates: generation v1 (even doc_ids) was written
+    * before `n_chars` existed, v2 (odd doc_ids) carries it. A
+    * `mergeSchema` read reconciles the generations into the union schema,
+    * null-extending v1 — certified by the oracle's CASE twin. (mergeSchema
+    * is a footer-only pass at planning time; per-file projection adapts
+    * at scan, no data rewrite.) */
+  def scanEvolving(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "documents_evolving")
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$base/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/v2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/v1", s"$base/v2")
+      .orderBy("doc_id")
   }
 
   /** Hive-partitioned parquet sink: documents written partitioned by lang,
