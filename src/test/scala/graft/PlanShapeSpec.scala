@@ -115,4 +115,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_contamination probes a broadcast of the benchmark shingles") {
+    // The corpus side must never shuffle for the probe: the benchmark
+    // shingle set is the broadcast build side of a hash join.
+    val plan = finalPlanString(TextQueries.contamination(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_vocab_oov probes a broadcast of the vocabulary") {
+    val plan = finalPlanString(TextQueries.vocabOov(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_dedup_embed's blocked pair scan is hash joins only") {
+    // The blocked rewrite must keep both the tiny block-pair fan-out and
+    // the gid pair join as equi hash joins — a regression to BNLJ or a
+    // cartesian is the 100 TB failure mode it replaced.
+    val plan = finalPlanString(SimilarityQueries.dedupEmbed(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block-pair fan-out should be a broadcast hash join:\n$plan")
+  }
+
+  test("q_text_pii runs entirely in the scan stage (no exchange)") {
+    // Redaction + counting are row-local codegen'd expressions; the only
+    // allowed exchange is the final ORDER BY's range partitioning.
+    val plan = finalPlanString(TextQueries.textPii(spark, sfDir))
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$plan")
+    // `*(n)` prefixes are the whole-stage-codegen stage markers in the
+    // settled AQE plan rendering.
+    assert(plan.contains("*(1)"), s"projection not codegen'd:\n$plan")
+  }
 }
