@@ -26,8 +26,11 @@ object TextExprs {
   * expression runs ONE loop over the array updating k running minima in a
   * local long[] — no allocation beyond the output array, fused into
   * whole-stage codegen. Arithmetic is identical ((h·aᵢ+bᵢ) mod p on
-  * non-negative inputs bounded so h·a+b < 2⁵², hence no overflow and
+  * non-negative inputs; the constructor enforces
+  * (prime−1)·max(a)+max(b) < 2⁶², hence no Long overflow and
   * `pmod` ≡ Java `%`), so signatures are bit-identical to the HOF form.
+  * (The default family in SimilarityQueries sits far below the bound,
+  * near 2⁵².)
   *
   * Empty input arrays yield `p` in every slot (the neutral "minimum of
   * nothing" sentinel callers filter out); null input yields null; null

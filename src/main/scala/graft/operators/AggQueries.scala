@@ -29,19 +29,19 @@ object AggQueries {
         bit_xor(col("user_id")).as("uid_xor"))
       .orderBy("event_type")
 
+  /** Start (µs) of `ts`'s 1-hour bucket: `pmod` (floor semantics), so a
+    * pre-epoch event lands in the bucket that CONTAINS it — −1.5 h is in
+    * [−2 h, −1 h). A truncate-toward-zero `%` formulation would assign
+    * every non-boundary pre-epoch event to the bucket after its own; the
+    * oracle replicates floor-mod as ((x % m + m) % m) instead, keeping
+    * both engines on correct window semantics (EdgeCaseSpec pins the
+    * pre-epoch case). Shared with EdgeCaseSpec. */
+  def hourBucketStartUs(ts: Column): Column =
+    unix_micros(ts) - pmod(unix_micros(ts), lit(3600000000L))
+
   /** Distinct users per 1-hour event-time bucket — the distinct-agg ×
     * time-window combination (expand + two-phase agg inside each bucket;
-    * the sketch variant at scale is q_agg_sketch per window).
-    *
-    * Bucket arithmetic uses `%` (sign-preserving, truncate-toward-zero —
-    * same as DuckDB's `%`), NOT `pmod`: for a pre-epoch timestamp the two
-    * differ by one full bucket, so pmod would silently diverge from the
-    * oracle on any corpus with pre-1970 rows (EdgeCaseSpec covers one). */
-  /** Start (µs) of `ts`'s 1-hour bucket under truncate-toward-zero `%` —
-    * shared with EdgeCaseSpec's pre-epoch regression test. */
-  def hourBucketStartUs(ts: Column): Column =
-    unix_micros(ts) - (unix_micros(ts) % lit(3600000000L))
-
+    * the sketch variant at scale is q_agg_sketch per window). */
   def aggWindowedDistinct(s: SparkSession, d: String): DataFrame =
     graft.Tables.events(s, d)
       .groupBy(hourBucketStartUs(col("ts")).as("window_start_us"))
@@ -65,8 +65,12 @@ object AggQueries {
   // hash-matchable across engines (SURVEY §2.4); its accuracy is bounded
   // against the exact count in AggQueriesSpec instead.
   val oracle: Map[String, String] = Map(
+    // Floor-mod ((x % m + m) % m) replicates Spark's pmod for pre-epoch
+    // timestamps; plain % would bucket them one window too late.
     "q_agg_windowed_distinct" ->
-      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+      """SELECT epoch_us(ts)
+        |    - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)
+        |    AS window_start_us,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -97,15 +97,16 @@ object CoreQueries {
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
     // Same deterministic change-set construction: updates double n_chars
-    // for doc_id % 10 = 0, inserts append id+1000000 clones of
-    // doc_id % 50 = 0.
+    // for doc_id % 10 = 0, inserts clone doc_id % 50 = 0 re-keyed past
+    // max(doc_id) — collision-free at any scale factor.
     "q_merge_upsert" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |off AS (SELECT max(doc_id) + 1 AS o FROM base),
         |changes AS (
         |  SELECT doc_id, lang, n_chars * 2 AS n_chars FROM base
         |  WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, n_chars FROM base
+        |  SELECT doc_id + (SELECT o FROM off), lang, n_chars FROM base
         |  WHERE doc_id % 50 = 0)
         |SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
         |  coalesce(c.lang, b.lang) AS lang,
@@ -223,13 +224,16 @@ object CoreQueries {
     * bucketed on the key (q_join_bucketed's layout) — then only the
     * (small) change set moves. The change set here is derived
     * deterministically from the base: doubled n_chars for doc_id % 10 = 0
-    * (updates), id+1000000 clones of doc_id % 50 = 0 (inserts). */
+    * (updates), clones of doc_id % 50 = 0 re-keyed past max(doc_id)
+    * (inserts — the offset comes from the data, so an insert key can
+    * never collide with a live base key at any scale factor). */
   def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select("doc_id", "lang", "n_chars")
+    val offset = base.agg(max("doc_id")).head().getLong(0) + 1
     val changes = base.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("lang"), (col("n_chars") * 2).as("n_chars"))
       .unionAll(base.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        .select((col("doc_id") + offset).as("doc_id"), col("lang"),
           col("n_chars")))
       .toDF("c_doc_id", "c_lang", "c_n_chars")
     base.join(changes, col("doc_id") === col("c_doc_id"), "full_outer")

@@ -284,7 +284,7 @@ object JoinQueries {
     * per-SF names; stale directories from previous JVMs are cleared
     * first (the in-memory catalog dies with the JVM, the files do not). */
   def joinBucketed(s: SparkSession, d: String): DataFrame = {
-    val sf = new java.io.File(d).getName.replace('.', '_')
+    val sf = graft.sources.SourceQueries.sfName(d)
     val (ot, lt) = (s"b_orders_q_$sf", s"b_lineitem_q_$sf")
     def loc(t: String) = s"/tmp/graft-warehouse/$t"
     graft.sources.BucketedLayout.dropWithLocation(s, ot, loc(ot))

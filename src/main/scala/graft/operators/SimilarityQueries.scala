@@ -174,7 +174,9 @@ object SimilarityQueries {
   private val MinhashK = 16 // 4 bands × 4 rows
   private val Bands = 4
   private val Rows = 4
-  private val Prime = 2147483647L // 2^31-1; keeps a*h+b < 2^52, ANSI-safe
+  // 2^31-1: with this family's small a/b, a*h+b stays near 2^52 — far
+  // under MinHashSigs' enforced 2^62 no-overflow bound.
+  private val Prime = 2147483647L
 
   /** Deterministic hash-family parameters (odd multipliers, fixed seed —
     * no runtime randomness, so results are stable across runs/engines). */

@@ -177,18 +177,23 @@ object StreamQueries {
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // Throwaway replay checkpoint — delete, best effort. The walk
-      // stream must be closed or its directory handles leak until GC.
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      } catch { case _: java.io.IOException => () }
+      deleteRecursively(ckpt)
     }
     df.sparkSession.table(name)
   }
+
+  /** Best-effort recursive delete of a throwaway replay checkpoint (they
+    * live on tmpfs when available — leaking them across a long session
+    * fills RAM). The walk stream must be closed or its directory handles
+    * leak until GC. */
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
 
   /** The reference's intended pipeline (SURVEY §0.1): Kafka-shaped source →
     * elementwise transform → sink. Events are wrapped into the Kafka record
@@ -320,7 +325,7 @@ object StreamQueries {
     * maxFilesPerTrigger=1), and intentionally NOT the batch answer: the
     * missing late rows are the behavior under test. */
   def streamLate(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft-io/${new java.io.File(d).getName}/late_stream"
+    val base = graft.sources.SourceQueries.scratch(d, "late_stream")
     val ev = graft.Tables.events(s, d)
     // Split at the midpoint of the event-time range; each slice lands in
     // one file (coalesce(1)) so maxFilesPerTrigger=1 gives exactly three
@@ -371,8 +376,9 @@ object StreamQueries {
     * collided with a previous run's files and doubled the read-back).
     * The oracle then certifies no batch was lost or doubled. */
   def streamForeachBatch(s: SparkSession, d: String): DataFrame = {
-    val out = s"/tmp/graft-io/${new java.io.File(d).getName}/" +
-      s"foreach_sink_${seq.incrementAndGet()}"
+    // One fixed sink name per SF dir: the upfront delete makes reruns
+    // (same or different JVM) idempotent, and nothing accumulates.
+    val out = graft.sources.SourceQueries.scratch(d, "foreach_sink")
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath)) fs.delete(outPath, true)
@@ -381,14 +387,16 @@ object StreamQueries {
         upper(col("event_type")).as("event_type_up"), col("value"))
     val ckpt = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
-    val q = transformed.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
-      }
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    try {
+      val q = transformed.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
     s.read.parquet(out)
       .select("event_id", "user_id", "event_type_up", "value")
       .orderBy("event_id")

@@ -635,15 +635,6 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Eval-set contamination detection — the overlap audit run before any
-    * benchmark number is trusted: a corpus document is flagged when ≥5 of
-    * its distinct 3-token shingles appear anywhere in the benchmark
-    * set's shingle inventory (pseudo-benchmark here: doc_id % 97 = 0).
-    * The benchmark shingle set is DISTINCT-reduced and broadcast — eval
-    * sets are small by construction, so the big corpus side is never
-    * shuffled: one scan-stage hash-join probe plus the per-doc count
-    * aggregation. Docs under 3 tokens have no shingles and are absent
-    * (same in the oracle). */
   /** Bigram language-model quality scoring (the KenLM-style filter: score
     * each document under a corpus n-gram model, drop the tails): add-one
     * smoothed P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V), doc score = mean ln P
@@ -679,6 +670,15 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Eval-set contamination detection — the overlap audit run before any
+    * benchmark number is trusted: a corpus document is flagged when ≥5 of
+    * its distinct 3-token shingles appear anywhere in the benchmark
+    * set's shingle inventory (pseudo-benchmark here: doc_id % 97 = 0).
+    * The benchmark shingle set is DISTINCT-reduced and broadcast — eval
+    * sets are small by construction, so the big corpus side is never
+    * shuffled: one scan-stage hash-join probe plus the per-doc count
+    * aggregation. Docs under 3 tokens have no shingles and are absent
+    * (same in the oracle). */
   def contamination(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))

@@ -56,9 +56,17 @@ object SourceQueries {
   )
 
   /** Scratch dir keyed by scale-factor dir name: warmup (sf0.001) and the
-    * timed/verified run (sf0.01/0.1) never collide. */
-  private def scratch(d: String, name: String): String =
+    * timed/verified run (sf0.01/0.1) never collide. Shared by every
+    * query that stages files (stream replays, foreachBatch sink) so a
+    * root/keying change happens in exactly one place. */
+  private[graft] def scratch(d: String, name: String): String =
     s"/tmp/graft-io/${new java.io.File(d).getName}/$name"
+
+  /** Scale-factor dir name as an identifier fragment (dots → underscores)
+    * — for artifacts keyed by SF in namespaces that reject dots (table
+    * names). */
+  private[graft] def sfName(d: String): String =
+    new java.io.File(d).getName.replace('.', '_')
 
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType),

@@ -71,11 +71,13 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(n === 1L)
   }
 
-  test("hour-bucket start matches sign-preserving % for pre-epoch rows") {
-    // q_agg_windowed_distinct's bucket arithmetic must follow DuckDB's
-    // truncate-toward-zero `%` (a pmod formulation differs by one full
-    // bucket below 1970 — the fixture is all post-epoch, so only this
-    // test would catch that divergence).
+  test("hour-bucket start contains its pre-epoch event (floor semantics)") {
+    // q_agg_windowed_distinct's bucket arithmetic must use floor-mod:
+    // −1.5 h lies in [−2 h, −1 h), so its bucket START is −2 h. A
+    // truncate-toward-zero `%` formulation would return −1 h — a bucket
+    // that does not contain the event. The fixture is all post-epoch, so
+    // only this test catches that divergence (the oracle replicates
+    // floor-mod as ((x % m + m) % m)).
     import spark.implicits._
     val out = Seq(
       "1969-12-31 22:30:00", // pre-epoch, mid-bucket
@@ -84,9 +86,7 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .select(to_timestamp(col("s")).as("ts"))
       .select(graft.operators.AggQueries.hourBucketStartUs(col("ts")))
       .collect().map(_.getLong(0))
-    // -1.5h % 1h = -0.5h under truncate-toward-zero → start = -1h
-    // (pmod would give -2h: -1.5 - (+0.5)).
-    assert(out.toSeq === Seq(-3600000000L, 3600000000L))
+    assert(out.toSeq === Seq(-7200000000L, 3600000000L))
   }
 
   test("set ops partition a set: except ∪ intersect = original (distinct)") {

@@ -30,9 +30,20 @@ class KafkaWiringSpec extends AnyFunSuite with SparkFixture {
       s"failure must be the missing-connector lookup, got: ${e.getMessage}")
     assert(msg.contains("failed to find") || msg.contains("data source"),
       s"expected Spark's DataSource lookup error, got: ${e.getMessage}")
-    // Specifically NOT an option-validation failure: the config surface
-    // itself must be well-formed before lookup even happens.
-    assert(!msg.contains("option"), s"options were rejected: ${e.getMessage}")
+    // Specifically the lookup error CONDITION, not an option-validation
+    // failure (asserting on the error class is robust to message
+    // rewording across Spark versions).
+    e match {
+      case st: org.apache.spark.SparkThrowable =>
+        // Spark 4.1's STREAMING lookup path still throws the legacy
+        // condition (_LEGACY_ERROR_TEMP_1140, the "deploy with
+        // spark-sql-kafka" message); batch lookup uses
+        // DATA_SOURCE_NOT_FOUND. Either is the connector-missing error.
+        assert(Set("DATA_SOURCE_NOT_FOUND", "_LEGACY_ERROR_TEMP_1140")
+            .contains(st.getCondition),
+          s"expected the connector-lookup condition, got ${st.getCondition}")
+      case other => fail(s"expected a SparkThrowable, got $other")
+    }
   }
 
   test("sink writer is built lazily from the producer options") {

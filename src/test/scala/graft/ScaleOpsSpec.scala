@@ -99,7 +99,7 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     // disabled: the bare join must plan with NO Exchange on either side —
     // the property the layout exists to provide.
     graft.operators.JoinQueries.joinBucketed(spark, sfDir).collect()
-    val sf = new java.io.File(sfDir).getName.replace('.', '_')
+    val sf = graft.sources.SourceQueries.sfName(sfDir)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

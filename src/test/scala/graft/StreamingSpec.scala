@@ -189,11 +189,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q_stream_late drops the straggler batch below the watermark") {
-    // The declared two-batch replay (newer half first) must show real
-    // drops: its finalized windows carry fewer events than the same
-    // watermark cut applied to the full batch answer (q_stream_append_
-    // window's shape), because batch 2's stragglers arrived below the
-    // batch-1 watermark.
+    // The declared three-batch replay (newer half, empty flush batch,
+    // older half — the flush batch is load-bearing, see streamLate's doc)
+    // must show real drops: its finalized windows carry fewer events than
+    // the same watermark cut applied to the full batch answer
+    // (q_stream_append_window's shape), because the final batch's
+    // stragglers arrived below the already-flushed watermark.
     val late = graft.operators.StreamQueries.streamLate(spark, sfDir)
       .agg(sum("n")).head().getLong(0)
     val oneBatch = graft.operators.StreamQueries

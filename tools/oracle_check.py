@@ -41,8 +41,11 @@ def compare(a, b):
             return False, (f"col {c}: DTYPE differs: spark={ad} vs duck={bd} "
                            f"(driver hash is type-sensitive — add a CAST in the oracle SQL)")
         if ad == object:
-            apy = {type(v).__name__ for v in a[c].dropna().head(100)}
-            bpy = {type(v).__name__ for v in b[c].dropna().head(100)}
+            # Full-column scan, not a head() sample: a payload-type switch
+            # in the tail (e.g. HUGEINT overflow on one large value) is
+            # exactly the bug this gate exists to catch.
+            apy = {type(v).__name__ for v in a[c].dropna()}
+            bpy = {type(v).__name__ for v in b[c].dropna()}
             if apy and bpy and apy != bpy:
                 return False, (f"col {c}: object payload types differ: "
                                f"spark={sorted(apy)} vs duck={sorted(bpy)} "
