@@ -30,6 +30,7 @@ object SourceQueries {
     "q_scan_json"        -> scanJson _,
     "q_scan_orc"         -> scanOrc _,
     "q_scan_evolving"    -> scanEvolving _,
+    "q_scan_jdbc"        -> scanJdbc _,
     "q_sink_partitioned" -> sinkPartitioned _
   )
 
@@ -43,6 +44,9 @@ object SourceQueries {
     "q_scan_orc" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scan_jdbc" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // v1 (even ids) lacks n_chars; the merged read null-extends it.
     "q_scan_evolving" ->
       """SELECT doc_id, lang,
@@ -110,6 +114,36 @@ object SourceQueries {
       .select("p_partkey", "p_name", "p_brand", "p_retailprice")
       .write.mode("overwrite").orc(dir)
     s.read.orc(dir).orderBy("p_partkey")
+  }
+
+  /** JDBC round-trip through an embedded Derby database — the relational
+    * source/sink family (the classic dimension-table ingest: operational
+    * DB → lake). The write is Spark's JDBC sink; the read-back uses a
+    * PARTITIONED JDBC read (partitionColumn/numPartitions/bounds), the
+    * pattern that parallelizes a production ingest across executors —
+    * each partition issues its own bounded query. Rows outside the
+    * hardcoded bounds land in the edge partitions, so the bounds affect
+    * only balance, never correctness. Doubles survive exactly (DOUBLE
+    * PRECISION both ways). */
+  def scanJdbc(s: SparkSession, d: String): DataFrame = {
+    // Derby writes its log to user.dir unless redirected.
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val dbDir = scratch(d, "jdbc_derby")
+    val p = new org.apache.hadoop.fs.Path(dbDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").jdbc(url, "customer_jdbc", props)
+    s.read
+      .option("partitionColumn", "c_custkey")
+      .option("numPartitions", "4")
+      .option("lowerBound", "0")
+      .option("upperBound", "1000000")
+      .jdbc(url, "customer_jdbc", props)
+      .orderBy("c_custkey")
   }
 
   /** Schema evolution across file generations — the drift every long-lived
