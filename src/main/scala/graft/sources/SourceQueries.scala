@@ -31,6 +31,7 @@ object SourceQueries {
     "q_scan_orc"         -> scanOrc _,
     "q_scan_evolving"    -> scanEvolving _,
     "q_scan_jdbc"        -> scanJdbc _,
+    "q_scan_xml"         -> scanXml _,
     "q_sink_partitioned" -> sinkPartitioned _
   )
 
@@ -47,6 +48,9 @@ object SourceQueries {
     "q_scan_jdbc" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scan_xml" ->
+      """SELECT p_partkey, p_name, p_type, p_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
     // v1 (even ids) lacks n_chars; the merged read null-extends it.
     "q_scan_evolving" ->
       """SELECT doc_id, lang,
@@ -144,6 +148,29 @@ object SourceQueries {
       .option("upperBound", "1000000")
       .jdbc(url, "customer_jdbc", props)
       .orderBy("c_custkey")
+  }
+
+  /** XML round-trip of a part projection (Spark 4's built-in XML source —
+    * the fourth text/interchange format after CSV/JSON, the one document
+    * feeds still arrive in). Explicit schema on read-back, like the
+    * other text formats: inference is a second pass and can drift.
+    * Integer/string columns only — XML is an interchange format here,
+    * not a numeric-fidelity path. */
+  def scanXml(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "part_xml")
+    Tables.part(s, d)
+      .select("p_partkey", "p_name", "p_type", "p_size")
+      .write.mode("overwrite")
+      .option("rootTag", "parts").option("rowTag", "part")
+      .xml(dir)
+    s.read.schema(StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_type", StringType),
+        StructField("p_size", IntegerType))))
+      .option("rowTag", "part")
+      .xml(dir)
+      .orderBy("p_partkey")
   }
 
   /** Schema evolution across file generations — the drift every long-lived
