@@ -32,6 +32,7 @@ object SourceQueries {
     "q_scan_evolving"    -> scanEvolving _,
     "q_scan_jdbc"        -> scanJdbc _,
     "q_scan_xml"         -> scanXml _,
+    "q_scan_binaryfile"  -> scanBinaryFile _,
     "q_sink_partitioned" -> sinkPartitioned _
   )
 
@@ -51,6 +52,12 @@ object SourceQueries {
     "q_scan_xml" ->
       """SELECT p_partkey, p_name, p_type, p_size
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // Texts are ASCII, so octet length = char length and md5 over the
+    // UTF-8 bytes equals DuckDB's md5 over the string.
+    "q_scan_binaryfile" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // v1 (even ids) lacks n_chars; the merged read null-extends it.
     "q_scan_evolving" ->
       """SELECT doc_id, lang,
@@ -171,6 +178,39 @@ object SourceQueries {
       .option("rowTag", "part")
       .xml(dir)
       .orderBy("p_partkey")
+  }
+
+  /** Raw-file ingest through the `binaryFile` source — the entry point of
+    * every image/audio/video pipeline (MediaOps consumes the binary
+    * column this produces): one row per file with (path, modTime,
+    * length, content). The fixture stages the first 100 documents' texts
+    * as .bin files; doc identity is recovered from the file name and the
+    * payload certified by md5 against the source table. At 100 TB this
+    * source partitions by file, so a million-object corpus scans
+    * embarrassingly parallel; `pathGlobFilter`/`recursiveFileLookup`
+    * prune at listing time. */
+  def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "docs_bin")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    // Stage: one .bin per document (driver-side loop is fixture setup
+    // over 100 rows, not the operator's data path).
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select("doc_id", "text").collect().foreach { r =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, s"${r.getLong(0)}.bin"))
+      try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
   }
 
   /** Schema evolution across file generations — the drift every long-lived
