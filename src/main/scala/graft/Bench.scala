@@ -44,7 +44,19 @@ object Bench {
     val errors = results.collect { case (k, (_, false)) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (v, true)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // The per-query map makes the full line long enough that a tail-only
+    // stdout capture can cut off its head (where the headline total
+    // lives). Persist the full line to a file, print it, and end stdout
+    // with a SHORT self-contained total line so any tail capture always
+    // retains a parseable `{"metric":"total",...}` record.
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft-bench.json")
+      try w.println(full) finally w.close()
+    } catch { case _: java.io.IOException => () }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

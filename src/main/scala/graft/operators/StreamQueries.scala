@@ -341,12 +341,17 @@ object StreamQueries {
     ev.filter(col("ts") < split).coalesce(1)
       .write.mode("overwrite").parquet(s"$base/b3")
     // Pin processing order: the file source picks oldest-modtime first.
+    // Re-stamping goes through the Hadoop FileSystem for the path's own
+    // scheme (java.io.File is local-only — listFiles returns null on any
+    // non-local URI).
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val now = System.currentTimeMillis()
     for ((sub, age) <- Seq("b1" -> 180000L, "b2" -> 120000L,
            "b3" -> 60000L);
-         f <- new java.io.File(s"$base/$sub").listFiles()
-           if f.getName.endsWith(".parquet"))
-      f.setLastModified(now - age)
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
+           if st.getPath.getName.endsWith(".parquet"))
+      fs.setTimes(st.getPath, now - age, -1)
     val stream = s.readStream
       .schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")

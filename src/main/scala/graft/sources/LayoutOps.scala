@@ -61,11 +61,16 @@ object LayoutOps {
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     var inputBytes = 0L
-    val it = fs.listFiles(inPath, /* recursive = */ true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        inputBytes += f.getLen
+    // A nonexistent input routes through the same "no parquet data" error
+    // as an empty one (listFiles on a missing path would instead surface a
+    // raw FileNotFoundException).
+    if (fs.exists(inPath)) {
+      val it = fs.listFiles(inPath, /* recursive = */ true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          inputBytes += f.getLen
+      }
     }
     require(inputBytes > 0,
       s"compact: no parquet data found under $inDir — refusing to guess " +

@@ -52,10 +52,13 @@ object SourceQueries {
     "q_scan_xml" ->
       """SELECT p_partkey, p_name, p_type, p_size
         |FROM part ORDER BY p_partkey""".stripMargin,
-    // Texts are ASCII, so octet length = char length and md5 over the
-    // UTF-8 bytes equals DuckDB's md5 over the string.
+    // Byte length via the encoding-explicit octet_length(encode(·)) —
+    // equal to len(text) only while texts are ASCII, and still correct if
+    // a non-ASCII document ever enters the fixture. md5 hashes the UTF-8
+    // bytes in both engines.
     "q_scan_binaryfile" ->
-      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // v1 (even ids) lacks n_chars; the merged read null-extends it.
@@ -142,6 +145,14 @@ object SourceQueries {
     val dbDir = scratch(d, "jdbc_derby")
     val p = new org.apache.hadoop.fs.Path(dbDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Derby keeps a database BOOTED in the JVM after its connections
+    // close; deleting the live instance's files (a rerun in the same
+    // session) would leave writes landing in unlinked inodes. Shut it
+    // down first — a successful shutdown always "fails" with SQLState
+    // 08006, which is the expected handshake, and XJ004 means the
+    // database was never booted in this JVM.
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
     if (fs.exists(p)) fs.delete(p, true)
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
@@ -195,13 +206,26 @@ object SourceQueries {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    // Stage: one .bin per document (driver-side loop is fixture setup
-    // over 100 rows, not the operator's data path).
+    // Stage: one .bin per document, written FROM THE EXECUTORS — each
+    // partition opens its own FileSystem and streams its rows out, so the
+    // staging pattern is the one a real media ingest scales with (a
+    // million objects fan out across the cluster; the driver never holds
+    // a row). File names carry the doc identity, like any object-store
+    // media corpus.
     Tables.documents(s, d).filter(col("doc_id") < 100)
-      .select("doc_id", "text").collect().foreach { r =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(p, s"${r.getLong(0)}.bin"))
-      try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
-    }
+      .select("doc_id", "text")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val pfs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val out = pfs.create(
+              new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"))
+            try out.write(r.getString(1).getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
+      }
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
       .load(dir)
