@@ -107,6 +107,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.25, f"IVF recall@5 below pruning bound: $recall%.2f")
   }
 
+  test("dedup_ngram df-cut bounds an adversarial repeated-shingle corpus") {
+    import spark.implicits._
+    // 60 identical 3-token docs share ONE shingle with df = 60 — above
+    // the max(50, ceil(0.1 × 62)) = 50 threshold, so the cut must drop
+    // it. Without the cut this corpus emits C(60,2) = 1770 Jaccard-1.0
+    // pairs (the unbounded posting-list blowup the cut exists to stop);
+    // with it, the hot docs lose their only shingle and emit nothing.
+    // Two extra docs share rare shingles at Jaccard 0.75 — the positive
+    // control proving the cut removes only the hot shingle's candidates.
+    val hotDocs = (0L until 60L).map(i => (i, "the quick fox"))
+    val rare = Seq(
+      (200L, "alpha beta gamma delta epsilon"),
+      (201L, "alpha beta gamma delta epsilon eta"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dfcut").toString
+    (hotDocs ++ rare).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextQueries.dedupNgram(spark, dir)
+      .select("d1", "d2", "jaccard").collect()
+    assert(pairs.length === 1,
+      s"df-cut failed to bound the hot-shingle candidates: " +
+        s"${pairs.length} pairs (unbounded would be 1771)")
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) === ((200L, 201L)))
+    assert(pairs.head.getDouble(2) === 0.75)
+  }
+
+  test("dedup_ngram df-cut is invisible below the document floor") {
+    import spark.implicits._
+    // 40 identical docs: df = 40 ≤ max(50, ceil(0.1 × 40)) = 50 — under
+    // the floor the semantics are the exact inverted-index join, so all
+    // C(40,2) Jaccard-1.0 pairs must survive.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dfcut-floor").toString
+    (0L until 40L).map(i => (i, "the quick fox")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n = TextQueries.dedupNgram(spark, dir).count()
+    assert(n === 40L * 39 / 2)
+  }
+
   test("minhash signature similarity tracks exact Jaccard (bound check)") {
     // Pure-JVM property: the (a*h+b) mod p family used by simPairsLsh,
     // evaluated directly on generated shingle sets.
