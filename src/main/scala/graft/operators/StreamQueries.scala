@@ -53,6 +53,7 @@ object StreamQueries {
     "q_stream_append_window" -> streamAppendWindow _,
     "q_stream_late"     -> streamLate _,
     "q_stream_foreach_batch" -> streamForeachBatch _,
+    "q_stream_session"  -> streamSession _,
     "q_batch_session"   -> batchSession _
   )
 
@@ -107,6 +108,33 @@ object StreamQueries {
         |HAVING window_start_us + 3600000000 <=
         |  (SELECT (epoch_ms(max(ts)) - 1800000) * 1000 FROM events)
         |ORDER BY 1, 2""".stripMargin,
+    // Append-mode streaming session windows: the same gaps-and-islands
+    // twin as q_batch_session, cut to sessions FINALIZED under the final
+    // watermark (max event time, ms floor, − 30 min) — only a session
+    // whose end (last event + gap) is at or before it has been evicted
+    // and emitted; later sessions are withheld in state.
+    "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS session_start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |HAVING max(epoch_us(ts)) + 1800000000 <=
+        |  (SELECT (epoch_ms(max(ts)) - 1800000) * 1000 FROM events)
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // Session windows as gaps-and-islands: a >30-min silence starts a new
     // session; session end = last event + gap (Spark session_window's
     // definition).
@@ -405,6 +433,31 @@ object StreamQueries {
     s.read.parquet(out)
       .select("event_id", "user_id", "event_type_up", "value")
       .orderBy("event_id")
+  }
+
+  /** Streaming session windows (30-minute gap) per user, Append mode
+    * under a 30-minute watermark — the production shape for sessionization
+    * (bounded state: a session's state lives only until the watermark
+    * passes its end, then is merged-final, emitted, and evicted). The
+    * single data batch merges all of a user's events into their sessions;
+    * AvailableNow's final no-data batch then flushes every session whose
+    * end (last event + gap) is at or before the final watermark
+    * (max event time − 30 min) — a pure function of the data, so the
+    * gaps-and-islands SQL twin applies the same cut and the query is
+    * fully oracled (q_batch_session gives the uncut batch answer;
+    * StreamingSpec's MemoryStream script covers multi-batch merge/split
+    * across batch boundaries). */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val agg = EventStreams.fileStream(s, d)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    runToTable(agg, OutputMode.Append())
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
   }
 
   /** Session windows (30-minute gap) per user — batch execution of the
