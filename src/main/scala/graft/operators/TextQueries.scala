@@ -139,12 +139,20 @@ object TextQueries {
         |                       toks[i+2])), 'min')
         |  END AS fp_shingle_min
         |FROM t ORDER BY doc_id""".stripMargin,
-    // Same df-cut as the Spark side: shingles present in more than
-    // max(50, ceil(10% of shingled docs)) documents leave the similarity
-    // universe before the self-join (identical arithmetic both engines;
-    // never fires on this fixture family — measured max df 25 at sf0.1
-    // vs threshold 500 — so the cut is invisible here and load-bearing
-    // only at adversarial/corpus scale).
+    // Same semantics as the Spark side, prefix-filtering style: the
+    // hot-shingle df-cut (df > max(50, ceil(10% of shingled docs)))
+    // bounds CANDIDATE GENERATION only — surviving pairs are verified
+    // against the FULL pre-cut shingle sets, and documents with
+    // identical full shingle sets pair through a separate exact-set
+    // group path, so mass-duplicated clusters (all of whose shingles
+    // are hot) are still recovered at Jaccard 1.0. The cut never fires
+    // on this fixture family (measured max df 25 at sf0.1 vs threshold
+    // 500), so candidates = all sharing pairs and full = post-cut here.
+    // The Spark side computes df/set identity over xxhash64-hashed
+    // shingles while this twin uses raw strings — a 64-bit collision
+    // (~2^-64 per shingle pair) could diverge the two near the
+    // threshold; accepted as negligible, same channel as the hashed
+    // common counts.
     "q_dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -158,22 +166,36 @@ object TextQueries {
         |hot AS (
         |  SELECT shingle FROM sh GROUP BY shingle
         |  HAVING count(*) > (SELECT cut FROM thr)),
-        |kept AS (
+        |cold AS (
         |  SELECT doc_id, shingle FROM sh
         |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |    CAST(count(*) AS BIGINT) AS common
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle
+        |nfull AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM cold a JOIN cold b ON a.shingle = b.shingle
         |    AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT d1, d2, common,
-        |  round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4)
+        |  GROUP BY 1, 2),
+        |sets AS (
+        |  SELECT doc_id, list_sort(list(shingle)) AS sarr
+        |  FROM sh GROUP BY doc_id),
+        |grp AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM sets x JOIN sets y ON x.sarr = y.sarr
+        |    AND x.doc_id < y.doc_id),
+        |allc AS (SELECT d1, d2 FROM cand UNION SELECT d1, d2 FROM grp),
+        |com AS (
+        |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS common
+        |  FROM allc c
+        |  JOIN sh s1 ON s1.doc_id = c.d1
+        |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+        |  GROUP BY c.d1, c.d2)
+        |SELECT m.d1, m.d2, m.common,
+        |  round(CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common), 4)
         |    AS jaccard
-        |FROM pairs
-        |JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-        |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.6
+        |FROM com m
+        |JOIN nfull na ON na.doc_id = m.d1
+        |JOIN nfull nb ON nb.doc_id = m.d2
+        |WHERE CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
     // The end-to-end curation pipeline: quality-score → filter → exact
     // dedup (keep the min-id row per normalized text) → per-lang corpus
@@ -462,32 +484,46 @@ object TextQueries {
 
   /** Hot-shingle document-frequency cut for [[dedupNgram]]: a shingle in
     * more than max(DfCutMinDocs, ceil(DfCutFraction × shingled docs))
-    * documents leaves the similarity universe before the self-join. The
-    * fraction makes the bound scale-relative (a true stop-shingle is a
-    * corpus property); the absolute floor keeps small corpora exact. */
+    * documents leaves the CANDIDATE-GENERATION universe before the
+    * self-join. The fraction makes the bound scale-relative (a true
+    * stop-shingle is a corpus property); the absolute floor keeps small
+    * corpora exact. */
   private[operators] val DfCutFraction = 0.10
   private[operators] val DfCutMinDocs = 50L
 
   /** n-gram Jaccard near-dup pairs via the sparse inverted-index join:
-    * explode distinct (doc, shingle), drop hot shingles (df-cut), shuffle
-    * on shingle, count common shingles per pair, filter Jaccard ≥ 0.6.
+    * explode distinct (doc, shingle), shuffle on shingle, count common
+    * shingles per pair, filter Jaccard ≥ 0.6.
     *
     * Never materializes the O(n²) cross join — pair candidates only exist
     * where a shingle is shared — and the df-cut bounds the one remaining
     * superlinear term, the per-shingle posting-list fan-out: a shingle in
     * f docs contributes C(f,2) candidate pairs, so one boilerplate
     * stop-shingle at corpus scale would otherwise quadratically dominate
-    * the join. With the cut, every posting list is ≤ max(50, 10% of docs)
-    * long, the standard prefix-filtering-family bound. The cut is part of
-    * the declared semantics (the oracle applies the identical cut):
-    * Jaccard is computed over the post-cut universe. On this fixture
-    * family the cut never fires (measured max df 25 at sf0.1 vs threshold
-    * 500), so it changes no answer here; PropertySpec drives an
-    * adversarial repeated-shingle corpus through it. */
+    * the join. With the cut, every posting list in the candidate join is
+    * ≤ max(50, 10% of docs) long — the standard prefix-filtering-family
+    * bound, and like prefix filtering the cut bounds CANDIDATES ONLY:
+    * surviving pairs are verified against the FULL pre-cut shingle sets
+    * (common = cold-common from the join + hot-common from per-doc hot
+    * arrays), so the reported Jaccard is always the true full-set value.
+    * Mass-duplicated clusters — docs ALL of whose shingles are hot, which
+    * the candidate join can no longer see — are recovered by a separate
+    * exact-set group path: documents with identical full shingle sets
+    * pair at Jaccard 1.0 through one content-keyed self-join (the
+    * q_dedup_exact shape, linear shuffle). The one residual recall hole,
+    * declared: a NEAR-identical (not identical) pair whose shared
+    * shingles are all hot and whose cold shingles are disjoint is missed
+    * — that regime is what q_sim_pairs_lsh / q_dedup_cc_lsh exist for.
+    * The oracle twin implements the identical three-part semantics; on
+    * this fixture family the cut never fires (measured max df 25 at
+    * sf0.1 vs threshold 500) so candidates = all sharing pairs here;
+    * PropertySpec drives adversarial mass-dup corpora through both the
+    * bound and the recovery paths. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     // Plan shape (measured, not guessed): explode → .distinct() materializes
     // the (doc, shingle-hash) table behind one hash aggregation whose
-    // exchange is IDENTICAL for the join's two sides and for `cnt`, so
+    // exchange is IDENTICAL for every consumer below (candidate join's two
+    // sides, df/hot agg, nfull, hot arrays, set signatures), so
     // ReuseExchange computes the shingle pipeline once. Two rewrites that
     // benchmarked SLOWER here, kept on record:
     //  - per-doc distinct shingle arrays built map-side (array_distinct,
@@ -500,15 +536,14 @@ object TextQueries {
     //    n-⌈0.6n⌉+1 rarest shingles, exact-verify candidates against
     //    broadcast full sets): 3× slower at sf0.1 — the df-ranking
     //    aggregations cost more than the 1.1M-row skinny pair aggregation
-    //    they avoid. It becomes the right trade only when per-shingle
-    //    fan-out explodes (hot shingles at corpus scale), and then the
-    //    first knob is a stop-shingle cut, which — unlike prefix
-    //    filtering — changes no qualifying pair (ultra-common shingles
-    //    cannot push a pair over 0.6 alone).
+    //    they avoid.
     // Shingles are carried as xxhash64 longs, not strings: every shuffle,
     // join compare, and aggregate key drops from ~25 bytes to 8 (measured
     // 1.4× on the whole query); a cross-doc 64-bit collision
-    // (~(260k)²/2⁶⁵ ≈ 1e-9 at sf0.1) is the accepted trade.
+    // (~(260k)²/2⁶⁵ ≈ 1e-9 at sf0.1) is the accepted trade — the oracle
+    // computes df/set identity on raw strings, so a collision near the
+    // cut threshold is also the one channel that could diverge the two
+    // engines (noted in the oracle comment).
     val t = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -528,19 +563,59 @@ object TextQueries {
         greatest(lit(DfCutMinDocs),
           ceil(col("nd") * lit(DfCutFraction)).cast("long")))
       .select("shingle")
-    val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = kept.as("a")
-      .join(kept.as("b"),
+    val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // Full-set cardinality per doc (pre-cut) — the verify denominator.
+    // Joined by doc_id WITHOUT a broadcast hint: per-doc tables are
+    // corpus-linear, so at 100 TB they must flow through shuffled
+    // equi-joins (AQE still broadcasts them while they're small).
+    val nfull = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Candidates: pairs sharing ≥1 cold shingle; every posting list in
+    // this join is bounded by the cut. common_cold rides out of the same
+    // aggregation for free.
+    val candCold = cold.as("a")
+      .join(cold.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common_cold"))
+    // Per-doc HOT shingle arrays for the full-set verify: each array is
+    // tiny (every hot shingle has df > 10% of docs, so there are at most
+    // ~10 × avg-shingles-per-doc hot shingles corpus-wide), but the table
+    // has one row per hot-touching doc — corpus-linear, shuffle-joined.
+    val hotArr = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_set("shingle")).as("harr"))
+    val verified = candCold
+      .join(hotArr.select(col("doc_id").as("d1"), col("harr").as("h1")),
+        Seq("d1"), "left")
+      .join(hotArr.select(col("doc_id").as("d2"), col("harr").as("h2")),
+        Seq("d2"), "left")
+      .select(col("d1"), col("d2"),
+        (col("common_cold") +
+          when(col("h1").isNull || col("h2").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("h1"), col("h2")))
+              .cast("long"))).as("common"))
+    // Exact-set group path: docs whose FULL shingle sets are identical
+    // pair at Jaccard 1.0 even when every shingle is hot. One
+    // content-keyed self-join (8-byte set-hash key; array equality guards
+    // the 2^-64 hash channel) — the q_dedup_exact scale shape.
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set("shingle")).as("sarr"))
+      .select(col("doc_id"), col("sarr"), xxhash64(col("sarr")).as("skey"))
+    val grpPairs = sets.as("x")
+      .join(sets.as("y"),
+        col("x.skey") === col("y.skey") &&
+          col("x.sarr") === col("y.sarr") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        size(col("x.sarr")).cast("long").as("common"))
+    // Identical-set pairs that also share cold shingles appear on both
+    // paths with identical (common, jaccard) values — union + distinct
+    // keeps one row, matching the oracle's UNION.
     val jac = col("common").cast("double") /
-      (col("ca.n") + col("cb.n") - col("common"))
-    pairs
-      .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
-      .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
+      (col("na.n") + col("nb.n") - col("common"))
+    verified.unionByName(grpPairs).dropDuplicates("d1", "d2")
+      .join(nfull.as("na"), col("d1") === col("na.doc_id"))
+      .join(nfull.as("nb"), col("d2") === col("nb.doc_id"))
       .filter(jac >= 0.6)
       .select(col("d1"), col("d2"), col("common"),
         round(jac, 4).as("jaccard"))

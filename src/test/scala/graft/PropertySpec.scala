@@ -107,15 +107,16 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.25, f"IVF recall@5 below pruning bound: $recall%.2f")
   }
 
-  test("dedup_ngram df-cut bounds an adversarial repeated-shingle corpus") {
+  test("dedup_ngram recovers a mass-duplicated cluster despite the df-cut") {
     import spark.implicits._
     // 60 identical 3-token docs share ONE shingle with df = 60 — above
-    // the max(50, ceil(0.1 × 62)) = 50 threshold, so the cut must drop
-    // it. Without the cut this corpus emits C(60,2) = 1770 Jaccard-1.0
-    // pairs (the unbounded posting-list blowup the cut exists to stop);
-    // with it, the hot docs lose their only shingle and emit nothing.
-    // Two extra docs share rare shingles at Jaccard 0.75 — the positive
-    // control proving the cut removes only the hot shingle's candidates.
+    // the max(50, ceil(0.1 × 62)) = 50 threshold, so the cut removes it
+    // from candidate generation (the unbounded posting-list blowup the
+    // cut exists to stop). The exact-set group path must still recover
+    // all C(60,2) = 1770 Jaccard-1.0 pairs — mass-duplicated boilerplate
+    // is the heart of the dedup use case, so the cut may bound WORK but
+    // not this answer. Two extra docs share rare (cold) shingles at
+    // Jaccard 0.75 — the candidate-path positive control.
     val hotDocs = (0L until 60L).map(i => (i, "the quick fox"))
     val rare = Seq(
       (200L, "alpha beta gamma delta epsilon"),
@@ -126,11 +127,40 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val pairs = TextQueries.dedupNgram(spark, dir)
       .select("d1", "d2", "jaccard").collect()
-    assert(pairs.length === 1,
-      s"df-cut failed to bound the hot-shingle candidates: " +
-        s"${pairs.length} pairs (unbounded would be 1771)")
-    assert((pairs.head.getLong(0), pairs.head.getLong(1)) === ((200L, 201L)))
-    assert(pairs.head.getDouble(2) === 0.75)
+    assert(pairs.length === 1771,
+      s"expected 1770 identical-set pairs + 1 cold pair, got ${pairs.length}")
+    val ones = pairs.filter(_.getDouble(2) == 1.0)
+    assert(ones.length === 1770)
+    assert(ones.forall(r => r.getLong(0) < 60 && r.getLong(1) < 60))
+    val cold = pairs.filter(_.getDouble(2) != 1.0)
+    assert((cold.head.getLong(0), cold.head.getLong(1)) === ((200L, 201L)))
+    assert(cold.head.getDouble(2) === 0.75)
+  }
+
+  test("dedup_ngram declared recall hole: near-identical all-hot pairs") {
+    import spark.implicits._
+    // The one recall limit the df-cut semantics DECLARE (and the regime
+    // q_sim_pairs_lsh / q_dedup_cc_lsh exist for): a pair whose shared
+    // shingles are all hot and whose cold shingles are disjoint. 60
+    // identical 5-token docs make shingles s1..s3 hot (df 62 > 50); docs
+    // 200/201 append one unique token each — true Jaccard vs any
+    // boilerplate doc is 3/4 = 0.75 and vs each other 3/5 = 0.6, but
+    // their sets are not identical (no group path) and their cold
+    // shingles are disjoint (no candidate path). This test PINS the
+    // declared semantics: exactly the 1770 identical-set pairs emit.
+    val hotDocs = (0L until 60L).map(i => (i, "w1 w2 w3 w4 w5"))
+    val near = Seq(
+      (200L, "w1 w2 w3 w4 w5 x1"),
+      (201L, "w1 w2 w3 w4 w5 y1"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dfcut-hole").toString
+    (hotDocs ++ near).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextQueries.dedupNgram(spark, dir)
+      .select("d1", "d2", "jaccard").collect()
+    assert(pairs.length === 1770)
+    assert(pairs.forall(r => r.getDouble(2) == 1.0 &&
+      r.getLong(0) < 60 && r.getLong(1) < 60))
   }
 
   test("dedup_ngram df-cut is invisible below the document floor") {
