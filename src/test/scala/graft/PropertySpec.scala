@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{SimilarityQueries, TextQueries}
+import graft.operators.{GraphQueries, SimilarityQueries, TextQueries}
 
 /** Algebraic laws (SURVEY §5.3) + the LSH recall contract. Spark-backed
   * properties sample a few generated cases per law (each sample is a
@@ -72,6 +72,33 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     val missed = exact -- lsh
     assert(missed.isEmpty,
       s"high-similarity pairs missed by LSH banding: $missed")
+  }
+
+  test("CC-over-LSH recall: every exact ≥0.9 pair lands same-component") {
+    // The q_dedup_cc_lsh contract (SURVEY §2.8): at the ≥0.9 threshold,
+    // banded-MinHash recall is high enough (per-pair ≈ 0.986 for 4×4
+    // bands, plus transitive-closure repair inside clusters) that the
+    // production LSH feed must cluster every exact-Jaccard ≥0.9 pair
+    // together. The exact side is dedupNgram (full-set-verified Jaccard);
+    // 27 such pairs exist at sf0.001 — non-vacuous, and `assert(nonEmpty)`
+    // pins that against fixture drift.
+    val exact = TextQueries.dedupNgram(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty, "fixture should contain exact ≥0.9 pairs")
+    val comp = GraphQueries.dedupCcLsh(spark, sfDir)
+      .select("doc_id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val split = exact.filter { case (a, b) => comp(a) != comp(b) }
+    assert(split.isEmpty,
+      s"exact ≥0.9 pairs split across components: ${split.toSeq}")
+    // And exactly one keep-representative per component.
+    val keeps = GraphQueries.dedupCcLsh(spark, sfDir)
+      .groupBy("component")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("nk"))
+      .filter(col("nk") =!= 1).count()
+    assert(keeps === 0L)
   }
 
   test("LSH precision: every reported pair meets the Jaccard threshold") {
