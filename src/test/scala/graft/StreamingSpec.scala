@@ -244,6 +244,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "no event may be duplicated across the restart")
   }
 
+  test("q_stream_stateful is state-store-provider-agnostic (RocksDB)") {
+    // The default HDFSBackedStateStoreProvider keeps every key's state
+    // on-heap — the first casualty at production state sizes. The query
+    // contract must not depend on the provider: the declared
+    // q_stream_stateful plan re-run under RocksDB (off-heap, ships in
+    // Spark's own jars) must produce the identical answer, and a
+    // cross-batch script must prove state actually round-trips THROUGH
+    // RocksDB (batch 2 reads batch 1's state back out of the store).
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val expected = graft.operators.StreamQueries
+      .streamStateful(spark, sfDir).collect()
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, rocks)
+    try {
+      val got = graft.operators.StreamQueries
+        .streamStateful(spark, sfDir).collect()
+      assert(got.toSeq === expected.toSeq,
+        "RocksDB provider changed the stateful answer")
+      // Cross-batch state round-trip: same user in two explicit batches;
+      // the batch-2 running count is correct only if batch 1's state was
+      // persisted to and recovered from the RocksDB store.
+      val ms = MemoryStream[Event](
+        org.apache.spark.sql.Encoders.product[Event], spark)
+      val counts = ms.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[Event], st: GroupState[Long]) => {
+            val n = st.getOption.getOrElse(0L) + it.size
+            st.update(n)
+            Iterator((uid, n))
+          })
+        .toDF("user_id", "n")
+      val (q, name) = startToMemory(counts, OutputMode.Update())
+      try {
+        ms.addData(ev(1, "2024-01-01 10:00:00", uid = 7),
+          ev(2, "2024-01-01 10:01:00", uid = 7))
+        q.processAllAvailable()
+        ms.addData(ev(3, "2024-01-01 10:02:00", uid = 7))
+        q.processAllAvailable()
+        val ns = spark.table(name).filter(col("user_id") === 7)
+          .select("n").collect().map(_.getLong(0)).sorted
+        assert(ns.toSeq === Seq(2L, 3L))
+        // And the store really was RocksDB: the provider exports
+        // rocksdb-prefixed custom state metrics in the query progress.
+        val metrics = q.lastProgress.stateOperators.head
+          .customMetrics.keySet()
+        assert(metrics.stream().anyMatch(_.startsWith("rocksdb")),
+          s"expected rocksdb custom metrics, got $metrics")
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   test("streaming tumbling counts equal the batch answer (equivalence)") {
     val streamed = graft.operators.StreamQueries
       .streamTumbling(spark, sfDir).collect()
