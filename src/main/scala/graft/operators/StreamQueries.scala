@@ -50,6 +50,7 @@ object StreamQueries {
     "q_stream_dedup"    -> streamDedup _,
     "q_stream_stateful" -> streamStateful _,
     "q_stream_join"     -> streamJoin _,
+    "q_stream_interval_join" -> streamIntervalJoin _,
     "q_stream_append_window" -> streamAppendWindow _,
     "q_stream_late"     -> streamLate _,
     "q_stream_foreach_batch" -> streamForeachBatch _,
@@ -90,6 +91,20 @@ object StreamQueries {
       """SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_acctbal, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    // Stream-stream inner interval join: with the whole table in one
+    // replay batch, every qualifying pair is present when the join runs,
+    // so end-of-stream output equals the batch interval join — fully
+    // oracled. Bounds compared in epoch-µs on both engines (Spark's ts is
+    // ns-floored to µs by Tables/EventStreams; epoch_us floors the same
+    // way on DuckDB's TIMESTAMP_NS).
+    "q_stream_interval_join" ->
+      """SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
+        |  epoch_us(c.ts) AS c_ts_us, epoch_us(p.ts) AS p_ts_us
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+        |ORDER BY c_id, p_id""".stripMargin,
     // foreachBatch writes every micro-batch to parquet exactly once
     // (fresh sink dir + checkpoint per run), so the read-back equals the
     // full table — certifying no batch was lost or doubled.
@@ -309,6 +324,46 @@ object StreamQueries {
       .select(col("event_id"), col("user_id"), col("c_mktsegment"),
         col("c_acctbal"), col("value"))
     runToTable(enriched, OutputMode.Append()).orderBy("event_id")
+  }
+
+  /** Stream-stream watermarked interval join (Append): the click stream
+    * correlated with the purchase stream per user, keeping pairs where
+    * the purchase lands within [click, click + 10 min] — the canonical
+    * attribution/correlation shape.
+    *
+    * Bounded state at any scale: BOTH sides carry a 30-min watermark and
+    * the join condition bounds both event times against each other, so
+    * Spark can evict a buffered click once the global watermark passes
+    * click.ts + 10 min (no purchase can ever match it again) and a
+    * buffered purchase once it passes purchase.ts — each side's join
+    * state is a sliding horizon, not the whole stream. State lives behind
+    * the shuffle on user_id; the time-range predicate is evaluated
+    * per-key. Deterministically oracled: the single-file replay runs as
+    * one micro-batch, so every qualifying pair is present when the inner
+    * join executes and end-of-stream output equals the batch interval
+    * join (the watermark affects only state retention, never which INNER
+    * matches emit). Cross-batch match + state-eviction semantics are
+    * exercised in StreamingSpec's two-MemoryStream script. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = EventStreams.fileStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = EventStreams.fileStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    runToTable(joined, OutputMode.Append())
+      .select(col("c_id"), col("p_id"), col("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+      .orderBy("c_id", "p_id")
   }
 
   /** Append-mode tumbling windows under a 30-minute watermark: unlike the

@@ -244,6 +244,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "no event may be duplicated across the restart")
   }
 
+  test("stream-stream interval join matches across batches, then evicts") {
+    // The q_stream_interval_join semantics the single-batch replay can't
+    // show: (1) a purchase arriving a BATCH AFTER its click still joins —
+    // the click was buffered in join state; (2) once the global watermark
+    // passes a click's interval end, its state is evicted (numRowsRemoved
+    // > 0, total shrinks back) and a late purchase that would have
+    // matched it emits nothing — bounded state, the 100 TB property.
+    import spark.implicits._
+    val clicksMs = MemoryStream[Event](
+      org.apache.spark.sql.Encoders.product[Event], spark)
+    val purchMs = MemoryStream[Event](
+      org.apache.spark.sql.Encoders.product[Event], spark)
+    val clicks = clicksMs.toDF()
+      .select(col("event_id").as("c_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = purchMs.toDF()
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    val (q, name) = startToMemory(joined, OutputMode.Append())
+    try {
+      // b1: the click alone — nothing to join yet.
+      clicksMs.addData(ev(1, "2024-01-01 10:00:00", uid = 7))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+      // b2: its purchase, one batch later, inside the interval → the
+      // buffered click state produces the match.
+      purchMs.addData(ev(2, "2024-01-01 10:05:00", uid = 7))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1)
+      val buffered = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(buffered >= 2, s"click+purchase should be in state: $buffered")
+      // b3: both streams jump to noon → global watermark becomes
+      // min(12:00, 12:30) − 30 min = 11:30, far past the old interval.
+      clicksMs.addData(ev(3, "2024-01-01 12:00:00", uid = 8))
+      purchMs.addData(ev(4, "2024-01-01 12:30:00", uid = 8))
+      q.processAllAvailable()
+      // b4: a late purchase that WOULD match the 10:00 click. Its state
+      // is gone (evicted once the watermark passed 10:10) and the row
+      // itself is below the watermark → no new output.
+      purchMs.addData(ev(5, "2024-01-01 10:06:00", uid = 7))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1,
+        "late purchase must not join against evicted click state")
+      val p = q.lastProgress.stateOperators.head
+      assert(p.numRowsRemoved > 0 || p.numRowsTotal < buffered + 2,
+        s"watermark advance should evict old join state " +
+          s"(total ${p.numRowsTotal}, removed ${p.numRowsRemoved})")
+    } finally q.stop()
+  }
+
   test("q_stream_stateful is state-store-provider-agnostic (RocksDB)") {
     // The default HDFSBackedStateStoreProvider keeps every key's state
     // on-heap — the first casualty at production state sizes. The query
