@@ -139,6 +139,74 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"block-pair fan-out should be a broadcast hash join:\n$plan")
   }
 
+  test("ORC scans push filters and prune columns like parquet") {
+    // The round-trip query certifies correctness; this certifies the
+    // 100×-scale plan property on the SAME staged data: a predicate +
+    // projection over the ORC scratch dir must reach the reader.
+    graft.sources.SourceQueries.scanOrc(spark, sfDir).collect()
+    val dir = graft.sources.SourceQueries.scratch(sfDir, "part_orc")
+    val df = spark.read.orc(dir)
+      .filter(org.apache.spark.sql.functions.col("p_retailprice") > 1000.0)
+      .select("p_partkey", "p_retailprice")
+    val plan = executed(df).toString
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("p_retailprice"),
+      s"retailprice predicate not pushed to ORC:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && !readSchema.contains("p_name"),
+      s"ORC read schema not pruned: $readSchema")
+  }
+
+  test("JDBC partitioned read pushes filters into the remote query") {
+    // Each of the 4 c_custkey range partitions issues its own bounded
+    // query; a Catalyst filter must ALSO travel into the JDBC WHERE
+    // clause (PushedFilters on the JDBCRelation) — at ingest scale the
+    // operational DB must do the filtering, not the cluster.
+    graft.sources.SourceQueries.scanJdbc(spark, sfDir).collect()
+    val dbDir = graft.sources.SourceQueries.scratch(sfDir, "jdbc_derby")
+    val df = spark.read
+      .option("partitionColumn", "c_custkey")
+      .option("numPartitions", "4")
+      .option("lowerBound", "0")
+      .option("upperBound", "1000000")
+      .jdbc(s"jdbc:derby:$dbDir", "customer_jdbc",
+        new java.util.Properties())
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 0.0)
+      .select("c_custkey", "c_acctbal")
+    val plan = executed(df).toString
+    assert(plan.contains("numPartitions=4"),
+      s"partitioned JDBC read lost its range partitioning:\n$plan")
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.toLowerCase.contains("c_acctbal"),
+      s"acctbal predicate not pushed to JDBC:\n$plan")
+  }
+
+  test("mergeSchema parquet read prunes and pushes through schema drift") {
+    // q_scan_evolving's merged v1/v2 dirs: column pruning and predicate
+    // pushdown must survive schema evolution — a reader that fetches all
+    // merged columns for a 1-column projection re-reads the lake.
+    graft.sources.SourceQueries.scanEvolving(spark, sfDir).collect()
+    val base = graft.sources.SourceQueries
+      .scratch(sfDir, "documents_evolving")
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/v1", s"$base/v2")
+      .filter(org.apache.spark.sql.functions.col("doc_id") > 10L)
+      .select("doc_id")
+    val plan = executed(df).toString
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("doc_id"),
+      s"doc_id predicate not pushed through merged schema:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("lang") &&
+      !readSchema.contains("n_chars"),
+      s"merged-schema read not pruned: $readSchema")
+  }
+
   test("q_text_pii runs entirely in the scan stage (no exchange)") {
     // Redaction + counting are row-local codegen'd expressions; the only
     // allowed exchange is the final ORDER BY's range partitioning.
