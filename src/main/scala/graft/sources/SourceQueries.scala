@@ -206,18 +206,34 @@ object SourceQueries {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
+    // Executor-side fan-out is only correct when every executor and the
+    // driver's listing see ONE filesystem. A `file:` scratch path on a
+    // multi-node cluster would scatter the .bin files across executor
+    // local disks where the binaryFile listing can't find them — fail
+    // loudly instead of silently staging a partial corpus. (Object-store
+    // and HDFS schemes are shared by construction.)
+    val scheme = fs.getUri.getScheme
+    require(s.sparkContext.isLocal || (scheme != null && scheme != "file"),
+      s"binaryFile staging dir $dir resolves to the local filesystem; " +
+        "on a cluster, point the scratch root at a shared scheme " +
+        "(hdfs/s3a/...) so executor-written files are visible to the read")
     // Stage: one .bin per document, written FROM THE EXECUTORS — each
     // partition opens its own FileSystem and streams its rows out, so the
     // staging pattern is the one a real media ingest scales with (a
     // million objects fan out across the cluster; the driver never holds
     // a row). File names carry the doc identity, like any object-store
-    // media corpus.
+    // media corpus. The SESSION's Hadoop conf rides along in a broadcast
+    // (spark.hadoop.* settings, filesystem credentials, fs.defaultFS) —
+    // a fresh Configuration() on the executor would silently drop all of
+    // them and resolve the path against executor-local defaults.
+    val confBc = s.sparkContext.broadcast(
+      new SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
     Tables.documents(s, d).filter(col("doc_id") < 100)
       .select("doc_id", "text")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val base = new org.apache.hadoop.fs.Path(dir)
-          val pfs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val pfs = base.getFileSystem(confBc.value.conf)
           it.foreach { r =>
             val out = pfs.create(
               new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"))
@@ -270,5 +286,25 @@ object SourceQueries {
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy("lang", "source")
+  }
+}
+
+/** Serializable carrier for a Hadoop `Configuration` (which is Writable
+  * but not Serializable): the standard pattern for shipping the SESSION's
+  * Hadoop conf — spark.hadoop.* overrides, filesystem credentials,
+  * fs.defaultFS — into executor-side closures instead of losing them to a
+  * fresh `new Configuration()`. Java-serialization hooks delegate to the
+  * Writable round-trip. */
+private[sources] class SerializableHadoopConf(
+    @transient var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
   }
 }
