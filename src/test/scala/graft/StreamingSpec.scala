@@ -356,6 +356,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set(key, prev)
   }
 
+  test("transformWithState (Spark 4 stateful API) matches the fgws answer") {
+    // The modern replacement for flatMapGroupsWithState: typed composable
+    // state (ValueState/ListState/MapState/timers) behind a
+    // StatefulProcessor, RocksDB-only by design. The same per-user
+    // running count as q_stream_stateful's operator, driven through two
+    // explicit batches — the cross-batch total proves the ValueState
+    // round-trips, and the API is exercised end-to-end so a migration of
+    // the declared query is a mechanical swap.
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event](Encoders.product[Event], spark)
+      val counts = ms.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StatefulProcessor[Long, Event, (Long, Long)] {
+            @transient private var count: ValueState[Long] = _
+            override def init(outputMode: OutputMode,
+                timeMode: TimeMode): Unit =
+              count = getHandle.getValueState[Long]("count",
+                Encoders.scalaLong, TTLConfig.NONE)
+            override def handleInputRows(uid: Long, rows: Iterator[Event],
+                timers: TimerValues): Iterator[(Long, Long)] = {
+              val n = (if (count.exists()) count.get() else 0L) + rows.size
+              count.update(n)
+              Iterator((uid, n))
+            }
+          },
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n")
+      val (q, name) = startToMemory(counts, OutputMode.Update())
+      try {
+        ms.addData(ev(1, "2024-01-01 10:00:00", uid = 7),
+          ev(2, "2024-01-01 10:01:00", uid = 7))
+        q.processAllAvailable()
+        ms.addData(ev(3, "2024-01-01 10:02:00", uid = 7))
+        q.processAllAvailable()
+        val ns = spark.table(name).filter(col("user_id") === 7)
+          .select("n").collect().map(_.getLong(0)).sorted
+        assert(ns.toSeq === Seq(2L, 3L))
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   test("streaming tumbling counts equal the batch answer (equivalence)") {
     val streamed = graft.operators.StreamQueries
       .streamTumbling(spark, sfDir).collect()
