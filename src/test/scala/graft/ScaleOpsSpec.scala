@@ -116,4 +116,42 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
         s"declared bucketed tables still shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew-join)") {
+    // The OTHER skew tool next to SkewOps' salting: AQE detects an
+    // oversized shuffle partition from runtime stats and splits it across
+    // tasks without any query rewrite. Pinned here with production-scale
+    // thresholds scaled down to fixture size: one key owning ~100k of
+    // ~110k left rows is far past factor×median and the byte threshold,
+    // so the settled plan must read that partition through an
+    // AQEShuffleRead marked `skewed`.
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 100000).select(lit(1L).as("k"),
+          col("id").as("payload"))
+        .unionByName(spark.range(0, 10000)
+          .select((col("id") % 100 + 2).as("k"), col("id").as("payload")))
+      val right = spark.range(0, 200).select(col("id").as("k"),
+        (col("id") * 10).as("dim"))
+      val joined = left.join(right, "k")
+      // Execute THIS df instance: skew handling only exists in the
+      // settled adaptive plan, and a count() would run a different query.
+      assert(joined.collect().length === 110000)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
