@@ -207,6 +207,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"merged-schema read not pruned: $readSchema")
   }
 
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    // The 100 TB star-join property on q_sink_partitioned's layout: a
+    // filter on the DIM side must prune the FACT's partition directories
+    // at runtime (dynamicpruningexpression in PartitionFilters), so the
+    // fact scan reads only joined partitions. The dim must be
+    // file-backed: a LocalRelation literal fails DPP's benefit check, so
+    // an in-memory Seq dim would silently scan every partition.
+    import spark.implicits._
+    graft.sources.SourceQueries.sinkPartitioned(spark, sfDir).collect()
+    val factDir = graft.sources.SourceQueries
+      .scratch(sfDir, "documents_by_lang")
+    val dimDir = "/tmp/graft-io/dpp_dim_spec"
+    Seq(("en", 1), ("de", 0), ("fr", 0)).toDF("lang_key", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(org.apache.spark.sql.functions.col("flag") === 1)
+    val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("lang") ===
+          org.apache.spark.sql.functions.col("lang_key"))
+      .select("doc_id", "lang")
+    val plan = finalPlanString(joined)
+    val factScan = plan.linesIterator
+      .find(l => l.contains("documents_by_lang") &&
+        l.contains("PartitionFilters")).getOrElse("")
+    assert(factScan.contains("dynamicpruningexpression"),
+      s"no DPP filter on the partitioned fact scan:\n$plan")
+  }
+
   test("q_text_pii runs entirely in the scan stage (no exchange)") {
     // Redaction + counting are row-local codegen'd expressions; the only
     // allowed exchange is the final ORDER BY's range partitioning.
