@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every declared query (count-materialized) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -21,24 +20,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // Per-query successful times across passes. A crashed run must not
-    // masquerade as a (misleadingly fast) timing — it is simply absent;
-    // a query with zero successful runs reports null and lands in
-    // "errors".
+    // masquerade as a (misleadingly fast) timing — it is simply absent.
+    // A query with zero successful runs reports null and lands in
+    // "errors"; one that failed SOME passes still reports its median but
+    // is called out in "flaky" — intermittent failures must not hide
+    // behind a clean artifact.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
@@ -55,26 +48,26 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      s(s.size / 2)
-    }
     val qs = names.map { k =>
       val v = times(k)
-      s"\"" + k + "\":" + (if (v.nonEmpty) median(v).toString else "null")
+      s"\"" + k + "\":" +
+        (if (v.nonEmpty) Harness.median(v).toString else "null")
     }.mkString("{", ",", "}")
     val runs = names.map { k =>
       s"\"" + k + "\":" + times(k).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errors = names.filter(times(_).isEmpty).map(k => s"\"$k\"")
       .mkString("[", ",", "]")
+    val flaky = names
+      .filter(k => times(k).nonEmpty && times(k).size < passes)
+      .map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = names.flatMap(k =>
-      if (times(k).nonEmpty) Some(median(times(k))) else None).sum
+      if (times(k).nonEmpty) Some(Harness.median(times(k))) else None).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""passes":$passes,"runs":$runs,""" +
         s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
-        s""""errors":$errors,"sf":"$sfDir"}"""
+        s""""errors":$errors,"flaky":$flaky,"sf":"$sfDir"}"""
     // The per-query maps make the full line long enough that a tail-only
     // stdout capture can cut off its head (where the headline total
     // lives). Persist the full line to an SF-KEYED file (concurrent or
@@ -88,7 +81,7 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: java.io.IOException => () }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","abridged":true,"passes":$passes,"n_queries":${names.size},"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","abridged":true,"passes":$passes,"n_queries":${names.size},"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,26 +1,19 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Single-query timing/plan harness for iterating on one operator without
-  * paying the full 112-query bench: `runMain graft.BenchOne <query> [n]
-  * [--explain]` times `<query>` n times (default 3) on SPARK_GRAFT_SF_DIR
-  * after one warmup at sf0.001, printing each run and the median. */
+  * paying the full bench: `runMain graft.BenchOne <query> [n] [--explain]`
+  * times `<query>` n times (default 3, floored at 1) on SPARK_GRAFT_SF_DIR
+  * after one warmup at sf0.001, printing each run and the median. Session
+  * and median come from [[Harness]] so the numbers are comparable to the
+  * full bench by construction. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(sys.error("usage: BenchOne <query>"))
-    val n = args.drop(1).find(!_.startsWith("--")).map(_.toInt).getOrElse(3)
+    val n = args.drop(1).find(!_.startsWith("--"))
+      .map(_.toInt).getOrElse(3).max(1)
     val explain = args.contains("--explain")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session()
     val fn = SparkEntry.queries(name)
     fn(spark, "/root/testdata/sf0.001").count() // warmup: JIT + codegen
     val times = (1 to n).map { i =>
@@ -29,8 +22,8 @@ object BenchOne {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[bench-one] $name run $i: $dt%.3f s ($rows rows)")
       dt
-    }.sorted
-    println(f"[bench-one] $name median: ${times(times.size / 2)}%.3f s")
+    }
+    println(f"[bench-one] $name median: ${Harness.median(times)}%.3f s")
     if (explain) {
       // Execute THIS df instance first so the AdaptiveSparkPlan prints
       // isFinalPlan=true — AQE stage reuse (ReusedExchange/ReusedSubquery)

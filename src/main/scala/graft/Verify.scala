@@ -1,24 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. Optional extra
   * args are substring filters for fast single-query iteration (the driver
-  * passes exactly two args, so its full-sweep contract is unchanged). */
+  * passes exactly two args, so its full-sweep contract is unchanged).
+  * Filtered runs rewrite oracle_sql.json with ONLY the kept keys — point
+  * them at a fresh outDir, not a previous full sweep's, or the stale
+  * parquet dirs there will sit next to a JSON that no longer covers
+  * them. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val filters = args.drop(2)
     def keep(name: String) =
       filters.isEmpty || filters.exists(name.contains)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))

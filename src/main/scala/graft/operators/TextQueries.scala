@@ -597,7 +597,14 @@ object TextQueries {
     // Exact-set group path: docs whose FULL shingle sets are identical
     // pair at Jaccard 1.0 even when every shingle is hot. One
     // content-keyed self-join (8-byte set-hash key; array equality guards
-    // the 2^-64 hash channel) — the q_dedup_exact scale shape.
+    // the 2^-64 hash channel) — the q_dedup_exact scale shape. A cluster
+    // of m identical docs emits C(m,2) rows here, but that is the
+    // declared OUTPUT for this query (the oracle emits the same pairs):
+    // every emitted row is a qualifying answer, so the join is
+    // output-optimal — what the df-cut bounds is wasted CANDIDATE work,
+    // never qualifying pairs. A deployment that wants identical clusters
+    // as groups rather than pair lists runs q_dedup_exact / q_dedup_cc_lsh
+    // instead (component-per-cluster, linear output).
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_set("shingle")).as("sarr"))
       .select(col("doc_id"), col("sarr"), xxhash64(col("sarr")).as("skey"))

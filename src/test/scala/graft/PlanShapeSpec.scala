@@ -218,7 +218,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     graft.sources.SourceQueries.sinkPartitioned(spark, sfDir).collect()
     val factDir = graft.sources.SourceQueries
       .scratch(sfDir, "documents_by_lang")
-    val dimDir = "/tmp/graft-io/dpp_dim_spec"
+    val dimDir = graft.sources.SourceQueries.scratch(sfDir, "dpp_dim_spec")
     Seq(("en", 1), ("de", 0), ("fr", 0)).toDF("lang_key", "flag")
       .write.mode("overwrite").parquet(dimDir)
     val fact = spark.read.parquet(factDir)
