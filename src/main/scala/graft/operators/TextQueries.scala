@@ -47,7 +47,9 @@ object TextQueries {
     "q_text_repetition"  -> textRepetition _,
     "q_vocab_oov"        -> vocabOov _,
     "q_contamination"    -> contamination _,
-    "q_text_ngram_lm"    -> textNgramLm _
+    "q_text_ngram_lm"    -> textNgramLm _,
+    "q_text_chunk"       -> textChunk _,
+    "q_text_pack"        -> textPack _
   )
 
   val oracle: Map[String, String] = Map(
@@ -333,7 +335,41 @@ object TextQueries {
         |JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
         |JOIN ugc ON bg.w1 = ugc.w1
         |CROSS JOIN v
-        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    // range(0, n, stride) below ≡ Spark's sequence(0, n−1, stride) for
+    // n ≥ 1 (both emit every stride-multiple strictly under n; split
+    // always yields ≥ 1 token, the empty string for an empty text).
+    "q_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(toks) AS n, toks,
+        |    unnest(range(0, len(toks), 48)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - start) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1,
+        |    start + least(64, n - start)), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id // 4096 AS shard,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang, shard, n_tok,
+        |    COALESCE(sum(n_tok) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard,
+        |  CAST(cum_before // 256 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM w GROUP BY lang, shard, bin
+        |ORDER BY lang, shard, bin""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -818,5 +854,70 @@ object TextQueries {
       .select(col("doc_id"), col("n_shared"),
         (col("n_shared") >= 5).as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  /** Chunk window / stride (tokens) for [[textChunk]]: 64-token windows
+    * every 48 tokens — 16 tokens of overlap, the context-continuity pad. */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** Fixed-window document chunking with overlap — the tokenize-and-chunk
+    * pass every pretraining pipeline runs before sequence assembly: each
+    * document yields one row per 64-token window at 48-token stride (the
+    * final window may be short), with an md5 over the chunk text
+    * certifying every emitted token byte-for-byte.
+    *
+    * Scale shape: a pure map-side `posexplode` over a per-row
+    * `sequence(0, n−1, stride)` — no aggregation, no join, the only
+    * exchange is the declared ORDER BY. Output is corpus-linear
+    * (≈ n/stride rows per doc), so this runs at 100 TB as a scan. */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val chunkLen = least(lit(ChunkTokens), col("n") - col("chunk_start"))
+    documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "chunk_start")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        chunkLen.cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_start") + 1, chunkLen)))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Packing bin budget (tokens) and shard width (docs) for [[textPack]]. */
+  private val PackBinTokens = 256
+  private val PackShardDocs = 4096
+
+  /** Greedy sequence packing into 256-token bins — the batch-assembly
+    * step after [[textChunk]]: documents are laid end-to-end in doc_id
+    * order and a document starts in bin ⌊tokens-before-it / 256⌋, so
+    * consecutive short documents share a bin (what packing exists to do).
+    *
+    * Packing is inherently order-dependent, which is why the window is
+    * partitioned by (lang, 4096-doc shard) and NOT by lang alone: an
+    * unsharded per-lang running sum would serialize each language through
+    * one partition — the classic window-function scale trap. Shards bound
+    * every partition at any corpus size, the bin arithmetic is local to a
+    * shard, and the declared contract makes the shard id part of the
+    * output key so the answer is deterministic and oracle-checkable. */
+  def textPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id div $PackShardDocs").as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PackBinTokens"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard", "bin")
   }
 }
