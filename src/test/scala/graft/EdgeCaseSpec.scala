@@ -97,4 +97,52 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(recombined.orderBy("v").collect().map(_.getInt(0)).toSeq ===
       Seq(1, 2, 3, 4, 5))
   }
+
+  test("text chunking boundaries: stride multiples, shorts, empty text") {
+    // Pins the window arithmetic the q_text_chunk oracle-equivalence
+    // comment asserts (sequence(0,n−1,48) ≡ range(0,n,48) for n ≥ 1):
+    //  - n=48 (one full stride, < window): exactly 1 chunk of 48;
+    //  - n=49 (one past the stride): 2 chunks, the second 1 token long;
+    //  - n=64 (exactly one window): 1 chunk of 64 PLUS the stride-48
+    //    chunk of 16 — overlap windows keep emitting while start < n;
+    //  - empty text: split yields [""], one 1-token chunk (md5 of "").
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 48).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 49).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 64).map(i => s"t$i").mkString(" ")),
+      (4L, ""))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-chunk-edge").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextQueries.textChunk(spark, dir)
+      .select("doc_id", "chunk_id", "chunk_start", "chunk_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 0L, 0L, 48L),
+      (2L, 0L, 0L, 49L), (2L, 1L, 48L, 1L),
+      (3L, 0L, 0L, 64L), (3L, 1L, 48L, 16L),
+      (4L, 0L, 0L, 1L)))
+  }
+
+  test("packing: consecutive short docs share a bin, budget starts a new one") {
+    // Four 100-token docs in one (lang, shard): docs at cum_before
+    // 0/100/200 land in bin 0 (200 div 256 = 0 — a doc may START under
+    // budget and overflow it; greedy packing cuts on the NEXT doc), the
+    // fourth at cum_before 300 opens bin 1.
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pack-edge").toString
+    (0L until 4L).map(i => (i, "en", text)).toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextQueries.textPack(spark, dir)
+      .select("bin", "n_docs", "tokens", "first_doc", "last_doc")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((0L, 3L, 300L, 0L, 2L), (1L, 1L, 100L, 3L, 3L)))
+  }
 }
