@@ -4,16 +4,25 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. Optional extra
   * args are substring filters for fast single-query iteration (the driver
   * passes exactly two args, so its full-sweep contract is unchanged).
-  * Filtered runs rewrite oracle_sql.json with ONLY the kept keys — point
-  * them at a fresh outDir, not a previous full sweep's, or the stale
-  * parquet dirs there will sit next to a JSON that no longer covers
-  * them. */
+  * Filtered runs rewrite oracle_sql.json with ONLY the kept keys, so they
+  * REQUIRE an empty outDir: into a previous full sweep's dir, the stale
+  * parquet of every omitted query would fall through to the checker's
+  * rows-only fallback and silently downgrade the gate while reporting
+  * green. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val filters = args.drop(2)
     def keep(name: String) =
       filters.isEmpty || filters.exists(name.contains)
+    if (filters.nonEmpty) {
+      val existing = Option(new java.io.File(outDir).list())
+        .getOrElse(Array.empty[String])
+      require(existing.isEmpty,
+        s"filtered Verify needs an empty outDir: $outDir already holds " +
+          s"${existing.length} entries whose stale results the oracle " +
+          "check would silently rows-only-pass")
+    }
     val spark = Harness.session()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
