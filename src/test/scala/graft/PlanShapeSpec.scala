@@ -236,6 +236,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"no DPP filter on the partitioned fact scan:\n$plan")
   }
 
+  test("q_text_chunk is a map-side explode: only the sort exchanges") {
+    // The SURVEY row claims chunking runs as a scan at any corpus size;
+    // hold it to that: the posexplode+slice+md5 pipeline must keep the
+    // declared ORDER BY's range partitioning as its ONLY exchange, with
+    // the chunk expressions inside a codegen span.
+    val plan = finalPlanString(TextQueries.textChunk(spark, sfDir))
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$plan")
+    assert(plan.contains("*("), s"chunk pipeline not codegen'd:\n$plan")
+  }
+
   test("q_text_pii runs entirely in the scan stage (no exchange)") {
     // Redaction + counting are row-local codegen'd expressions; the only
     // allowed exchange is the final ORDER BY's range partitioning.
