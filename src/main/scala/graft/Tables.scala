@@ -42,7 +42,7 @@ object Tables {
   }
   /** Also registers graft's native expressions (graft_vec_dot) into the
     * session — the caller may be the driver's own session, which was not
-    * built with `spark.sql.extensions=graft.GraftExtensions`. */
+    * built with `spark.sql.extensions=graft.functions.GraftExtensions`. */
   def embeddings(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     table(s, d, "embeddings")

@@ -183,7 +183,7 @@ object VecExprs {
 /** Registration of graft's native expressions.
   *
   * Two paths, same registry entries:
-  *   - `GraftExtensions` for `spark.sql.extensions=graft.GraftExtensions`
+  *   - `GraftExtensions` for `spark.sql.extensions=graft.functions.GraftExtensions`
   *     (cluster deployment: every session gets the functions);
   *   - `GraftFunctions.register(spark)` for sessions we did not build
   *     (the driver hands us its own session), idempotent.

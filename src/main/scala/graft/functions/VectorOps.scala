@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * interpreted `zip_with`/`aggregate` higher-order functions, which
   * dominated the O(n²) similarity joins). Callers must have the function
   * registered in their session — `graft.Tables.embeddings` does this, as
-  * does `spark.sql.extensions=graft.GraftExtensions`.
+  * does `spark.sql.extensions=graft.functions.GraftExtensions`.
   *
   * All accumulation is in DOUBLE (float32 inputs cast exactly), folding
   * left-to-right — the same sequential order DuckDB's `list_sum` uses, so

@@ -37,7 +37,8 @@ object JoinQueries {
     "q_join_asof"      -> joinAsof _,
     "q_join_skew"      -> joinSkew _,
     "q_join_full"      -> joinFull _,
-    "q_join_bucketed"  -> joinBucketed _
+    "q_join_bucketed"  -> joinBucketed _,
+    "q_join_null_safe" -> joinNullSafe _
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +109,18 @@ object JoinQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Key ranges overlap only on [40,80): rows null-extend in BOTH
     // directions (left-only users < 40, right-only customers >= 80).
+    "q_join_null_safe" ->
+      """SELECT s.s_key AS nation_key, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+        |FROM (SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL
+        |             ELSE s_nationkey END AS s_key, s_suppkey
+        |      FROM supplier) s
+        |JOIN (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |             ELSE c_nationkey END AS c_key, c_custkey
+        |      FROM customer) c
+        |  ON s.s_key IS NOT DISTINCT FROM c.c_key
+        |GROUP BY s.s_key ORDER BY nation_key NULLS FIRST""".stripMargin,
     "q_join_full" ->
       """SELECT coalesce(e.user_id, o.o_custkey) AS id,
         |  e.n_events, o.n_orders
@@ -259,6 +272,37 @@ object JoinQueries {
     * survive from each side (full outer shuffles both sides — never
     * broadcastable — and AQE cannot demote it; reconciliation jobs at
     * scale live with exactly this shape). */
+  /** Null-safe equi join (`<=>` / `IS NOT DISTINCT FROM`): supplier and
+    * customer keyed on a deterministically-nulled nation key (every 10th
+    * entity loses its key — the optional-key shape MERGE pipelines carry).
+    * `<=>` keeps NULL keys as a real join group instead of silently
+    * dropping them, while REMAINING a hash-joinable equi condition:
+    * EqualNullSafe is a supported hash-join key, so the plan stays a
+    * broadcast/sort-merge hash join, never a nested loop. The output
+    * aggregates per-key pair and distinct counts, so the NULL group's
+    * cross-match is visible as one row next to the ordinary nation rows.
+    *
+    * Scale note: at 100 TB the NULL group is a single shuffle key — if
+    * nulls dominate, that key is the skew cell and the salting pattern
+    * from q_join_skew applies to it specifically; here the null fraction
+    * is 10%, within AQE's skew tolerance. */
+  def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).select(
+      when(pmod(col("s_suppkey"), lit(10)) === 0, lit(null))
+        .otherwise(col("s_nationkey")).cast("long").as("s_key"),
+      col("s_suppkey"))
+    val cus = customer(s, d).select(
+      when(pmod(col("c_custkey"), lit(10)) === 0, lit(null))
+        .otherwise(col("c_nationkey")).cast("long").as("c_key"),
+      col("c_custkey"))
+    sup.join(cus, col("s_key") <=> col("c_key"))
+      .groupBy(col("s_key").as("nation_key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("s_suppkey")).as("n_supp"),
+        countDistinct(col("c_custkey")).as("n_cust"))
+      .orderBy(asc_nulls_first("nation_key"))
+  }
+
   def joinFull(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .filter(col("user_id") < 80)

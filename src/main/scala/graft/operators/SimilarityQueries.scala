@@ -40,7 +40,8 @@ object SimilarityQueries {
     "q_sim_pairs_lsh" -> simPairsLsh _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_ann_ivf"       -> annIvf _,
-    "q_ann_rp"        -> annRp _
+    "q_ann_rp"        -> annRp _,
+    "q_embed_quantize" -> embedQuantize _
   )
 
   val oracle: Map[String, String] = Map(
@@ -74,7 +75,39 @@ object SimilarityQueries {
         |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT v1, v2, label1, label2, cos_sim FROM scored
-        |WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin
+        |WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin,
+    // Quantization is floor arithmetic only (`floor(x·127/scale + 0.5)`)
+    // so no round-half mode can diverge; `scale` is emitted as the raw
+    // double (identical max-of-abs on both engines); error aggregates are
+    // rounded 6dp to absorb last-ulp summation drift.
+    "q_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, label, v, scale,
+        |    CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS den
+        |  FROM sc),
+        |qv AS (
+        |  SELECT vec_id, label, v, scale, den,
+        |    list_transform(v,
+        |      x -> CAST(floor(x / den * 127 + 0.5) AS BIGINT)) AS qarr
+        |  FROM q),
+        |e AS (
+        |  SELECT vec_id, label, scale, qarr,
+        |    list_transform(range(1, len(v) + 1),
+        |      i -> abs(v[i] - qarr[i]::DOUBLE * den / 127)) AS err
+        |  FROM qv)
+        |SELECT vec_id, label, scale,
+        |  CAST(len(list_filter(qarr, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |  round(list_max(err), 6) AS max_err,
+        |  round(list_sum(err) / len(err), 6) AS mean_err
+        |FROM e ORDER BY vec_id""".stripMargin
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -365,6 +398,39 @@ object SimilarityQueries {
       .filter(col("rnk") <= 5)
       .select("probe_id", "vec_id", "cos_sim", "rnk")
       .orderBy("probe_id", "rnk")
+  }
+
+  /** Int8 symmetric per-vector quantization of the embedding column — the
+    * ANN-index storage step (4× smaller vectors before IVF/LSH indexing):
+    * per-vector absmax scale, `q = floor(x/scale·127 + 0.5)`, with the
+    * saturation count and reconstruction-error stats surfaced per vector.
+    *
+    * Scale shape: pure scan-stage higher-order-function arithmetic
+    * (`transform`/`zip_with`/`aggregate`/`filter` — all codegen'd), zero
+    * shuffles; at 100 TB this is a map-only pass whose output is the
+    * quantized index input. Determinism (SURVEY §7.5): floor arithmetic
+    * only (no round-half mode), scale emitted as the raw double, error
+    * aggregates rounded 6dp on both engines. */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      // All-zero vectors quantize to zeros against a unit scale instead of
+      // dividing by zero (NaN would poison the BIGINT cast on the oracle).
+      .withColumn("den",
+        when(col("scale") === 0d, lit(1.0)).otherwise(col("scale")))
+      .withColumn("qarr", transform(col("v"),
+        x => floor(x / col("den") * 127 + lit(0.5)).cast("long")))
+      .withColumn("err", zip_with(col("v"), col("qarr"),
+        (x, q) => abs(x - q.cast("double") * col("den") / 127)))
+      .select(col("vec_id"), col("label"), col("scale"),
+        size(filter(col("qarr"), q => abs(q) === 127)).cast("long")
+          .as("n_sat"),
+        round(array_max(col("err")), 6).as("max_err"),
+        round(aggregate(col("err"), lit(0.0), (a, x) => a + x)
+          / size(col("err")), 6).as("mean_err"))
+      .orderBy("vec_id")
   }
 
   /** Random-projection (sign) LSH ANN — the third point of the ANN triad

@@ -49,7 +49,9 @@ object TextQueries {
     "q_contamination"    -> contamination _,
     "q_text_ngram_lm"    -> textNgramLm _,
     "q_text_chunk"       -> textChunk _,
-    "q_text_pack"        -> textPack _
+    "q_text_pack"        -> textPack _,
+    "q_chunk_dedup"      -> chunkDedup _,
+    "q_freq_cms"         -> freqCms _
   )
 
   val oracle: Map[String, String] = Map(
@@ -369,7 +371,47 @@ object TextQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM w GROUP BY lang, shard, bin
-        |ORDER BY lang, shard, bin""".stripMargin
+        |ORDER BY lang, shard, bin""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(toks) AS n, toks,
+        |    unnest(range(0, len(toks), 48)) AS start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(least(64, n - start) AS BIGINT) AS chunk_tokens,
+        |    md5(array_to_string(list_slice(toks, start + 1,
+        |      start + least(64, n - start)), ' ')) AS chunk_md5
+        |  FROM c)
+        |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc, min(chunk_tokens) AS chunk_tokens
+        |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
+        |ORDER BY chunk_md5""".stripMargin,
+    // The hash family is explicit md5 arithmetic (first 8 hex chars mod w)
+    // so both engines compute the identical sketch; DuckDB sums promote to
+    // HUGEINT, hence the CASTs.
+    "q_freq_cms" ->
+      """WITH exact AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |wb AS (
+        |  SELECT tok, n_true, r,
+        |    ('0x' || substr(md5(r || ':' || tok), 1, 8))::BIGINT % 32 AS b
+        |  FROM (SELECT tok, n_true, unnest(range(0, 4)) AS r FROM exact)),
+        |cells AS (
+        |  SELECT r, b, CAST(sum(n_true) AS BIGINT) AS cell_n
+        |  FROM wb GROUP BY r, b),
+        |est AS (
+        |  SELECT wb.tok, wb.n_true, min(cells.cell_n) AS n_est
+        |  FROM wb JOIN cells ON cells.r = wb.r AND cells.b = wb.b
+        |  GROUP BY wb.tok, wb.n_true)
+        |SELECT tok, n_true, n_est, n_est - n_true AS overcount
+        |FROM est ORDER BY tok""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -871,7 +913,14 @@ object TextQueries {
     * `sequence(0, n−1, stride)` — no aggregation, no join, the only
     * exchange is the declared ORDER BY. Output is corpus-linear
     * (≈ n/stride rows per doc), so this runs at 100 TB as a scan. */
-  def textChunk(s: SparkSession, d: String): DataFrame = {
+  def textChunk(s: SparkSession, d: String): DataFrame =
+    chunkRows(s, d).orderBy("doc_id", "chunk_id")
+
+  /** The chunk pipeline WITHOUT the declared query's final sort —
+    * consumers that re-shuffle anyway ([[chunkDedup]]'s md5 groupBy)
+    * start here, the same reuse pattern as
+    * [[SimilarityQueries.embedPairs]]. */
+  private[operators] def chunkRows(s: SparkSession, d: String): DataFrame = {
     val chunkLen = least(lit(ChunkTokens), col("n") - col("chunk_start"))
     documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("toks"))
@@ -886,7 +935,73 @@ object TextQueries {
         md5(concat_ws(" ",
           slice(col("toks"), col("chunk_start") + 1, chunkLen)))
           .as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Cross-document chunk-level exact dedup — the RefinedWeb/CCNet
+    * line-dedup shape one granularity up: the [[chunkRows]] inventory
+    * grouped by chunk md5, surfacing every chunk duplicated anywhere in
+    * the corpus with its copy/doc counts and first location.
+    *
+    * Scale shape: the shuffle key is the 32-byte fingerprint, never the
+    * chunk text — one map-side-combined groupBy over the map-side chunk
+    * explode, so boilerplate removal runs at any corpus size (the classic
+    * use: the same licence header or navigation chrome chunk repeated
+    * across millions of pages). `chunk_tokens` is constant within a group
+    * (same bytes ⇒ same token count); min() is just the agg-shaped way to
+    * carry it. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    chunkRows(s, d)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        min(col("chunk_tokens")).as("chunk_tokens"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_md5")
+
+  /** Count-Min sketch rows (d) and width (w) for [[freqCms]]. Width is
+    * deliberately close to this corpus's 31-token vocabulary so bucket
+    * collisions — the thing the min-over-rows estimate exists to absorb —
+    * actually occur in the fixture. */
+  private val CmsRows = 4
+  private val CmsWidth = 32
+
+  /** Row-r bucket of an item: first 8 hex chars of md5("r:item") mod w.
+    * Explicit md5 arithmetic (not xxhash) so the DuckDB twin computes the
+    * IDENTICAL hash family — the whole sketch is deterministic
+    * cross-engine. */
+  private def cmsBucket(r: Column, item: Column): Column =
+    pmod(conv(substring(
+      md5(concat_ws(":", r.cast("string"), item).cast("binary")), 1, 8),
+      16, 10).cast("long"), lit(CmsWidth))
+
+  /** Count-Min frequency sketch: token frequencies estimated from a
+    * d×w = 128-cell table, estimate = min over the d rows, surfaced next
+    * to the exact count so the overcount is visible.
+    *
+    * Scale shape — why a sketch next to the exact groupBy: the cell table
+    * is CONSTANT-SIZE at any corpus scale (d×w counters, map-side
+    * combined), while the exact count's state grows with the item
+    * universe. Here the universe (the corpus vocabulary) is first
+    * compressed by one exact agg and the sketch is built from (item,
+    * count) pairs — summing counts into cells is identical to counting
+    * occurrences, one shuffle cheaper. At 100 TB with an unbounded
+    * universe (URLs, n-grams) the same cells come straight off the
+    * occurrence stream and the per-item estimate probe is a broadcast of
+    * 128 integers. */
+  def freqCms(s: SparkSession, d: String): DataFrame = {
+    val exact = documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_true"))
+    val withRows = exact.select(col("tok"), col("n_true"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .withColumn("b", cmsBucket(col("r"), col("tok")))
+    val cells = withRows.groupBy("r", "b").agg(sum("n_true").as("cell_n"))
+    withRows.join(broadcast(cells), Seq("r", "b"))
+      .groupBy("tok", "n_true").agg(min("cell_n").as("n_est"))
+      .select(col("tok"), col("n_true"), col("n_est"),
+        (col("n_est") - col("n_true")).as("overcount"))
+      .orderBy("tok")
   }
 
   /** Packing bin budget (tokens) and shard width (docs) for [[textPack]]. */

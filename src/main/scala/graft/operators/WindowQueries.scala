@@ -24,7 +24,8 @@ object WindowQueries {
     "q_window_ntile_range" -> windowNtileRange _,
     "q_window_first_last"  -> windowFirstLast _,
     "q_window_trailing"    -> windowTrailing _,
-    "q_window_pct"         -> windowPct _
+    "q_window_pct"         -> windowPct _,
+    "q_window_ffill"       -> windowFfill _
   )
 
   val oracle: Map[String, String] = Map(
@@ -39,6 +40,30 @@ object WindowQueries {
         |               ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+    // Hour grid and fill both ride integer epoch-µs arithmetic (no
+    // timestamp output — engine-local timezone/precision never enters);
+    // the hourly representative value is arg_max by the unique event_id,
+    // deterministic on both engines; the carried `val` is the UNMODIFIED
+    // double from parquet, so no rounding is needed anywhere.
+    "q_window_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(ts) // 3600000000 AS h FROM events),
+        |hourly AS (
+        |  SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events,
+        |    arg_max(value, event_id) AS hval
+        |  FROM e GROUP BY user_id, h),
+        |grid AS (
+        |  SELECT user_id, unnest(range(min(h), max(h) + 1)) AS h
+        |  FROM hourly GROUP BY user_id)
+        |SELECT g.user_id, g.h * 3600000000 AS hour_us,
+        |  COALESCE(h2.n_events, 0) AS n_events,
+        |  last_value(h2.hval IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+        |FROM grid g
+        |LEFT JOIN hourly h2 ON g.user_id = h2.user_id AND g.h = h2.h
+        |ORDER BY g.user_id, hour_us""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (
@@ -198,5 +223,39 @@ object WindowQueries {
         ntile(4).over(wq).cast("long").as("quartile"),
         count(lit(1)).over(wr).as("n_in_band"))
       .orderBy("o_orderkey")
+  }
+
+  /** Time-series densify + forward-fill (LOCF): per-user hourly grid
+    * spanning that user's OWN activity window, hours with no events carry
+    * the last observed value forward — the gap-filling pass that feeds any
+    * resampled feature pipeline.
+    *
+    * Scale shape: the grid is `sequence(min_h, max_h)` per user — bounded
+    * by each user's activity span, never a global users×hours cross
+    * product — and the span aggregate is computed from the ALREADY
+    * hour-compressed frame, so the raw events shuffle once. Every stage
+    * (hourly agg, grid join, fill window) distributes on user_id.
+    * Determinism: hour ids are integer epoch-µs division (`unix_micros
+    * div 3.6e9` — the same floor DuckDB's `//` applies); the hourly
+    * representative is `max_by(value, event_id)` with the unique event_id
+    * as the order key; the filled value is the unmodified parquet double,
+    * so the output carries no arithmetic that could diverge. */
+  def windowFfill(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("value"), col("event_id")).as("hval"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), (col("h") * 3600000000L).as("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("hval"), ignoreNulls = true).over(w).as("val"))
+      .orderBy("user_id", "hour_us")
   }
 }

@@ -145,4 +145,61 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
         r.getLong(3), r.getLong(4)))
     assert(rows.toSeq === Seq((0L, 3L, 300L, 0L, 2L), (1L, 1L, 100L, 3L, 3L)))
   }
+
+  test("ffill grid is contiguous per user and gaps carry the last value") {
+    val rows = graft.operators.WindowQueries.windowFfill(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hour_us"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("val")))
+    assert(rows.nonEmpty)
+    // The fixture's per-user event streams are sparse at hourly
+    // granularity, so real gaps must exist — otherwise the query under
+    // test degenerates to the plain hourly aggregate.
+    assert(rows.exists(_._3 == 0L), "no gap hours — fixture degenerate")
+    rows.groupBy(_._1).foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // Grid spans [min,max] with no holes.
+      sorted.map(_._2).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a === 3600000000L,
+          s"user $user: grid hole between $a and $b")
+        case _ => ()
+      }
+      // The span starts at the user's first active hour.
+      assert(sorted.head._3 > 0L, s"user $user: leading gap row")
+      // LOCF: a gap hour repeats the previous hour's value, never null.
+      sorted.zip(sorted.tail).foreach { case (prev, cur) =>
+        if (cur._3 == 0L)
+          assert(cur._4 === prev._4,
+            s"user $user hour ${cur._2}: gap value not carried forward")
+      }
+    }
+  }
+
+  test("chunk dedup agrees with the chunk inventory's duplicate groups") {
+    val inv = graft.operators.TextQueries.textChunk(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("chunk_md5"))
+    val expected = inv.collect {
+      case (md5, rs) if rs.length > 1 =>
+        md5 -> (rs.length.toLong, rs.map(_.getAs[Long]("doc_id")).distinct
+          .length.toLong, rs.map(_.getAs[Long]("doc_id")).min)
+    }
+    val got = graft.operators.TextQueries.chunkDedup(spark, sfDir).collect()
+      .map(r => r.getAs[String]("chunk_md5") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("first_doc"))).toMap
+    assert(got === expected.toMap)
+  }
+
+  test("null-safe join keeps NULL keys as one real cross-matched group") {
+    val rows = graft.operators.JoinQueries.joinNullSafe(spark, sfDir)
+      .collect()
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length === 1, "exactly one NULL-key group")
+    val r = nullRow.head
+    // The NULL group is a full cross-match of the keyless entities —
+    // the rows a plain equi join would silently drop.
+    assert(r.getAs[Long]("n_pairs") ===
+      r.getAs[Long]("n_supp") * r.getAs[Long]("n_cust"))
+    assert(r.getAs[Long]("n_supp") >= 1L && r.getAs[Long]("n_cust") >= 1L)
+  }
 }

@@ -247,6 +247,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("*("), s"chunk pipeline not codegen'd:\n$plan")
   }
 
+  test("q_embed_quantize is a pure scan stage: only the sort exchanges") {
+    // The SURVEY row claims quantization is map-only HOF arithmetic; hold
+    // it to that: no hash-partitioned exchange may appear — the single
+    // allowed exchange is the declared ORDER BY's range partitioning.
+    val plan = finalPlanString(SimilarityQueries.embedQuantize(spark, sfDir))
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx === 0, s"quantize shuffled:\n$plan")
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$plan")
+  }
+
   test("q_text_pii runs entirely in the scan stage (no exchange)") {
     // Redaction + counting are row-local codegen'd expressions; the only
     // allowed exchange is the final ORDER BY's range partitioning.

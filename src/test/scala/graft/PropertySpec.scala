@@ -237,4 +237,36 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         f"minhash estimate $est%.2f far from jaccard $jac%.2f")
     }
   }
+
+  test("int8 quantization: error ≤ half a step, absmax element saturates") {
+    // q = floor(x·127/scale + 0.5) is nearest-int, so per-element
+    // reconstruction error is bounded by step/2 = scale/254; the element
+    // whose |x| equals scale maps to exactly ±127, so n_sat ≥ 1 always.
+    val rows = SimilarityQueries.embedQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Long]("n_sat") >= 1L,
+        s"vec ${r.get(0)}: absmax element must saturate")
+      // +5e-7: max_err is surfaced rounded to 6dp, which can round UP
+      // across the analytic bound by up to half the last decimal place.
+      assert(r.getAs[Double]("max_err") <= scale / 254 + 5e-7 + 1e-9,
+        s"vec ${r.get(0)}: max_err ${r.getAs[Double]("max_err")} " +
+          s"exceeds half-step ${scale / 254}")
+      assert(r.getAs[Double]("mean_err") <= r.getAs[Double]("max_err"))
+    }
+  }
+
+  test("count-min sketch never undercounts (one-sided error contract)") {
+    // CMS cells only ever ADD colliding mass, so min-over-rows is ≥ the
+    // true count for every item — the defining one-sided guarantee.
+    val rows = TextQueries.freqCms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_true"),
+        s"token ${r.getString(0)} undercounted")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("n_est") - r.getAs[Long]("n_true"))
+    }
+  }
 }
