@@ -300,6 +300,65 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join null-extends at eviction") {
+    // The left-outer completion of the interval-join family: a matched
+    // click emits immediately (inner semantics), but an UNMATCHED click
+    // can only emit once the global watermark passes its interval end —
+    // "no match can ever arrive" is provable exactly at eviction time, so
+    // the null-extended row appears late by construction. Same bounded
+    // state as the inner join: both sides watermarked, both event times
+    // bounded by the join condition.
+    import spark.implicits._
+    val clicksMs = MemoryStream[Event](
+      org.apache.spark.sql.Encoders.product[Event], spark)
+    val purchMs = MemoryStream[Event](
+      org.apache.spark.sql.Encoders.product[Event], spark)
+    val clicks = clicksMs.toDF()
+      .select(col("event_id").as("c_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = purchMs.toDF()
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val (q, name) = startToMemory(joined, OutputMode.Append())
+    try {
+      // b1: click 1 (uid 7) gets its purchase in-batch → inner-style
+      // match; click 2 (uid 9) has no purchase — and must NOT null-extend
+      // yet, because a matching purchase could still arrive.
+      clicksMs.addData(ev(1, "2024-01-01 10:00:00", uid = 7),
+        ev(2, "2024-01-01 10:00:00", uid = 9))
+      purchMs.addData(ev(3, "2024-01-01 10:05:00", uid = 7))
+      q.processAllAvailable()
+      val afterB1 = spark.table(name).collect()
+      assert(afterB1.count(r => r.getAs[Long]("c_id") == 1L &&
+        !r.isNullAt(r.fieldIndex("p_id"))) === 1, "matched click must emit")
+      assert(!afterB1.exists(_.getAs[Long]("c_id") == 2L),
+        "unmatched click emitted before its interval closed")
+      // b2: both streams jump to noon (matched pair for uid 8 keeps the
+      // output deterministic) → global watermark min(12:00,12:05)−30 min
+      // = 11:30 passes click 2's interval end 10:10 → its state evicts
+      // and the null-extended row flushes (nudge batch lets it surface).
+      clicksMs.addData(ev(4, "2024-01-01 12:00:00", uid = 8))
+      purchMs.addData(ev(5, "2024-01-01 12:05:00", uid = 8))
+      q.processAllAvailable()
+      clicksMs.addData(ev(6, "2024-01-01 12:10:00", uid = 8))
+      purchMs.addData(ev(7, "2024-01-01 12:15:00", uid = 8))
+      q.processAllAvailable()
+      val c2rows = spark.table(name).collect()
+        .filter(_.getAs[Long]("c_id") == 2L)
+      assert(c2rows.length === 1,
+        s"unmatched click must null-extend exactly once: ${c2rows.length}")
+      assert(c2rows.head.isNullAt(c2rows.head.fieldIndex("p_id")),
+        "null-extension must carry null purchase columns")
+    } finally q.stop()
+  }
+
   test("q_stream_stateful is state-store-provider-agnostic (RocksDB)") {
     // The default HDFSBackedStateStoreProvider keeps every key's state
     // on-heap — the first casualty at production state sizes. The query
