@@ -32,6 +32,7 @@ object SparkEntry {
       PivotQueries.queries ++
       SqlQueries.queries ++
       StatsQueries.queries ++
+      CurateQueries.queries ++
       GraphQueries.queries ++
       graft.sources.SourceQueries.queries ++
       graft.multimodal.MediaQueries.queries
@@ -52,6 +53,7 @@ object SparkEntry {
       PivotQueries.oracle ++
       SqlQueries.oracle ++
       StatsQueries.oracle ++
+      CurateQueries.oracle ++
       GraphQueries.oracle ++
       graft.sources.SourceQueries.oracle ++
       graft.multimodal.MediaQueries.oracle

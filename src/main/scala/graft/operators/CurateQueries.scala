@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Corpus-curation operators (SURVEY §2.8 extension rows): the
+  * dataset-assembly passes a training-data pipeline runs AROUND the
+  * content-level text/dedup work — split assignment, per-source caps,
+  * incremental ingest dedup, and embedding-column health stats.
+  *
+  * Extension surface: the reference (a 113-line Kafka echo,
+  * /root/reference/main.py) has no curation of any kind; these rows are
+  * BASELINE.json north-star mandate ("dedup, similarity search,
+  * multimodal columns, text analysis" — the pipeline these ops assemble).
+  *
+  * Scale design (100 TB):
+  *   - `q_split_hash` is a pure row-local hash predicate (the
+  *     q_sample_hash family): no shuffle, no coordination, and the split
+  *     is STABLE — a document's assignment never changes as the corpus
+  *     grows, which is the property that keeps eval sets uncontaminated
+  *     across corpus versions;
+  *   - `q_domain_cap` selects in md5 order, not ingest order — the kept
+  *     set per source is an unbiased deterministic sample. The
+  *     `row_number` window partitions by source; a mega-source would
+  *     serialize its partition, and the in-repo skew-proof alternative at
+  *     identical semantics is the bounded-heap TopKAggregator
+  *     (q_topk_grouped) which never sorts more than cap rows per task;
+  *   - `q_dedup_incremental` is the daily-ingest shape: cost scales with
+  *     the DELTA, not the corpus. The base fingerprint set is
+  *     distinct-reduced once; in production it is a bucketed-by-
+  *     fingerprint index table (the q_join_bucketed layout) so only the
+  *     delta shuffles, with a bloom prefilter as the cheap first pass
+  *     (ScaleOpsSpec pins Spark's runtime bloom-filter injection on
+  *     exactly this join shape);
+  *   - `q_embed_stats` folds each vector to its norm inside the scan
+  *     stage (`aggregate` HOF, codegen'd) — the only shuffle is the final
+  *     per-label agg over scalar columns, never the vectors themselves.
+  */
+object CurateQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_hash"        -> splitHash _,
+    "q_domain_cap"        -> domainCap _,
+    "q_dedup_incremental" -> dedupIncremental _,
+    "q_embed_stats"       -> embedStats _
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Same md5 hex-prefix arithmetic as q_sample_hash: the first hex
+    // nibble partitions [0,f] into train (0-b, 12/16), val (c-d, 2/16),
+    // test (e-f, 2/16) — disjoint and complete by construction.
+    "q_split_hash" ->
+      """WITH assigned AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+        |              IN ('c', 'd') THEN 'val'
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+        |              IN ('e', 'f') THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // md5(doc_id) is collision-free on this key space in practice and
+    // doc_id breaks any residual tie, so the rank order is total and
+    // identical in both engines.
+    "q_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // Same normalization as q_dedup_exact (lower + space-collapse + trim);
+    // intra-delta duplicates stay "new" by declared semantics — this op
+    // dedups the delta against the BASE only (q_dedup_exact handles
+    // within-batch).
+    "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |base AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 <> 0),
+        |delta AS (SELECT * FROM fp WHERE doc_id % 4 = 0)
+        |SELECT delta.lang, CAST(count(*) AS BIGINT) AS n_delta,
+        |  CAST(count(base.fp) AS BIGINT) AS n_dup,
+        |  CAST(count(*) - count(base.fp) AS BIGINT) AS n_new
+        |FROM delta LEFT JOIN base ON delta.fp = base.fp
+        |GROUP BY delta.lang ORDER BY delta.lang""".stripMargin,
+    // Per-vector L2 norm with double accumulation (float→double cast is
+    // exact; only the 64-term sum order differs between engines, ~1e-13
+    // relative — absorbed by 4-dp rounding).
+    "q_embed_stats" ->
+      """WITH comp AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |pervec AS (
+        |  SELECT vec_id, label, sqrt(sum(x * x)) AS nrm,
+        |    sum(x) / 64 AS mean_comp
+        |  FROM comp GROUP BY vec_id, label)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm,
+        |  round(avg(mean_comp), 4) AS avg_mean_comp
+        |FROM pervec GROUP BY label ORDER BY label""".stripMargin
+  )
+
+  private def hex1(c: org.apache.spark.sql.Column) =
+    substring(md5(c.cast("string").cast("binary")), 1, 1)
+
+  /** Deterministic train/val/test assignment (12/2/2 sixteenths) from the
+    * first hex nibble of md5(doc_id), with per-(split, lang) stats. The
+    * assignment is row-local — the predicate runs in the scan stage and
+    * the single shuffle is the stats agg. */
+  def splitHash(s: SparkSession, d: String): DataFrame = {
+    val h = hex1(col("doc_id"))
+    documents(s, d)
+      .select(
+        when(h.isin("c", "d"), "val")
+          .when(h.isin("e", "f"), "test")
+          .otherwise("train").as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** Per-source document cap: keep the 10 md5-first docs per source (an
+    * unbiased deterministic sample, not ingest-order bias). Window
+    * partitions by source; see the object scaladoc for the bounded-heap
+    * alternative under source skew. */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+        col("doc_id"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 10)
+      .orderBy("source", "rk")
+  }
+
+  /** Incremental exact dedup: the delta batch (doc_id ≡ 0 mod 4) is
+    * fingerprinted with q_dedup_exact's normalization and LEFT-JOIN
+    * flagged against the distinct base-corpus fingerprints; per-lang
+    * new/dup counts. Cost scales with the delta — the base side is
+    * distinct-reduced once (bucketed index + bloom prefilter at
+    * production scale, see object scaladoc). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d).select(
+      col("doc_id"), col("lang"),
+      md5(trim(regexp_replace(lower(col("text")), " +", " "))
+        .cast("binary")).as("fp"))
+    val base = fp.filter(col("doc_id") % 4 =!= 0).select("fp").distinct()
+      .withColumn("dup", lit(true))
+    fp.filter(col("doc_id") % 4 === 0)
+      .join(base, Seq("fp"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_delta"),
+        count_if(col("dup")).as("n_dup"),
+        (count(lit(1)) - count_if(col("dup"))).as("n_new"))
+      .orderBy("lang")
+  }
+
+  /** Embedding-column health stats per label: per-vector L2 norm and mean
+    * component via a fold over the array in the scan stage (codegen'd
+    * `aggregate` HOF, double accumulation); vectors never shuffle — only
+    * their scalar summaries do. */
+  def embedStats(s: SparkSession, d: String): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val sm = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double"))
+    embeddings(s, d)
+      .select(col("label"), sqrt(sq).as("nrm"), (sm / 64).as("mean_comp"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"),
+        round(avg("mean_comp"), 4).as("avg_mean_comp"))
+      .orderBy("label")
+  }
+}

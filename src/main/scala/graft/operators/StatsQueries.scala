@@ -34,7 +34,8 @@ object StatsQueries {
     "q_sample_hash"     -> sampleHash _,
     "q_sample_stratified" -> sampleStratified _,
     "q_agg_sketch"      -> aggSketch _,
-    "q_agg_mode"        -> aggMode _
+    "q_agg_mode"        -> aggMode _,
+    "q_event_funnel"    -> eventFunnel _
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,7 +104,34 @@ object StatsQueries {
         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_sampled,
         |  round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 4) AS realized_rate
-        |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
+    // Funnel stage per user: first view, first click AT OR AFTER that
+    // view, first purchase at or after that click. Timestamps in the
+    // testdata carry no sub-microsecond precision (Tables.scala), so the
+    // µs-truncated Spark comparisons agree with DuckDB's ns ones.
+    "q_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CASE WHEN p.user_id IS NOT NULL THEN '3_purchase'
+        |            WHEN c.user_id IS NOT NULL THEN '2_click'
+        |            WHEN v.user_id IS NOT NULL THEN '1_view'
+        |            ELSE '0_none' END AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |GROUP BY stage ORDER BY stage""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -192,6 +220,39 @@ object StatsQueries {
         .as("approx_users"))
       .unionByName(global)
       .orderBy("event_type")
+  }
+
+  /** Ordered-event funnel per user — view → first click at-or-after it →
+    * first purchase at-or-after that click — with users counted by the
+    * deepest stage reached. Three aggregations and two joins, ALL keyed on
+    * user_id: one hash partitioning serves every stage (Catalyst reuses
+    * the exchange), and no per-user sort ever happens — the "first event
+    * after X" is a conditional min, not a window over ordered rows, which
+    * is what keeps the funnel linear at 100 TB event volumes. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        when(col("p_ts").isNotNull, "3_purchase")
+          .when(col("c_ts").isNotNull, "2_click")
+          .when(col("v_ts").isNotNull, "1_view")
+          .otherwise("0_none").as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
   }
 
   /** Deterministic ~1/8 sample of lineitem: keep rows whose md5 of the

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CurateQueries, StatsQueries}
+
+/** Invariants for the corpus-curation rows (SURVEY §2.8) and the event
+  * funnel — properties the DuckDB hash-match cannot express: partition
+  * completeness, cap bounds, count conservation, and cross-checks against
+  * independent formulations. */
+class CurateSpec extends AnyFunSuite with SparkFixture {
+
+  test("q_split_hash partitions the corpus: disjoint, complete, stable") {
+    val out = CurateQueries.splitHash(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === total,
+      "split assignment must cover every doc exactly once")
+    val splits = out.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // Stability: the assignment is a pure function of doc_id, so a rerun
+    // is byte-identical (no sampling nondeterminism).
+    assert(CurateQueries.splitHash(spark, sfDir).collect().toSeq ===
+      out.toSeq)
+  }
+
+  test("q_domain_cap keeps at most 10 per source, exactly min(10, n)") {
+    val out = CurateQueries.domainCap(spark, sfDir)
+    assert(out.filter(col("rk") > 10).isEmpty)
+    val kept = out.groupBy("source").agg(count(lit(1)).as("n_kept"))
+    val expect = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(least(count(lit(1)), lit(10L)).as("n_exp"))
+    val bad = kept.join(expect, "source")
+      .filter(col("n_kept") =!= col("n_exp"))
+    assert(bad.isEmpty, "per-source kept count must be min(cap, n)")
+  }
+
+  test("q_dedup_incremental conserves counts and matches a direct recount") {
+    val out = CurateQueries.dedupIncremental(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup") + r.getAs[Long]("n_new") ===
+        r.getAs[Long]("n_delta"), s"dup+new must equal delta in $r")
+    }
+    // Independent recount of the dup side via a LEFT SEMI join (different
+    // join type, same semantics).
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      md5(trim(regexp_replace(lower(col("text")), " +", " "))
+        .cast("binary")).as("fp"))
+    val nDupSemi = docs.filter(col("doc_id") % 4 === 0)
+      .join(docs.filter(col("doc_id") % 4 =!= 0).select("fp"),
+        Seq("fp"), "left_semi")
+      .count()
+    assert(out.map(_.getAs[Long]("n_dup")).sum === nDupSemi)
+  }
+
+  test("q_embed_stats norms are ordered and counts conserve") {
+    val out = CurateQueries.embedStats(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum ===
+      Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      val (mn, av, mx) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("avg_norm"), r.getAs[Double]("max_norm"))
+      assert(mn > 0.0 && mn <= av && av <= mx,
+        s"norm ordering violated in $r")
+    }
+  }
+
+  test("q_event_funnel counts every user exactly once, stages ordered") {
+    val out = StatsQueries.eventFunnel(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum === users,
+      "every user lands in exactly one deepest-stage bucket")
+    assert(out.map(_.getAs[String]("stage")).toSet
+      .subsetOf(Set("0_none", "1_view", "2_click", "3_purchase")))
+    // Funnel containment, recomputed independently: users with a
+    // qualifying purchase chain must also have a qualifying click chain.
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("v_ts"))
+      .select("user_id").distinct()
+    val nClickPlus = c.count()
+    val reached23 = out.filter(r => Set("2_click", "3_purchase")
+      .contains(r.getAs[String]("stage")))
+      .map(_.getAs[Long]("n_users")).sum
+    assert(reached23 === nClickPlus,
+      "stage>=click population must equal the independent recount")
+  }
+}

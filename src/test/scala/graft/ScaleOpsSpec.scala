@@ -154,4 +154,34 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
         s"AQE did not split the skewed partition:\n$plan")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("runtime bloom filter injects on the selective shuffled join") {
+    // The third runtime-filtering tool next to DPP and AQE skew handling:
+    // a selective predicate on the build side of a shuffled equi-join gets
+    // compiled into a bloom filter that prunes the probe side's rows
+    // BEFORE the shuffle — at 100 TB this is the difference between
+    // shuffling the full fact table and shuffling the ~matching slice
+    // (this is also q_dedup_incremental's cheap first pass: delta
+    // fingerprints prefiltered against the base index). Thresholds scaled
+    // to fixture size: the application-side floor drops to 0 so the tiny
+    // fixture scan qualifies; everything else is stock.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, sfDir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      assert(joined.count() > 0)
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter injected on the probe side:\n$optimized")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
