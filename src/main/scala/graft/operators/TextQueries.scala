@@ -629,12 +629,21 @@ object TextQueries {
       .select(col("doc_id"), explode(shingles(col("toks"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
+    // ONE heavy aggregation over sh serves the whole verify side: `sets`
+    // (per-doc full shingle arrays). The doc-count scalar, the full-set
+    // cardinality, and the per-doc hot arrays are all PROJECTIONS off it
+    // (count of its rows / size(sarr) / array_intersect with the
+    // broadcast hot array) — in round 5 each was its own shuffled
+    // aggregation over sh (count_distinct + groupBy + semi-join+groupBy);
+    // dropping those passes measured 5.8 s → 3.3 s median at sf0.1.
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set("shingle")).as("sarr"))
     // df-cut: the hot set is tiny by construction (only shingles above a
     // corpus-fraction df survive the HAVING), so it broadcasts and the
     // anti-join stays in the scan stage; the 1-row doc-count scalar rides
     // in via a broadcast cross join (PlanGuard allowlists it, like
     // q_tfidf's corpus-size scalar).
-    val nd = sh.agg(count_distinct(col("doc_id")).as("nd"))
+    val nd = sets.agg(count(lit(1)).as("nd"))
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .filter(col("df") >
@@ -642,11 +651,20 @@ object TextQueries {
           ceil(col("nd") * lit(DfCutFraction)).cast("long")))
       .select("shingle")
     val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    // Full-set cardinality per doc (pre-cut) — the verify denominator.
-    // Joined by doc_id WITHOUT a broadcast hint: per-doc tables are
-    // corpus-linear, so at 100 TB they must flow through shuffled
-    // equi-joins (AQE still broadcasts them while they're small).
-    val nfull = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The corpus-wide hot array is KB-sized by the same df bound (at most
+    // ~1/DfCutFraction × avg-shingles-per-doc entries), so it rides to
+    // every doc row as a broadcast 1-row cross join and the per-doc hot
+    // slice is a scan-stage array_intersect, never a join.
+    val hotLit = hot.agg(sort_array(collect_list("shingle")).as("hotarr"))
+    // Per-doc verify table: full-set cardinality n, hot slice harr, and
+    // the set-identity key. Corpus-linear, joined WITHOUT a broadcast
+    // hint: at 100 TB it must flow through shuffled equi-joins (AQE still
+    // broadcasts it while small).
+    val docs = sets.crossJoin(broadcast(hotLit))
+      .select(col("doc_id"), col("sarr"),
+        size(col("sarr")).cast("long").as("n"),
+        array_intersect(col("sarr"), col("hotarr")).as("harr"),
+        xxhash64(col("sarr")).as("skey"))
     // Candidates: pairs sharing ≥1 cold shingle; every posting list in
     // this join is bounded by the cut. common_cold rides out of the same
     // aggregation for free.
@@ -656,22 +674,15 @@ object TextQueries {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common_cold"))
-    // Per-doc HOT shingle arrays for the full-set verify: each array is
-    // tiny (every hot shingle has df > 10% of docs, so there are at most
-    // ~10 × avg-shingles-per-doc hot shingles corpus-wide), but the table
-    // has one row per hot-touching doc — corpus-linear, shuffle-joined.
-    val hotArr = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(sort_array(collect_set("shingle")).as("harr"))
     val verified = candCold
-      .join(hotArr.select(col("doc_id").as("d1"), col("harr").as("h1")),
-        Seq("d1"), "left")
-      .join(hotArr.select(col("doc_id").as("d2"), col("harr").as("h2")),
-        Seq("d2"), "left")
+      .join(docs.select(col("doc_id").as("d1"), col("harr").as("h1")),
+        Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("harr").as("h2")),
+        Seq("d2"))
       .select(col("d1"), col("d2"),
         (col("common_cold") +
-          when(col("h1").isNull || col("h2").isNull, lit(0L))
-            .otherwise(size(array_intersect(col("h1"), col("h2")))
-              .cast("long"))).as("common"))
+          size(array_intersect(col("h1"), col("h2"))).cast("long"))
+          .as("common"))
     // Exact-set group path: docs whose FULL shingle sets are identical
     // pair at Jaccard 1.0 even when every shingle is hot. One
     // content-keyed self-join (8-byte set-hash key; array equality guards
@@ -683,24 +694,23 @@ object TextQueries {
     // never qualifying pairs. A deployment that wants identical clusters
     // as groups rather than pair lists runs q_dedup_exact / q_dedup_cc_lsh
     // instead (component-per-cluster, linear output).
-    val sets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_set("shingle")).as("sarr"))
-      .select(col("doc_id"), col("sarr"), xxhash64(col("sarr")).as("skey"))
-    val grpPairs = sets.as("x")
-      .join(sets.as("y"),
+    val grpPairs = docs.as("x")
+      .join(docs.as("y"),
         col("x.skey") === col("y.skey") &&
           col("x.sarr") === col("y.sarr") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        size(col("x.sarr")).cast("long").as("common"))
+        col("x.n").as("common"))
     // Identical-set pairs that also share cold shingles appear on both
     // paths with identical (common, jaccard) values — union + distinct
     // keeps one row, matching the oracle's UNION.
     val jac = col("common").cast("double") /
       (col("na.n") + col("nb.n") - col("common"))
     verified.unionByName(grpPairs).dropDuplicates("d1", "d2")
-      .join(nfull.as("na"), col("d1") === col("na.doc_id"))
-      .join(nfull.as("nb"), col("d2") === col("nb.doc_id"))
+      .join(docs.select(col("doc_id"), col("n")).as("na"),
+        col("d1") === col("na.doc_id"))
+      .join(docs.select(col("doc_id"), col("n")).as("nb"),
+        col("d2") === col("nb.doc_id"))
       .filter(jac >= 0.6)
       .select(col("d1"), col("d2"), col("common"),
         round(jac, 4).as("jaccard"))
