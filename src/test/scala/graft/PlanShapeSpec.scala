@@ -269,4 +269,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // settled AQE plan rendering.
     assert(plan.contains("*(1)"), s"projection not codegen'd:\n$plan")
   }
+
+  test("q_embed_stats folds vectors to norms on the scan, pre-shuffle") {
+    // The per-vector L2 fold must sit in a Project DIRECTLY over the
+    // FileScan — vectors are reduced to scalars before any exchange, so
+    // the embedding column itself never shuffles.
+    val plan = finalPlanString(CurateQueries.embedStats(spark, sfDir))
+    val lines = plan.linesIterator.toSeq
+    val fold = lines.indexWhere(_.contains("aggregate(embedding"))
+    assert(fold >= 0, s"no array fold in plan:\n$plan")
+    // Directly over the scan = only the columnar-batch boundary may sit
+    // between the fold Project and the FileScan.
+    assert(lines.drop(fold + 1).take(2).exists(_.contains("FileScan")),
+      s"fold not directly over the scan:\n$plan")
+    assert(!lines.exists(l =>
+      l.contains("Exchange") && l.contains("embedding")),
+      s"embedding column crossed an exchange:\n$plan")
+  }
+
+  test("q_event_funnel never windows over per-user event sequences") {
+    // The "first event after X" must be a conditional min agg — a Window
+    // formulation would sort every user's EVENTS by time. (Sort nodes per
+    // se are allowed: a sort-merge join of the per-user AGGREGATES sorts
+    // one row per user, which scales; a Window over (user_id, ts) sorts
+    // every event, which is the formulation this test forbids.)
+    val plan = finalPlanString(StatsQueries.eventFunnel(spark, sfDir))
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Sort [user_id") && l.contains("ts#")),
+      s"per-event (user, ts) sort crept in:\n$plan")
+  }
+
+  test("q_split_hash assigns splits in the scan stage, one agg shuffle") {
+    // The split label is a row-local md5 projection: the only exchanges
+    // are the stats agg and the declared ORDER BY.
+    val plan = finalPlanString(CurateQueries.splitHash(spark, sfDir))
+    assert(plan.contains("partial"), "no map-side partial aggregation")
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+  }
 }
