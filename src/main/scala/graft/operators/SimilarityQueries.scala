@@ -41,7 +41,8 @@ object SimilarityQueries {
     "q_dedup_simhash" -> dedupSimhash _,
     "q_ann_ivf"       -> annIvf _,
     "q_ann_rp"        -> annRp _,
-    "q_embed_quantize" -> embedQuantize _
+    "q_embed_quantize" -> embedQuantize _,
+    "q_dedup_semantic" -> dedupSemantic _
   )
 
   val oracle: Map[String, String] = Map(
@@ -446,6 +447,51 @@ object SimilarityQueries {
     * probability while the expected bucket fraction is ~2^-bits per
     * table). Recall/candidate-fraction invariants: PropertySpec-adjacent
     * coverage in StatsGraphSpec; no SQL oracle (hash-family-specific). */
+  /** Sign bits for [[dedupSemantic]]'s clustering (first [[SemBits]] of
+    * the rpPlanes family): 4 bits → 16 clusters. The bit count is the
+    * cluster-size dial — pair work is Σ nc², so more bits = smaller
+    * clusters = less work and a tighter (more approximate) dedup. */
+  val SemBits = 4
+
+  /** Cosine threshold for [[dedupSemantic]] — same regime as
+    * [[dedupEmbed]]'s exact baseline so the spec can compare them. */
+  val SemTau = 0.4
+
+  /** SemDeDup-shape semantic dedup: cluster with a deterministic sign
+    * hash, then discard any vector that has a LOWER-id same-cluster
+    * vector at cosine ≥ [[SemTau]] (the min-id canonical convention of
+    * q_dedup_exact). Comparisons exist only INSIDE clusters — the join
+    * key is the cluster id, so the pair space is Σ nc² and the cluster
+    * count (2^SemBits) is the knob that holds nc at a fixed target as the
+    * corpus grows. The published shape uses k-means clusters; the sign
+    * hash is the same plumbing with a fixed codebook (and is what you run
+    * BEFORE a codebook exists). Vs q_dedup_embed (exact, all-pairs
+    * blocked): this trades cross-cluster recall for cluster-local cost —
+    * the production default at 100 TB.
+    *
+    * Rows-only by §2 design (hash-family-specific clustering); CurateSpec
+    * recomputes the discard set via an independent max-cosine formulation
+    * and checks both directions of the keep contract. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val sig = (0 until SemBits).map { b =>
+      when(dot(col("embedding"), typedlit(rpPlanes(b))) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val cl = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), sig.as("cluster"))
+    val dup = cl.as("a")
+      .join(cl.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= SemTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    cl.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   def annRp(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     def tableSig(t: Int): Column =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CurateQueries, StatsQueries}
+import graft.operators.{CurateQueries, SimilarityQueries, StatsQueries}
 
 /** Invariants for the corpus-curation rows (SURVEY §2.8) and the event
   * funnel — properties the DuckDB hash-match cannot express: partition
@@ -88,5 +88,31 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
       .map(_.getAs[Long]("n_users")).sum
     assert(reached23 === nClickPlus,
       "stage>=click population must equal the independent recount")
+  }
+
+  test("q_dedup_semantic keep contract holds in both directions") {
+    // Independent recompute: per vector, the MAX cosine to any lower-id
+    // same-cluster vector (a different formulation than the query's
+    // distinct-discard join). keep must be exactly (max < tau or none).
+    val out = SimilarityQueries.dedupSemantic(spark, sfDir)
+    val cl = out.select("vec_id", "cluster")
+      .join(Tables.embeddings(spark, sfDir), "vec_id")
+    val maxCos = cl.as("a")
+      .join(cl.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(max(graft.functions.VectorOps.cosine(
+        col("a.embedding"), col("b.embedding"))).as("mx"))
+    val check = out.join(maxCos, Seq("vec_id"), "left")
+    val wrongKept = check.filter(col("keep") &&
+      col("mx") >= SimilarityQueries.SemTau)
+    val wrongDropped = check.filter(!col("keep") &&
+      (col("mx").isNull || col("mx") < SimilarityQueries.SemTau))
+    assert(wrongKept.isEmpty && wrongDropped.isEmpty,
+      s"kept-with-dup=${wrongKept.count()} dropped-without-dup=${wrongDropped.count()}")
+    // The fixture must actually exercise both branches.
+    assert(out.filter(!col("keep")).count() > 0,
+      "no vector was deduplicated — threshold/cluster regime too loose")
   }
 }
