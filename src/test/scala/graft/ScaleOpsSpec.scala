@@ -184,4 +184,31 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
         s"no bloom filter injected on the probe side:\n$optimized")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("persisted relation serves repeat reads from the columnar cache") {
+    // The iterative-workload primitive: a dedup pipeline probes the same
+    // fingerprint index many times — persist() must turn repeat readers
+    // into InMemoryTableScans, never re-running the file scan + agg.
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    agg.persist()
+    try {
+      agg.count() // materialize the cache
+      val reread = agg.filter(col("n") >= 0)
+      reread.collect()
+      val plan = reread.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("InMemoryTableScan"),
+        s"re-read not served from cache:\n$plan")
+      // The InMemoryRelation node prints its BUILD plan (which contains
+      // the original FileScan) as part of its definition — only the
+      // active plan ABOVE it must be scan-free.
+      val active = plan.linesIterator
+        .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+      assert(!active.contains("FileScan"),
+        s"cache miss: re-read re-scanned the files:\n$plan")
+    } finally agg.unpersist()
+  }
 }
