@@ -25,7 +25,8 @@ object WindowQueries {
     "q_window_first_last"  -> windowFirstLast _,
     "q_window_trailing"    -> windowTrailing _,
     "q_window_pct"         -> windowPct _,
-    "q_window_ffill"       -> windowFfill _
+    "q_window_ffill"       -> windowFfill _,
+    "q_scd2"               -> scd2 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -121,7 +122,19 @@ object WindowQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // (o_orderdate, o_orderkey) is a total order per customer, so the
+    // lead() is deterministic; dates flow through both engines as DATE —
+    // no timezone or precision channel exists.
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
   )
 
   /** Top-3 orders per customer with all three ranking flavors; the ordering
@@ -257,5 +270,21 @@ object WindowQueries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("hval"), ignoreNulls = true).over(w).as("val"))
       .orderBy("user_id", "hour_us")
+  }
+
+  /** SCD-type-2 dimension build: the orders feed versioned per customer —
+    * each change row is valid from its own date until the next change
+    * (null = still current). One lead() per customer partition, linear at
+    * any feed size; the consumption-side twin is q_join_asof (point-in-
+    * time lookup against exactly this valid_from/valid_to shape). */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").as("valid_from"),
+        lead("o_orderdate", 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 }
