@@ -68,7 +68,19 @@ object SqlQueries {
         |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1) e
         |  ON e.day = DATE '2024-01-01' + i
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 rows per
+    // driving row — the standard SQL spelling of grouped top-k (the
+    // DataFrame twins are q_topk_grouped / q_window_rank).
+    "q_sql_lateral" ->
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_orderpriority = p.o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY p.o_orderpriority, t.o_orderkey""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
