@@ -51,7 +51,8 @@ object TextQueries {
     "q_text_chunk"       -> textChunk _,
     "q_text_pack"        -> textPack _,
     "q_chunk_dedup"      -> chunkDedup _,
-    "q_freq_cms"         -> freqCms _
+    "q_freq_cms"         -> freqCms _,
+    "q_text_pmi"         -> textPmi _
   )
 
   val oracle: Map[String, String] = Map(
@@ -245,6 +246,33 @@ object TextQueries {
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // PMI in ONE ln over a double ratio whose numerator/denominator are
+    // built with the same left-associated multiplication order as the
+    // Spark side — 4-dp rounding absorbs last-ulp libm drift (the q_tfidf
+    // precedent). The support cut (n12 >= 5) is part of the declared
+    // semantics on both engines.
+    "q_text_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS nw
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(nw) AS BIGINT) AS tt FROM uni),
+        |bgc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+        |  FROM (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |        FROM t, UNNEST(range(1, len(toks))) AS u(i))
+        |  GROUP BY w1, w2),
+        |btot AS (SELECT CAST(sum(n12) AS BIGINT) AS bb FROM bgc)
+        |SELECT w1, w2, n12,
+        |  round(ln((CAST(n12 AS DOUBLE) * tt * tt)
+        |        / (CAST(bb AS DOUBLE) * u1.nw * u2.nw)), 4) AS pmi
+        |FROM bgc
+        |JOIN uni u1 ON u1.tok = w1
+        |JOIN uni u2 ON u2.tok = w2
+        |CROSS JOIN tot CROSS JOIN btot
+        |WHERE n12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     // Same deterministic PII augmentation, the same three patterns, and
     // md5 over the fully-redacted text — the hash certifies every
     // replacement byte-for-byte. DuckDB regexp_replace is single-match
@@ -741,6 +769,44 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
+
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * token pairs, top-20 at support ≥ 5 — the classic collocation
+    * extractor one step past raw bigram counts (q_text_bigrams surfaces
+    * FREQUENT pairs; PMI surfaces pairs frequent RELATIVE to their parts).
+    *
+    * Scale shape: two count aggregations (unigram, bigram) + score joins
+    * keyed on the words — everything scales with the VOCABULARY, not the
+    * corpus, after the counts reduce (the q_text_ngram_lm shape); the two
+    * 1-row totals ride broadcast cross joins (PlanGuard allowlist). The
+    * ratio is computed in double with the identical association order on
+    * both engines, one ln, rounded 4dp (the q_tfidf determinism rule);
+    * ranking orders by the ROUNDED score with a (w1, w2) tiebreak. */
+  def textPmi(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).select(toks(col("text")).as("toks"))
+    val uni = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("nw"))
+    val tot = uni.agg(sum("nw").as("tt"))
+    val bgc = t.filter(size(col("toks")) >= 2)
+      .select(explode(ngrams(col("toks"), 2)).as("bigram"))
+      .select(
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val btot = bgc.agg(sum("n12").as("bb"))
+    bgc.filter(col("n12") >= 5)
+      .join(uni.select(col("tok").as("w1"), col("nw").as("n1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("nw").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("n12"),
+        round(log(
+          (col("n12").cast("double") * col("tt") * col("tt")) /
+            (col("bb").cast("double") * col("n1") * col("n2"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
 
   /** The end-to-end curation pipeline a training-data run actually executes:
     * quality-score every document → drop the low-quality tail → exact-dedup
