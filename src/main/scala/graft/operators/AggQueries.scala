@@ -58,13 +58,44 @@ object AggQueries {
     "q_agg_grouping_sets"   -> aggGroupingSets _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_windowed_distinct" -> aggWindowedDistinct _,
-    "q_agg_bitwise" -> aggBitwise _
+    "q_agg_bitwise" -> aggBitwise _,
+    "q_agg_bitmap" -> aggBitmap _
   )
+
+  /** EXACT distinct users per event type via mergeable bitmaps — the
+    * exact counterpart to q_agg_sketch's HLL: per-(type, shard, bucket)
+    * partial bitmaps (shard = event_id parity stands in for the daily
+    * partition of an incremental rollup), OR-merged across shards, bit
+    * counts summed over buckets. Like a sketch, partials are built once
+    * and merged at any rollup level without touching raw data again —
+    * unlike a sketch the answer is exact, at memory cost proportional to
+    * the value range (bitmap_bucket_number caps each bitmap at 4 MB, so
+    * the id universe shards across buckets instead of growing one blob).
+    * Oracled against a plain COUNT(DISTINCT) — the merge machinery must
+    * land on the exact answer. */
+  def aggBitmap(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(col("event_type"), (col("event_id") % 2).as("shard"),
+        bitmap_bucket_number(col("user_id")).as("bkt"),
+        bitmap_bit_position(col("user_id")).as("pos"))
+      .groupBy("event_type", "shard", "bkt")
+      .agg(bitmap_construct_agg(col("pos")).as("bm"))
+      .groupBy("event_type", "bkt")
+      .agg(bitmap_or_agg(col("bm")).as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bitmap_count(col("bm"))).as("n_users"))
+      .orderBy("event_type")
 
   // q_agg_approx_distinct is deliberately absent: HLL estimates are not
   // hash-matchable across engines (SURVEY §2.4); its accuracy is bounded
   // against the exact count in AggQueriesSpec instead.
   val oracle: Map[String, String] = Map(
+    // The bitmap rollup must land on the exact distinct count — the
+    // oracle is a plain COUNT(DISTINCT), no bitmap machinery needed.
+    "q_agg_bitmap" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Floor-mod ((x % m + m) % m) replicates Spark's pmod for pre-epoch
     // timestamps; plain % would bucket them one window too late.
     "q_agg_windowed_distinct" ->
