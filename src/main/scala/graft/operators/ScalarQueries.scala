@@ -32,8 +32,32 @@ object ScalarQueries {
     "q_date_arith"   -> dateArith _,
     "q_try_funcs"    -> tryFuncs _,
     "q_array_hof"    -> arrayHof _,
-    "q_explode_outer" -> explodeOuter _
+    "q_explode_outer" -> explodeOuter _,
+    "q_json_variant" -> jsonVariant _
   )
+
+  /** The Spark 4 VariantType path over `events.props`: `parse_json` to an
+    * open-schema binary variant once at the scan, typed `variant_get`
+    * extraction after — the semi-structured pattern that replaces
+    * repeated string re-parsing (q_json_extract's shape) when a column's
+    * schema drifts; `schema_of_variant` surfaces the inferred shape per
+    * row, aggregated here to prove uniformity. Oracle extracts the same
+    * values straight from the JSON text. */
+  def jsonVariant(s: SparkSession, d: String): DataFrame = {
+    val v = parse_json(col("props"))
+    graft.Tables.events(s, d)
+      .select(col("event_type"),
+        variant_get(v, "$.k", "long").as("k"),
+        schema_of_variant(v).as("vschema"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        count_distinct(col("vschema")).as("n_schemas"))
+      .orderBy("event_type")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_string_funcs" ->
@@ -140,6 +164,17 @@ object ScalarQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // The oracle needs no variant machinery: the same values come straight
+    // off the JSON text, and every props row carries one BIGINT field so
+    // the per-type schema count is the constant 1.
+    "q_json_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(1 AS BIGINT) AS n_schemas
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
