@@ -202,4 +202,34 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       r.getAs[Long]("n_supp") * r.getAs[Long]("n_cust"))
     assert(r.getAs[Long]("n_supp") >= 1L && r.getAs[Long]("n_cust") >= 1L)
   }
+
+  test("bitmap distinct-count survives bucket boundaries (multi-bucket)") {
+    // q_agg_bitmap's fixture ids may all land in bucket 1 — this pins the
+    // cross-bucket path: ids straddling the 32768-bit bucket width must
+    // still sum to the exact distinct count, including the id exactly ON
+    // the boundary and a duplicate in each bucket.
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 2L, 32767L, 32768L, 32769L, 65536L, 65536L, 1L)
+    val n = ids.toDF("id")
+      .select(bitmap_bucket_number(col("id")).as("bkt"),
+        bitmap_bit_position(col("id")).as("pos"))
+      .groupBy("bkt")
+      .agg(bitmap_construct_agg(col("pos")).as("bm"))
+      .agg(sum(bitmap_count(col("bm"))).as("n"))
+      .collect().head.getLong(0)
+    assert(n === ids.distinct.size.toLong,
+      s"bitmap rollup lost ids across buckets: $n")
+  }
+
+  test("variant_get on a missing key is null, not an error") {
+    // The schema-drift contract q_json_variant relies on: a record
+    // without the field must extract as NULL (open schema), and a
+    // type-matched field must come back typed.
+    import spark.implicits._
+    val df = Seq("""{"k": 7}""", """{"other": 1}""", """{}""")
+      .toDF("props")
+      .select(variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(7L), None, None))
+  }
 }
