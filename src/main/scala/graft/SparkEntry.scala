@@ -34,6 +34,7 @@ object SparkEntry {
       StatsQueries.queries ++
       CurateQueries.queries ++
       GraphQueries.queries ++
+      TimeSeriesQueries.queries ++
       graft.sources.SourceQueries.queries ++
       graft.multimodal.MediaQueries.queries
 
@@ -55,6 +56,7 @@ object SparkEntry {
       StatsQueries.oracle ++
       CurateQueries.oracle ++
       GraphQueries.oracle ++
+      TimeSeriesQueries.oracle ++
       graft.sources.SourceQueries.oracle ++
       graft.multimodal.MediaQueries.oracle
 }

@@ -45,7 +45,8 @@ object CurateQueries {
     "q_split_hash"        -> splitHash _,
     "q_domain_cap"        -> domainCap _,
     "q_dedup_incremental" -> dedupIncremental _,
-    "q_embed_stats"       -> embedStats _
+    "q_embed_stats"       -> embedStats _,
+    "q_profile_table"     -> profileTable _
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,7 +108,38 @@ object CurateQueries {
         |  round(min(nrm), 4) AS min_norm,
         |  round(max(nrm), 4) AS max_norm,
         |  round(avg(mean_comp), 4) AS avg_mean_comp
-        |FROM pervec GROUP BY label ORDER BY label""".stripMargin
+        |FROM pervec GROUP BY label ORDER BY label""".stripMargin,
+    // One SELECT per profiled column, same metrics as the Spark stack.
+    "q_profile_table" ->
+      """SELECT 'o_custkey' AS column_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(min(o_orderkey) AS VARCHAR),
+        |  CAST(max(o_orderkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(min(o_orderstatus) AS VARCHAR),
+        |  CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |ORDER BY column_name""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -187,5 +219,37 @@ object CurateQueries {
         round(max("nrm"), 4).as("max_norm"),
         round(avg("mean_comp"), 4).as("avg_mean_comp"))
       .orderBy("label")
+  }
+
+  /** Column profiler (the pre-ingest data-quality audit: row count, null
+    * count, exact distinct cardinality, min/max per column) over the
+    * orders dimension — ONE table pass for all columns and metrics.
+    *
+    * Plan shape: a single multi-distinct aggregation. Catalyst rewrites
+    * the N `count(DISTINCT col)`s into one Expand (×N row replication)
+    * feeding one partial-aggregated shuffle, so the table is still
+    * scanned once; the wide 1-row result is then `stack`ed to one row
+    * per column. At 100 TB the exact-distinct Expand is the knob to
+    * flip: swap `countDistinct` for `approx_count_distinct` (HLL partial
+    * aggs, no Expand — the q_agg_sketch path) and the rest of the
+    * profile is unchanged. Exact is kept here because profile output
+    * feeds schema contracts (and the DuckDB twin). min/max surface as
+    * VARCHAR so the profile has one schema for every column type. */
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority",
+      "o_orderstatus")
+    val metrics = count(lit(1)).as("nr") +: cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', nr, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    orders(s, d)
+      .agg(metrics.head, metrics.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy("column_name")
   }
 }

@@ -35,7 +35,8 @@ object StatsQueries {
     "q_sample_stratified" -> sampleStratified _,
     "q_agg_sketch"      -> aggSketch _,
     "q_agg_mode"        -> aggMode _,
-    "q_event_funnel"    -> eventFunnel _
+    "q_event_funnel"    -> eventFunnel _,
+    "q_agg_linreg"      -> aggLinreg _
   )
 
   val oracle: Map[String, String] = Map(
@@ -131,7 +132,38 @@ object StatsQueries {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |       LEFT JOIN p USING (user_id)
-        |GROUP BY stage ORDER BY stage""".stripMargin
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    // Same exact-integer moments + identical double expression tree as
+    // the Spark side (see [[aggLinreg]]): sums are exact (HUGEINT here,
+    // DECIMAL(38,0) there), doubles correctly rounded from the same
+    // integers through the same ops — the match is IEEE-exact.
+    "q_agg_linreg" ->
+      """WITH xy AS (
+        |  SELECT o_orderpriority AS prio,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+        |  FROM orders),
+        |g AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS cd,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM xy GROUP BY prio),
+        |m AS (
+        |  SELECT prio, n, cd, sx, sy,
+        |    cd * sxy - sx * sy AS covn,
+        |    cd * sxx - sx * sx AS varx,
+        |    cd * syy - sy * sy AS vary
+        |  FROM g),
+        |fit AS (SELECT prio, n, cd, sx, sy, covn, varx, vary,
+        |    covn / varx AS slope FROM m)
+        |SELECT prio AS o_orderpriority, n,
+        |  round(slope, 6) AS slope_cents_day,
+        |  round((sy - slope * sx) / cd, 2) AS intercept_cents,
+        |  round((covn * covn) / (varx * vary), 6) AS r2
+        |FROM fit ORDER BY o_orderpriority""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -291,5 +323,48 @@ object StatsQueries {
         round(count_if(col("keep")).cast("double") /
           count(lit(1)).cast("double"), 4).as("realized_rate"))
       .orderBy("lang")
+  }
+
+  /** Per-priority OLS regression of order value on time (trend fitting:
+    * slope, intercept, R² of price-in-cents vs days-since-epoch) — the
+    * drift/trend primitive behind data-freshness and seasonality audits.
+    *
+    * Why not `regr_slope`/`regr_r2` (both engines have them): their
+    * streaming-covariance accumulators sum DOUBLES in partition order, so
+    * two engines (or two cluster layouts!) disagree in the low bits and
+    * the oracle would hold only to a tolerance. Instead: one map-side-
+    * combined agg of the EXACT integer moments (x = epoch days, y = price
+    * in cents via round(p·100); Σy² exceeds BIGINT at warehouse scale, so
+    * per-row BIGINT products are summed as DECIMAL(38,0) — exact), then
+    * the closed-form fit as an identical IEEE double expression tree on
+    * both engines. Also layout-independent: the answer cannot change
+    * under repartitioning, which floating accumulators do not guarantee.
+    * One shuffle (5 groups), all moments map-side combined. */
+  def aggLinreg(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val xy = orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("x"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+    val g = xy.groupBy("prio").agg(
+      count(lit(1)).as("n"),
+      count(lit(1)).cast("double").as("cd"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+      sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"))
+    g.withColumn("covn", col("cd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", col("cd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("cd") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", col("covn") / col("varx"))
+      .select(col("prio").as("o_orderpriority"), col("n"),
+        round(col("slope"), 6).as("slope_cents_day"),
+        round((col("sy") - col("slope") * col("sx")) / col("cd"), 2)
+          .as("intercept_cents"),
+        round((col("covn") * col("covn")) / (col("varx") * col("vary")), 6)
+          .as("r2"))
+      .orderBy("o_orderpriority")
   }
 }

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Time-series analytics over the event stream (SURVEY §2.5 extension):
+  * the monitoring-side queries a pipeline runs OVER its own traffic —
+  * here, volume-anomaly detection on the resampled hourly series.
+  *
+  * Extension surface: the reference (a 113-line Kafka echo,
+  * /root/reference/main.py) consumes an event stream but computes
+  * nothing over it; these rows are the BASELINE.json north-star
+  * "analytics engine" mandate applied to the stream's time axis.
+  *
+  * Cross-engine float discipline: every statistic is derived from EXACT
+  * integer sums (counts, sums of squares of counts — all BIGINT), and
+  * the double-precision arithmetic on top is written as the SAME
+  * expression tree in the Spark code and the DuckDB oracle. IEEE-754
+  * binary64 `+ - * / sqrt` are correctly rounded, so identical inputs
+  * through an identical tree give bit-identical results on both engines
+  * — rounding to 4dp at the end is then decoration, not a tolerance.
+  * (Using `stddev_samp` directly would instead compare two different
+  * accumulation orders of doubles — the class of divergence this repo's
+  * oracles avoid by construction.)
+  */
+object TimeSeriesQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_anomaly" -> tsAnomaly _,
+    "q_ts_acf"     -> tsAcf _
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Same exact-integer moments, same double expression tree: see
+    // [[tsAnomaly]]. sum(BIGINT) is HUGEINT in DuckDB — cast back.
+    "q_ts_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, hour_us, n,
+        |    CAST(count(*) OVER w AS BIGINT) AS c,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS s2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_type, hour_us, n,
+        |  round(CAST(c * n - s1 AS DOUBLE)
+        |    / (CAST(c AS DOUBLE)
+        |       * sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
+        |              / CAST(c * (c - 1) AS DOUBLE))), 4) AS z_score,
+        |  abs(round(CAST(c * n - s1 AS DOUBLE)
+        |    / (CAST(c AS DOUBLE)
+        |       * sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
+        |              / CAST(c * (c - 1) AS DOUBLE))), 4)) >= 3.0
+        |    AS is_anomaly
+        |FROM stats WHERE c > 1
+        |ORDER BY event_type, hour_us""".stripMargin,
+    // Exact-integer ACF (see [[tsAcf]]): d_t = c·x_t − S₁ is BIGINT, the
+    // centered products sum exactly (HUGEINT here, DECIMAL(38,0) there),
+    // and the single final division is IEEE-identical on both engines.
+    "q_ts_acf" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |cs AS (
+        |  SELECT event_type, hour_us, n,
+        |    CAST(count(*) OVER w AS BIGINT) AS c,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s1
+        |  FROM dense WINDOW w AS (PARTITION BY event_type)),
+        |dd AS (
+        |  SELECT event_type, c * n - s1 AS d,
+        |    lead(c * n - s1, 1) OVER lw AS d1,
+        |    lead(c * n - s1, 24) OVER lw AS d24
+        |  FROM cs
+        |  WINDOW lw AS (PARTITION BY event_type ORDER BY hour_us))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  round(CAST(sum(d * d1) AS DOUBLE)
+        |    / CAST(sum(d * d) AS DOUBLE), 6) AS acf_1,
+        |  round(CAST(sum(d * d24) AS DOUBLE)
+        |    / CAST(sum(d * d) AS DOUBLE), 6) AS acf_24
+        |FROM dd GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  /** Hourly volume-anomaly scan per event type: resample the stream to
+    * hourly counts, z-score each hour against its type's own
+    * distribution, flag |z| ≥ 3 — the standard volume-monitoring pass
+    * over pipeline traffic (traffic drops, ingest storms, bot bursts).
+    *
+    * Scale shape (100 TB): the corpus is touched exactly once, by the
+    * map-side-combined hourly count agg; everything after runs on the
+    * RESAMPLED series (types × hours — thousands of rows per year at any
+    * corpus size), where the per-type moment window is trivially small.
+    * The window's `partitionBy(event_type)` exchange therefore moves the
+    * aggregate, never the events. z is derived from exact BIGINT moments
+    * (see object doc); c > 1 guards the degenerate single-hour series. */
+  def tsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = events(s, d)
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+          lit(hourUs))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    val stats = hourly
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+    val z = round(
+      (col("c") * col("n") - col("s1")).cast("double")
+        / (col("c").cast("double")
+          * sqrt((col("c") * col("s2") - col("s1") * col("s1"))
+              .cast("double")
+            / (col("c") * (col("c") - 1)).cast("double"))), 4)
+    stats.filter(col("c") > 1)
+      .select(col("event_type"), col("hour_us"), col("n"),
+        z.as("z_score"), (abs(z) >= 3.0).as("is_anomaly"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** Seasonality probe: sample autocorrelation of the hourly count
+    * series per event type at lag 1 (persistence) and lag 24 (daily
+    * cycle) — the standard first look before any forecasting or
+    * periodic-capacity decision.
+    *
+    * The series is DENSIFIED first (per-type hourly grid, absent hours
+    * = 0 events — the correct reading of a count series, and what makes
+    * a positional `lead` equal a time-shift). ACF is computed without
+    * ever forming the non-integer mean: with d_t = c·x_t − S₁ (exact
+    * BIGINT), r_l = Σ d_t·d_{t+l} / Σ d_t² — the c² factors cancel, the
+    * product sums stay exact integers (summed as DECIMAL(38,0); at
+    * extreme per-hour volumes the BIGINT per-row product is the first
+    * thing to widen), and the one double division at the end is
+    * IEEE-identical on both engines.
+    *
+    * Scale shape: the corpus is touched once by the hourly count agg;
+    * the grid explode, lag window, and ACF agg all run on the resampled
+    * series (types × hours), partitioned by event_type — per-type state
+    * is bounded by the time span, never the event volume. */
+  def tsAcf(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val dec = "decimal(38,0)"
+    val hourly = events(s, d)
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+          lit(hourUs))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(hourUs)))
+          .as("hour_us"))
+    val dense = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type")
+    val lw = Window.partitionBy("event_type").orderBy("hour_us")
+    val cs = dense
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+    val dCol = col("c") * col("n") - col("s1")
+    val dd = cs.select(col("event_type"), dCol.as("d"),
+      lead(dCol, 1).over(lw).as("d1"),
+      lead(dCol, 24).over(lw).as("d24"))
+    dd.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum((col("d") * col("d1")).cast(dec)).as("num1"),
+        sum((col("d") * col("d24")).cast(dec)).as("num24"),
+        sum((col("d") * col("d")).cast(dec)).as("den"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("num1").cast("double") / col("den").cast("double"), 6)
+          .as("acf_1"),
+        round(col("num24").cast("double") / col("den").cast("double"), 6)
+          .as("acf_24"))
+      .orderBy("event_type")
+  }
+}
