@@ -25,7 +25,8 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cc" -> dedupCc _,
-    "q_dedup_cc_lsh" -> dedupCcLsh _
+    "q_dedup_cc_lsh" -> dedupCcLsh _,
+    "q_graph_pagerank" -> graphPagerank _
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +126,55 @@ object GraphQueries {
       SimilarityQueries.simPairsLsh(s, d)
         .filter(col("jaccard") >= 0.9).select("d1", "d2"),
       documents(s, d).select("doc_id"), "doc_id")
+  }
+
+  /** Link-analysis ranking over the near-dup graph: 10 synchronous
+    * PageRank iterations (reset 0.15) on the same ≥0.9-Jaccard LSH edge
+    * set as [[dedupCcLsh]], every document labeled with its rank.
+    *
+    * Why a dedup pipeline wants this: connected components says WHICH
+    * docs are duplicates; rank says WHICH COPY to keep — the
+    * best-connected member of a near-dup cluster is the most
+    * "canonical" version (partial copies and mutilated variants sit on
+    * the cluster's rim with fewer strong links), the same
+    * centrality-as-quality idea behind Common Crawl's published harmonic
+    * centrality rankings. Undirected graph → each pair feeds both
+    * directions of the directed walk.
+    *
+    * Scale design mirrors [[ccOverPairs]]: edge feed materialized once,
+    * partitions right-sized by edge count, only edge ENDPOINTS enter the
+    * iterative stage (rim of the corpus at dedup thresholds); each
+    * superstep is one indexed VertexRDD join — rank state is O(1) per
+    * vertex and the driver sees no rank data. Singletons never enter the
+    * graph and take the no-inlink fixed point 0.15 in the final join.
+    * Rows-only by §2 design (iterative float accumulation has no SQL
+    * twin); StatsGraphSpec replays the identical synchronous iteration
+    * in plain Scala and pins every vertex's rank to 1e-6. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pairs = SimilarityQueries.simPairsLsh(s, d)
+      .filter(col("jaccard") >= 0.9).select("d1", "d2")
+      .toDF("src", "dst").localCheckpoint()
+    val nEdges = pairs.count()
+    val parts = math.max(1L, (2 * nEdges + EdgesPerPartition - 1) /
+      EdgesPerPartition).toInt
+    val edgeRdd = pairs.rdd.coalesce(parts).flatMap { r =>
+      Iterator(Edge(r.getLong(0), r.getLong(1), ()),
+        Edge(r.getLong(1), r.getLong(0), ()))
+    }
+    val graph = Graph.fromEdges(edgeRdd, (),
+      edgeStorageLevel = StorageLevel.MEMORY_ONLY,
+      vertexStorageLevel = StorageLevel.MEMORY_ONLY)
+    val pr = graph.staticPageRank(numIter = 10, resetProb = 0.15)
+    val ranks = pr.vertices.toDF("doc_id", "rank").localCheckpoint()
+    pr.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    documents(s, d).select("doc_id")
+      .join(ranks, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("rank"), lit(0.15)), 6).as("rank"))
+      .orderBy("doc_id")
   }
 
   /** The shared Pregel stage: connected components over an undirected

@@ -42,7 +42,8 @@ object SimilarityQueries {
     "q_ann_ivf"       -> annIvf _,
     "q_ann_rp"        -> annRp _,
     "q_embed_quantize" -> embedQuantize _,
-    "q_dedup_semantic" -> dedupSemantic _
+    "q_dedup_semantic" -> dedupSemantic _,
+    "q_sim_batch_topk" -> simBatchTopK _
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,7 +109,34 @@ object SimilarityQueries {
         |  CAST(len(list_filter(qarr, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
         |  round(list_max(err), 6) AS max_err,
         |  round(list_sum(err) / len(err), 6) AS mean_err
-        |FROM e ORDER BY vec_id""".stripMargin
+        |FROM e ORDER BY vec_id""".stripMargin,
+    // Window-function twin of the bounded-heap aggregator: same rounded
+    // cosine (explicit double formula, like q_sim_topk's), row_number
+    // over (cos DESC, vec_id) — the tiebreak the aggregator's total
+    // order replicates.
+    "q_sim_batch_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pv
+        |  FROM embeddings WHERE vec_id % 997 = 0),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(p.pv,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.vec_id <> p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rnk
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -125,6 +153,41 @@ object SimilarityQueries {
         round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
+  }
+
+  /** Batch ANN serving: a SET of probe vectors (every 997th id — in
+    * production, the incoming query batch) scored against the corpus in
+    * ONE pass, exact top-5 per probe.
+    *
+    * The scale question this answers is per-probe top-k WITHOUT a
+    * per-probe sort: `row_number().over(partitionBy(probe))` would hash
+    * all n·k scored rows into k reducer partitions and SORT each — k
+    * serial n-row sorts at 100 TB. Instead the [[TopKSims]] bounded-heap
+    * Aggregator keeps O(5) state per probe per map task and merges
+    * partials, so the shuffle carries ≤ 5·P rows per probe (P = map
+    * partitions), never the n·k score matrix. Probes broadcast (a query
+    * batch is KBs); the corpus is scanned once, scores never
+    * materialize. Ordering is on the ROUNDED score with vec_id tiebreak
+    * — a total order, so the heap merge is deterministic and the
+    * window-function oracle ranks identically. */
+  def simBatchTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val probes = e.filter(pmod(col("vec_id"), lit(997)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+      .as[ProbeSim]
+      .groupByKey(_.probe_id)
+      .agg(new TopKSims(5).toColumn.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.vec_id").as("vec_id"),
+        col("t.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("probe_id", "rnk")
   }
 
   /** Embedding-cosine near-duplicate pairs — the exact variant. Kept as

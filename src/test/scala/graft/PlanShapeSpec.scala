@@ -308,4 +308,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
   }
+
+  test("q_profile_table multi-distinct rewrites to one Expand, one scan") {
+    // N count(DISTINCT col)s must become a single Expand feeding one
+    // partial-agg pipeline — N separate scans/aggregations would read
+    // the table N times.
+    val plan = finalPlanString(CurateQueries.profileTable(spark, sfDir))
+    assert(plan.contains("Expand"), s"no Expand rewrite:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"$scans table scans (want 1):\n$plan")
+  }
+
+  test("q_ts_anomaly touches events once; stats run on the aggregate") {
+    // One map-side-combined hourly count over the corpus; the moment
+    // window exchanges only the resampled (type, hour) aggregate.
+    val plan = finalPlanString(TimeSeriesQueries.tsAnomaly(spark, sfDir))
+    assert(plan.contains("partial"), "hourly count not map-side combined")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"$scans event scans (want 1):\n$plan")
+  }
+
+  test("q_agg_linreg is one moment aggregation, map-side combined") {
+    val plan = finalPlanString(StatsQueries.aggLinreg(spark, sfDir))
+    assert(plan.contains("partial"), "moments not map-side combined")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"$scans orders scans (want 1):\n$plan")
+    // Closed-form fit must not add exchanges beyond the group agg + sort.
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("q_sim_batch_topk shuffles heap partials, never the score matrix") {
+    // The per-probe top-k must come from the bounded-heap Aggregator
+    // (partial_ merge on the map side); a Window/row_number formulation
+    // (global per-probe sort of all n·k scores) is the anti-pattern.
+    val plan = finalPlanString(SimilarityQueries.simBatchTopK(spark, sfDir))
+    assert(!plan.contains("Window"), s"row_number window crept in:\n$plan")
+    assert(plan.contains("partial"), "heap partials not map-side merged")
+  }
 }

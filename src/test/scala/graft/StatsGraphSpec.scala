@@ -90,6 +90,63 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(keeps === labels.values.toSet.size.toLong)
   }
 
+  test("time-series invariants: z-scores center, ACF bounded") {
+    import graft.operators.TimeSeriesQueries
+    // Per type, Σ(n − mean) = 0 exactly ⇒ Σ z ≈ 0 (z is the rounded
+    // centered count over a positive constant).
+    val zs = TimeSeriesQueries.tsAnomaly(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    zs.foreach { case (t, rows) =>
+      val sumZ = rows.map(_.getDouble(3)).sum
+      assert(math.abs(sumZ) < 0.01 * rows.length,
+        s"$t z-scores don't center: $sumZ over ${rows.length}")
+      rows.foreach { r =>
+        assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) >= 3.0))
+      }
+    }
+    // Cauchy-Schwarz: |Σ d_t·d_{t+l}| ≤ Σ d_t² ⇒ |r_l| ≤ 1.
+    TimeSeriesQueries.tsAcf(spark, sfDir).collect().foreach { r =>
+      Seq(2, 3).foreach { i =>
+        if (!r.isNullAt(i))
+          assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9,
+            s"${r.getString(0)} acf out of bounds: ${r.getDouble(i)}")
+      }
+    }
+  }
+
+  test("pagerank matches a plain-Scala replay of the synchronous iteration") {
+    // Replicate GraphX staticPageRank's exact algorithm (init 1.0, then
+    // rank = 0.15 + 0.85 · Σ inbound rank/outDeg for 10 synchronous
+    // rounds) over the same ≥0.9 LSH edge set, in driver-side Scala.
+    val edges = SimilarityQueries.simPairsLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.9).select("d1", "d2").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+    assert(edges.nonEmpty, "fixture has no >=0.9 pairs — test is vacuous")
+    val outDeg = edges.groupBy(_._1).map { case (v, es) => v -> es.length }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var rank = verts.map(_ -> 1.0).toMap
+    for (_ <- 1 to 10) {
+      val msg = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      edges.foreach { case (src, dst) =>
+        msg(dst) += rank(src) / outDeg(src)
+      }
+      rank = verts.map(v => v -> (0.15 + 0.85 * msg(v))).toMap
+    }
+    val got = GraphQueries.graphPagerank(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rank.foreach { case (v, expected) =>
+      assert(math.abs(got(v) - expected) < 1e-6,
+        s"vertex $v: got ${got(v)}, replica $expected")
+    }
+    // Everything outside the edge set sits at the no-inlink fixed point.
+    val connected = verts.toSet
+    got.foreach { case (v, r) =>
+      if (!connected(v)) assert(r === 0.15, s"singleton $v rank $r")
+    }
+  }
+
   test("sign-LSH ANN: per-probe invariants and determinism") {
     val out = SimilarityQueries.annRp(spark, sfDir).collect()
     val byProbe = out.groupBy(_.getLong(0))
