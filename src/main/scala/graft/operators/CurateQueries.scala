@@ -46,7 +46,8 @@ object CurateQueries {
     "q_domain_cap"        -> domainCap _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_embed_stats"       -> embedStats _,
-    "q_profile_table"     -> profileTable _
+    "q_profile_table"     -> profileTable _,
+    "q_agg_entropy"       -> aggEntropy _
   )
 
   val oracle: Map[String, String] = Map(
@@ -139,7 +140,32 @@ object CurateQueries {
         |  CAST(min(o_orderstatus) AS VARCHAR),
         |  CAST(max(o_orderstatus) AS VARCHAR)
         |FROM orders
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+    // Same decomposition as the Spark side: H = ln(N) − Σ nᵢ·ln nᵢ / N
+    // over exact integer counts; Gini from the exact Σ nᵢ². The ln sum
+    // has one term per source (a handful) — ulp-level drift only, well
+    // inside the 4dp rounding.
+    "q_agg_entropy" ->
+      """WITH cnt AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(n * n) AS BIGINT) AS s2,
+        |    sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS slog
+        |  FROM cnt GROUP BY lang)
+        |SELECT lang, n_docs, n_sources,
+        |  round(ln(CAST(n_docs AS DOUBLE))
+        |    - slog / CAST(n_docs AS DOUBLE), 4) AS entropy,
+        |  CASE WHEN n_sources > 1 THEN
+        |    round((ln(CAST(n_docs AS DOUBLE))
+        |      - slog / CAST(n_docs AS DOUBLE))
+        |      / ln(CAST(n_sources AS DOUBLE)), 4)
+        |  END AS entropy_norm,
+        |  round(1.0 - CAST(s2 AS DOUBLE)
+        |    / CAST(n_docs * n_docs AS DOUBLE), 4) AS gini
+        |FROM g ORDER BY lang""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -223,33 +249,75 @@ object CurateQueries {
 
   /** Column profiler (the pre-ingest data-quality audit: row count, null
     * count, exact distinct cardinality, min/max per column) over the
-    * orders dimension — ONE table pass for all columns and metrics.
+    * orders dimension — one independent per-column pipeline, unioned.
     *
-    * Plan shape: a single multi-distinct aggregation. Catalyst rewrites
-    * the N `count(DISTINCT col)`s into one Expand (×N row replication)
-    * feeding one partial-aggregated shuffle, so the table is still
-    * scanned once; the wide 1-row result is then `stack`ed to one row
-    * per column. At 100 TB the exact-distinct Expand is the knob to
-    * flip: swap `countDistinct` for `approx_count_distinct` (HLL partial
-    * aggs, no Expand — the q_agg_sketch path) and the rest of the
-    * profile is unchanged. Exact is kept here because profile output
-    * feeds schema contracts (and the DuckDB twin). min/max surface as
-    * VARCHAR so the profile has one schema for every column type. */
+    * Plan shape, chosen after MEASURING the alternative: the "one pass"
+    * multi-`countDistinct` agg looks optimal but Catalyst's rewrite is an
+    * Expand (×N+1 row replication) into KEYED SortAggregates — string
+    * min/max buffers are not UnsafeRow-mutable, so the whole expanded
+    * stream gets sorted on a 5-column key, twice (2.2 s at sf0.1 for a
+    * 150k-row table). On columnar storage "one pass" is the wrong
+    * objective anyway: N single-column scans read the same bytes as one
+    * N-column scan. So: per column, ONE `groupBy(value)` count (two-phase
+    * map-side-combined hash agg — value keys may be strings, only
+    * BUFFERS must be mutable) from which every metric derives (rows =
+    * Σcnt, nulls = cnt of the null group, distinct = non-null groups,
+    * min/max over the already-distinct values in a keyless linear fold),
+    * then a 4-way union of 1-row results. No Expand, no keyed sort, each
+    * column's bytes read once. Exact distincts feed schema contracts; at
+    * extreme cardinalities the `approx_count_distinct` swap
+    * (q_agg_sketch path) drops the per-value agg for HLL partials.
+    * min/max surface as VARCHAR so one schema profiles every type. */
   def profileTable(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority",
       "o_orderstatus")
-    val metrics = count(lit(1)).as("nr") +: cols.flatMap { c =>
-      Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
-    }
-    val stackArgs = cols
-      .map(c => s"'$c', nr, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-    orders(s, d)
-      .agg(metrics.head, metrics.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
-      .orderBy("column_name")
+    cols.map { c =>
+      orders(s, d)
+        .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum("cnt").as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_nulls"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_val"),
+          max(col("v")).cast("string").as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  /** Source-mix diversity per language — Shannon entropy (and its
+    * normalized form) plus the Gini/Simpson index of the source
+    * distribution. The corpus-curation balance check: a language whose
+    * documents all come from one source (entropy → 0) is a skew risk for
+    * training-mix design; these are the metrics a mixing policy
+    * thresholds on.
+    *
+    * Determinism: H is decomposed as ln(N) − Σ nᵢ·ln nᵢ / N so every
+    * input to the float math is an EXACT integer count (no intermediate
+    * pᵢ divisions); Gini's Σ nᵢ² stays fully integer until one final
+    * division. The Σ nᵢ·ln nᵢ sum has one term per source — a handful —
+    * so accumulation-order drift is ulp-level against the 4dp rounding.
+    * Scale: one map-side-combined (lang, source) count over the corpus;
+    * everything after runs on the tiny count table. */
+  def aggEntropy(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val g = cnt.groupBy("lang").agg(
+      sum("n").as("n_docs"),
+      count(lit(1)).as("n_sources"),
+      sum(col("n") * col("n")).as("s2"),
+      sum(nD * log(nD)).as("slog"))
+    val h = log(col("n_docs").cast("double")) -
+      col("slog") / col("n_docs").cast("double")
+    g.select(col("lang"), col("n_docs"), col("n_sources"),
+        round(h, 4).as("entropy"),
+        when(col("n_sources") > 1,
+          round(h / log(col("n_sources").cast("double")), 4))
+          .as("entropy_norm"),
+        round(lit(1.0) - col("s2").cast("double")
+          / (col("n_docs") * col("n_docs")).cast("double"), 4).as("gini"))
+      .orderBy("lang")
   }
 }

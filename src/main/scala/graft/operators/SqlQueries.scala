@@ -80,7 +80,21 @@ object SqlQueries {
         |  WHERE o.o_orderpriority = p.o_orderpriority
         |  ORDER BY o_totalprice DESC, o_orderkey
         |  LIMIT 2) t
-        |ORDER BY p.o_orderpriority, t.o_orderkey""".stripMargin
+        |ORDER BY p.o_orderpriority, t.o_orderkey""".stripMargin,
+    // Inline VALUES table (literal dimension decode) joined against a
+    // fact — the portable spelling of a code→label lookup that needs no
+    // physical dimension table. Money summed in exact integer cents
+    // (double sums accumulate in partition order — not portable).
+    "q_sql_values" ->
+      """SELECT m.label, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+        |  AS m(code, label)
+        |  ON o_orderstatus = m.code
+        |GROUP BY m.label
+        |ORDER BY m.label""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

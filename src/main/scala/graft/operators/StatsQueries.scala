@@ -36,7 +36,8 @@ object StatsQueries {
     "q_agg_sketch"      -> aggSketch _,
     "q_agg_mode"        -> aggMode _,
     "q_event_funnel"    -> eventFunnel _,
-    "q_agg_linreg"      -> aggLinreg _
+    "q_agg_linreg"      -> aggLinreg _,
+    "q_agg_weighted"    -> aggWeighted _
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,7 +164,26 @@ object StatsQueries {
         |  round(slope, 6) AS slope_cents_day,
         |  round((sy - slope * sx) / cd, 2) AS intercept_cents,
         |  round((covn * covn) / (varx * vary), 6) AS r2
-        |FROM fit ORDER BY o_orderpriority""".stripMargin
+        |FROM fit ORDER BY o_orderpriority""".stripMargin,
+    // Exact-integer weighted moments (see [[aggWeighted]]); HUGEINT sums
+    // here mirror the Spark side's DECIMAL(38,0).
+    "q_agg_weighted" ->
+      """WITH wp AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS w,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS sum_qty,
+        |    CAST(sum(w) AS DOUBLE) AS sw,
+        |    CAST(sum(w * p) AS DOUBLE) AS swp,
+        |    CAST(sum(w * p * p) AS DOUBLE) AS swpp
+        |  FROM wp GROUP BY l_returnflag)
+        |SELECT l_returnflag, sum_qty,
+        |  round(swp / sw, 4) AS wavg_cents,
+        |  round(sqrt((sw * swpp - swp * swp) / (sw * sw)), 4)
+        |    AS wsd_cents
+        |FROM g ORDER BY l_returnflag""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -366,5 +386,37 @@ object StatsQueries {
         round((col("covn") * col("covn")) / (col("varx") * col("vary")), 6)
           .as("r2"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Frequency-weighted price moments per return flag: quantity-weighted
+    * mean and standard deviation of the unit-extended price — the
+    * weighted-metric shape (every "revenue-weighted X" report) that
+    * plain `avg`/`stddev` get silently wrong.
+    *
+    * Same discipline as [[aggLinreg]]: weights and prices become exact
+    * integers (units, cents) in the scan stage; Σw·p and Σw·p² are
+    * summed as DECIMAL(38,0) (the per-row w·p² BIGINT product is within
+    * 2 orders of Long.MaxValue at warehouse scale — the sum must be
+    * wider), and the weighted mean/variance come out of one IEEE
+    * expression tree shared with the oracle. One map-side-combined
+    * aggregation, closed-form select on a handful of group rows. */
+  def aggWeighted(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wp = lineitem(s, d).select(
+      col("l_returnflag"),
+      round(col("l_quantity"), 0).cast("long").as("w"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("p"))
+    wp.groupBy("l_returnflag")
+      .agg(
+        sum("w").as("sum_qty"),
+        sum(col("w").cast(dec)).cast("double").as("sw"),
+        sum((col("w") * col("p")).cast(dec)).cast("double").as("swp"),
+        sum((col("w") * col("p") * col("p")).cast(dec)).cast("double")
+          .as("swpp"))
+      .select(col("l_returnflag"), col("sum_qty"),
+        round(col("swp") / col("sw"), 4).as("wavg_cents"),
+        round(sqrt((col("sw") * col("swpp") - col("swp") * col("swp"))
+          / (col("sw") * col("sw"))), 4).as("wsd_cents"))
+      .orderBy("l_returnflag")
   }
 }
