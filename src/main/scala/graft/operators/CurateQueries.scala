@@ -47,7 +47,8 @@ object CurateQueries {
     "q_dedup_incremental" -> dedupIncremental _,
     "q_embed_stats"       -> embedStats _,
     "q_profile_table"     -> profileTable _,
-    "q_agg_entropy"       -> aggEntropy _
+    "q_agg_entropy"       -> aggEntropy _,
+    "q_url_normalize"     -> urlNormalize _
   )
 
   val oracle: Map[String, String] = Map(
@@ -165,7 +166,35 @@ object CurateQueries {
         |  END AS entropy_norm,
         |  round(1.0 - CAST(s2 AS DOUBLE)
         |    / CAST(n_docs * n_docs AS DOUBLE), 4) AS gini
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+    // Same planted raw URL and normalization pipeline as the Spark side.
+    "q_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM:443/path/' ||
+        |    doc_id || '/?b=' || (doc_id % 7) ||
+        |    '&utm_source=feed&a=1&utm_campaign=x' AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)),
+        |      '^www\.', ''), ':443$', '') AS host,
+        |    regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z]+://[^/?]+(/[^?]*)', 1),
+        |      '/+$', '') AS path,
+        |    list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+        |      p -> p NOT LIKE 'utm_%')) AS params
+        |  FROM raw)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END
+        |    AS canon_url,
+        |  host, CAST(len(params) AS BIGINT) AS n_params
+        |FROM parts ORDER BY doc_id""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -319,5 +348,42 @@ object CurateQueries {
         round(lit(1.0) - col("s2").cast("double")
           / (col("n_docs") * col("n_docs")).cast("double"), 4).as("gini"))
       .orderBy("lang")
+  }
+
+  /** URL canonicalization — the normalization every URL-keyed dedup /
+    * frequency / domain-cap pass runs first, since raw crawl URLs vary
+    * in case, default ports, trailing slashes, tracking params, and
+    * `www.` prefixes while naming the same resource. The synthetic
+    * corpus carries no URLs, so each doc plants a deterministically
+    * messy one from its own id (the q_text_pii convention).
+    *
+    * Policy (declared): lowercase scheme+host, strip `www.` and the
+    * default :443 port, strip trailing slashes, drop `utm_*` tracking
+    * params, sort surviving params for order-independence. Everything is
+    * codegen'd string/regexp/array work in the scan stage — zero
+    * shuffles before the declared ORDER BY, linear at any corpus size. */
+  def urlNormalize(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(lit("HTTPS://WWW."), col("source"),
+      lit(".Example.COM:443/path/"), col("doc_id"),
+      lit("/?b="), pmod(col("doc_id"), lit(7)),
+      lit("&utm_source=feed&a=1&utm_campaign=x"))
+    val scheme = lower(regexp_extract(raw, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(raw, "^[A-Za-z]+://([^/?]+)", 1)),
+      "^www\\.", ""), ":443$", "")
+    val path = regexp_replace(
+      regexp_extract(raw, "^[A-Za-z]+://[^/?]+(/[^?]*)", 1), "/+$", "")
+    val params = array_sort(filter(
+      split(regexp_extract(raw, "\\?(.*)$", 1), "&"),
+      p => !p.like("utm_%")))
+    documents(s, d).select(
+      col("doc_id"),
+      concat(scheme, lit("://"), host, path,
+        when(size(params) > 0,
+          concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
+        .as("canon_url"),
+      host.as("host"),
+      size(params).cast("long").as("n_params"))
+      .orderBy("doc_id")
   }
 }

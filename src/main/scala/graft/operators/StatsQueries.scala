@@ -37,7 +37,8 @@ object StatsQueries {
     "q_agg_mode"        -> aggMode _,
     "q_event_funnel"    -> eventFunnel _,
     "q_agg_linreg"      -> aggLinreg _,
-    "q_agg_weighted"    -> aggWeighted _
+    "q_agg_weighted"    -> aggWeighted _,
+    "q_feature_scale"   -> featureScale _
   )
 
   val oracle: Map[String, String] = Map(
@@ -183,7 +184,19 @@ object StatsQueries {
         |  round(swp / sw, 4) AS wavg_cents,
         |  round(sqrt((sw * swpp - swp * swp) / (sw * sw)), 4)
         |    AS wsd_cents
-        |FROM g ORDER BY l_returnflag""".stripMargin
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+    // min/max are exact selections (no accumulation); the per-row scale
+    // arithmetic is a single IEEE expression on identical inputs.
+    "q_feature_scale" ->
+      """WITH mm AS (
+        |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  CASE WHEN m.vmax > m.vmin THEN
+        |    round((e.value - m.vmin) / (m.vmax - m.vmin), 6)
+        |  END AS value_scaled
+        |FROM events e JOIN mm m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -418,5 +431,30 @@ object StatsQueries {
         round(sqrt((col("sw") * col("swpp") - col("swp") * col("swp"))
           / (col("sw") * col("sw"))), 4).as("wsd_cents"))
       .orderBy("l_returnflag")
+  }
+
+  /** Per-group min-max feature scaling: every event's value mapped to
+    * [0,1] within its type — the feature-normalization pass before any
+    * model consumes heterogeneous signals. min/max are exact SELECTIONS
+    * (unlike mean/stddev they carry no accumulation-order drift), so the
+    * per-row rescale is one IEEE expression over identical inputs on
+    * both engines, and z-score-style scaling is deliberately NOT used
+    * here (its mean is layout-dependent; the exact-moment recipe in
+    * [[aggLinreg]] is how this repo does moments when needed).
+    *
+    * Scale shape: the per-type (min, max) aggregate is a handful of rows
+    * — it broadcasts, so the corpus-sized side is never shuffled: one
+    * map-side-combined agg + a broadcast-join projection in the scan
+    * stage. Degenerate groups (max = min) scale to NULL, declared. */
+  def featureScale(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val mm = e.groupBy("event_type")
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+    e.join(broadcast(mm), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        when(col("vmax") > col("vmin"),
+          round((col("value") - col("vmin"))
+            / (col("vmax") - col("vmin")), 6)).as("value_scaled"))
+      .orderBy("event_id")
   }
 }

@@ -205,6 +205,42 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(n === 40L * 39 / 2)
   }
 
+  test("bounded-heap top-k is merge-order-independent (scalacheck)") {
+    // The 100 TB contract for TopKSims: any partitioning of the input
+    // into map-side partials, merged in any order, equals the global
+    // sort's top-k. Ties included deliberately (cos_sim rounded to 4dp
+    // upstream makes ties common) — the (score DESC, id ASC) total
+    // order must resolve them identically everywhere.
+    import graft.operators.{ProbeSim, TopKSims}
+    val agg = new TopKSims(5)
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 99L)
+        s <- Gen.chooseNum(0, 20)
+      } yield ProbeSim(0L, id, s / 20.0))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(n, 1)))
+    } yield (rows.distinct, cuts)
+    val seed0 = Seed(42L)
+    (0 until 200).foldLeft(seed0) { (seed, _) =>
+      val (params, next) = gen.pureApply(Gen.Parameters.default, seed) ->
+        seed.next
+      val (rows, cuts) = params
+      val expected = rows
+        .sortBy(r => (-r.cos_sim, r.vec_id)).take(5)
+      // split at the generated cut points into up to 4 partials
+      val pts = (cuts :+ 0 :+ rows.length).distinct.sorted
+      val partials = pts.zip(pts.tail).map { case (a, b) =>
+        rows.slice(a, b).foldLeft(agg.zero)(agg.reduce)
+      }
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      val mergedRev = partials.reverse.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === expected)
+      assert(agg.finish(mergedRev) === expected)
+      next
+    }
+  }
+
   test("minhash signature similarity tracks exact Jaccard (bound check)") {
     // Pure-JVM property: the (a*h+b) mod p family used by simPairsLsh,
     // evaluated directly on generated shingle sets.
