@@ -30,7 +30,8 @@ object TimeSeriesQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_anomaly" -> tsAnomaly _,
-    "q_ts_acf"     -> tsAcf _
+    "q_ts_acf"     -> tsAcf _,
+    "q_ts_ewma"    -> tsEwma _
   )
 
   val oracle: Map[String, String] = Map(
@@ -97,7 +98,35 @@ object TimeSeriesQueries {
         |    / CAST(sum(d * d) AS DOUBLE), 6) AS acf_1,
         |  round(CAST(sum(d * d24) AS DOUBLE)
         |    / CAST(sum(d * d) AS DOUBLE), 6) AS acf_24
-        |FROM dd GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM dd GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same sequential fold as the Spark `aggregate` HOF: list_reduce is
+    // left-to-right with the first element as the seed, so both engines
+    // run the identical IEEE chain (see [[tsEwma]]).
+    "q_ts_ewma" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |ser AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    array_agg(CAST(n AS DOUBLE) ORDER BY hour_us) AS xs
+        |  FROM dense GROUP BY event_type)
+        |SELECT event_type, n_hours,
+        |  round(list_reduce(xs, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+        |    AS ewma_last
+        |FROM ser ORDER BY event_type""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -155,9 +184,12 @@ object TimeSeriesQueries {
     * the grid explode, lag window, and ACF agg all run on the resampled
     * series (types × hours), partitioned by event_type — per-type state
     * is bounded by the time span, never the event volume. */
-  def tsAcf(s: SparkSession, d: String): DataFrame = {
+  /** Densified per-type hourly count series (absent hours = 0 events) —
+    * the resampled input shared by [[tsAcf]] and [[tsEwma]]. Grid spans
+    * each type's own min..max hour, so the explode is bounded by the
+    * time span, never the event volume. */
+  private def denseHourly(s: SparkSession, d: String): DataFrame = {
     val hourUs = 3600000000L
-    val dec = "decimal(38,0)"
     val hourly = events(s, d)
       .groupBy(col("event_type"),
         (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
@@ -168,9 +200,14 @@ object TimeSeriesQueries {
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), lit(hourUs)))
           .as("hour_us"))
-    val dense = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+    grid.join(hourly, Seq("event_type", "hour_us"), "left")
       .select(col("event_type"), col("hour_us"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def tsAcf(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dense = denseHourly(s, d)
     val w = Window.partitionBy("event_type")
     val lw = Window.partitionBy("event_type").orderBy("hour_us")
     val cs = dense
@@ -190,6 +227,36 @@ object TimeSeriesQueries {
           .as("acf_1"),
         round(col("num24").cast("double") / col("den").cast("double"), 6)
           .as("acf_24"))
+      .orderBy("event_type")
+  }
+
+  /** Exponentially-weighted moving average (α = 0.2) of each type's
+    * hourly count series — the standard smoothed-level estimate behind
+    * alert baselines and short-horizon forecasts; reported as the
+    * series-end smoothed value.
+    *
+    * EWMA is inherently sequential (y_t = α·x_t + (1−α)·y_{t−1}), which
+    * is exactly why it is computed by a sequential FOLD over the
+    * collected per-type series (`aggregate` HOF ↔ DuckDB `list_reduce`,
+    * both left-to-right with y₁ = x₁) rather than tortured into window
+    * functions: the fold's evaluation order is defined, so both engines
+    * run the identical IEEE chain and the match is exact. The fold runs
+    * over the RESAMPLED series (one array per type, bounded by the time
+    * span) — collecting raw events into arrays would be the unbounded
+    * anti-pattern; collecting hours is O(span). Order inside
+    * `collect_list` is made deterministic by sorting (hour, n) structs,
+    * not by assuming shuffle order. */
+  def tsEwma(s: SparkSession, d: String): DataFrame = {
+    val arr = denseHourly(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sort_array(collect_list(
+          struct(col("hour_us").as("h"), col("n").as("v")))).as("hv"))
+    val xs = transform(col("hv"), e => e.getField("v").cast("double"))
+    arr.select(col("event_type"), col("n_hours"),
+        round(aggregate(
+          slice(xs, lit(2), size(xs) - 1),
+          element_at(xs, 1),
+          (acc, x) => lit(0.2) * x + lit(0.8) * acc), 6).as("ewma_last"))
       .orderBy("event_type")
   }
 }
