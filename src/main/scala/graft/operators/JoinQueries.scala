@@ -38,7 +38,8 @@ object JoinQueries {
     "q_join_skew"      -> joinSkew _,
     "q_join_full"      -> joinFull _,
     "q_join_bucketed"  -> joinBucketed _,
-    "q_join_null_safe" -> joinNullSafe _
+    "q_join_null_safe" -> joinNullSafe _,
+    "q_join_interval_bin" -> joinIntervalBin _
   )
 
   val oracle: Map[String, String] = Map(
@@ -131,7 +132,25 @@ object JoinQueries {
         |      FROM orders WHERE o_custkey >= 40 AND o_custkey < 120
         |      GROUP BY o_custkey) o
         |  ON e.user_id = o.o_custkey
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    // The oracle affords the plain theta join; the Spark side reaches
+    // the same pairs through the grid-binned equi join (see
+    // [[joinIntervalBin]]). Day numbers are exact integers everywhere.
+    "q_join_interval_bin" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k1,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS s1,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) + 14 AS e1
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS k2,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS s2,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) + 3 AS e2
+        |  FROM orders WHERE o_orderkey % 10 = 1)
+        |SELECT k1, k2,
+        |  least(e1, e2) - greatest(s1, s2) + 1 AS overlap_days
+        |FROM a JOIN b ON s1 <= e2 AND s2 <= e1
+        |ORDER BY k1, k2""".stripMargin
   )
 
   /** Equi inner join orders⋈customer — sort-merge/shuffled-hash at scale,
@@ -346,5 +365,48 @@ object JoinQueries {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Interval-overlap join with NO equi key — two sets of date windows
+    * (14-day and 3-day, derived from disjoint order slices) paired where
+    * they intersect. [[joinRange]] rides its `l_orderkey = o_orderkey`
+    * equi key and only adds range predicates; here there is no key at
+    * all, which is the case Catalyst can only plan as a nested loop —
+    * the shape that melts at scale.
+    *
+    * The scale rewrite is GRID BINNING (the range-join technique in
+    * Databricks' range-join optimization and genomics overlap joins):
+    * choose a cell width ≥ the max interval length (14 days), explode
+    * each interval to the grid cells it touches (≤ 2 here), equi-join on
+    * the cell id, then apply the exact overlap predicate and
+    * de-duplicate pairs that met in two shared cells. Pair work is
+    * confined to cell-local populations — the join is a plain shuffled
+    * equi hash/merge join (PlanShapeSpec pins no BNLJ/cartesian), and
+    * the ≤2× explode is the entire overhead. Cell width tunes the
+    * tradeoff: wider cells = fewer duplicate registrations, narrower =
+    * smaller cell populations. */
+  def joinIntervalBin(s: SparkSession, d: String): DataFrame = {
+    val cell = 14
+    def side(slice: Int, len: Int, k: String): DataFrame =
+      orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(10)) === slice)
+        .select(col("o_orderkey").as(k),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long").as(s"s_$k"),
+          (datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long") + len).as(s"e_$k"))
+    val a = side(0, 14, "k1")
+      .withColumn("cell",
+        explode(sequence(expr(s"s_k1 div $cell"), expr(s"e_k1 div $cell"))))
+    val b = side(1, 3, "k2")
+      .withColumn("cell",
+        explode(sequence(expr(s"s_k2 div $cell"), expr(s"e_k2 div $cell"))))
+    a.join(b, Seq("cell"))
+      .filter(col("s_k1") <= col("e_k2") && col("s_k2") <= col("e_k1"))
+      .select(col("k1"), col("k2"),
+        (least(col("e_k1"), col("e_k2"))
+          - greatest(col("s_k1"), col("s_k2")) + 1).as("overlap_days"))
+      .dropDuplicates("k1", "k2")
+      .orderBy("k1", "k2")
   }
 }

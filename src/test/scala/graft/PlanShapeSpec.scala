@@ -347,6 +347,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
   }
 
+  test("q_join_interval_bin plans a cell equi join, never a nested loop") {
+    // No equi key exists in the declared semantics — the grid binning
+    // must synthesize one. A BNLJ/cartesian here means the rewrite
+    // regressed to the melt-at-scale theta join.
+    val plan = finalPlanString(JoinQueries.joinIntervalBin(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("cell"), s"cell key missing from join:\n$plan")
+  }
+
   test("q_sim_batch_topk shuffles heap partials, never the score matrix") {
     // The per-probe top-k must come from the bounded-heap Aggregator
     // (partial_ merge on the map side); a Window/row_number formulation
