@@ -187,7 +187,16 @@ object TimeSeriesQueries {
   /** Densified per-type hourly count series (absent hours = 0 events) —
     * the resampled input shared by [[tsAcf]] and [[tsEwma]]. Grid spans
     * each type's own min..max hour, so the explode is bounded by the
-    * time span, never the event volume. */
+    * time span, never the event volume.
+    *
+    * The hourly aggregate feeds two consumers (the per-type bounds and
+    * the zero-fill join), whose plans differ by a join-key null filter —
+    * enough to defeat ReuseExchange, which would otherwise scan the
+    * corpus twice. The aggregate is types × hours (tiny at any corpus
+    * size), so it is MATERIALIZED once (`localCheckpoint`, the
+    * GraphQueries pattern) and both consumers read the cached blocks:
+    * exactly one corpus scan per query run (PlanShapeSpec pins the final
+    * plan parquet-scan-free). */
   private def denseHourly(s: SparkSession, d: String): DataFrame = {
     val hourUs = 3600000000L
     val hourly = events(s, d)
@@ -195,6 +204,7 @@ object TimeSeriesQueries {
         (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
           lit(hourUs))).as("hour_us"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val grid = hourly.groupBy("event_type")
       .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
       .select(col("event_type"),

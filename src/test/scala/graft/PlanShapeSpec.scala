@@ -347,6 +347,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
   }
 
+  test("q_ts_acf reads the corpus once: final plan is checkpoint-fed") {
+    // The hourly aggregate's two consumers (bounds, zero-fill join)
+    // differ by a null filter, defeating ReuseExchange — without the
+    // localCheckpoint the events parquet is scanned twice. The final
+    // plan must consume ONLY the materialized aggregate.
+    val plan = finalPlanString(TimeSeriesQueries.tsAcf(spark, sfDir))
+    assert(!plan.contains("Scan parquet"),
+      s"corpus rescanned past the checkpoint:\n$plan")
+  }
+
   test("q_join_interval_bin plans a cell equi join, never a nested loop") {
     // No equi key exists in the declared semantics — the grid binning
     // must synthesize one. A BNLJ/cartesian here means the rewrite
