@@ -51,6 +51,7 @@ object StreamQueries {
     "q_stream_stateful" -> streamStateful _,
     "q_stream_join"     -> streamJoin _,
     "q_stream_interval_join" -> streamIntervalJoin _,
+    "q_stream_interval_left" -> streamIntervalLeft _,
     "q_stream_append_window" -> streamAppendWindow _,
     "q_stream_late"     -> streamLate _,
     "q_stream_foreach_batch" -> streamForeachBatch _,
@@ -104,6 +105,31 @@ object StreamQueries {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+        |ORDER BY c_id, p_id""".stripMargin,
+    // Left-outer twin with the deterministic eviction cut: unmatched
+    // clicks appear only when the global watermark (min of the two
+    // per-stream watermarks, ms-floored, - 30 min) passed their
+    // interval end; a still-open click is retained in state, not
+    // emitted (see [[streamIntervalLeft]]).
+    "q_stream_interval_left" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |      (SELECT max(epoch_us(ts)) - max(epoch_us(ts)) % 1000
+        |       FROM events WHERE event_type = 'click'),
+        |      (SELECT max(epoch_us(ts)) - max(epoch_us(ts)) % 1000
+        |       FROM events WHERE event_type = 'purchase'))
+        |    - 1800000000 AS wm_us),
+        |j AS (
+        |  SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
+        |    epoch_us(c.ts) AS c_ts_us, epoch_us(p.ts) AS p_ts_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = c.user_id
+        |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000)
+        |SELECT c_id, p_id, user_id, c_ts_us, p_ts_us
+        |FROM j, wm
+        |WHERE p_id IS NOT NULL OR c_ts_us + 600000000 < wm_us
         |ORDER BY c_id, p_id""".stripMargin,
     // foreachBatch writes every micro-batch to parquet exactly once
     // (fresh sink dir + checkpoint per run), so the read-back equals the
@@ -344,7 +370,10 @@ object StreamQueries {
     * join (the watermark affects only state retention, never which INNER
     * matches emit). Cross-batch match + state-eviction semantics are
     * exercised in StreamingSpec's two-MemoryStream script. */
-  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+  /** The two watermarked interval-join streams shared by the inner and
+    * left-outer declared queries. */
+  private def intervalStreams(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val clicks = EventStreams.fileStream(s, d)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id"),
@@ -355,10 +384,38 @@ object StreamQueries {
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "30 minutes")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    (clicks, purchases)
+  }
+
+  private val intervalCond =
+    col("user_id") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES")
+
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val (clicks, purchases) = intervalStreams(s, d)
+    val joined = clicks.join(purchases, intervalCond)
+    runToTable(joined, OutputMode.Append())
+      .select(col("c_id"), col("p_id"), col("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+      .orderBy("c_id", "p_id")
+  }
+
+  /** LEFT OUTER watermarked interval join, declared and fully oracled —
+    * the completion semantics StreamingSpec scripts batch-by-batch,
+    * here driven to end-of-stream: a matched click emits on match
+    * (inner semantics); an UNMATCHED click null-extends only at state
+    * EVICTION, when the global watermark (min of the two stream
+    * watermarks) passes its interval end and "no match can ever arrive"
+    * becomes provable. Clicks whose interval is still open at
+    * end-of-stream are retained in state, never emitted — so the
+    * deterministic oracle cut is: matched rows, plus unmatched rows with
+    * c_ts + 10 min < min(max click ts, max purchase ts)ms-floor − 30 min.
+    * Bounded state on both sides, same as the inner join. */
+  def streamIntervalLeft(s: SparkSession, d: String): DataFrame = {
+    val (clicks, purchases) = intervalStreams(s, d)
+    val joined = clicks.join(purchases, intervalCond, "left_outer")
     runToTable(joined, OutputMode.Append())
       .select(col("c_id"), col("p_id"), col("user_id"),
         unix_micros(col("c_ts")).as("c_ts_us"),
