@@ -3,9 +3,9 @@ package graft.operators
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.streaming.EventStreams
 
@@ -49,6 +49,7 @@ object StreamQueries {
     "q_stream_sliding"  -> streamSliding _,
     "q_stream_dedup"    -> streamDedup _,
     "q_stream_stateful" -> streamStateful _,
+    "q_stream_stateful_tws" -> streamStatefulTws _,
     "q_stream_join"     -> streamJoin _,
     "q_stream_interval_join" -> streamIntervalJoin _,
     "q_stream_interval_left" -> streamIntervalLeft _,
@@ -85,6 +86,12 @@ object StreamQueries {
       """SELECT DISTINCT event_id, user_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
     "q_stream_stateful" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Identical batch twin: the tws operator must be answer-identical to
+    // the fgws one (the migration-is-mechanical contract).
+    "q_stream_stateful_tws" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -335,6 +342,54 @@ object StreamQueries {
       .select(col("user_id"), col("agg.n_events").as("n_events"),
         round(col("agg.sum_value"), 2).as("sum_value"))
       .orderBy("user_id")
+  }
+
+  /** The same per-user running aggregate on Spark 4's
+    * `transformWithState` — the modern stateful API (typed composable
+    * ValueState/ListState/MapState + timers behind a StatefulProcessor,
+    * RocksDB-backed BY DESIGN) declared as a first-class query next to
+    * the `flatMapGroupsWithState` original, oracled against the same
+    * batch twin. Why both exist: fgws is the widely-deployed API this
+    * engine must match; tws is where production state management is
+    * going (off-heap RocksDB state survives executor-heap pressure — the
+    * first casualty of the on-heap HDFSBacked store at production state
+    * sizes), and keeping the two declared queries answer-identical pins
+    * the migration as a mechanical swap. The provider override lives
+    * only for the duration of the run and is restored after. */
+  def streamStatefulTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val events = EventStreams.fileStream(s, d).as[Event]
+      val updated = events
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StatefulProcessor[Long, Event, (Long, Long, Double)] {
+            @transient private var st: ValueState[UserAgg] = _
+            override def init(outputMode: OutputMode,
+                timeMode: TimeMode): Unit =
+              st = getHandle.getValueState[UserAgg]("agg",
+                Encoders.product[UserAgg], TTLConfig.NONE)
+            override def handleInputRows(uid: Long, rows: Iterator[Event],
+                timers: TimerValues): Iterator[(Long, Long, Double)] = {
+              val prev = if (st.exists()) st.get() else UserAgg(0L, 0.0)
+              val next = rows.foldLeft(prev) { (acc, e) =>
+                UserAgg(acc.n_events + 1, acc.sum_value + e.value)
+              }
+              st.update(next)
+              Iterator((uid, next.n_events, next.sum_value))
+            }
+          },
+          TimeMode.None(), OutputMode.Update())
+      runToTable(updated.toDF("user_id", "n_events", "sum_value"),
+        OutputMode.Update())
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id")
+    } finally s.conf.set(key, prev)
   }
 
   /** Stream-static join: the unbounded event stream enriched against the
