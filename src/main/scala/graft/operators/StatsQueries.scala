@@ -38,7 +38,8 @@ object StatsQueries {
     "q_event_funnel"    -> eventFunnel _,
     "q_agg_linreg"      -> aggLinreg _,
     "q_agg_weighted"    -> aggWeighted _,
-    "q_feature_scale"   -> featureScale _
+    "q_feature_scale"   -> featureScale _,
+    "q_agg_corr_pairs"  -> aggCorrPairs _
   )
 
   val oracle: Map[String, String] = Map(
@@ -196,7 +197,40 @@ object StatsQueries {
         |    round((e.value - m.vmin) / (m.vmax - m.vmin), 6)
         |  END AS value_scaled
         |FROM events e JOIN mm m USING (event_type)
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    // Same exact-integer moment matrix as the Spark side (q_agg_linreg's
+    // recipe applied pairwise); corr() itself would be accumulation-
+    // order-dependent.
+    "q_agg_corr_pairs" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS dd
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS c,
+        |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+        |    CAST(sum(dd) AS DOUBLE) AS sd,
+        |    CAST(sum(q * q) AS DOUBLE) AS sqq,
+        |    CAST(sum(p * p) AS DOUBLE) AS spp,
+        |    CAST(sum(dd * dd) AS DOUBLE) AS sdd,
+        |    CAST(sum(q * p) AS DOUBLE) AS sqp,
+        |    CAST(sum(q * dd) AS DOUBLE) AS sqd,
+        |    CAST(sum(p * dd) AS DOUBLE) AS spd
+        |  FROM v GROUP BY f)
+        |SELECT f AS l_returnflag, n,
+        |  round((c * sqp - sq * sp)
+        |    / (sqrt(c * sqq - sq * sq) * sqrt(c * spp - sp * sp)), 6)
+        |    AS corr_qty_price,
+        |  round((c * sqd - sq * sd)
+        |    / (sqrt(c * sqq - sq * sq) * sqrt(c * sdd - sd * sd)), 6)
+        |    AS corr_qty_disc,
+        |  round((c * spd - sp * sd)
+        |    / (sqrt(c * spp - sp * sp) * sqrt(c * sdd - sd * sd)), 6)
+        |    AS corr_price_disc
+        |FROM g ORDER BY l_returnflag""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -456,5 +490,44 @@ object StatsQueries {
           round((col("value") - col("vmin"))
             / (col("vmax") - col("vmin")), 6)).as("value_scaled"))
       .orderBy("event_id")
+  }
+
+  /** Pairwise correlation matrix of the lineitem numeric features
+    * (quantity, price, discount) per return flag — the feature-
+    * redundancy audit before any model/weighting decision, and
+    * q_agg_linreg's exact-moment recipe applied pairwise: every raw
+    * value becomes an exact integer (units, cents, discount points) in
+    * the scan stage, the full 10-term moment matrix comes out of ONE
+    * map-side-combined aggregation (each extra pair is two more sums in
+    * the same pass — no extra shuffles), and the three correlations are
+    * closed-form IEEE expressions shared with the oracle. `corr()`
+    * itself is accumulation-order-dependent — layout-dependent answers,
+    * the thing this family exists to avoid. */
+  def aggCorrPairs(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = lineitem(s, d).select(
+      col("l_returnflag").as("f"),
+      round(col("l_quantity"), 0).cast("long").as("q"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("p"),
+      round(col("l_discount") * 100, 0).cast("long").as("dd"))
+    def sd(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast(dec)).cast("double").as(n)
+    val g = v.groupBy("f").agg(
+      count(lit(1)).as("n"),
+      count(lit(1)).cast("double").as("c"),
+      sd(col("q"), "sq"), sd(col("p"), "sp"), sd(col("dd"), "sdm"),
+      sd(col("q") * col("q"), "sqq"), sd(col("p") * col("p"), "spp"),
+      sd(col("dd") * col("dd"), "sdd"), sd(col("q") * col("p"), "sqp"),
+      sd(col("q") * col("dd"), "sqd"), sd(col("p") * col("dd"), "spd"))
+    def corr(sab: String, sa: String, sb: String, saa: String,
+        sbb: String) =
+      round((col("c") * col(sab) - col(sa) * col(sb))
+        / (sqrt(col("c") * col(saa) - col(sa) * col(sa))
+          * sqrt(col("c") * col(sbb) - col(sb) * col(sb))), 6)
+    g.select(col("f").as("l_returnflag"), col("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").as("corr_qty_price"),
+        corr("sqd", "sq", "sdm", "sqq", "sdd").as("corr_qty_disc"),
+        corr("spd", "sp", "sdm", "spp", "sdd").as("corr_price_disc"))
+      .orderBy("l_returnflag")
   }
 }
