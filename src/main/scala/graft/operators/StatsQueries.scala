@@ -39,7 +39,9 @@ object StatsQueries {
     "q_agg_linreg"      -> aggLinreg _,
     "q_agg_weighted"    -> aggWeighted _,
     "q_feature_scale"   -> featureScale _,
-    "q_agg_corr_pairs"  -> aggCorrPairs _
+    "q_agg_corr_pairs"  -> aggCorrPairs _,
+    "q_agg_hist"        -> aggHist _,
+    "q_cohort_retention" -> cohortRetention _
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,7 +232,42 @@ object StatsQueries {
         |  round((c * spd - sp * sd)
         |    / (sqrt(c * spp - sp * sp) * sqrt(c * sdd - sd * sd)), 6)
         |    AS corr_price_disc
-        |FROM g ORDER BY l_returnflag""".stripMargin
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+    // Integer bin arithmetic end-to-end — no width_bucket (absent in
+    // one engine, float-boundary-risky in both).
+    "q_agg_hist" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    least(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      // 5000000, 11) AS bin
+        |  FROM orders)
+        |SELECT o_orderpriority, bin, bin * 5000000 AS bin_lo_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY o_orderpriority, bin
+        |ORDER BY o_orderpriority, bin""".stripMargin,
+    // Integer epoch-weeks (no calendar), exact distinct counts, one
+    // final exact-integer division.
+    "q_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(week) AS w0 FROM uw GROUP BY user_id),
+        |sizes AS (
+        |  SELECT w0, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM first GROUP BY w0),
+        |act AS (
+        |  SELECT f.w0, uw.week - f.w0 AS off,
+        |    CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
+        |  FROM uw JOIN first f USING (user_id)
+        |  GROUP BY f.w0, uw.week - f.w0)
+        |SELECT a.w0 AS cohort_week, a.off AS week_offset, a.n_active,
+        |  s.cohort_size,
+        |  round(CAST(a.n_active AS DOUBLE)
+        |    / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+        |FROM act a JOIN sizes s USING (w0)
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -529,5 +566,52 @@ object StatsQueries {
         corr("sqd", "sq", "sdm", "sqq", "sdd").as("corr_qty_disc"),
         corr("spd", "sp", "sdm", "spp", "sdd").as("corr_price_disc"))
       .orderBy("l_returnflag")
+  }
+
+  /** Equal-width histogram of order totals per priority (12 × $50k bins,
+    * top bin open) — the distribution-shape audit behind pricing/skew
+    * dashboards. Binning is INTEGER arithmetic end-to-end: cents `div`
+    * width, clamped — not `width_bucket`, which one engine lacks and
+    * whose double boundaries can flip a value's bin between engines.
+    * One map-side-combined count agg; bins are a row-local scan-stage
+    * projection. */
+  def aggHist(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"),
+        least(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)" +
+          " div 5000000"), lit(11L)).as("bin"))
+      .groupBy("o_orderpriority", "bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("bin"),
+        (col("bin") * 5000000).as("bin_lo_cents"), col("n"))
+      .orderBy("o_orderpriority", "bin")
+
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * retention = fraction of the cohort active k weeks later — the
+    * canonical cohort analysis (the warehouse query behind every
+    * retention curve). Weeks are INTEGER epoch-week numbers (`epoch_us
+    * div 604800e6`) — no calendar/timezone semantics to diverge on; all
+    * counts exact; the single division is one IEEE op.
+    *
+    * Scale shape: (user, week) activity is distinct-reduced FIRST (the
+    * big win — raw events collapse to at most users × weeks), the
+    * first-week table is users-sized, and every join/agg after runs on
+    * those reduced tables keyed by user or week. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("week").as("w0"))
+    val sizes = first.groupBy("w0").agg(count(lit(1)).as("cohort_size"))
+    val act = uw.join(first, Seq("user_id"))
+      .groupBy(col("w0"), (col("week") - col("w0")).as("off"))
+      .agg(countDistinct("user_id").as("n_active"))
+    act.join(sizes, Seq("w0"))
+      .select(col("w0").as("cohort_week"), col("off").as("week_offset"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double")
+          / col("cohort_size").cast("double"), 4).as("retention"))
+      .orderBy("cohort_week", "week_offset")
   }
 }
