@@ -26,7 +26,8 @@ object WindowQueries {
     "q_window_trailing"    -> windowTrailing _,
     "q_window_pct"         -> windowPct _,
     "q_window_ffill"       -> windowFfill _,
-    "q_scd2"               -> scd2 _
+    "q_scd2"               -> scd2 _,
+    "q_window_rank_delta"  -> windowRankDelta _
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,7 +135,28 @@ object WindowQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    // Integer weeks, exact counts, rank with a type tiebreak — the
+    // adjacency guard (lag week = week − 1) replicated identically.
+    "q_window_rank_delta" ->
+      """WITH wk AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT week, event_type, n,
+        |    CAST(rank() OVER (PARTITION BY week
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM wk),
+        |l AS (
+        |  SELECT week, event_type, n, rnk,
+        |    lag(week) OVER tw AS lw, lag(rnk) OVER tw AS lr
+        |  FROM r
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY week))
+        |SELECT week, event_type, n, rnk,
+        |  CASE WHEN lw = week - 1 THEN lr END AS prev_rnk,
+        |  CASE WHEN lw = week - 1 THEN lr - rnk END AS delta
+        |FROM l ORDER BY week, rnk""".stripMargin
   )
 
   /** Top-3 orders per customer with all three ranking flavors; the ordering
@@ -286,5 +308,36 @@ object WindowQueries {
         lead("o_orderdate", 1).over(w).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
       .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Week-over-week rank movement ("movers") of event types by volume —
+    * the leaderboard-delta dashboard query: rank within each week, then
+    * each type's rank change vs the IMMEDIATELY preceding week
+    * (prev_rnk/delta are null when the type was absent a week — the
+    * adjacency guard `lag(week) = week − 1` makes "preceding" mean
+    * calendar-preceding, not last-seen). Weeks are integer epoch-week
+    * numbers; rank breaks count ties on the type name, so both engines
+    * rank identically.
+    *
+    * Scale shape: the corpus collapses to (weeks × types) rows in one
+    * map-side-combined count agg; both windows run over that tiny
+    * aggregate — the rank partition is a week (a handful of rows), the
+    * lag partition a type's history. */
+  def windowRankDelta(s: SparkSession, d: String): DataFrame = {
+    val wk = events(s, d)
+      .groupBy(expr("unix_micros(ts) div 604800000000").as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rw = Window.partitionBy("week")
+      .orderBy(col("n").desc, col("event_type"))
+    val tw = Window.partitionBy("event_type").orderBy("week")
+    val r = wk.withColumn("rnk", rank().over(rw).cast("long"))
+    r.withColumn("lw", lag("week", 1).over(tw))
+      .withColumn("lr", lag("rnk", 1).over(tw))
+      .select(col("week"), col("event_type"), col("n"), col("rnk"),
+        when(col("lw") === col("week") - 1, col("lr")).as("prev_rnk"),
+        when(col("lw") === col("week") - 1, col("lr") - col("rnk"))
+          .as("delta"))
+      .orderBy("week", "rnk")
   }
 }
