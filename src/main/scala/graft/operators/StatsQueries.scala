@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -41,7 +42,8 @@ object StatsQueries {
     "q_feature_scale"   -> featureScale _,
     "q_agg_corr_pairs"  -> aggCorrPairs _,
     "q_agg_hist"        -> aggHist _,
-    "q_cohort_retention" -> cohortRetention _
+    "q_cohort_retention" -> cohortRetention _,
+    "q_session_stats"   -> sessionStats _
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,7 +269,38 @@ object StatsQueries {
         |  round(CAST(a.n_active AS DOUBLE)
         |    / CAST(s.cohort_size AS DOUBLE), 4) AS retention
         |FROM act a JOIN sizes s USING (w0)
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Same gaps-and-islands session derivation as q_batch_session's
+    // twin (30-min gap), aggregated to per-user summaries; every
+    // numerator/denominator is an exact integer before the one
+    // division.
+    "q_session_stats" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts)
+        |        - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                  ORDER BY epoch_us(ts))
+        |        > 1800000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                   ORDER BY epoch_us(ts))
+        |        IS NULL THEN 1
+        |      ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+        |  FROM o),
+        |per AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+        |    max(ts_us) - min(ts_us) AS dur_us
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  round(CAST(sum(n_ev) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS avg_events,
+        |  round(CAST(sum(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000, 4) AS avg_dur_sec
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -613,5 +646,38 @@ object StatsQueries {
         round(col("n_active").cast("double")
           / col("cohort_size").cast("double"), 4).as("retention"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Per-user session summaries (count, events/session, mean duration)
+    * over 30-min-gap sessions — the engagement-metrics completion of
+    * the session family: `q_batch_session`/`q_stream_session` EMIT
+    * sessions, this aggregates them. Sessionization is the same
+    * gaps-and-islands derivation their oracle twin uses (lag + running
+    * break sum per user), so the three queries pin one another's
+    * semantics. All numerators/denominators are exact integers (counts,
+    * µs durations) up to the final division; per-user windows sort a
+    * user's own events only — the partition key is the natural scale
+    * unit. */
+  def sessionStats(s: SparkSession, d: String): DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy("ts_us")
+    val o = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk",
+        when(col("ts_us") - lag("ts_us", 1).over(uw) > 1800000000L, 1)
+          .when(lag("ts_us", 1).over(uw).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        Window.partitionBy("user_id").orderBy("ts_us")))
+    val per = o.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"),
+        (max("ts_us") - min("ts_us")).as("dur_us"))
+    per.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_ev").as("n_events"),
+        round(sum("n_ev").cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_events"),
+        round(sum("dur_us").cast("double") /
+          count(lit(1)).cast("double") / 1000000, 4).as("avg_dur_sec"))
+      .orderBy("user_id")
   }
 }
