@@ -135,7 +135,8 @@ object MediaQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"     -> multimodalMeta _,
     "q_multimodal_features" -> multimodalFeatures _,
-    "q_multimodal_frames"   -> multimodalFrames _
+    "q_multimodal_frames"   -> multimodalFrames _,
+    "q_multimodal_ann"      -> multimodalAnn _
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,5 +199,33 @@ object MediaQueries {
       .select(col("media_id"), col("frame_idx"),
         md5(col("frame")).as("frame_md5"))
       .orderBy("media_id", "frame_idx")
+  }
+
+  /** Media similarity search end-to-end: decode → feature-extract →
+    * exact cosine top-10 vs a probe medium — the composition proof that
+    * the multimodal path's output (an `Array[Float]` feature column) IS
+    * a first-class citizen of the §2.8 similarity surface (swap the
+    * fake kernel for a real embedding model and this is image search).
+    * Same serving shape as `q_sim_topk`: 1-row probe broadcast, the
+    * codegen'd `graft_vec_cosine` in the scan stage, TakeOrdered — the
+    * feature table is scanned once and never shuffled. Rounded score +
+    * id tiebreak keeps ordering deterministic. Rows-only driver check
+    * (features come from the fake decode kernel); MultimodalSpec
+    * recomputes the top-k independently and pins it. */
+  def multimodalAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val feats = MediaOps.extractFeatures(
+      MediaOps.mediaTable(s, d).as[MediaRow](
+        org.apache.spark.sql.Encoders.product[MediaRow]), bins = 16)
+      .toDF()
+    val probe = feats.filter(col("media_id") === 0)
+      .select(col("features").as("pf"))
+    feats.filter(col("media_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("media_id"), col("kind"),
+        round(graft.functions.VectorOps.cosine(col("features"),
+          col("pf")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("media_id"))
+      .limit(10)
   }
 }

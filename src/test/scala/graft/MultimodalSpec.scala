@@ -72,6 +72,37 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(pb.toSeq === pa.toSeq)
   }
 
+  test("multimodal ANN matches an independent driver-side recompute") {
+    // Recompute the exact top-10 from the collected feature table with
+    // plain Scala math (same rounded-score + id tiebreak ordering) —
+    // the declared query's broadcast/codegen path must agree row for
+    // row.
+    val feats = MediaOps.extractFeatures(
+      MediaOps.mediaTable(spark, sfDir)
+        .as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow]),
+      bins = 16).collect().map(f => f.media_id -> f.features).toMap
+    val pf = feats(0L)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = feats.toSeq.filter(_._1 != 0L)
+      .map { case (id, f) =>
+        (id, BigDecimal(cos(f, pf))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = MediaQueries.multimodalAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+
   test("metadata predicates prune before payload work (plan check)") {
     val df = MediaQueries.multimodalMeta(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan.toString

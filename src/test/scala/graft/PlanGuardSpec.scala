@@ -20,6 +20,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
   private val intentionalBnlj = Set(
     "q_sim_topk",     // 1-row probe vector broadcast
     "q_sim_batch_topk", // KB probe-batch broadcast (the serving shape)
+    "q_multimodal_ann", // 1-row probe feature broadcast (q_sim_topk shape)
     "q_ann_ivf",      // tiny centroid table crossJoin(broadcast)
     "q_tfidf",        // 1-row corpus-size scalar broadcast (cross)
     "q_text_ngram_lm", // 1-row vocab-size scalar broadcast (cross)
