@@ -26,7 +26,8 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cc" -> dedupCc _,
     "q_dedup_cc_lsh" -> dedupCcLsh _,
-    "q_graph_pagerank" -> graphPagerank _
+    "q_graph_pagerank" -> graphPagerank _,
+    "q_graph_triangles" -> graphTriangles _
   )
 
   val oracle: Map[String, String] = Map(
@@ -52,7 +53,46 @@ object GraphQueries {
         |  SELECT u.v1, r.lbl FROM reach r JOIN und u ON u.v2 = r.node)
         |SELECT node AS vec_id, min(lbl) AS component,
         |  CAST(node = min(lbl) AS BOOLEAN) AS keep
-        |FROM reach GROUP BY node ORDER BY node""".stripMargin
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    // Triangles enumerated once each via the canonical id-ordered triple
+    // join a<b<c (orientation-invariant, so any engine may count its own
+    // way); per-node membership = each triangle contributes to all three
+    // corners. Same cos ≥ 0.4 edge CTE as q_dedup_cc.
+    "q_graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+        |und AS (SELECT v1 AS u, v2 AS v FROM pairs
+        |        UNION ALL SELECT v2, v1 FROM pairs),
+        |deg AS (SELECT u AS node, count(*) AS degree FROM und GROUP BY u),
+        |tri AS (
+        |  SELECT e1.v1 AS a, e1.v2 AS b, e2.v2 AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.v1 = e1.v2
+        |  JOIN pairs e3 ON e3.v1 = e1.v1 AND e3.v2 = e2.v2),
+        |tcnt AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT e.vec_id,
+        |  coalesce(d.degree, 0) AS degree,
+        |  coalesce(t.triangles, 0) AS triangles,
+        |  CASE WHEN coalesce(d.degree, 0) >= 2
+        |       THEN round(2.0 * coalesce(t.triangles, 0)
+        |                  / (d.degree * (d.degree - 1)), 6)
+        |       ELSE 0.0 END AS clustering
+        |FROM embeddings e
+        |LEFT JOIN deg d ON d.node = e.vec_id
+        |LEFT JOIN tcnt t ON t.node = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin
   )
 
   /** Connected components of the embedding near-dup graph (cosine ≥ 0.4,
@@ -175,6 +215,85 @@ object GraphQueries {
       .select(col("doc_id"),
         round(coalesce(col("rank"), lit(0.15)), 6).as("rank"))
       .orderBy("doc_id")
+  }
+
+  /** Local clustering structure of the near-dup graph: per-vector degree,
+    * triangle membership count, and local clustering coefficient
+    * 2T/(d(d−1)) over the same exact cos ≥ 0.4 edge set as q_dedup_cc.
+    *
+    * Why a dedup pipeline wants this: components say WHICH docs cluster;
+    * the clustering coefficient says HOW a cluster hangs together. A
+    * near-dup component whose members form a near-clique (coefficient → 1)
+    * is one document in n copies — safe to collapse to any representative;
+    * a low-coefficient, chain-shaped component is transitive drift (A≈B,
+    * B≈C, A≉C) where collapsing to one doc loses real variants. That
+    * triangle-density distinction is exactly what the coefficient
+    * measures, cheaply, before anyone re-reads the texts.
+    *
+    * Scale design: the standard degree-ordered orientation bounds the
+    * wedge join — every edge is directed from its lower-(degree, id)
+    * endpoint to the higher, so each vertex's out-degree is O(√m) on any
+    * graph and the oriented wedge self-join generates O(m^1.5) candidate
+    * rows total instead of Σd(v)² (a hub of degree h spawns h² wedges
+    * un-oriented, but ~0 oriented: nearly all its edges point INTO it).
+    * Every step is a hash equi-join / map-side-combined agg on key
+    * columns — no broadcast of the edge set, no nested loop; each
+    * triangle is found exactly once (its unique all-out corner) and
+    * fanned to its three members with one explode. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame =
+    trianglesOverPairs(s,
+      SimilarityQueries.embedPairs(s, d).select("v1", "v2"),
+      embeddings(s, d).select("vec_id"), "vec_id")
+
+  /** The shared triangle stage: degree-ordered wedge counting over a
+    * canonical (lo < hi) undirected pair list, results joined back onto
+    * the full vertex universe (absent/low-degree vertices report 0).
+    *
+    * @param pairs    two LongType columns, one row per undirected edge,
+    *                 first column id < second (canonical form)
+    * @param vertices one LongType id column, the full universe to label
+    * @param idCol    the vertex id column name (also the output key) */
+  private[graft] def trianglesOverPairs(s: SparkSession,
+      pairs: DataFrame, vertices: DataFrame, idCol: String): DataFrame = {
+    // The pair pipeline feeds the degree agg, the orientation join and
+    // the closing-edge join — materialize it once, like ccOverPairs.
+    val canon = pairs.toDF("lo", "hi").localCheckpoint()
+    val und = canon.union(canon.select(col("hi"), col("lo")))
+      .toDF("node", "peer")
+    val deg = und.groupBy("node").agg(count(lit(1)).as("degree"))
+    // Orient each edge lower-(degree, id) → higher. Ties cannot survive:
+    // (degree, id) is a total order because ids are distinct.
+    val oriented = canon
+      .join(deg.select(col("node").as("lo"), col("degree").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("degree").as("dhi")), "hi")
+      .select(
+        when(col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          col("lo")).otherwise(col("hi")).as("src"),
+        when(col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          col("hi")).otherwise(col("lo")).as("dst"))
+    // Wedges from each source's O(√m) out-neighborhood; the dst1 < dst2
+    // id-order halves the wedge space and matches canon's edge form, so
+    // the closing edge is a single equi-join probe.
+    val w1 = oriented.select(col("src"), col("dst").as("w1"))
+    val w2 = oriented.select(col("src"), col("dst").as("w2"))
+    val wedges = w1.join(w2, "src").filter(col("w1") < col("w2"))
+    val tris = wedges.join(canon,
+      wedges("w1") === canon("lo") && wedges("w2") === canon("hi"))
+      .select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    vertices
+      .join(deg.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .join(tris.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(idCol)
   }
 
   /** The shared Pregel stage: connected components over an undirected

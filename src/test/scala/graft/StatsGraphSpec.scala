@@ -90,6 +90,29 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(keeps === labels.values.toSet.size.toLong)
   }
 
+  test("triangle stage: K4, paths, stars and isolates count exactly") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, coefficient 1), path 5-6-7 (wedge, no
+    // closing edge), star center 10 with leaves 11-13 (all wedges open —
+    // and all its edges point INTO the hub under degree orientation),
+    // isolate 8 in the universe only.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("lo", "hi")
+    val universe = (Seq(8L) ++ (1L to 7L) ++ (10L to 13L)).toDF("id")
+    val out = GraphQueries.trianglesOverPairs(spark, pairs, universe, "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1L to 4L).foreach { v => assert(out(v) === ((3L, 3L, 1.0)), s"K4 $v") }
+    assert(out(5L) === ((1L, 0L, 0.0)))
+    assert(out(6L) === ((2L, 0L, 0.0)))
+    assert(out(7L) === ((1L, 0L, 0.0)))
+    assert(out(8L) === ((0L, 0L, 0.0)))
+    assert(out(10L) === ((3L, 0L, 0.0)))
+    (11L to 13L).foreach { v => assert(out(v) === ((1L, 0L, 0.0))) }
+  }
+
   test("time-series invariants: z-scores center, ACF bounded") {
     import graft.operators.TimeSeriesQueries
     // Per type, Σ(n − mean) = 0 exactly ⇒ Σ z ≈ 0 (z is the rounded
