@@ -48,7 +48,9 @@ object CurateQueries {
     "q_embed_stats"       -> embedStats _,
     "q_profile_table"     -> profileTable _,
     "q_agg_entropy"       -> aggEntropy _,
-    "q_url_normalize"     -> urlNormalize _
+    "q_url_normalize"     -> urlNormalize _,
+    "q_dq_rules"          -> dqRules _,
+    "q_select_frontier"   -> selectFrontier _
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,7 +196,72 @@ object CurateQueries {
         |      THEN '?' || array_to_string(params, '&') ELSE '' END
         |    AS canon_url,
         |  host, CAST(len(params) AS BIGINT) AS n_params
-        |FROM parts ORDER BY doc_id""".stripMargin
+        |FROM parts ORDER BY doc_id""".stripMargin,
+    // Each rule family is one scan (conditional counts) or one keyed
+    // shuffle (pk grouping / fk left join); `count(*) FILTER` keeps every
+    // count BIGINT on the DuckDB side (sum() would widen to HUGEINT and
+    // fail the driver's dtype-strict hash).
+    "q_dq_rules" ->
+      """WITH j AS (
+        |  SELECT o.o_orderkey AS pk, l.l_shipdate, o.o_orderdate
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT rule, checked, violations,
+        |       CAST(violations = 0 AS BOOLEAN) AS pass FROM (
+        |  SELECT 'customer.acctbal_nonneg' AS rule, count(*) AS checked,
+        |         count(*) FILTER (WHERE c_acctbal < 0) AS violations
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_fk', count(*),
+        |         count(*) FILTER (WHERE pk IS NULL) FROM j
+        |  UNION ALL
+        |  SELECT 'lineitem.pk_unique', count(*),
+        |         count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.qty_in_range', count(*),
+        |         count(*) FILTER (WHERE l_quantity IS NULL
+        |                          OR l_quantity < 1 OR l_quantity > 50)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.ship_after_order', count(*),
+        |         count(*) FILTER (WHERE pk IS NOT NULL
+        |                          AND l_shipdate < o_orderdate) FROM j
+        |  UNION ALL
+        |  SELECT 'orders.status_domain', count(*),
+        |         count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+        |  FROM orders)
+        |ORDER BY rule""".stripMargin,
+    // Same quality formula as q_text_quality (rational arithmetic +
+    // round 4dp — cross-engine bit-exact, so the equi-join on the rounded
+    // score is safe); dominance resolved per QUALITY LEVEL: lvl_min =
+    // best tokens at this quality, strict_min = best tokens at any
+    // strictly higher quality (running min over the level table, current
+    // row excluded). A doc is dominated iff a strictly-higher-quality doc
+    // is no longer (strict_min <= t) or a same-quality doc is strictly
+    // shorter (lvl_min < t); (q, t) duplicates survive together.
+    "q_select_frontier" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |        * (1 - CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('a', 'the'))) AS DOUBLE)
+        |            / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |lvl AS (
+        |  SELECT quality, min(n_tokens) AS lvl_min
+        |  FROM scored GROUP BY quality),
+        |lvl2 AS (
+        |  SELECT quality, lvl_min,
+        |    min(lvl_min) OVER (ORDER BY quality DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_min
+        |  FROM lvl)
+        |SELECT s.doc_id, s.n_tokens, s.quality
+        |FROM scored s JOIN lvl2 l ON s.quality = l.quality
+        |WHERE NOT ((l.strict_min IS NOT NULL
+        |            AND l.strict_min <= s.n_tokens)
+        |           OR l.lvl_min < s.n_tokens)
+        |ORDER BY s.doc_id""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -384,6 +451,103 @@ object CurateQueries {
         .as("canon_url"),
       host.as("host"),
       size(params).cast("long").as("n_params"))
+      .orderBy("doc_id")
+  }
+
+  /** Data-quality gate: six declared expectation rules evaluated to one
+    * (rule, checked, violations, pass) row each — the validation pass a
+    * pipeline runs BEFORE training data ships (the Deequ/"expectations"
+    * shape): domain bounds, value domains, primary-key uniqueness,
+    * referential integrity, and cross-table temporal consistency. The
+    * fixture genuinely violates three of the six (duplicate line keys,
+    * ship-before-order dates, negative balances), so `pass` carries
+    * signal, not a constant.
+    *
+    * Scale design: rules COMPILE to the cheapest plan their class
+    * allows — domain/bound rules are conditional counts inside one scan
+    * stage (map-side-combined, zero extra shuffle per added rule on the
+    * same table); pk uniqueness is one keyed groupBy whose partial aggs
+    * collapse before the exchange; the two referential/temporal rules
+    * share a single left join on the fk (checked + both violation counts
+    * read off the SAME joined pass). Adding a rule on an already-scanned
+    * table costs one more conditional aggregate, not another 100 TB
+    * read. */
+  def dqRules(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def viol(cond: Column) = count(when(cond, true))
+    def row(rule: String, checked: Column, violations: Column) =
+      struct(lit(rule).as("rule"), checked.as("checked"),
+        violations.as("violations"))
+    val li = lineitem(s, d)
+    val qty = li.agg(count(lit(1)).as("c"),
+      viol(col("l_quantity").isNull || col("l_quantity") < 1 ||
+        col("l_quantity") > 50).as("v"))
+      .select(row("lineitem.qty_in_range", col("c"), col("v")).as("r"))
+    val pk = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("c"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt") - 1)), lit(0L)).as("v"))
+      .select(row("lineitem.pk_unique", col("c"), col("v")).as("r"))
+    val fkShip = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("c"),
+        viol(col("o_orderkey").isNull).as("fk_v"),
+        viol(col("o_orderkey").isNotNull &&
+          col("l_shipdate") < col("o_orderdate")).as("ship_v"))
+      .select(explode(array(
+        row("lineitem.orderkey_fk", col("c"), col("fk_v")),
+        row("lineitem.ship_after_order", col("c"), col("ship_v")))).as("r"))
+    val status = orders(s, d).agg(count(lit(1)).as("c"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v"))
+      .select(row("orders.status_domain", col("c"), col("v")).as("r"))
+    val acct = customer(s, d).agg(count(lit(1)).as("c"),
+      viol(col("c_acctbal") < 0).as("v"))
+      .select(row("customer.acctbal_nonneg", col("c"), col("v")).as("r"))
+    qty.union(pk).union(fkShip).union(status).union(acct)
+      .select(col("r.rule").as("rule"), col("r.checked").as("checked"),
+        col("r.violations").as("violations"))
+      .withColumn("pass", col("violations") === 0)
+      .orderBy("rule")
+  }
+
+  /** Pareto-frontier data selection: the documents not dominated on
+    * (quality HIGH, token cost LOW) — a doc is dominated when some other
+    * doc is at least as good on both axes and strictly better on one.
+    * This is the two-objective version of every "best data under a token
+    * budget" curation decision: the frontier is exactly the set of
+    * rational picks, whatever the budget; everything below it is
+    * strictly wasted tokens. Quality is `q_text_quality`'s composite
+    * (rational arithmetic, round 4dp — cross-engine bit-exact, so the
+    * level equi-join below is safe on the rounded double).
+    *
+    * Scale design: dominance is NOT a pairwise self-join (the naive
+    * O(n²) anti-join plans a nested loop). Docs collapse to QUALITY
+    * LEVELS first (one map-side-combined groupBy: level → min tokens);
+    * the frontier condition then reads off the level table — strict_min
+    * = running min of lvl_min over strictly-higher levels — with one
+    * unpartitioned window over the LEVEL table, bounded by the score's
+    * 4dp codomain (≤ 10⁴ rows whatever the corpus), then one broadcast
+    * join back to the docs. Corpus touched twice, shuffled once. */
+  def selectFrontier(s: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val stopRatio =
+      size(filter(t, x => x.isin("a", "the"))).cast("double") / nTok
+    val scored = documents(s, d).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(least(lit(1.0), nTok / lit(100.0)) * (lit(1) - stopRatio), 4)
+        .as("quality"))
+    val lvl = scored.groupBy("quality").agg(min("n_tokens").as("lvl_min"))
+    val strictW = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvl2 = lvl.withColumn("strict_min", min("lvl_min").over(strictW))
+    scored.join(broadcast(lvl2), Seq("quality"))
+      .filter(!((col("strict_min").isNotNull &&
+          col("strict_min") <= col("n_tokens")) ||
+        col("lvl_min") < col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
       .orderBy("doc_id")
   }
 }

@@ -190,6 +190,45 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected.toMap)
   }
 
+  test("frontier equals the brute-force dominance check") {
+    // The level-table algorithm must agree with the O(n²) definition:
+    // kept ⇔ no other doc is ≥ on quality, ≤ on tokens, strict on one.
+    val scored = graft.operators.TextQueries.textQuality(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = scored.filter { case (id, t, q) =>
+      !scored.exists { case (oid, ot, oq) =>
+        oid != id && oq >= q && ot <= t && (oq > q || ot < t)
+      }
+    }.map(_._1).toSet
+    val got = graft.operators.CurateQueries
+      .selectFrontier(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("dq rules pin the fixture's real violations and their pass flags") {
+    val rows = graft.operators.CurateQueries.dqRules(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet.size === 6)
+    // Clean rules: full checked count, zero violations, pass = true.
+    assert(rows("lineitem.qty_in_range")._2 === 0L)
+    assert(rows("lineitem.qty_in_range")._3)
+    assert(rows("lineitem.orderkey_fk")._2 === 0L)
+    assert(rows("orders.status_domain")._2 === 0L)
+    // The fixture genuinely violates these three; pass must go false.
+    assert(rows("lineitem.pk_unique")._2 > 0L)
+    assert(!rows("lineitem.pk_unique")._3)
+    assert(rows("lineitem.ship_after_order")._2 > 0L)
+    assert(!rows("lineitem.ship_after_order")._3)
+    assert(rows("customer.acctbal_nonneg")._2 > 0L)
+    assert(!rows("customer.acctbal_nonneg")._3)
+    // checked is the scanned row count, identical for same-table rules.
+    assert(rows("lineitem.qty_in_range")._1 ===
+      rows("lineitem.pk_unique")._1)
+  }
+
   test("null-safe join keeps NULL keys as one real cross-matched group") {
     val rows = graft.operators.JoinQueries.joinNullSafe(spark, sfDir)
       .collect()
