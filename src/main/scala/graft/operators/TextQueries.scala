@@ -626,12 +626,17 @@ object TextQueries {
     * PropertySpec drives adversarial mass-dup corpora through both the
     * bound and the recovery paths. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    // Plan shape (measured, not guessed): explode → .distinct() materializes
-    // the (doc, shingle-hash) table behind one hash aggregation whose
-    // exchange is IDENTICAL for every consumer below (candidate join's two
-    // sides, df/hot agg, nfull, hot arrays, set signatures), so
-    // ReuseExchange computes the shingle pipeline once. Two rewrites that
-    // benchmarked SLOWER here, kept on record:
+    // Plan shape (measured, not guessed): the two corpus-linear shared
+    // tables — `sh` (distinct doc/shingle-hash) and `docs` (per-doc
+    // verify rows) — are MATERIALIZED once via localCheckpoint and every
+    // consumer reads the cached blocks. ReuseExchange does NOT deliver
+    // this on its own: with AQE re-planning each subtree the executed
+    // plan held 24 parquet scans / 34 exchanges / zero ReusedExchange
+    // (the shingle explode+distinct recomputed ~8×, once per consumer);
+    // checkpointing both tables cut it to 6 exchanges and 4.8 → 3.4 s
+    // median at sf0.1. At 100 TB this is the same call GraphQueries
+    // makes: persist the multi-consumer intermediate, don't re-derive it.
+    // Two rewrites that benchmarked SLOWER here, kept on record:
     //  - per-doc distinct shingle arrays built map-side (array_distinct,
     //    counts carried through the explode): 4-5× slower — without the
     //    distinct's aggregation barrier Catalyst inlines the interpreted
@@ -657,13 +662,13 @@ object TextQueries {
       .select(col("doc_id"), explode(shingles(col("toks"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
+      .localCheckpoint()
     // ONE heavy aggregation over sh serves the whole verify side: `sets`
     // (per-doc full shingle arrays). The doc-count scalar, the full-set
     // cardinality, and the per-doc hot arrays are all PROJECTIONS off it
     // (count of its rows / size(sarr) / array_intersect with the
     // broadcast hot array) — in round 5 each was its own shuffled
-    // aggregation over sh (count_distinct + groupBy + semi-join+groupBy);
-    // dropping those passes measured 5.8 s → 3.3 s median at sf0.1.
+    // aggregation over sh (count_distinct + groupBy + semi-join+groupBy).
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_set("shingle")).as("sarr"))
     // df-cut: the hot set is tiny by construction (only shingles above a
@@ -693,6 +698,7 @@ object TextQueries {
         size(col("sarr")).cast("long").as("n"),
         array_intersect(col("sarr"), col("hotarr")).as("harr"),
         xxhash64(col("sarr")).as("skey"))
+      .localCheckpoint()
     // Candidates: pairs sharing ≥1 cold shingle; every posting list in
     // this join is bounded by the cut. common_cold rides out of the same
     // aggregation for free.
