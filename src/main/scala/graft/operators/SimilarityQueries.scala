@@ -43,7 +43,8 @@ object SimilarityQueries {
     "q_ann_rp"        -> annRp _,
     "q_embed_quantize" -> embedQuantize _,
     "q_dedup_semantic" -> dedupSemantic _,
-    "q_sim_batch_topk" -> simBatchTopK _
+    "q_sim_batch_topk" -> simBatchTopK _,
+    "q_dedup_incremental_lsh" -> dedupIncrementalLsh _
   )
 
   val oracle: Map[String, String] = Map(
@@ -294,6 +295,35 @@ object SimilarityQueries {
       .select(col("doc_id"),
         array_distinct(shingleCol(col("toks"))).as("sarr"))
 
+  /** The shared banded-MinHash pipeline: (doc_id, sarr) → one band row
+    * per (doc, band) keyed by the band's signature hash. All k min-hash
+    * values come from ONE codegen'd pass over the hash array (the
+    * MinHashSigs expression — the k×(transform→array_min) HOF form
+    * evaluates interpreted, k passes with a lambda frame per element);
+    * the band signature is xxhash64 over (band, its 4 minhashes) — one
+    * 8-byte join key instead of a built string. A 64-bit collision can
+    * only ADD a candidate pair, and every candidate passes exact-Jaccard
+    * verification downstream, so correctness is unaffected. The shingle
+    * array rides along so that verify is a local `array_intersect`. */
+  private def bandRowsOf(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("harr",
+      transform(col("sarr"), x => pmod(xxhash64(x), lit(Prime))))
+    val sigArr = call_function("graft_minhash_sigs", col("harr"),
+      typedlit(hashParams.map(_._1)), typedlit(hashParams.map(_._2)),
+      lit(Prime))
+    val sigCols = (0 until MinhashK).map(i =>
+      element_at(col("mharr"), i + 1).as(s"mh$i"))
+    val sigs = base.withColumn("mharr", sigArr)
+      .select(col("doc_id") +: col("sarr") +: sigCols: _*)
+    sigs.select(
+      col("doc_id"), col("sarr"),
+      explode(array((0 until Bands).map { b =>
+        xxhash64(lit(b) +: (0 until Rows).map(r =>
+          col(s"mh${b * Rows + r}")): _*).as("sig")
+      }: _*)).as("sig"))
+      .select(col("doc_id"), col("sarr"), col("sig"))
+  }
+
   /** Fuzzy near-dup pairs via banded MinHash.
     *
     * Pipeline: shingle → xxhash64 → k permutation-min signatures (one
@@ -314,30 +344,7 @@ object SimilarityQueries {
     // re-ran the full inverted-index self-join over ALL docs just to score
     // the few candidates). Both join sides are the identical plan on the
     // identical shuffle key → ReuseExchange computes the doc pipeline once.
-    val base = docShingleArrays(s, d)
-      .withColumn("harr",
-        transform(col("sarr"), x => pmod(xxhash64(x), lit(Prime))))
-    // All k min-hash values in ONE codegen'd pass over the hash array
-    // (MinHashSigs expression) — the k×(transform→array_min) HOF form
-    // evaluated interpreted, k passes with a lambda frame per element.
-    val sigArr = call_function("graft_minhash_sigs", col("harr"),
-      typedlit(hashParams.map(_._1)), typedlit(hashParams.map(_._2)),
-      lit(Prime))
-    val sigCols = (0 until MinhashK).map(i =>
-      element_at(col("mharr"), i + 1).as(s"mh$i"))
-    val sigs = base.withColumn("mharr", sigArr)
-      .select(col("doc_id") +: col("sarr") +: sigCols: _*)
-    // Band signature = xxhash64 over (band, the band's 4 minhashes) — one
-    // 8-byte join key instead of a built string. A 64-bit collision can
-    // only ADD a candidate pair, and every candidate passes through the
-    // exact-Jaccard verification below, so correctness is unaffected.
-    val bandRows = sigs.select(
-      col("doc_id"), col("sarr"),
-      explode(array((0 until Bands).map { b =>
-        xxhash64(lit(b) +: (0 until Rows).map(r =>
-          col(s"mh${b * Rows + r}")): _*).as("sig")
-      }: _*)).as("sig"))
-      .select(col("doc_id"), col("sarr"), col("sig"))
+    val bandRows = bandRowsOf(docShingleArrays(s, d))
     val cands = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.sig") === col("y.sig") &&
@@ -353,6 +360,59 @@ object SimilarityQueries {
       .filter(jac >= 0.5)
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Incremental near-dup ingest gate: each DELTA document (today's
+    * batch: doc_id % 4 == 0, the q_dedup_incremental split convention)
+    * checked for ≥0.9-Jaccard near-duplicates in the BASE corpus via the
+    * banded-MinHash pipeline — the daily shape that completes the dedup
+    * family: `q_dedup_incremental` is exact-fingerprint incremental,
+    * `q_dedup_cc_lsh` is full-corpus fuzzy; this is FUZZY + incremental,
+    * which is what a 100 TB corpus actually runs every ingest cycle
+    * (nobody re-pairs the whole corpus to admit a day's crawl).
+    *
+    * Scale design: the candidate join is delta × band-bucket, never
+    * base × base — cost scales with the DELTA. The base band table is
+    * corpus-linear and write-once: in production it is precomputed and
+    * bucketed by `sig` (the q_join_bucketed layout), so the daily join
+    * shuffles only the delta's band rows; here both sides derive from
+    * one shared scan pipeline. Exact-Jaccard verify on each collision
+    * keeps precision 1 (declared ≥0.9 matches are true full-set values);
+    * recall is the 4×4 banding family's 1−(1−j⁴)⁴ ≥ 0.986 at j = 0.9 —
+    * rows-only by §2 design, with PropertySpec checking the output
+    * against brute-force delta×base Jaccard on the fixture.
+    *
+    * Output: one row per delta doc — how many ≥0.9 base near-dups, the
+    * best match (max Jaccard, min base id on ties) and its score, and
+    * the admit/reject flag an ingest pipeline thresholds on. */
+  def dedupIncrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val rows = bandRowsOf(docShingleArrays(s, d))
+    val delta = rows.filter(col("doc_id") % 4 === 0)
+    val base = rows.filter(col("doc_id") % 4 =!= 0)
+    val cands = delta.as("x")
+      .join(base.as("y"), col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("bid"),
+        col("x.sarr").as("sa"), col("y.sarr").as("sb"))
+      .dropDuplicates("did", "bid")
+    val common = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val jac = common.cast("double") /
+      (size(col("sa")) + size(col("sb")) - common)
+    val best = cands
+      .select(col("did"), col("bid"), round(jac, 4).as("j"))
+      .filter(col("j") >= 0.9)
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_dup_base"),
+        max(struct(col("j").as("j"), (-col("bid")).as("nb"))).as("m"))
+      .select(col("did").as("doc_id"), col("n_dup_base"),
+        (-col("m.nb")).as("best_base"), col("m.j").as("best_jaccard"))
+    documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 4 === 0)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_base"), lit(0L)).as("n_dup_base"),
+        col("best_base"), col("best_jaccard"),
+        col("n_dup_base").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: 64-bit signature per document (tf-weighted

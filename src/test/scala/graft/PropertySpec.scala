@@ -103,6 +103,41 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       s"components without exactly one keep: ${badComponents.keys.take(5)}")
   }
 
+  test("incremental LSH gate matches brute-force delta-base near-dups") {
+    // Exact truth from dedupNgram (full-set-verified Jaccard), restricted
+    // to pairs spanning the delta/base split in either orientation.
+    val exact = TextQueries.dedupNgram(spark, sfDir)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val db = exact.flatMap { case (a, b, j) =>
+      if (a % 4 == 0 && b % 4 != 0) Some((a, b, j))
+      else if (b % 4 == 0 && a % 4 != 0) Some((b, a, j)) else None
+    }
+    assert(db.nonEmpty, "fixture should contain delta-base ≥0.9 pairs")
+    val byDelta = db.groupBy(_._1)
+    val out = SimilarityQueries.dedupIncrementalLsh(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    byDelta.foreach { case (did, ms) =>
+      val r = out(did)
+      assert(r.getBoolean(4), s"delta doc $did not flagged")
+      assert(r.getLong(1) === ms.size.toLong, s"match count for $did")
+      val bestJ = ms.map(_._3).max
+      assert(r.getDouble(3) === bestJ, s"best jaccard for $did")
+      assert(r.getLong(2) === ms.filter(_._3 == bestJ).map(_._2).min,
+        s"best-base tiebreak for $did")
+    }
+    // Precision 1 by construction (exact verify): every flagged doc must
+    // have a true ≥0.9 base match.
+    out.values.filter(_.getBoolean(4)).foreach { r =>
+      assert(byDelta.contains(r.getLong(0)),
+        s"false positive ${r.getLong(0)}")
+    }
+    // Unflagged docs report the empty-match shape.
+    out.values.filterNot(_.getBoolean(4)).foreach { r =>
+      assert(r.getLong(1) === 0L && r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
   test("LSH precision: every reported pair meets the Jaccard threshold") {
     val bad = SimilarityQueries.simPairsLsh(spark, sfDir)
       .filter(col("jaccard") < 0.5).count()
