@@ -32,6 +32,8 @@ object CoreQueries {
     "q_union_distinct"    -> unionDistinct _,
     "q_intersect"         -> intersectQ _,
     "q_except"            -> exceptQ _,
+    "q_except_all"        -> exceptAllQ _,
+    "q_intersect_all"     -> intersectAllQ _,
     "q_merge_upsert"      -> mergeUpsert _
   )
 
@@ -96,6 +98,22 @@ object CoreQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
+    // Multiset difference: each orderkey keeps (copies in lineitem −
+    // copies in orders) rows — duplicate-count semantics the DISTINCT
+    // set ops above erase. The fixture's duplicated line keys make the
+    // counts non-trivial.
+    "q_except_all" ->
+      """SELECT l_orderkey FROM lineitem
+        |EXCEPT ALL
+        |SELECT o_orderkey FROM orders
+        |ORDER BY l_orderkey""".stripMargin,
+    // Multiset intersection: per nation min(#customers, #suppliers)
+    // copies — the matched-cardinality count per key.
+    "q_intersect_all" ->
+      """SELECT c_nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY c_nationkey""".stripMargin,
     // Same deterministic change-set construction: updates double n_chars
     // for doc_id % 10 = 0, inserts clone doc_id % 50 = 0 re-keyed past
     // max(doc_id) — collision-free at any scale factor.
@@ -215,6 +233,25 @@ object CoreQueries {
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
+
+  /** Multiset (bag) difference — `EXCEPT ALL`: subtracts COPIES, not
+    * values. Each l_orderkey survives (lineitem copies − orders copies)
+    * times, so the fixture's duplicated line keys stay visible where the
+    * DISTINCT set ops erase them. Spark plans this as one count
+    * aggregation per side + a replicate generate — a keyed shuffle pair,
+    * no join fan-out, linear at any scale. */
+  def exceptAllQ(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_orderkey")
+      .exceptAll(orders(s, d).select(col("o_orderkey").as("l_orderkey")))
+      .orderBy("l_orderkey")
+
+  /** Multiset (bag) intersection — `INTERSECT ALL`: per nation
+    * min(#customers, #suppliers) copies, the matched-cardinality count
+    * per key. Same two-sided count-aggregate shape as [[exceptAllQ]]. */
+  def intersectAllQ(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select("c_nationkey")
+      .intersectAll(supplier(s, d).select(col("s_nationkey").as("c_nationkey")))
+      .orderBy("c_nationkey")
 
   /** MERGE / upsert without a table format: full-outer join of the base
     * table against a change set, change-side columns taking precedence —

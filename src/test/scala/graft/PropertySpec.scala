@@ -52,6 +52,18 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bag identity: |A except-all B| + |A intersect-all B| = |A|") {
+    // The multiset ops must partition A's copies exactly — the bag
+    // analogue of the distinct-set partition test below.
+    val a = Tables.lineitem(spark, sfDir).select("l_orderkey")
+    val b = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val kept = a.exceptAll(b).count()
+    val matched = a.intersectAll(b).count()
+    assert(kept + matched === a.count())
+    assert(matched > 0L && kept > 0L)
+  }
+
   test("windowed tumbling counts sum to the global count") {
     val events = Tables.events(spark, sfDir)
     val windowed = events
