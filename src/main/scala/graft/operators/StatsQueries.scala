@@ -41,6 +41,7 @@ object StatsQueries {
     "q_agg_weighted"    -> aggWeighted _,
     "q_feature_scale"   -> featureScale _,
     "q_agg_corr_pairs"  -> aggCorrPairs _,
+    "q_agg_skewkurt"    -> aggSkewKurt _,
     "q_agg_hist"        -> aggHist _,
     "q_cohort_retention" -> cohortRetention _,
     "q_session_stats"   -> sessionStats _
@@ -235,6 +236,38 @@ object StatsQueries {
         |    / (sqrt(c * spp - sp * sp) * sqrt(c * sdd - sd * sd)), 6)
         |    AS corr_price_disc
         |FROM g ORDER BY l_returnflag""".stripMargin,
+    // Same exact-integer-moment recipe as q_agg_corr_pairs, extended to
+    // 3rd/4th powers. pow() is deliberately absent — libm pow differs in
+    // last ulps between engines; every term uses only * / sqrt (IEEE
+    // correctly-rounded in both), with identical parenthesization.
+    "q_agg_skewkurt" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS c,
+        |    CAST(sum(q) AS DOUBLE) AS s1,
+        |    CAST(sum(q * q) AS DOUBLE) AS s2,
+        |    CAST(sum(q * q * q) AS DOUBLE) AS s3,
+        |    CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+        |  FROM v GROUP BY f),
+        |m AS (
+        |  SELECT f, n,
+        |    s1 / c AS mean,
+        |    s2 / c - (s1 / c) * (s1 / c) AS m2,
+        |    s3 / c - 3 * (s1 / c) * (s2 / c)
+        |      + 2 * (s1 / c) * (s1 / c) * (s1 / c) AS m3,
+        |    s4 / c - 4 * (s1 / c) * (s3 / c)
+        |      + 6 * (s1 / c) * (s1 / c) * (s2 / c)
+        |      - 3 * (s1 / c) * (s1 / c) * (s1 / c) * (s1 / c) AS m4
+        |  FROM g)
+        |SELECT f AS l_returnflag, n,
+        |  round(mean, 4) AS mean_qty,
+        |  round(m3 / (m2 * sqrt(m2)), 4) AS skew_qty,
+        |  round(m4 / (m2 * m2) - 3, 4) AS kurt_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // Integer bin arithmetic end-to-end — no width_bucket (absent in
     // one engine, float-boundary-risky in both).
     "q_agg_hist" ->
@@ -598,6 +631,45 @@ object StatsQueries {
         corr("sqp", "sq", "sp", "sqq", "spp").as("corr_qty_price"),
         corr("sqd", "sq", "sdm", "sqq", "sdd").as("corr_qty_disc"),
         corr("spd", "sp", "sdm", "spp", "sdd").as("corr_price_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Distribution-shape statistics per return flag: mean, population
+    * skewness m3/m2^1.5 and excess kurtosis m4/m2²−3 of quantity — the
+    * moments a data-mix policy reads to spot lopsided or heavy-tailed
+    * feature distributions (Spark's builtin `skewness`/`kurtosis` float
+    * accumulators are order-dependent and can't hash-match an oracle).
+    *
+    * The q_agg_corr_pairs recipe extended to 3rd/4th powers: every sum
+    * is an EXACT integer (decimal(38,0) power sums of the integral
+    * quantity — one map-side-combined shuffle), and the closed forms
+    * use only * / sqrt with parenthesization mirrored in the oracle —
+    * `pow` is deliberately absent (libm pow differs in last ulps across
+    * engines; sqrt is IEEE correctly-rounded in both). */
+  def aggSkewKurt(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = lineitem(s, d).select(
+      col("l_returnflag").as("f"),
+      round(col("l_quantity"), 0).cast("long").as("q"))
+    def sd(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast(dec)).cast("double").as(n)
+    val q = col("q")
+    val g = v.groupBy("f").agg(
+      count(lit(1)).as("n"),
+      count(lit(1)).cast("double").as("c"),
+      sd(q, "s1"), sd(q * q, "s2"), sd(q * q * q, "s3"),
+      sd(q * q * q * q, "s4"))
+    val mean = col("s1") / col("c")
+    val m2 = col("s2") / col("c") - mean * mean
+    val m3 = col("s3") / col("c") - lit(3) * mean * (col("s2") / col("c")) +
+      lit(2) * mean * mean * mean
+    val m4 = col("s4") / col("c") - lit(4) * mean * (col("s3") / col("c")) +
+      lit(6) * mean * mean * (col("s2") / col("c")) -
+      lit(3) * mean * mean * mean * mean
+    g.select(col("f").as("l_returnflag"), col("n"),
+        round(mean, 4).as("mean_qty"),
+        round(m3 / (m2 * sqrt(m2)), 4).as("skew_qty"),
+        round(m4 / (m2 * m2) - 3, 4).as("kurt_qty"))
       .orderBy("l_returnflag")
   }
 
