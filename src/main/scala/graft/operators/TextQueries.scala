@@ -40,6 +40,7 @@ object TextQueries {
     "q_text_tokcount"    -> textTokCount _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_dedup_ngram"      -> dedupNgram _,
+    "q_dedup_containment" -> dedupContainment _,
     "q_corpus_curate"    -> corpusCurate _,
     "q_text_bigrams"     -> textBigrams _,
     "q_text_editdist"    -> textEditDist _,
@@ -201,6 +202,53 @@ object TextQueries {
         |JOIN nfull na ON na.doc_id = m.d1
         |JOIN nfull nb ON nb.doc_id = m.d2
         |WHERE CAST(m.common AS DOUBLE) / (na.n + nb.n - m.common) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+    // Identical CTE pipeline to q_dedup_ngram (candidate generation +
+    // full-set verify are shared semantics); only the final score
+    // changes: containment = common / min(|A|, |B|).
+    "q_dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+        |thr AS (
+        |  SELECT greatest(50, CAST(ceil(0.10 * count(DISTINCT doc_id))
+        |    AS BIGINT)) AS cut FROM sh),
+        |hot AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING count(*) > (SELECT cut FROM thr)),
+        |cold AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |nfull AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM cold a JOIN cold b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sets AS (
+        |  SELECT doc_id, list_sort(list(shingle)) AS sarr
+        |  FROM sh GROUP BY doc_id),
+        |grp AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM sets x JOIN sets y ON x.sarr = y.sarr
+        |    AND x.doc_id < y.doc_id),
+        |allc AS (SELECT d1, d2 FROM cand UNION SELECT d1, d2 FROM grp),
+        |com AS (
+        |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS common
+        |  FROM allc c
+        |  JOIN sh s1 ON s1.doc_id = c.d1
+        |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+        |  GROUP BY c.d1, c.d2)
+        |SELECT m.d1, m.d2, m.common,
+        |  round(CAST(m.common AS DOUBLE) / least(na.n, nb.n), 4)
+        |    AS containment
+        |FROM com m
+        |JOIN nfull na ON na.doc_id = m.d1
+        |JOIN nfull nb ON nb.doc_id = m.d2
+        |WHERE CAST(m.common AS DOUBLE) / least(na.n, nb.n) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     // The end-to-end curation pipeline: quality-score → filter → exact
     // dedup (keep the min-id row per normalized text) → per-lang corpus
@@ -624,8 +672,14 @@ object TextQueries {
     * this fixture family the cut never fires (measured max df 25 at
     * sf0.1 vs threshold 500) so candidates = all sharing pairs here;
     * PropertySpec drives adversarial mass-dup corpora through both the
-    * bound and the recovery paths. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    * bound and the recovery paths.
+    *
+    * Returns the UNFILTERED verified pairs (d1, d2, common, n1, n2);
+    * [[dedupNgram]] (Jaccard ≥ 0.6) and [[dedupContainment]]
+    * (containment ≥ 0.8) are final-score filters over this one shared
+    * pipeline. */
+  private[operators] def ngramPairScores(
+      s: SparkSession, d: String): DataFrame = {
     // Plan shape (measured, not guessed): the two corpus-linear shared
     // tables — `sh` (distinct doc/shingle-hash) and `docs` (per-doc
     // verify rows) — are MATERIALIZED once via localCheckpoint and every
@@ -738,16 +792,46 @@ object TextQueries {
     // Identical-set pairs that also share cold shingles appear on both
     // paths with identical (common, jaccard) values — union + distinct
     // keeps one row, matching the oracle's UNION.
-    val jac = col("common").cast("double") /
-      (col("na.n") + col("nb.n") - col("common"))
     verified.unionByName(grpPairs).dropDuplicates("d1", "d2")
       .join(docs.select(col("doc_id"), col("n")).as("na"),
         col("d1") === col("na.doc_id"))
       .join(docs.select(col("doc_id"), col("n")).as("nb"),
         col("d2") === col("nb.doc_id"))
+      .select(col("d1"), col("d2"), col("common"),
+        col("na.n").as("n1"), col("nb.n").as("n2"))
+  }
+
+  /** n-gram Jaccard near-dup pairs (≥ 0.6) over the verified candidate
+    * pairs — see [[ngramPairScores]] for the full candidate-generation /
+    * verification design. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val jac = col("common").cast("double") /
+      (col("n1") + col("n2") - col("common"))
+    ngramPairScores(s, d)
       .filter(jac >= 0.6)
       .select(col("d1"), col("d2"), col("common"),
         round(jac, 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Subset-duplicate pairs by CONTAINMENT ≥ 0.8: common / min(|A|, |B|)
+    * — how much of the SMALLER document lives inside the larger. The
+    * asymmetric cousin of [[dedupNgram]]'s Jaccard, and the right measure
+    * for quote-heavy pages, boilerplate-wrapped articles, and
+    * partial-copy spam: a short doc fully embedded in a long one scores
+    * containment 1.0 while its Jaccard |A|/|B| can sit far below any
+    * dedup threshold (EdgeCaseSpec constructs exactly that pair and pins
+    * both numbers). Shares [[ngramPairScores]]'s bounded
+    * candidate-generation and full-set verification verbatim — only the
+    * final score differs — so the df-cut bound, the identical-set
+    * recovery path, and the declared all-hot recall hole carry over
+    * unchanged. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val cont = col("common").cast("double") / least(col("n1"), col("n2"))
+    ngramPairScores(s, d)
+      .filter(cont >= 0.8)
+      .select(col("d1"), col("d2"), col("common"),
+        round(cont, 4).as("containment"))
       .orderBy("d1", "d2")
   }
 

@@ -190,6 +190,25 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected.toMap)
   }
 
+  test("containment flags a subset-dup that Jaccard misses") {
+    import spark.implicits._
+    // Doc 1 (4 tokens → 2 shingles) is fully embedded in doc 2 (22
+    // tokens → 20 shingles): containment = 2/2 = 1.0, Jaccard = 2/20 =
+    // 0.1 — far below dedup_ngram's 0.6. The decoy doc shares nothing.
+    val short = "alpha beta gamma delta"
+    val long = short + " " + (1 to 18).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-contain").toString
+    Seq((1L, short), (2L, long), (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = graft.operators.TextQueries.dedupContainment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    val jac = graft.operators.TextQueries.dedupNgram(spark, dir).count()
+    assert(jac === 0L, "the subset pair must be invisible to Jaccard 0.6")
+  }
+
   test("frontier equals the brute-force dominance check") {
     // The level-table algorithm must agree with the O(n²) definition:
     // kept ⇔ no other doc is ≥ on quality, ≤ on tokens, strict on one.
