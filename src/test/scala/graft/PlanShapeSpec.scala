@@ -39,6 +39,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"unprojected column read: $readSchema")
   }
 
+  test("q_dedup_ngram's final stage reads only checkpointed intermediates") {
+    // The shared shingle pipeline (distinct doc/shingle + per-doc verify
+    // rows) must be materialized ONCE: before the localCheckpoint fix the
+    // executed plan held 24 parquet scans / 34 exchanges (ReuseExchange
+    // never fired under AQE) and the explode recomputed per consumer.
+    val df = TextQueries.dedupNgram(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("Scan parquet"),
+      "final stage re-reads parquet — checkpoint reuse regressed")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 8, s"$exchanges exchanges — shared-table reuse lost")
+  }
+
   test("q_join_broadcast plans a broadcast hash join") {
     val plan = finalPlanString(JoinQueries.joinBroadcast(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
