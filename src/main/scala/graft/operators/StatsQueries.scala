@@ -42,6 +42,7 @@ object StatsQueries {
     "q_feature_scale"   -> featureScale _,
     "q_agg_corr_pairs"  -> aggCorrPairs _,
     "q_agg_skewkurt"    -> aggSkewKurt _,
+    "q_agg_argmax"      -> aggArgmax _,
     "q_agg_hist"        -> aggHist _,
     "q_cohort_retention" -> cohortRetention _,
     "q_session_stats"   -> sessionStats _
@@ -236,6 +237,18 @@ object StatsQueries {
         |    / (sqrt(c * spp - sp * sp) * sqrt(c * sdd - sd * sd)), 6)
         |    AS corr_price_disc
         |FROM g ORDER BY l_returnflag""".stripMargin,
+    // The deterministic argmax: row_number over (balance DESC, suppkey
+    // ASC) = the same total order as Spark's max(struct(bal, −key)) —
+    // ties cannot diverge the engines because the key breaks them.
+    "q_agg_argmax" ->
+      """WITH r AS (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+        |  FROM supplier)
+        |SELECT s_nationkey AS nationkey,
+        |  s_suppkey AS best_suppkey, s_acctbal AS best_acctbal
+        |FROM r WHERE rn = 1 ORDER BY nationkey""".stripMargin,
     // Same exact-integer-moment recipe as q_agg_corr_pairs, extended to
     // 3rd/4th powers. pow() is deliberately absent — libm pow differs in
     // last ulps between engines; every term uses only * / sqrt (IEEE
@@ -633,6 +646,25 @@ object StatsQueries {
         corr("spd", "sp", "sdm", "spp", "sdd").as("corr_price_disc"))
       .orderBy("l_returnflag")
   }
+
+  /** Deterministic per-group argmax — best-balance supplier per nation —
+    * as ONE map-side-combinable aggregate, not a window: `max(struct
+    * (value, −key))` is a total order (the key breaks value ties), so
+    * partial maxima merge associatively and the shuffle carries one
+    * struct per group per map task. The window formulation
+    * (`row_number = 1`) hashes EVERY row into its group's reducer and
+    * sorts; at 100 TB the aggregate form is the difference between
+    * shuffling group-count rows and corpus rows. Oracle uses the window
+    * form — identical answer by the shared total order. */
+  def aggArgmax(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(max(struct(col("s_acctbal").as("b"),
+        (-col("s_suppkey")).as("nk"))).as("m"))
+      .select(col("nationkey"),
+        (-col("m.nk")).as("best_suppkey"),
+        col("m.b").as("best_acctbal"))
+      .orderBy("nationkey")
 
   /** Distribution-shape statistics per return flag: mean, population
     * skewness m3/m2^1.5 and excess kurtosis m4/m2²−3 of quantity — the
