@@ -35,6 +35,7 @@ object TextQueries {
     "q_text_tokens"      -> textTokens _,
     "q_text_lang_stats"  -> textLangStats _,
     "q_tfidf"            -> tfidf _,
+    "q_text_bm25"        -> textBm25 _,
     "q_text_quality"     -> textQuality _,
     "q_text_langid"      -> textLangId _,
     "q_text_tokcount"    -> textTokCount _,
@@ -96,6 +97,41 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    // Every float literal is CAST(... AS DOUBLE): bare decimal literals
+    // are DECIMAL in DuckDB, and a decimal intermediate rounds
+    // differently than the IEEE-double tree the Spark side computes.
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM toks GROUP BY doc_id),
+        |df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY term),
+        |q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5),
+        |st AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+        |  (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sdl),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(CAST(1.0 AS DOUBLE) +
+        |       (st.nd - q.df + CAST(0.5 AS DOUBLE))
+        |       / (q.df + CAST(0.5 AS DOUBLE)))
+        |    * (tf.tf * CAST(2.2 AS DOUBLE))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * dl.dl
+        |          / (CAST(st.sdl AS DOUBLE) / st.nd))) AS w
+        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(sum(w), 4) AS score
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -566,6 +602,53 @@ object TextQueries {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .orderBy("doc_id", "rnk")
+  }
+
+  /** BM25 document ranking (Okapi/Robertson, k1=1.2, b=0.75) against a
+    * deterministic probe query — the corpus's top-5 terms by document
+    * frequency (df DESC, term ASC: pure integer ordering). The
+    * production retrieval scorer behind search-based decontamination
+    * and RAG corpus serving; [[tfidf]] ranks terms WITHIN a doc, this
+    * ranks DOCS for a query.
+    *
+    * Determinism (SURVEY §7.5): every model input is an exact integer
+    * moment — tf, df, per-doc length dl, corpus Σdl and doc count — and
+    * the double tree (Robertson idf ln(1+(N−df+.5)/(df+.5)), saturation
+    * term, avgdl division) is written token-identically in the DuckDB
+    * twin, so per-term weights agree to the ulp; the per-doc sum spans
+    * ≤5 such doubles, whose accumulation-order drift is absorbed by the
+    * final round(4) (the q_agg_stats rule). Ranking is on the ROUNDED
+    * score with a doc_id tiebreak.
+    *
+    * Scale shape: corpus-linear aggregations on shuffle keys
+    * (doc_id[, term]); the 5-row probe and 1-row corpus stats broadcast
+    * (PlanGuard allowlists the stats cross join), so the corpus is
+    * never reshuffled for them; top-10 via TakeOrdered (per-partition
+    * heaps, no global sort). */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val t = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfTerm = t.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val q = dfTerm.orderBy(col("df").desc, col("term")).limit(5)
+    val st = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sdl")))
+    val avgdl = col("sdl").cast("double") / col("nd")
+    val scored = tf
+      .join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        (log(lit(1.0) +
+            (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / avgdl))).as("w"))
+    scored.groupBy("doc_id")
+      .agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** Quality scoring: token count, stopword ratio, mean token length, and a

@@ -23,6 +23,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_multimodal_ann", // 1-row probe feature broadcast (q_sim_topk shape)
     "q_ann_ivf",      // tiny centroid table crossJoin(broadcast)
     "q_tfidf",        // 1-row corpus-size scalar broadcast (cross)
+    "q_text_bm25",    // 1-row corpus-stats broadcast (cross)
     "q_text_ngram_lm", // 1-row vocab-size scalar broadcast (cross)
     "q_dedup_ngram",  // 1-row doc-count + KB hot-array broadcasts (df-cut)
     "q_text_pmi",     // 1-row token/bigram total broadcasts (cross)
