@@ -42,6 +42,7 @@ object StatsQueries {
     "q_feature_scale"   -> featureScale _,
     "q_agg_corr_pairs"  -> aggCorrPairs _,
     "q_agg_skewkurt"    -> aggSkewKurt _,
+    "q_agg_chisq"       -> aggChisq _,
     "q_agg_argmax"      -> aggArgmax _,
     "q_agg_hist"        -> aggHist _,
     "q_cohort_retention" -> cohortRetention _,
@@ -281,6 +282,32 @@ object StatsQueries {
         |  round(m3 / (m2 * sqrt(m2)), 4) AS skew_qty,
         |  round(m4 / (m2 * m2) - 3, 4) AS kurt_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // Exact BIGINT contingency counts; expected/contrib emitted
+    // UNROUNDED (one shared * - / tree → bit-identical); only the
+    // 15-term χ² window sum is rounded (accumulation order differs).
+    // r is CAST to DOUBLE before the product so no engine computes an
+    // integer r*c (BIGINT overflow at 100 TB marginals in one engine,
+    // HUGEINT in the other).
+    "q_agg_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS pri,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT status, pri, obs,
+        |    CAST(sum(obs) OVER (PARTITION BY status) AS BIGINT) AS r,
+        |    CAST(sum(obs) OVER (PARTITION BY pri) AS BIGINT) AS c,
+        |    CAST(sum(obs) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |ex AS (
+        |  SELECT *, CAST(r AS DOUBLE) * c / n AS expected FROM tot),
+        |ct AS (
+        |  SELECT *,
+        |    (obs - expected) * (obs - expected) / expected AS contrib
+        |  FROM ex)
+        |SELECT status, pri, obs, r, c, expected, contrib,
+        |  round(sum(contrib) OVER (), 4) AS chi2
+        |FROM ct ORDER BY status, pri""".stripMargin,
     // Integer bin arithmetic end-to-end — no width_bucket (absent in
     // one engine, float-boundary-risky in both).
     "q_agg_hist" ->
@@ -703,6 +730,47 @@ object StatsQueries {
         round(m3 / (m2 * sqrt(m2)), 4).as("skew_qty"),
         round(m4 / (m2 * m2) - 3, 4).as("kurt_qty"))
       .orderBy("l_returnflag")
+  }
+
+  /** χ² test of independence between two categorical columns (order
+    * status × priority) — the classic feature–label association
+    * statistic behind categorical feature selection and drift
+    * detection. Emits the full contingency diagnostics (observed,
+    * marginals, expected, per-cell contribution) plus the χ² total on
+    * every row.
+    *
+    * Scale shape: the corpus collapses to a |status|×|priority| cell
+    * table (15 rows here) in ONE map-side-combined aggregation — the
+    * only pass over the data; marginal/grand totals are window sums
+    * over that tiny frame, so everything after the first agg is
+    * KB-sized regardless of input scale.
+    *
+    * Determinism (SURVEY §7.5): observed and marginal counts are exact
+    * BIGINTs; expected and contrib are one shared * − / IEEE tree in
+    * both engines, emitted UNROUNDED (bit-identical); only the 15-term
+    * χ² window sum is rounded (accumulation order differs). r is cast
+    * to double BEFORE the r·c product so neither engine computes an
+    * integer product (BIGINT r·c overflows at 100 TB marginals in
+    * Spark, goes HUGEINT in DuckDB). */
+  def aggChisq(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val cells = orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("obs"))
+    cells
+      .withColumn("r", sum("obs").over(Window.partitionBy("status")))
+      .withColumn("c", sum("obs").over(Window.partitionBy("pri")))
+      .withColumn("n", sum("obs").over(wAll))
+      .withColumn("expected",
+        col("r").cast("double") * col("c") / col("n"))
+      .withColumn("contrib",
+        (col("obs") - col("expected")) * (col("obs") - col("expected"))
+          / col("expected"))
+      .withColumn("chi2", round(sum("contrib").over(wAll), 4))
+      .select("status", "pri", "obs", "r", "c", "expected", "contrib",
+        "chi2")
+      .orderBy("status", "pri")
   }
 
   /** Equal-width histogram of order totals per priority (12 × $50k bins,
