@@ -40,6 +40,68 @@ object BucketedLayout {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Stage-once bucketed layout: ensure `table` is registered in the
+    * catalog over a bucketed layout at `path`, (re)writing the DATA only
+    * if the layout has never been staged for the current inputs.
+    *
+    * This is the production semantics the scaladoc above promises:
+    * bucketing is an INGEST-time cost, paid once per dataset — the
+    * steady-state read path re-registers the external table over the
+    * existing bucket files (DDL only, no data pass; Spark recovers
+    * bucket ids from the file names) when the catalog died with a
+    * previous JVM. Staleness is guarded two ways: the `_GRAFT_STAGED`
+    * marker is written LAST (a killed mid-write stage is restaged, never
+    * reused) and it records a fingerprint (name, length, modtime) of the
+    * source files plus the bucket spec — any input regeneration or spec
+    * change forces a rewrite. Delete the layout dir to re-pay the write.
+    */
+  def ensureBucketed(s: SparkSession, df: => DataFrame, table: String,
+      key: String, buckets: Int, path: String,
+      sources: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(dir, "_GRAFT_STAGED")
+    def fingerprint: String = sources.sorted.map { src =>
+      val p = new Path(src)
+      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      st.listStatus(p).toSeq.sortBy(_.getPath.getName)
+        .map(f => s"${f.getPath.getName}:${f.getLen}:" +
+          s"${f.getModificationTime}")
+        .mkString(s"$src[", ",", "]")
+    }.mkString(";")
+    def spec(fp: String) = s"$key|$buckets|$fp"
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          val i = txt.indexOf('\n')
+          if (i < 0) None else Some((txt.take(i), txt.drop(i + 1)))
+        } finally in.close()
+      }
+    current match {
+      case Some((sp, _)) if sp == spec(fingerprint) &&
+          s.catalog.tableExists(table) => // hot: catalog + layout valid
+      case Some((sp, ddl)) if sp == spec(fingerprint) =>
+        // layout staged by an earlier session: register the external
+        // bucketed table over it — catalog entry only, no data pass.
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        s.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+          s"LOCATION '$path'")
+      case _ =>
+        dropWithLocation(s, table, path)
+        writeBucketed(df, table, key, buckets, Some(path))
+        val out = fs.create(marker, true)
+        try out.write(
+          (spec(fingerprint) + "\n" + s.table(table).schema.toDDL)
+            .getBytes("UTF-8"))
+        finally out.close()
+    }
+  }
+
   /** Co-locate two frames on their join keys with the same bucket count
     * (equal bucket counts + same key hash ⇒ bucket i joins bucket i). */
   def colocate(s: SparkSession, left: DataFrame, leftKey: String,

@@ -117,6 +117,43 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ensureBucketed stages once, re-registers, restages on input change") {
+    import org.apache.hadoop.fs.Path
+    val base = "/tmp/graft-test-bucketstage"
+    val src = s"$base/src.parquet"
+    val loc = s"$base/tbl"
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+    spark.sql("DROP TABLE IF EXISTS t_stage_once")
+    graft.Tables.nation(spark, sfDir).write.parquet(src)
+    def stage(): Unit = graft.sources.BucketedLayout.ensureBucketed(spark,
+      spark.read.parquet(src), "t_stage_once", "n_nationkey", 4, loc,
+      Seq(src))
+    stage()
+    val marker = new Path(loc, "_GRAFT_STAGED")
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    val rows = spark.table("t_stage_once").count()
+    // Same inputs, catalog warm: hot path — marker (and data) untouched.
+    stage()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "hot path restaged the layout")
+    // Catalog died (new JVM): register-over-layout path — DDL only.
+    spark.sql("DROP TABLE t_stage_once")
+    stage()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "register path rewrote the data")
+    assert(spark.table("t_stage_once").count() == rows)
+    // Input regenerated: fingerprint mismatch forces a full restage.
+    graft.Tables.nation(spark, sfDir).limit(10)
+      .write.mode("overwrite").parquet(src)
+    stage()
+    assert(spark.table("t_stage_once").count() == 10,
+      "stale layout served after its input changed")
+    spark.sql("DROP TABLE IF EXISTS t_stage_once")
+    fs.delete(new Path(base), true)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join)") {
     // The OTHER skew tool next to SkewOps' salting: AQE detects an
     // oversized shuffle partition from runtime stats and splits it across
