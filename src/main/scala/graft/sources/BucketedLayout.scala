@@ -58,33 +58,16 @@ object BucketedLayout {
   def ensureBucketed(s: SparkSession, df: => DataFrame, table: String,
       key: String, buckets: Int, path: String,
       sources: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new Path(dir, "_GRAFT_STAGED")
-    def fingerprint: String = sources.sorted.map { src =>
-      val p = new Path(src)
-      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      st.listStatus(p).toSeq.sortBy(_.getPath.getName)
-        .map(f => s"${f.getPath.getName}:${f.getLen}:" +
-          s"${f.getModificationTime}")
-        .mkString(s"$src[", ",", "]")
-    }.mkString(";")
-    def spec(fp: String) = s"$key|$buckets|$fp"
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try {
-          val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          val i = txt.indexOf('\n')
-          if (i < 0) None else Some((txt.take(i), txt.drop(i + 1)))
-        } finally in.close()
-      }
+    val spec = s"$key|$buckets|${Staging.fingerprint(s, sources)}"
+    val current = Staging.readMarker(s, path).collect {
+      case txt if txt.indexOf('\n') >= 0 =>
+        val i = txt.indexOf('\n')
+        (txt.take(i), txt.drop(i + 1))
+    }
     current match {
-      case Some((sp, _)) if sp == spec(fingerprint) &&
+      case Some((sp, _)) if sp == spec &&
           s.catalog.tableExists(table) => // hot: catalog + layout valid
-      case Some((sp, ddl)) if sp == spec(fingerprint) =>
+      case Some((sp, ddl)) if sp == spec =>
         // layout staged by an earlier session: register the external
         // bucketed table over it — catalog entry only, no data pass.
         s.sql(s"DROP TABLE IF EXISTS $table")
@@ -94,11 +77,8 @@ object BucketedLayout {
       case _ =>
         dropWithLocation(s, table, path)
         writeBucketed(df, table, key, buckets, Some(path))
-        val out = fs.create(marker, true)
-        try out.write(
-          (spec(fingerprint) + "\n" + s.table(table).schema.toDDL)
-            .getBytes("UTF-8"))
-        finally out.close()
+        Staging.markStaged(s, path,
+          spec + "\n" + s.table(table).schema.toDDL)
     }
   }
 

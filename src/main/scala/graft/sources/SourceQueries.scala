@@ -143,22 +143,32 @@ object SourceQueries {
     // Derby writes its log to user.dir unless redirected.
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val dbDir = scratch(d, "jdbc_derby")
-    val p = new org.apache.hadoop.fs.Path(dbDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // Derby keeps a database BOOTED in the JVM after its connections
-    // close; deleting the live instance's files (a rerun in the same
-    // session) would leave writes landing in unlinked inodes. Shut it
-    // down first — a successful shutdown always "fails" with SQLState
-    // 08006, which is the expected handshake, and XJ004 means the
-    // database was never booted in this JVM.
-    try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
-    catch { case _: java.sql.SQLException => () }
-    if (fs.exists(p)) fs.delete(p, true)
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
-    Tables.customer(s, d)
-      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-      .write.mode("overwrite").jdbc(url, "customer_jdbc", props)
+    // Stage-once (fingerprint marker in a SIBLING dir — Derby owns its
+    // own directory's contents): the operational DB is a fixture derived
+    // from customer.parquet; the measured operator is the partitioned
+    // read below. A previous JVM's unclean exit is fine — Derby replays
+    // its transaction log on boot.
+    val fp = Staging.fingerprint(s, Seq(s"$d/customer.parquet"))
+    if (!Staging.readMarker(s, s"${dbDir}_mark").contains(fp)) {
+      val p = new org.apache.hadoop.fs.Path(dbDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // Derby keeps a database BOOTED in the JVM after its connections
+      // close; deleting the live instance's files (a rerun in the same
+      // session) would leave writes landing in unlinked inodes. Shut it
+      // down first — a successful shutdown always "fails" with SQLState
+      // 08006, which is the expected handshake, and XJ004 means the
+      // database was never booted in this JVM.
+      try java.sql.DriverManager.getConnection(
+        s"jdbc:derby:$dbDir;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      if (fs.exists(p)) fs.delete(p, true)
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").jdbc(url, "customer_jdbc", props)
+      Staging.markStaged(s, s"${dbDir}_mark", fp)
+    }
     s.read
       .option("partitionColumn", "c_custkey")
       .option("numPartitions", "4")
@@ -204,6 +214,22 @@ object SourceQueries {
     val dir = scratch(d, "docs_bin")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Stage-once (fingerprint-guarded, marker written last): the .bin
+    // corpus is a FIXTURE derived from documents.parquet — the measured
+    // operator is the binaryFile read below, and a media corpus isn't
+    // re-materialized per scan. A killed mid-stage run or a regenerated
+    // source forces a restage.
+    val fp = Staging.fingerprint(s, Seq(s"$d/documents.parquet"))
+    if (!Staging.readMarker(s, dir).contains(fp)) {
+      stageBinaryCorpus(s, d, dir, p, fs)
+      Staging.markStaged(s, dir, fp)
+    }
+    readBinaryCorpus(s, d, dir)
+  }
+
+  private def stageBinaryCorpus(s: SparkSession, d: String, dir: String,
+      p: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
     // Executor-side fan-out is only correct when every executor and the
@@ -242,6 +268,10 @@ object SourceQueries {
           }
         }
       }
+  }
+
+  private def readBinaryCorpus(s: SparkSession, d: String,
+      dir: String): DataFrame =
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
       .load(dir)
@@ -251,7 +281,6 @@ object SourceQueries {
         col("length").as("n_bytes"),
         md5(col("content")).as("content_md5"))
       .orderBy("doc_id")
-  }
 
   /** Schema evolution across file generations — the drift every long-lived
     * 100 TB table accumulates: generation v1 (even doc_ids) was written
