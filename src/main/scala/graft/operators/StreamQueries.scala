@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
@@ -57,7 +58,8 @@ object StreamQueries {
     "q_stream_late"     -> streamLate _,
     "q_stream_foreach_batch" -> streamForeachBatch _,
     "q_stream_session"  -> streamSession _,
-    "q_batch_session"   -> batchSession _
+    "q_batch_session"   -> batchSession _,
+    "q_stream_topk"     -> streamTopk _
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,6 +72,21 @@ object StreamQueries {
       """SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS window_start_us,
         |  event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same tumbling counts, then the per-window rank twin — integer
+    // counts, deterministic (n DESC, event_type) ordering.
+    "q_stream_topk" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 600000000
+        |      AS window_start_us,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start_us
+        |      ORDER BY n DESC, event_type) AS rnk
+        |  FROM c)
+        |SELECT window_start_us, event_type, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start_us, rnk""".stripMargin,
     // 10-min windows sliding by 5: every event lies in exactly two
     // windows — the 5-min bucket and the one 5 minutes earlier.
     "q_stream_sliding" ->
@@ -295,6 +312,30 @@ object StreamQueries {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"))
       .orderBy("window_start_us", "event_type")
+  }
+
+  /** Trending top-3 event types per 10-min tumbling window — the
+    * "trending now" serving shape. The STREAM does the heavy lifting
+    * incrementally (windowed counts, Complete mode); the rank runs over
+    * the aggregated output, whose size is windows × event types —
+    * corpus-independent — so the per-window `row_number` sort is over a
+    * handful of rows per partition key. In production this second step
+    * is the per-trigger `foreachBatch → rank → serve` pattern
+    * (q_stream_foreach_batch wires that machinery); rank order is
+    * deterministic: n DESC, then event_type. */
+  def streamTopk(s: SparkSession, d: String): DataFrame = {
+    val agg = EventStreams.fileStream(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val counts = runToTable(agg, OutputMode.Complete())
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    val w = Window.partitionBy("window_start_us")
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("window_start_us", "rnk")
   }
 
   /** Sliding windows: 10-minute width, 5-minute slide. */
