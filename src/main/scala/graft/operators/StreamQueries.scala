@@ -59,7 +59,8 @@ object StreamQueries {
     "q_stream_foreach_batch" -> streamForeachBatch _,
     "q_stream_session"  -> streamSession _,
     "q_batch_session"   -> batchSession _,
-    "q_stream_topk"     -> streamTopk _
+    "q_stream_topk"     -> streamTopk _,
+    "q_stream_merge_sink" -> streamMergeSink _
   )
 
   val oracle: Map[String, String] = Map(
@@ -72,6 +73,25 @@ object StreamQueries {
       """SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS window_start_us,
         |  event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Batch twin of the merged serving table: the MERGE combine is
+    // associative (count/sum) + lexicographic (argmax by ts, event_id),
+    // so the final state equals the one-shot aggregate regardless of
+    // batch boundaries. Sum rounded 2dp (per-user double sums — the
+    // q_stream_stateful precedent).
+    "q_stream_merge_sink" ->
+      """WITH l AS (
+        |  SELECT user_id, value AS last_value, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY user_id)
+        |SELECT g.user_id, g.n_events, g.sum_value,
+        |  epoch_us(l.ts) AS last_ts_us, l.last_value
+        |FROM g JOIN l ON g.user_id = l.user_id AND l.rn = 1
+        |ORDER BY g.user_id""".stripMargin,
     // Same tumbling counts, then the per-window rank twin — integer
     // counts, deterministic (n DESC, event_type) ordering.
     "q_stream_topk" ->
@@ -336,6 +356,93 @@ object StreamQueries {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy("window_start_us", "rnk")
+  }
+
+  /** Incremental materialized-view maintenance — the `foreachBatch`
+    * MERGE pattern that replaces recomputing a corpus-scale aggregate:
+    * each micro-batch reduces to a per-user partial (count, sum,
+    * argmax-by-(ts, event_id) latest value) and is MERGEd into a
+    * versioned serving table by a full-outer combine. The combine is
+    * ASSOCIATIVE (count/sum add; argmax takes the lexicographically
+    * greater (ts, id) struct), so the final state is independent of
+    * batch boundaries — which is what makes the query fully oracled
+    * against the one-shot batch aggregate. Two event-time-half
+    * micro-batches (modtime-pinned, `maxFilesPerTrigger=1`) exercise a
+    * real cross-batch merge, not a degenerate single batch.
+    *
+    * Scale shape: per batch, one map-side-combined agg over the DELTA
+    * plus one full-outer equi-join against the serving table keyed by
+    * user_id — cost scales with delta + |table|, never the history; at
+    * 100 TB the serving table is bucketed by the merge key
+    * (q_join_bucketed's layout) so only the delta shuffles. Versioned
+    * dirs stand in for a table format's transactional commit. */
+  def streamMergeSink(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.SourceQueries.scratch(d, "merge_stream")
+    val tbl = graft.sources.SourceQueries.scratch(d, "merge_table")
+    val ev = graft.Tables.events(s, d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+      unix_micros(max(col("ts"))).as("hi")).head()
+    val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
+    ev.filter(col("ts") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b1")
+    ev.filter(col("ts") >= split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b2")
+    val now = System.currentTimeMillis()
+    for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
+           if st.getPath.getName.endsWith(".parquet"))
+      fs.setTimes(st.getPath, now - age, -1)
+    val stream = s.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$base/b*")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val up = batch.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value")).as("sum_value"),
+            max(struct(col("ts").as("ts"), col("event_id").as("id"),
+              col("value").as("v"))).as("last"))
+          val merged =
+            if (batchId == 0) up
+            else {
+              val prev = batch.sparkSession.read
+                .parquet(s"$tbl/v=${batchId - 1}")
+              prev.as("t").join(up.as("u"), Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("t.n_events"), lit(0L)) +
+                    coalesce(col("u.n_events"), lit(0L))).as("n_events"),
+                  (coalesce(col("t.sum_value"), lit(0.0)) +
+                    coalesce(col("u.sum_value"), lit(0.0))).as("sum_value"),
+                  when(col("u.last").isNull, col("t.last"))
+                    .when(col("t.last").isNull, col("u.last"))
+                    .when(col("t.last") > col("u.last"), col("t.last"))
+                    .otherwise(col("u.last")).as("last"))
+            }
+          merged.write.mode("overwrite").parquet(s"$tbl/v=$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.drop(2).toLong).max
+    s.read.parquet(s"$tbl/v=$latest")
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"),
+        unix_micros(col("last.ts")).as("last_ts_us"),
+        col("last.v").as("last_value"))
+      .orderBy("user_id")
   }
 
   /** Sliding windows: 10-minute width, 5-minute slide. */
