@@ -464,6 +464,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q_stream_merge_sink merges across two real micro-batches") {
+    // The oracle certifies the FINAL state; this pins that it was built
+    // incrementally: two versioned commits exist, v=0 holds only the
+    // older event-time half (strictly fewer events than final), and the
+    // cross-batch combine added counts rather than overwriting them.
+    val fin = graft.operators.StreamQueries
+      .streamMergeSink(spark, sfDir).collect()
+    val tbl = graft.sources.SourceQueries.scratch(sfDir, "merge_table")
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).sorted
+    assert(versions.sameElements(Array("v=0", "v=1")),
+      s"expected two merge commits, got ${versions.mkString(",")}")
+    val v0 = spark.read.parquet(s"$tbl/v=0")
+      .agg(sum("n_events")).head().getLong(0)
+    val total = fin.map(_.getAs[Long]("n_events")).sum
+    assert(v0 > 0 && v0 < total,
+      s"v=0 should hold a strict prefix of events ($v0 vs $total)")
+    assert(total == Tables.events(spark, sfDir).count(),
+      "merged counts must cover every event exactly once")
+  }
+
   test("streaming tumbling counts equal the batch answer (equivalence)") {
     val streamed = graft.operators.StreamQueries
       .streamTumbling(spark, sfDir).collect()
