@@ -36,6 +36,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk"      -> simTopK _,
+    "q_search_rerank" -> searchRerank _,
     "q_dedup_embed"   -> dedupEmbed _,
     "q_sim_pairs_lsh" -> simPairsLsh _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -65,6 +66,27 @@ object SimilarityQueries {
         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0)
         |SELECT vec_id, label, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    // Two-stage composition: the BM25 twin verbatim as a CTE (one
+    // source of truth for the retrieval arithmetic), then q_sim_topk's
+    // explicit double-precision cosine formula over the retrieved set.
+    "q_search_rerank" -> (
+      s"""WITH bm AS (${graft.operators.TextQueries.oracle("q_text_bm25")}),
+        |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT bm.doc_id, bm.score,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(p.pv,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id
+        |  CROSS JOIN p)
+        |SELECT doc_id, score, cos_sim,
+        |  CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+        |    AS BIGINT) AS rnk
+        |FROM scored ORDER BY rnk""".stripMargin),
     "q_dedup_embed" ->
       """WITH scored AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -154,6 +176,37 @@ object SimilarityQueries {
         round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
+  }
+
+  /** The canonical RAG two-stage retrieval pipeline: lexical retrieve
+    * (BM25 top-10 via [[TextQueries.textBm25]]'s deterministic probe
+    * query) → semantic rerank (embedding cosine against the vec_id-0
+    * query embedding). Sparse retrieval supplies recall, dense rerank
+    * supplies precision — the composition every production RAG serving
+    * path runs.
+    *
+    * Scale shape: stage 1 is `q_text_bm25`'s corpus-linear plan ending
+    * in a 10-row TakeOrdered; stage 2 BROADCASTS that retrieved set
+    * into the embeddings scan (equi-join on vec_id — the corpus
+    * embedding table is probed in place, never shuffled or paired) and
+    * the codegen'd cosine runs on k rows, not the corpus. The final
+    * window rank orders k=10 rows — trivially single-partition.
+    * Determinism: rank on the ROUNDED cosine (both engines sum the
+    * vector sequentially — identical order) with doc_id tiebreak;
+    * docs without an embedding row drop out identically in both
+    * engines (inner join). */
+  def searchRerank(s: SparkSession, d: String): DataFrame = {
+    val bm = TextQueries.textBm25(s, d)
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"))
+    val w = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+    e.join(broadcast(bm), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("doc_id"), col("score"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("rnk")
   }
 
   /** Batch ANN serving: a SET of probe vectors (every 997th id — in

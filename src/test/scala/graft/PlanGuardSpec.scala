@@ -19,6 +19,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     * §2.8. */
   private val intentionalBnlj = Set(
     "q_sim_topk",     // 1-row probe vector broadcast
+    "q_search_rerank", // 1-row query-embedding broadcast (rerank stage)
     "q_sim_batch_topk", // KB probe-batch broadcast (the serving shape)
     "q_multimodal_ann", // 1-row probe feature broadcast (q_sim_topk shape)
     "q_ann_ivf",      // tiny centroid table crossJoin(broadcast)
