@@ -43,6 +43,9 @@ object StatsQueries {
     "q_agg_corr_pairs"  -> aggCorrPairs _,
     "q_agg_skewkurt"    -> aggSkewKurt _,
     "q_agg_chisq"       -> aggChisq _,
+    "q_agg_ks"          -> aggKs _,
+    "q_agg_mannwhitney" -> aggMannWhitney _,
+    "q_agg_gini"        -> aggGini _,
     "q_agg_argmax"      -> aggArgmax _,
     "q_agg_hist"        -> aggHist _,
     "q_cohort_retention" -> cohortRetention _,
@@ -308,6 +311,112 @@ object StatsQueries {
         |SELECT status, pri, obs, r, c, expected, contrib,
         |  round(sum(contrib) OVER (), 4) AS chi2
         |FROM ct ORDER BY status, pri""".stripMargin,
+    // Exact-integer KS: D's numerator |cum1·n2 − cum2·n1| stays in
+    // HUGEINT (decimal(38,0) on the Spark side) so nothing rounds
+    // before the single final division of exact operands — which is
+    // correctly rounded IEEE in both engines, hence bit-identical
+    // UNROUNDED. Argmax value via the deterministic (diff DESC, q ASC)
+    // rank.
+    "q_agg_ks" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in1,
+        |    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in2
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (
+        |  SELECT q, CAST(sum(in1) AS BIGINT) AS c1,
+        |    CAST(sum(in2) AS BIGINT) AS c2
+        |  FROM v GROUP BY q),
+        |e AS (
+        |  SELECT q,
+        |    CAST(sum(c1) OVER (ORDER BY q) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY q) AS BIGINT) AS cum2,
+        |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+        |  FROM c),
+        |d AS (
+        |  SELECT q, n1, n2,
+        |    abs(CAST(cum1 AS HUGEINT) * n2
+        |      - CAST(cum2 AS HUGEINT) * n1) AS diff
+        |  FROM e),
+        |m AS (
+        |  SELECT q, n1, n2, diff,
+        |    row_number() OVER (ORDER BY diff DESC, q ASC) AS rn
+        |  FROM d)
+        |SELECT n1, n2, q AS ks_at,
+        |  CAST(diff AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS ks
+        |FROM m WHERE rn = 1""".stripMargin,
+    // Exact-integer Mann–Whitney: tie-averaged ranks carried in HALF-
+    // UNITS (2·cumlt + ct + 1 is always integral), rank sum / U₁ / tie
+    // term Σ(t³−t) all HUGEINT; the closed form uses only ÷ and sqrt on
+    // exact operands — bit-identical, emitted unrounded.
+    "q_agg_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in1,
+        |    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in2
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (
+        |  SELECT q, CAST(sum(in1) AS BIGINT) AS c1,
+        |    CAST(sum(in2) AS BIGINT) AS c2,
+        |    CAST(sum(in1) + sum(in2) AS BIGINT) AS ct
+        |  FROM v GROUP BY q),
+        |r AS (
+        |  SELECT q, c1, c2, ct,
+        |    2 * CAST(coalesce(sum(ct) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) + ct + 1 AS avgrank2
+        |  FROM c),
+        |m AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(c1 AS HUGEINT) * avgrank2) AS HUGEINT) AS r1two,
+        |    CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS t3
+        |  FROM r),
+        |u AS (
+        |  SELECT n1, n2,
+        |    r1two - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1two,
+        |    CAST(n1 AS HUGEINT) * n2 AS a,
+        |    CAST(n1 + n2 AS HUGEINT) AS n, t3
+        |  FROM m)
+        |SELECT n1, n2,
+        |  CAST(u1two AS DOUBLE) / 2 AS u1,
+        |  CAST(a - u1two AS DOUBLE) / CAST(a AS DOUBLE) AS r_rb,
+        |  (CAST(u1two - a AS DOUBLE) / 2)
+        |    / sqrt(CAST(a AS DOUBLE)
+        |      * (CAST((n + 1) * n * (n - 1) - t3 AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)) / 12) AS z
+        |FROM u""".stripMargin,
+    // Exact-integer Gini via the mean-difference identity over cents;
+    // row_number positions among equal cents are interchangeable (equal
+    // x makes Σ i·xᵢ invariant), so the per-group sort is deterministic
+    // in value. One double division per output column.
+    "q_agg_gini" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |r AS (
+        |  SELECT pri, cents,
+        |    row_number() OVER (PARTITION BY pri
+        |      ORDER BY cents ASC, k ASC) AS i,
+        |    row_number() OVER (PARTITION BY pri
+        |      ORDER BY cents DESC, k DESC) AS j,
+        |    count(*) OVER (PARTITION BY pri) AS cnt
+        |  FROM o),
+        |g AS (
+        |  SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS w,
+        |    CAST(sum(CASE WHEN j <= cnt // 10 THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS t10
+        |  FROM r GROUP BY pri)
+        |SELECT pri, n, CAST(s AS BIGINT) AS total_cents,
+        |  CAST(2 * w - (n + 1) * s AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) AS gini,
+        |  CAST(t10 AS DOUBLE) / CAST(s AS DOUBLE) AS top10_share
+        |FROM g ORDER BY pri""".stripMargin,
     // Integer bin arithmetic end-to-end — no width_bucket (absent in
     // one engine, float-boundary-risky in both).
     "q_agg_hist" ->
@@ -771,6 +880,145 @@ object StatsQueries {
       .select("status", "pri", "obs", "r", "c", "expected", "contrib",
         "chi2")
       .orderBy("status", "pri")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (quantity distribution,
+    * return flag R vs N) — THE continuous drift detector between two
+    * corpus segments (yesterday-vs-today feature drift, source-A-vs-B
+    * mix checks). Exact to the last bit: D = max |c₁·n₂ − c₂·n₁| /
+    * (n₁·n₂) needs only integer ECDFs, so the whole computation is
+    * integer until one final division of exact operands — correctly
+    * rounded IEEE in both engines, emitted UNROUNDED. Also reports the
+    * value attaining D (smallest such value — integer tiebreak).
+    *
+    * Scale shape: one map-side-combined per-value agg over the corpus
+    * (the only corpus pass); the window sums and rank run over the
+    * VALUE SUPPORT (distinct quantities — ~50 rows), not the data. The
+    * cross-products ride in decimal(38,0) (HUGEINT in the twin) so
+    * 100 TB cumulative counts cannot overflow. */
+  def aggKs(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(round(col("l_quantity"), 0).cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("in1"),
+        when(col("l_returnflag") === "N", 1L).otherwise(0L).as("in2"))
+    val c = v.groupBy("q").agg(sum("in1").as("c1"), sum("in2").as("c2"))
+    val wOrd = Window.orderBy("q")
+    val wAll = Window.partitionBy()
+    val e = c.select(col("q"),
+      sum("c1").over(wOrd).as("cum1"),
+      sum("c2").over(wOrd).as("cum2"),
+      sum("c1").over(wAll).as("n1"),
+      sum("c2").over(wAll).as("n2"))
+    val diff = abs(col("cum1").cast(dec) * col("n2") -
+      col("cum2").cast(dec) * col("n1"))
+    e.select(col("q"), col("n1"), col("n2"), diff.as("diff"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("diff").desc, col("q").asc)))
+      .filter(col("rn") === 1)
+      .select(col("n1"), col("n2"), col("q").as("ks_at"),
+        (col("diff").cast("double") /
+          (col("n1").cast("double") * col("n2"))).as("ks"))
+  }
+
+  /** Two-sample Mann–Whitney U (rank-sum) test on the same R-vs-N
+    * quantity split as [[aggKs]] — the nonparametric location-shift
+    * detector (KS asks "same distribution?", U asks "does one segment
+    * stochastically dominate?"). Exact to the last bit: tie-averaged
+    * ranks ride in INTEGER HALF-UNITS — the average rank of a tie group
+    * is cumlt + (ct+1)/2, so twice it (2·cumlt + ct + 1) is always
+    * integral — which keeps the rank sum, U₁, and the tie-correction
+    * term Σ(t³−t) exact in decimal(38,0) (HUGEINT twin). The closed
+    * form (U₁, rank-biserial r, tie-corrected z) uses only ÷ and sqrt
+    * on exact operands — correctly rounded IEEE in both engines, so the
+    * doubles are emitted UNROUNDED.
+    *
+    * Scale shape: identical to [[aggKs]] — one map-side-combined
+    * per-value agg is the only corpus pass; ranks/windows run over the
+    * ~50-row value support. */
+  def aggMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(round(col("l_quantity"), 0).cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("in1"),
+        when(col("l_returnflag") === "N", 1L).otherwise(0L).as("in2"))
+    val c = v.groupBy("q")
+      .agg(sum("in1").as("c1"), sum("in2").as("c2"))
+      .withColumn("ct", col("c1") + col("c2"))
+    val wPrev = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = c.withColumn("avgrank2",
+      lit(2L) * coalesce(sum("ct").over(wPrev), lit(0L))
+        + col("ct") + lit(1L))
+    val m = r.agg(
+      sum("c1").as("n1"), sum("c2").as("n2"),
+      sum(col("c1").cast(dec) * col("avgrank2")).as("r1two"),
+      sum(col("ct").cast(dec) * col("ct") * col("ct") - col("ct"))
+        .as("t3"))
+    val u = m.select(col("n1"), col("n2"),
+      (col("r1two") - col("n1").cast(dec) * (col("n1") + lit(1L)))
+        .as("u1two"),
+      (col("n1").cast(dec) * col("n2")).as("a"),
+      (col("n1") + col("n2")).cast(dec).as("n"), col("t3"))
+    u.select(col("n1"), col("n2"),
+      (col("u1two").cast("double") / lit(2)).as("u1"),
+      ((col("a") - col("u1two")).cast("double") / col("a").cast("double"))
+        .as("r_rb"),
+      ((col("u1two") - col("a")).cast("double") / lit(2) /
+        sqrt(col("a").cast("double") *
+          (((col("n") + lit(1L)) * col("n") * (col("n") - lit(1L))
+            - col("t3")).cast("double") /
+            (col("n") * (col("n") - lit(1L))).cast("double")) / lit(12)))
+        .as("z"))
+  }
+
+  /** Gini coefficient + top-decile revenue share of order totals per
+    * priority — the concentration/inequality audit behind "is 1% of the
+    * corpus 90% of the tokens?" dashboards. The mean-difference identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·S) / (n·S) over sorted cents keeps the whole
+    * statistic exact-integer until ONE double division per output column
+    * (bit-identical, emitted unrounded). Positions among equal cents are
+    * interchangeable — equal x makes Σ i·xᵢ invariant under tie
+    * permutation — so the row_number tiebreak (orderkey) affects no
+    * output value; the top-decile cut j ≤ n div 10 is likewise
+    * tie-stable because every boundary candidate holds the same cents.
+    *
+    * Scale shape: the per-group window sort is order-statistics-mandated
+    * (same cost class as q_percentiles' exact path — a total order per
+    * group is the price of exact rank moments); everything after it is
+    * one map-side-combined agg. The 100 TB alternative that avoids the
+    * sort is a binned Lorenz approximation (q_agg_hist's integer bins +
+    * cumulative shares) — sketch-class, deliberately not this query. */
+  def aggGini(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = orders(s, d).select(
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+      col("o_orderkey").as("k"))
+    val wAsc = Window.partitionBy("pri")
+      .orderBy(col("cents").asc, col("k").asc)
+    val wDesc = Window.partitionBy("pri")
+      .orderBy(col("cents").desc, col("k").desc)
+    val wPart = Window.partitionBy("pri")
+    val r = o.select(col("pri"), col("cents"),
+      row_number().over(wAsc).cast("long").as("i"),
+      row_number().over(wDesc).cast("long").as("j"),
+      count(lit(1)).over(wPart).as("cnt"))
+    val g = r.groupBy("pri").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast(dec)).as("s"),
+      sum(col("i").cast(dec) * col("cents")).as("w"),
+      sum(when(col("j") <= expr("cnt div 10"), col("cents"))
+        .otherwise(0L).cast(dec)).as("t10"))
+    g.select(col("pri"), col("n"), col("s").cast("long").as("total_cents"),
+      ((lit(2L) * col("w") - (col("n") + lit(1L)) * col("s"))
+        .cast("double") /
+        (col("n").cast(dec) * col("s")).cast("double")).as("gini"),
+      (col("t10").cast("double") / col("s").cast("double"))
+        .as("top10_share"))
+      .orderBy("pri")
   }
 
   /** Equal-width histogram of order totals per priority (12 × $50k bins,
