@@ -845,15 +845,20 @@ object TextQueries {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common_cold"))
+    // The two verify joins also carry each side's full-set cardinality
+    // n, so the pair table leaves this block score-complete — no further
+    // joins against `docs` downstream (two shuffled joins saved vs the
+    // first cut of this pipeline, which re-joined for n1/n2 at the end).
     val verified = candCold
-      .join(docs.select(col("doc_id").as("d1"), col("harr").as("h1")),
-        Seq("d1"))
-      .join(docs.select(col("doc_id").as("d2"), col("harr").as("h2")),
-        Seq("d2"))
+      .join(docs.select(col("doc_id").as("d1"), col("harr").as("h1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("harr").as("h2"),
+        col("n").as("n2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         (col("common_cold") +
           size(array_intersect(col("h1"), col("h2"))).cast("long"))
-          .as("common"))
+          .as("common"),
+        col("n1"), col("n2"))
     // Exact-set group path: docs whose FULL shingle sets are identical
     // pair at Jaccard 1.0 even when every shingle is hot. One
     // content-keyed self-join (8-byte set-hash key; array equality guards
@@ -871,17 +876,11 @@ object TextQueries {
           col("x.sarr") === col("y.sarr") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.n").as("common"))
+        col("x.n").as("common"), col("x.n").as("n1"), col("y.n").as("n2"))
     // Identical-set pairs that also share cold shingles appear on both
-    // paths with identical (common, jaccard) values — union + distinct
+    // paths with identical (common, n1, n2) values — union + distinct
     // keeps one row, matching the oracle's UNION.
     verified.unionByName(grpPairs).dropDuplicates("d1", "d2")
-      .join(docs.select(col("doc_id"), col("n")).as("na"),
-        col("d1") === col("na.doc_id"))
-      .join(docs.select(col("doc_id"), col("n")).as("nb"),
-        col("d2") === col("nb.doc_id"))
-      .select(col("d1"), col("d2"), col("common"),
-        col("na.n").as("n1"), col("nb.n").as("n2"))
   }
 
   /** n-gram Jaccard near-dup pairs (≥ 0.6) over the verified candidate
