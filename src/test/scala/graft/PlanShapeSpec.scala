@@ -249,6 +249,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"no DPP filter on the partitioned fact scan:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a shuffle join") {
+    // The shuffle-join twin of the DPP property: when the dim side of a
+    // non-broadcast equi join carries a selective filter, Spark's
+    // runtime-filter rule must inject a bloom_filter_agg over the dim
+    // keys and probe it (might_contain) in the FACT's scan stage, so at
+    // 100 TB the fact rows that cannot join die before the shuffle, not
+    // after it. Local thresholds differ from a real cluster (the
+    // application-side default gate is 10 GB), so the gates are pinned
+    // low for the test — the assertion is that the REWRITE fires, which
+    // is exactly what the production conf would deliver at real sizes.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val fact = graft.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+      val dim = graft.Tables.orders(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") ===
+          "1-URGENT")
+        .select("o_orderkey")
+      val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = finalPlanString(joined)
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"no bloom probe on the fact scan:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "join broadcasted — bloom pin must exercise the shuffle path")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q_text_chunk is a map-side explode: only the sort exchanges") {
     // The SURVEY row claims chunking runs as a scan at any corpus size;
     // hold it to that: the posexplode+slice+md5 pipeline must keep the
