@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GraphQueries, SimilarityQueries, TextQueries}
+import graft.operators.{GraphQueries, SimilarityQueries, StatsQueries, TextQueries}
 
 /** Algebraic laws (SURVEY §5.3) + the LSH recall contract. Spark-backed
   * properties sample a few generated cases per law (each sample is a
@@ -337,6 +337,93 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         s"vec ${r.get(0)}: max_err ${r.getAs[Double]("max_err")} " +
           s"exceeds half-step ${scale / 254}")
       assert(r.getAs[Double]("mean_err") <= r.getAs[Double]("max_err"))
+    }
+  }
+
+  /** The R-vs-N per-quantity counts both two-sample tests run on,
+    * collected once (the support is ~50 values at any SF). */
+  private lazy val rnCounts: Seq[(Long, Long, Long)] =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .groupBy(round(col("l_quantity"), 0).cast("long").as("q"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("c2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("KS statistic equals the direct max-ECDF-gap computation") {
+    // Independent recomputation from first principles over the collected
+    // value support: D = max |cum1·n2 − cum2·n1| / (n1·n2), all exact
+    // BigInt until the one closing division — the same arithmetic the
+    // query and its oracle both declare, derived a third way.
+    val n1 = rnCounts.map(_._2).sum
+    val n2 = rnCounts.map(_._3).sum
+    var (cum1, cum2) = (BigInt(0), BigInt(0))
+    var best = BigInt(-1); var bestQ = Long.MinValue
+    rnCounts.foreach { case (q, c1, c2) =>
+      cum1 += c1; cum2 += c2
+      val diff = (cum1 * n2 - cum2 * n1).abs
+      if (diff > best) { best = diff; bestQ = q }
+    }
+    val row = StatsQueries.aggKs(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(row.getAs[Long]("ks_at") === bestQ)
+    val direct = best.toDouble / (n1.toDouble * n2.toDouble)
+    assert(math.abs(row.getAs[Double]("ks") - direct) <= 1e-15,
+      s"ks ${row.getAs[Double]("ks")} vs direct $direct")
+  }
+
+  test("Mann-Whitney U equals the direct dominance-pair count") {
+    // U₁ = #(x₁ > x₂ pairs) + ½·#ties — counted directly over the
+    // value-support cross product in BigInt (2U₁ stays integral), the
+    // definitional form the rank-sum derivation must reproduce.
+    val n1 = rnCounts.map(_._2).sum
+    val n2 = rnCounts.map(_._3).sum
+    var u1two = BigInt(0)
+    for ((qa, c1, _) <- rnCounts; (qb, _, c2) <- rnCounts) {
+      if (qa > qb) u1two += 2 * BigInt(c1) * c2
+      else if (qa == qb) u1two += BigInt(c1) * c2
+    }
+    val row = StatsQueries.aggMannWhitney(spark, sfDir).collect().head
+    val u1 = row.getAs[Double]("u1")
+    assert(u1 * 2 === u1two.toDouble, s"2·U1 ${u1 * 2} vs $u1two")
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2, "U out of [0, n1·n2]")
+    val rRb = row.getAs[Double]("r_rb")
+    val direct = (BigInt(n1) * n2 - u1two).toDouble / (n1.toDouble * n2)
+    assert(math.abs(rRb - direct) <= 1e-12, s"r_rb $rRb vs $direct")
+    assert(!row.getAs[Double]("z").isNaN, "z must be defined")
+  }
+
+  test("Gini equals the direct mean-absolute-difference identity") {
+    // G = Σᵢⱼ|xᵢ−xⱼ| / (2n·S): the O(n²) definitional form, exact in
+    // BigInt, against the query's sorted-rank identity — algebraically
+    // equal, so the doubles may differ only in the final rounding.
+    val cents = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)) }
+    val rows = StatsQueries.aggGini(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === cents.keySet)
+    rows.foreach { r =>
+      val xs = cents(r.getString(0))
+      val n = BigInt(xs.length)
+      val s = xs.foldLeft(BigInt(0))(_ + _)
+      var num = BigInt(0)
+      for (i <- xs.indices; j <- xs.indices if j > i)
+        num += BigInt(math.abs(xs(i) - xs(j)))
+      val direct = (2 * num).toDouble / (2 * n * s).toDouble
+      val gini = r.getAs[Double]("gini")
+      assert(math.abs(gini - direct) <= 1e-12,
+        s"${r.getString(0)}: gini $gini vs direct $direct")
+      assert(gini >= 0.0 && gini < 1.0)
+      val t10 = r.getAs[Double]("top10_share")
+      if (xs.length >= 10)
+        assert(t10 >= 0.1 - 1e-9 && t10 <= 1.0,
+          s"top-decile share $t10 below proportional floor")
     }
   }
 
