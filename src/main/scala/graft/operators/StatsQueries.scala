@@ -46,6 +46,7 @@ object StatsQueries {
     "q_agg_ks"          -> aggKs _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
     "q_agg_gini"        -> aggGini _,
+    "q_agg_mad"         -> aggMad _,
     "q_agg_argmax"      -> aggArgmax _,
     "q_agg_hist"        -> aggHist _,
     "q_cohort_retention" -> cohortRetention _,
@@ -417,6 +418,30 @@ object StatsQueries {
         |    / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) AS gini,
         |  CAST(t10 AS DOUBLE) / CAST(s AS DOUBLE) AS top10_share
         |FROM g ORDER BY pri""".stripMargin,
+    // Exact-interpolation robust stats: integer cents make every
+    // quantile position a quarter fraction and every interpolated value
+    // a dyadic rational below 2^53 — bit-identical unrounded across
+    // engines (quantile_cont and Spark's percentile share the linear-
+    // interpolation definition).
+    "q_agg_mad" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |med AS (
+        |  SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(cents, 0.50) AS median_cents,
+        |    quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)
+        |      AS iqr_cents
+        |  FROM o GROUP BY pri),
+        |dev AS (
+        |  SELECT o.pri, abs(o.cents - m.median_cents) AS adev
+        |  FROM o JOIN med m ON o.pri = m.pri)
+        |SELECT m.pri, m.n, m.median_cents, d.mad_cents, m.iqr_cents
+        |FROM med m JOIN (
+        |  SELECT pri, quantile_cont(adev, 0.50) AS mad_cents
+        |  FROM dev GROUP BY pri) d ON m.pri = d.pri
+        |ORDER BY m.pri""".stripMargin,
     // Integer bin arithmetic end-to-end — no width_bucket (absent in
     // one engine, float-boundary-risky in both).
     "q_agg_hist" ->
@@ -1018,6 +1043,42 @@ object StatsQueries {
         (col("n").cast(dec) * col("s")).cast("double")).as("gini"),
       (col("t10").cast("double") / col("s").cast("double"))
         .as("top10_share"))
+      .orderBy("pri")
+  }
+
+  /** Robust spread per priority: median, MAD (median absolute
+    * deviation), and IQR of order-total cents — the outlier-resistant
+    * twin of [[aggStats]] (one fat-finger order shifts mean/stddev
+    * arbitrarily; median/MAD move by at most one rank). Exact-integer
+    * inputs make the linear interpolation EXACT, not merely close:
+    * quantile positions land on quarter fractions and int·{0.25,0.5,
+    * 0.75} products are dyadic rationals below 2⁵³, so the interpolated
+    * median, the half-integral deviations, and the second-level MAD
+    * median are all bit-identical across engines — emitted UNROUNDED.
+    *
+    * Scale shape: two chained exact-percentile aggregations (each a
+    * per-group value-counts map, the honest exact path — q_approx_
+    * quantile is the sketch twin); the 5-row per-group median table
+    * broadcasts back for the deviation pass, so the corpus is scanned
+    * twice and shuffled twice on the same group key, never sorted
+    * globally. */
+  def aggMad(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val med = o.groupBy("pri").agg(
+      count(lit(1)).as("n"),
+      percentile(col("cents"), lit(0.50)).as("median_cents"),
+      (percentile(col("cents"), lit(0.75)) -
+        percentile(col("cents"), lit(0.25))).as("iqr_cents"))
+    val dev = o.join(broadcast(med.select("pri", "median_cents")), Seq("pri"))
+      .select(col("pri"),
+        abs(col("cents") - col("median_cents")).as("adev"))
+    val mad = dev.groupBy("pri")
+      .agg(percentile(col("adev"), lit(0.50)).as("mad_cents"))
+    med.join(mad, Seq("pri"))
+      .select(col("pri"), col("n"), col("median_cents"),
+        col("mad_cents"), col("iqr_cents"))
       .orderBy("pri")
   }
 
