@@ -31,7 +31,8 @@ object TimeSeriesQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_anomaly" -> tsAnomaly _,
     "q_ts_acf"     -> tsAcf _,
-    "q_ts_ewma"    -> tsEwma _
+    "q_ts_ewma"    -> tsEwma _,
+    "q_ts_holt"    -> tsHolt _
   )
 
   val oracle: Map[String, String] = Map(
@@ -126,7 +127,44 @@ object TimeSeriesQueries {
         |SELECT event_type, n_hours,
         |  round(list_reduce(xs, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
         |    AS ewma_last
-        |FROM ser ORDER BY event_type""".stripMargin
+        |FROM ser ORDER BY event_type""".stripMargin,
+    // Same coupled (level, trend) fold as the Spark struct-accumulator
+    // `aggregate` (see [[tsHolt]]); list_reduce cannot carry a pair, so
+    // the DuckDB twin folds through a recursive CTE — same seeds, same
+    // left-to-right order, the identical IEEE tree per step.
+    "q_ts_holt" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |ser AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    array_agg(CAST(n AS DOUBLE) ORDER BY hour_us) AS xs
+        |  FROM dense GROUP BY event_type),
+        |rec AS (
+        |  SELECT event_type, n_hours, xs, CAST(2 AS BIGINT) AS i,
+        |    xs[1] AS l, xs[2] - xs[1] AS tr
+        |  FROM ser WHERE n_hours >= 2
+        |  UNION ALL
+        |  SELECT event_type, n_hours, xs, i + 1,
+        |    0.2 * xs[i + 1] + 0.8 * (l + tr),
+        |    0.1 * ((0.2 * xs[i + 1] + 0.8 * (l + tr)) - l) + 0.9 * tr
+        |  FROM rec WHERE i < n_hours)
+        |SELECT event_type, n_hours, round(l, 6) AS level_last,
+        |  round(tr, 6) AS trend_last, round(l + tr, 6) AS forecast_1
+        |FROM rec WHERE i = n_hours ORDER BY event_type""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -267,6 +305,54 @@ object TimeSeriesQueries {
           slice(xs, lit(2), size(xs) - 1),
           element_at(xs, 1),
           (acc, x) => lit(0.2) * x + lit(0.8) * acc), 6).as("ewma_last"))
+      .orderBy("event_type")
+  }
+
+  /** Holt double-exponential smoothing (α = 0.2, β = 0.1) of each
+    * type's hourly count series: level AND trend state, plus the
+    * one-step forecast (level + trend) — what capacity alerting needs
+    * when traffic is drifting, which [[tsEwma]]'s flat level cannot
+    * represent (EWMA lags a trending series by (1−α)/α steps forever).
+    *
+    * The coupled recurrence
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * is a sequential fold carrying a PAIR — here a struct accumulator
+    * through the `aggregate` HOF, seeded l = x₁, b = x₂ − x₁, folding
+    * x₃…x_n (x₂'s information enters through the trend seed). The
+    * DuckDB twin runs the identical seeds/tree through a recursive CTE
+    * (list_reduce cannot carry a pair): defined evaluation order on
+    * both engines ⇒ identical IEEE chain ⇒ exact 6dp match. Series
+    * with a single hour have no trend seed and are declared out
+    * (n_hours ≥ 2).
+    *
+    * Scale shape: identical to [[tsEwma]] — one corpus scan into the
+    * hourly agg; the fold runs over per-type arrays bounded by the time
+    * span, never by event volume. */
+  def tsHolt(s: SparkSession, d: String): DataFrame = {
+    val arr = denseHourly(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sort_array(collect_list(
+          struct(col("hour_us").as("h"), col("n").as("v")))).as("hv"))
+      .filter(col("n_hours") >= 2)
+    val xs = transform(col("hv"), e => e.getField("v").cast("double"))
+    val init = struct(
+      element_at(xs, 1).as("l"),
+      (element_at(xs, 2) - element_at(xs, 1)).as("tr"))
+    val fold = aggregate(
+      slice(xs, lit(3), greatest(size(xs) - 2, lit(0))),
+      init,
+      (acc, x) => {
+        val l = acc.getField("l"); val tr = acc.getField("tr")
+        val lNew = lit(0.2) * x + lit(0.8) * (l + tr)
+        struct(lNew.as("l"),
+          (lit(0.1) * (lNew - l) + lit(0.9) * tr).as("tr"))
+      })
+    arr.select(col("event_type"), col("n_hours"), fold.as("st"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("st.l"), 6).as("level_last"),
+        round(col("st.tr"), 6).as("trend_last"),
+        round(col("st.l") + col("st.tr"), 6).as("forecast_1"))
       .orderBy("event_type")
   }
 }
