@@ -50,7 +50,8 @@ object CurateQueries {
     "q_agg_entropy"       -> aggEntropy _,
     "q_url_normalize"     -> urlNormalize _,
     "q_dq_rules"          -> dqRules _,
-    "q_select_frontier"   -> selectFrontier _
+    "q_select_frontier"   -> selectFrontier _,
+    "q_export_shards"     -> exportShards _
   )
 
   val oracle: Map[String, String] = Map(
@@ -261,7 +262,24 @@ object CurateQueries {
         |WHERE NOT ((l.strict_min IS NOT NULL
         |            AND l.strict_min <= s.n_tokens)
         |           OR l.lvl_min < s.n_tokens)
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+    // Same md5 hex-prefix shard assignment and checksum arithmetic as
+    // the Spark side; the Spark result additionally proves the written
+    // partitioned layout round-trips (the oracle certifies the VALUES,
+    // the read-back certifies the files).
+    "q_export_shards" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
+        |      AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
+        |    AS BIGINT) AS checksum,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -549,5 +567,41 @@ object CurateQueries {
         col("lvl_min") < col("n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .orderBy("doc_id")
+  }
+
+  /** Size-balanced shard export with a delivery manifest — the final
+    * "hand the corpus to the trainer" act. Docs are hash-assigned to 8
+    * shards by the stable md5 family (row-local, reproducible, stable
+    * under corpus growth — `q_split_hash`'s property), ACTUALLY written
+    * as a `partitionBy(shard)` parquet layout, and the manifest (doc
+    * count, char volume, min/max id, content checksum) is computed FROM
+    * THE WRITTEN FILES — the query certifies the round trip, not the
+    * intent. The checksum is an ORDER-INDEPENDENT exact integer (Σ of
+    * md5-prefix ints per doc): any engine, any cluster layout, any
+    * shard-internal file order produces the identical value, which is
+    * what makes the manifest usable as a cross-system delivery receipt.
+    *
+    * Scale shape: assignment is a scan-stage projection (no shuffle
+    * before the write's own partitioning); the write is the one
+    * corpus-moving act; the manifest agg is map-side combined over the
+    * written files. At 100 TB the same query shards by
+    * `pmod(hash, n_shards)` with n_shards sized to ~1 GB files. */
+  def exportShards(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.SourceQueries.scratch(d, "export_shards")
+    val assigned = documents(s, d).select(
+      col("doc_id"), col("text"), col("n_chars"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(8L))
+        .as("shard"))
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 8),
+          16, 10).cast("long")).as("checksum"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
   }
 }
