@@ -51,7 +51,8 @@ object CurateQueries {
     "q_url_normalize"     -> urlNormalize _,
     "q_dq_rules"          -> dqRules _,
     "q_select_frontier"   -> selectFrontier _,
-    "q_export_shards"     -> exportShards _
+    "q_export_shards"     -> exportShards _,
+    "q_mix_temperature"   -> mixTemperature _
   )
 
   val oracle: Map[String, String] = Map(
@@ -279,7 +280,31 @@ object CurateQueries {
         |    AS BIGINT) AS checksum,
         |  CAST(min(doc_id) AS BIGINT) AS min_doc,
         |  CAST(max(doc_id) AS BIGINT) AS max_doc
-        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    // Same decomposition as the Spark side: exact integer lang counts,
+    // sqrt (correctly rounded — the reason α = 1/2) and one identical
+    // double tree; the Σ√n normalizer is a sum over a handful of langs
+    // (ulp drift only, inside 4dp); alloc_docs derives from the ROUNDED
+    // share so the ·10⁴ product is integral on both engines.
+    "q_mix_temperature" ->
+      """WITH cnt AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    sum(sqrt(CAST(n_docs AS DOUBLE))) AS s_root
+        |  FROM cnt)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+        |    AS p_raw,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / s_root, 4) AS p_temp,
+        |  round((sqrt(CAST(n_docs AS DOUBLE)) / s_root)
+        |    / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 4)
+        |    AS boost,
+        |  CAST(round(10000 *
+        |    round(sqrt(CAST(n_docs AS DOUBLE)) / s_root, 4), 0)
+        |    AS BIGINT) AS alloc_docs
+        |FROM cnt, tot ORDER BY lang""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -603,5 +628,46 @@ object CurateQueries {
         min("doc_id").as("min_doc"),
         max("doc_id").as("max_doc"))
       .orderBy("shard")
+  }
+
+  /** Temperature-flattened language sampling — the multilingual data-mix
+    * policy: the raw language share p_l = n_l/N is flattened to
+    * q_l ∝ p_l^α so low-resource languages are upsampled relative to
+    * their corpus share (every multilingual pretraining recipe applies
+    * some α < 1 here; the reference, a single-topic Kafka echo
+    * /root/reference/main.py:86-108, has no mixing policy — north-star
+    * extension surface).
+    *
+    * α = 1/2 is CHOSEN so the exponent is `sqrt`, which IEEE-754
+    * guarantees correctly rounded on every engine — a cross-engine
+    * closed form must never use libm `pow`, whose last-ulp behavior
+    * differs between engines (the q_agg_skewkurt rule). The normalizer
+    * Σ√n_l sums a handful of doubles (one per language) — ulp-level
+    * drift only, well inside the 4dp rounding. `alloc_docs` (the
+    * language's slice of a 10k-doc sampling budget) is computed from the
+    * ROUNDED share: 10⁴ · round(q, 4) is integral up to one ulp, so the
+    * final round-to-integer can never straddle a .5 boundary and the
+    * allocation is engine-independent.
+    *
+    * Scale: the corpus is touched exactly once by the map-side-combined
+    * lang count agg; the (N, Σ√n) scalar rides back onto the ≤#langs
+    * table via a broadcast 1-row cross join (PlanGuard allowlist, the
+    * q_tfidf pattern) and the whole closed form runs on KB of data at
+    * any corpus size. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = cnt.agg(
+      sum("n_docs").as("n_total"),
+      sum(sqrt(col("n_docs").cast("double"))).as("s_root"))
+    val p = col("n_docs").cast("double") / col("n_total").cast("double")
+    val q = sqrt(col("n_docs").cast("double")) / col("s_root")
+    cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(p, 4).as("p_raw"),
+        round(q, 4).as("p_temp"),
+        round(q / p, 4).as("boost"),
+        round(lit(10000) * round(q, 4), 0).cast("long").as("alloc_docs"))
+      .orderBy("lang")
   }
 }
