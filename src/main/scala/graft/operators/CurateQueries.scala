@@ -52,7 +52,8 @@ object CurateQueries {
     "q_dq_rules"          -> dqRules _,
     "q_select_frontier"   -> selectFrontier _,
     "q_export_shards"     -> exportShards _,
-    "q_mix_temperature"   -> mixTemperature _
+    "q_mix_temperature"   -> mixTemperature _,
+    "q_select_dsir"       -> selectDsir _
   )
 
   val oracle: Map[String, String] = Map(
@@ -304,7 +305,51 @@ object CurateQueries {
         |  CAST(round(10000 *
         |    round(sqrt(CAST(n_docs AS DOUBLE)) / s_root, 4), 0)
         |    AS BIGINT) AS alloc_docs
-        |FROM cnt, tot ORDER BY lang""".stripMargin
+        |FROM cnt, tot ORDER BY lang""".stripMargin,
+    // Same hash family, smoothing, and ln tree as the Spark side. The
+    // ONLY float work is the 64-row weight CTE, rounded once to integer
+    // 1e-4-nat units; doc scores are exact BIGINT dot products after
+    // that, so engine float order can never touch the ranking.
+    "q_select_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 97 = 0) AS is_t,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, is_t,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 4))
+        |      ::BIGINT % 64 AS b
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |bgc AS (
+        |  SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY doc_id, is_t, b),
+        |raw AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS rb FROM bgc GROUP BY b),
+        |tgt AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS tb
+        |  FROM bgc WHERE is_t GROUP BY b),
+        |tots AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS rt,
+        |    CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tt
+        |  FROM bgc),
+        |w AS (
+        |  SELECT raw.b,
+        |    CAST(round((ln(CAST(COALESCE(tgt.tb, 0) + 1 AS DOUBLE)
+        |        / CAST(tt + 64 AS DOUBLE))
+        |      - ln(CAST(raw.rb + 1 AS DOUBLE)
+        |        / CAST(rt + 64 AS DOUBLE))) * 10000, 0) AS BIGINT) AS w
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots),
+        |sc AS (
+        |  SELECT bgc.doc_id, CAST(sum(bgc.c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(bgc.c * w.w) AS BIGINT) AS score_e4
+        |  FROM bgc JOIN w ON bgc.b = w.b
+        |  WHERE NOT bgc.is_t GROUP BY bgc.doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_id, n_bigrams, score_e4,
+        |    CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 200 ORDER BY rnk""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -669,5 +714,73 @@ object CurateQueries {
         round(q / p, 4).as("boost"),
         round(lit(10000) * round(q, 4), 0).cast("long").as("alloc_docs"))
       .orderBy("lang")
+  }
+
+  /** Importance-reweighted data selection — the hashed n-gram
+    * importance-sampling shape behind domain-targeted pretraining-data
+    * selection: candidate documents are ranked by how much more likely
+    * their hashed-bigram profile is under the TARGET domain than under
+    * the raw corpus. Target = the pseudo-benchmark split
+    * (`q_contamination`'s doc_id ≡ 0 mod 97); candidates = everything
+    * else.
+    *
+    * Determinism by construction: per-bucket log-likelihood-ratio
+    * weights w_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) over B = 64
+    * md5 buckets (`q_freq_cms`'s explicit hash family) are the ONLY
+    * float computation, and each is rounded ONCE to integer 10⁻⁴-nat
+    * units on the 64-row weight table. Every doc score is then the
+    * exact BIGINT dot product Σ c_b·w_b — order-independent across
+    * partitions, layouts, and engines (the integer-moments playbook:
+    * large unordered double sums are never hash-stable, so the floats
+    * end before the corpus-sized aggregation begins).
+    *
+    * Scale: the corpus is exploded to hashed-bigram buckets once and
+    * reduced immediately by the map-side-combined (doc, bucket) count
+    * agg — the one corpus-sized shuffle. That table is checkpointed
+    * (the ngramPairScores lesson: ReuseExchange does not deduplicate
+    * multi-consumer subtrees under AQE) and serves all four consumers:
+    * raw/target bucket marginals and the scalar totals (64-row /
+    * 1-row), and the candidate score agg. The weight table broadcasts
+    * into the score join; top-200 is TakeOrdered (never a global sort),
+    * ranked locally on the 200-row result. */
+  def selectDsir(s: SparkSession, d: String): DataFrame = {
+    val B = 64L
+    val toks = split(col("text"), " ")
+    val bgc = documents(s, d)
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(97)) === 0).as("is_t"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(TextQueries.ngrams(col("toks"), 2)).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(conv(substring(md5(col("bg").cast("binary")), 1, 4),
+          16, 10).cast("long"), lit(B)).as("b"))
+      .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val raw = bgc.groupBy("b").agg(sum("c").as("rb"))
+    val tgt = bgc.filter(col("is_t")).groupBy("b").agg(sum("c").as("tb"))
+    val tots = bgc.agg(
+      sum("c").as("rt"),
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("tt"))
+    val w = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        round((log((coalesce(col("tb"), lit(0L)) + 1).cast("double")
+            / (col("tt") + B).cast("double"))
+          - log((col("rb") + 1).cast("double")
+            / (col("rt") + B).cast("double"))) * 10000, 0)
+          .cast("long").as("w"))
+    val sc0 = bgc.filter(!col("is_t"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        sum(col("c") * col("w")).as("score_e4"))
+    val top = sc0
+      .orderBy(col("score_e4").desc, col("doc_id")).limit(200)
+    top.withColumn("rnk",
+        row_number().over(
+          Window.orderBy(col("score_e4").desc, col("doc_id")))
+          .cast("long"))
+      .orderBy("rnk")
   }
 }
