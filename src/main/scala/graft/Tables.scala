@@ -13,8 +13,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * facade in [[graft.streaming]] for the unbounded shape.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Naive (non-UTC-adjusted) parquet TIMESTAMP columns must land as
+    * TimestampType carrying the stored micros verbatim — i.e. the stored
+    * value IS the epoch-µs — because every oracle twin compares through
+    * DuckDB's `epoch_us(ts)`, which reads the same stored micros. Spark 4's
+    * default instead infers TIMESTAMP_NTZ for naive columns; disabling the
+    * inference restores the value-preserving mapping independent of the
+    * session timezone. Runtime conf, so it also covers the driver's own
+    * session (which is not built by this repo). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -23,16 +33,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) in parquet, which
-    * Spark's vectorized reader rejects. Read it as raw nanos and convert to
-    * a microsecond TimestampType with integer division — exact, and the same
-    * floor-truncation DuckDB's `epoch_us` applies, so oracle twins agree.
-    * (The testdata carries no sub-microsecond precision.) */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (read as raw nanos via the legacy
+    * conf, floored to µs by integer division — the same truncation DuckDB's
+    * `epoch_us` applies) and plain TIMESTAMP(MICROS) (already the target
+    * type after [[table]]'s NTZ-inference opt-out). Branch on what the
+    * footer actually says so both generations read identically. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // only if something re-enabled NTZ inference
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   /** Registers graft's native expressions (graft_minhash_sigs is used by
     * the shingle-LSH queries) — idempotent, same as [[embeddings]]. */

@@ -16,28 +16,28 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema: ts is INT64 TIMESTAMP(NANOS), which
-    * Spark's vectorized reader only accepts as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`); converted here to a
-    * microsecond TimestampType exactly like `Tables.events` so batch and
-    * stream agree to the microsecond. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Unbounded read of the events table via the file streaming source.
     * The source requires a directory; the glob filter selects the events
-    * file out of the shared scale-factor dir. */
+    * file out of the shared scale-factor dir.
+    *
+    * The file streaming source needs a user-supplied schema, and `ts` has
+    * shipped in two physical forms across testdata generations (INT64
+    * TIMESTAMP(NANOS) vs plain TIMESTAMP(MICROS)) — so peek at the footer
+    * through `Tables.events` (a metadata-only read) and reuse both its
+    * resolved schema and its normalization, keeping batch and stream
+    * agreed to the microsecond by construction. */
   def fileStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawSchema)
+    val batchShape = graft.Tables.events(s, dir)
+    val rawTs = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = s.readStream
+      .schema(StructType(batchShape.schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = rawTs) else f)))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (rawTs == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Project an events frame (batch or streaming) into the exact shape
