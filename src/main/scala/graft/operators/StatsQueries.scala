@@ -50,7 +50,8 @@ object StatsQueries {
     "q_agg_argmax"      -> aggArgmax _,
     "q_agg_hist"        -> aggHist _,
     "q_cohort_retention" -> cohortRetention _,
-    "q_session_stats"   -> sessionStats _
+    "q_session_stats"   -> sessionStats _,
+    "q_rfm"             -> rfm _
   )
 
   val oracle: Map[String, String] = Map(
@@ -507,7 +508,44 @@ object StatsQueries {
         |    AS avg_events,
         |  round(CAST(sum(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    / 1000000, 4) AS avg_dur_sec
-        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same quintile construction: both engines' ntile is the SQL-standard
+    // one (first n mod 5 buckets take the extra row) over the identical
+    // total order (metric, custkey) — no tie ambiguity, no float compare.
+    // Cents stay BIGINT until the final /100 (HUGEINT cast back); the
+    // 2dp round of an exact-cents quotient is boundary-free.
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |rec AS (
+        |  SELECT c_custkey,
+        |    max(last_day) OVER () - last_day AS recency_days,
+        |    frequency, cents
+        |  FROM per),
+        |sc AS (
+        |  SELECT c_custkey, recency_days, frequency, cents,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey)
+        |         AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, c_custkey)
+        |         AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY cents, c_custkey)
+        |         AS INT) AS m_score
+        |  FROM rec)
+        |SELECT c_custkey, recency_days, frequency,
+        |  round(CAST(cents AS DOUBLE) / 100, 2) AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'loyal'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'lapsed'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY c_custkey""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1160,5 +1198,49 @@ object StatsQueries {
         round(sum("dur_us").cast("double") /
           count(lit(1)).cast("double") / 1000000, 4).as("avg_dur_sec"))
       .orderBy("user_id")
+  }
+
+  /** RFM customer segmentation — recency / frequency / monetary quintile
+    * scores plus a rule-based segment label, the warehouse marketing
+    * staple.
+    *
+    * Scale shape: the orders fact is reduced to ONE row per customer in
+    * a single map-side-combined keyed shuffle FIRST; everything after —
+    * the max-day global window and the three `ntile(5)` sorts — runs on
+    * the customer-DIMENSION frame, never the fact table. (The global
+    * windows do single-partition that small frame; at 100 TB the fact
+    * side is what matters, and it is touched exactly once.)
+    *
+    * Cross-engine discipline: monetary is carried as exact BIGINT cents
+    * (`round(price*100)` — the testdata's totals are 2dp); quintiles are
+    * `ntile(5)` over the total order (metric, custkey), which both
+    * engines implement identically (SQL standard: first n mod 5 buckets
+    * get the extra row), so scores never hinge on a float comparison. */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val per = orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        max(expr("unix_micros(o_orderdate) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val scored = per
+      .withColumn("recency_days",
+        max("last_day").over(Window.partitionBy()) - col("last_day"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("c_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency"), col("c_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents"), col("c_custkey"))))
+    scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
+        round(col("cents").cast("double") / 100, 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4, "loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "lapsed")
+          .otherwise("regular").as("segment"))
+      .orderBy("c_custkey")
   }
 }
