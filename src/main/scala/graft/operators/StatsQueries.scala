@@ -51,7 +51,8 @@ object StatsQueries {
     "q_agg_hist"        -> aggHist _,
     "q_cohort_retention" -> cohortRetention _,
     "q_session_stats"   -> sessionStats _,
-    "q_rfm"             -> rfm _
+    "q_rfm"             -> rfm _,
+    "q_basket_pairs"    -> basketPairs _
   )
 
   val oracle: Map[String, String] = Map(
@@ -545,7 +546,39 @@ object StatsQueries {
         |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
         |       WHEN r_score <= 2 AND f_score <= 2 THEN 'lapsed'
         |       ELSE 'regular' END AS segment
-        |FROM sc ORDER BY c_custkey""".stripMargin
+        |FROM sc ORDER BY c_custkey""".stripMargin,
+
+    // Same basket → distinct-item → within-basket pair derivation; all
+    // counts exact BIGINT, lift/support one shared IEEE expression each.
+    "q_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |n AS (
+        |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+        |  FROM items),
+        |cnt AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS item_a, b.pk AS item_b,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM items a JOIN items b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.pair_cnt,
+        |  ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  round(CAST(p.pair_cnt AS DOUBLE) / CAST(n.n_baskets AS DOUBLE),
+        |        6) AS support,
+        |  round(CAST(p.pair_cnt AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+        |    / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 4)
+        |    AS lift
+        |FROM pairs p
+        |CROSS JOIN n
+        |JOIN cnt ca ON p.item_a = ca.pk
+        |JOIN cnt cb ON p.item_b = cb.pk
+        |WHERE p.pair_cnt >= 2
+        |ORDER BY p.pair_cnt DESC, p.item_a, p.item_b""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1242,5 +1275,49 @@ object StatsQueries {
           .when(col("r_score") <= 2 && col("f_score") <= 2, "lapsed")
           .otherwise("regular").as("segment"))
       .orderBy("c_custkey")
+  }
+
+  /** Market-basket co-occurrence: within-order item pairs with support
+    * and lift — the association-rule-mining first stage.
+    *
+    * Scale shape: pair GENERATION is basket-local — the self-join's
+    * equi-key is the basket id, so each task pairs only its own baskets'
+    * items (≤ k² per basket, k = items/basket, bounded by order size;
+    * never corpus²). The distinct (basket, item) frame is materialized
+    * once (`localCheckpoint`) and feeds all three consumers — pair join
+    * (twice), item counts, basket total — instead of re-running the
+    * distinct's exchange three times. Item counts are a dimension-sized
+    * frame broadcast back onto the pair aggregate; the basket-count
+    * scalar rides the house 1-row broadcast cross join (PlanGuard
+    * allowlisted). The `pair_cnt >= 2` cut bounds the emitted rule set
+    * the standard way (a pair seen once is noise, and at corpus scale
+    * the singleton tail dominates the pair space). */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint()
+    val n = items.agg(countDistinct("ok").as("n_baskets"))
+    val cnt = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("item_a"), col("b.pk").as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+    pairs
+      .crossJoin(broadcast(n))
+      .join(broadcast(cnt.select(col("pk").as("item_a"),
+        col("cnt").as("cnt_a"))), Seq("item_a"))
+      .join(broadcast(cnt.select(col("pk").as("item_b"),
+        col("cnt").as("cnt_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"),
+        round(col("pair_cnt").cast("double")
+          / col("n_baskets").cast("double"), 6).as("support"),
+        round(col("pair_cnt").cast("double")
+          * col("n_baskets").cast("double")
+          / (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 4)
+          .as("lift"))
+      .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
   }
 }
