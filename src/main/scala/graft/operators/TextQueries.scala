@@ -48,6 +48,7 @@ object TextQueries {
     "q_text_pii"         -> textPii _,
     "q_text_repetition"  -> textRepetition _,
     "q_vocab_oov"        -> vocabOov _,
+    "q_vocab_build"      -> vocabBuild _,
     "q_contamination"    -> contamination _,
     "q_text_ngram_lm"    -> textNgramLm _,
     "q_text_chunk"       -> textChunk _,
@@ -408,6 +409,26 @@ object TextQueries {
         |    / CAST(count(*) AS DOUBLE), 4) AS oov_frac
         |FROM t LEFT JOIN vocab v ON t.tok = v.tok
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Same top-256-by-(count DESC, token) vocabulary, same cumulative
+    // window over that total order; counts exact BIGINT up to the one
+    // coverage division.
+    "q_vocab_build" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+        |top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 256),
+        |ranked AS (
+        |  SELECT tok, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |  FROM top)
+        |SELECT rank, tok, n, cum_n,
+        |  round(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM ranked CROSS JOIN tot ORDER BY rank""".stripMargin,
     // Benchmark set = doc_id % 97 = 0; 3-token shingles; a corpus doc is
     // contaminated when ≥5 of its distinct shingles appear anywhere in
     // the benchmark shingle set. Docs under 3 tokens have no shingles and
@@ -1082,6 +1103,36 @@ object TextQueries {
         round(count_if(col("inv").isNull).cast("double") /
           count(lit(1)).cast("double"), 4).as("oov_frac"))
       .orderBy("doc_id")
+  }
+
+  /** Vocabulary construction with coverage accounting: the top-256
+    * corpus tokens ranked by count, each carrying its cumulative token
+    * mass — the table a tokenizer-budget decision reads ("how many
+    * vocab entries buy 95% coverage?"). `q_vocab_oov` consumes a vocab
+    * like this; this query EMITS one, so the pair pin each other.
+    *
+    * Scale shape: one map-side-combined token-count shuffle, then the
+    * count frame is materialized once (vocab-sized) and feeds both the
+    * top-256 `TakeOrdered` (no global sort materialization) and the
+    * 1-row total scalar; the rank/cumulative windows run on the 256-row
+    * result frame only. */
+  def vocabBuild(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("n").as("total"))
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    counts.orderBy(col("n").desc, col("tok")).limit(256)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_n", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("tok"), col("n"), col("cum_n"),
+        round(col("cum_n").cast("double")
+          / col("total").cast("double"), 6).as("cum_share"))
+      .orderBy("rank")
   }
 
   /** Bigram language-model quality scoring (the KenLM-style filter: score
