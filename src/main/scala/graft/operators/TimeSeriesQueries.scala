@@ -29,10 +29,11 @@ import graft.Tables._
 object TimeSeriesQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ts_anomaly" -> tsAnomaly _,
-    "q_ts_acf"     -> tsAcf _,
-    "q_ts_ewma"    -> tsEwma _,
-    "q_ts_holt"    -> tsHolt _
+    "q_ts_anomaly"  -> tsAnomaly _,
+    "q_ts_acf"      -> tsAcf _,
+    "q_ts_ewma"     -> tsEwma _,
+    "q_ts_holt"     -> tsHolt _,
+    "q_ts_seasonal" -> tsSeasonal _
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,7 +165,33 @@ object TimeSeriesQueries {
         |  FROM rec WHERE i < n_hours)
         |SELECT event_type, n_hours, round(l, 6) AS level_last,
         |  round(tr, 6) AS trend_last, round(l + tr, 6) AS forecast_1
-        |FROM rec WHERE i = n_hours ORDER BY event_type""".stripMargin
+        |FROM rec WHERE i = n_hours ORDER BY event_type""".stripMargin,
+
+    // Same TZ-free integer (dow, hour) derivation — epoch-day + 4 mod 7
+    // (1970-01-01 was a Thursday), hour from the intraday µs remainder —
+    // and the same exact-BIGINT-moment z tree as q_ts_anomaly's.
+    "q_ts_seasonal" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT event_type, dow, hour, n,
+        |    CAST(count(*) OVER w AS BIGINT) AS c,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS s2
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_type, dow, hour, n,
+        |  round(CAST(n AS DOUBLE) / CAST(s1 AS DOUBLE), 6) AS share,
+        |  round(CAST(c * n - s1 AS DOUBLE)
+        |    / (CAST(c AS DOUBLE)
+        |       * sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
+        |              / CAST(c * (c - 1) AS DOUBLE))), 4) AS z_score
+        |FROM stats WHERE c > 1
+        |ORDER BY event_type, dow, hour""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -354,5 +381,44 @@ object TimeSeriesQueries {
         round(col("st.tr"), 6).as("trend_last"),
         round(col("st.l") + col("st.tr"), 6).as("forecast_1"))
       .orderBy("event_type")
+  }
+
+  /** Seasonal traffic profile: per event type, the (day-of-week ×
+    * hour-of-day) count grid with each cell's share of the type's
+    * volume and its z-score against the type's own cell distribution —
+    * the "when does this source actually ship data" calendar heatmap,
+    * and the deseasonalization table a threshold-based alert would
+    * divide by before applying `q_ts_anomaly`'s logic.
+    *
+    * (dow, hour) are derived with TZ-free integer arithmetic on the
+    * epoch — day + 4 mod 7 (1970-01-01 was a Thursday), hour from the
+    * intraday µs remainder — so no calendar/timezone library is in the
+    * comparison loop. The z tree is `q_ts_anomaly`'s exact-BIGINT-moment
+    * expression verbatim. Corpus touched once by the map-side-combined
+    * cell count agg; the windows run on the ≤ types × 168 cell frame. */
+  def tsSeasonal(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hour"))
+      .groupBy("event_type", "dow", "hour")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    val stats = cells
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+    stats.filter(col("c") > 1)
+      .select(col("event_type"), col("dow"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("s1").cast("double"), 6)
+          .as("share"),
+        round(
+          (col("c") * col("n") - col("s1")).cast("double")
+            / (col("c").cast("double")
+              * sqrt((col("c") * col("s2") - col("s1") * col("s1"))
+                  .cast("double")
+                / (col("c") * (col("c") - 1)).cast("double"))), 4)
+          .as("z_score"))
+      .orderBy("event_type", "dow", "hour")
   }
 }
