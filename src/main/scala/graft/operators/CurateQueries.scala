@@ -44,6 +44,7 @@ object CurateQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_hash"        -> splitHash _,
     "q_domain_cap"        -> domainCap _,
+    "q_select_head"       -> selectHead _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_embed_stats"       -> embedStats _,
     "q_profile_table"     -> profileTable _,
@@ -265,6 +266,31 @@ object CurateQueries {
         |            AND l.strict_min <= s.n_tokens)
         |           OR l.lvl_min < s.n_tokens)
         |ORDER BY s.doc_id""".stripMargin,
+    // Same per-lang (quality DESC, doc_id) head walk; the coverage cut
+    // is the EXACT-INTEGER comparison 2*(cum-n) < lang_total — no float
+    // threshold anywhere near the boundary row.
+    "q_select_head" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |        * (1 - CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('a', 'the'))) AS DOUBLE)
+        |            / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, n_chars, quality,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+        |      AS lang_chars
+        |  FROM scored)
+        |SELECT doc_id, lang, quality, n_chars, cum_chars,
+        |  round(CAST(cum_chars AS DOUBLE) / CAST(lang_chars AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM cum
+        |WHERE 2 * (cum_chars - n_chars) < lang_chars
+        |ORDER BY lang, cum_chars, doc_id""".stripMargin,
     // Same md5 hex-prefix shard assignment and checksum arithmetic as
     // the Spark side; the Spark result additionally proves the written
     // partitioned layout round-trips (the oracle certifies the VALUES,
@@ -617,6 +643,48 @@ object CurateQueries {
     * unpartitioned window over the LEVEL table, bounded by the score's
     * 4dp codomain (≤ 10⁴ rows whatever the corpus), then one broadcast
     * join back to the docs. Corpus touched twice, shuffled once. */
+  /** Head-of-distribution selection: per language, keep the
+    * highest-quality documents until they cover half the language's
+    * character mass — the "ration the budget toward the head" curation
+    * policy (`q_domain_cap` bounds by COUNT per group; this bounds by
+    * cumulative VOLUME, which is what a token budget actually is).
+    *
+    * Determinism at the boundary: the walk order is (quality DESC,
+    * doc_id) on the 4dp-rounded score, and the coverage cut is the
+    * exact-integer comparison 2·(cum−n) < lang_total — a row is in the
+    * head iff the mass BEFORE it is under half, so the crossing row is
+    * included and no float threshold sits near the decision.
+    *
+    * Scale shape: one per-lang window sort (partition key = language;
+    * with a skewed language mix the production variant pre-aggregates a
+    * quality histogram per lang — ≤10⁴ levels by the 4dp codomain — and
+    * cuts at the level granularity, the `q_select_frontier` trick; the
+    * per-doc sort here keeps the boundary exact for the oracle). */
+  def selectHead(s: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val stopRatio =
+      size(filter(t, x => x.isin("a", "the"))).cast("double") / nTok
+    val scored = documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      round(least(lit(1.0), nTok / lit(100.0)) * (lit(1) - stopRatio), 4)
+        .as("quality"))
+    val head = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_chars", sum("n_chars").over(head))
+      .withColumn("lang_chars",
+        sum("n_chars").over(Window.partitionBy("lang")))
+      .filter(lit(2) * (col("cum_chars") - col("n_chars"))
+        < col("lang_chars"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_chars"),
+        col("cum_chars"),
+        round(col("cum_chars").cast("double")
+          / col("lang_chars").cast("double"), 6).as("cum_share"))
+      .orderBy("lang", "cum_chars", "doc_id")
+  }
+
   def selectFrontier(s: SparkSession, d: String): DataFrame = {
     val t = split(col("text"), " ")
     val nTok = size(t)
