@@ -33,7 +33,8 @@ object TimeSeriesQueries {
     "q_ts_acf"      -> tsAcf _,
     "q_ts_ewma"     -> tsEwma _,
     "q_ts_holt"     -> tsHolt _,
-    "q_ts_seasonal" -> tsSeasonal _
+    "q_ts_seasonal" -> tsSeasonal _,
+    "q_ts_interp"   -> tsInterp _
   )
 
   val oracle: Map[String, String] = Map(
@@ -191,7 +192,50 @@ object TimeSeriesQueries {
         |       * sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
         |              / CAST(c * (c - 1) AS DOUBLE))), 4) AS z_score
         |FROM stats WHERE c > 1
-        |ORDER BY event_type, dow, hour""".stripMargin
+        |ORDER BY event_type, dow, hour""".stripMargin,
+
+    // Same hourly cents series, same IGNORE NULLS bracketing windows,
+    // same exact-integer-input interpolation expression. The grid spans
+    // min..max OBSERVED hour per type, so h0/h1 are observed and every
+    // gap is interior — hp/hn are never NULL.
+    "q_ts_interp" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(range(min(hour_us), max(hour_us) + 1, 3600000000))
+        |      AS hour_us
+        |  FROM hourly GROUP BY event_type),
+        |joined AS (
+        |  SELECT g.event_type, g.hour_us, h.cents
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |brk AS (
+        |  SELECT event_type, hour_us, cents,
+        |    last_value(cents IGNORE NULLS) OVER wp AS cp,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN hour_us END
+        |      IGNORE NULLS) OVER wp AS hp,
+        |    first_value(cents IGNORE NULLS) OVER wn AS cn,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN hour_us END
+        |      IGNORE NULLS) OVER wn AS hn
+        |  FROM joined
+        |  WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY hour_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY hour_us
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour_us, cents IS NOT NULL AS is_observed,
+        |  round(CASE WHEN hn = hp THEN CAST(cp AS DOUBLE)
+        |    ELSE CAST(cp AS DOUBLE)
+        |      + (CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE))
+        |        * (CAST(hour_us - hp AS DOUBLE)
+        |           / CAST(hn - hp AS DOUBLE)) END / 100, 4)
+        |    AS value_interp
+        |FROM brk ORDER BY event_type, hour_us""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -420,5 +464,56 @@ object TimeSeriesQueries {
                 / (col("c") * (col("c") - 1)).cast("double"))), 4)
           .as("z_score"))
       .orderBy("event_type", "dow", "hour")
+  }
+
+  /** Resample-and-interpolate: the hourly per-type VALUE series with
+    * interior gaps linearly interpolated — the missing-data repair step
+    * before any equal-spacing method (`q_ts_acf`/`q_ts_ewma`/`q_ts_holt`
+    * read count series, where absent = 0; a value series has genuinely
+    * MISSING hours, and zero would be a lie).
+    *
+    * The series is exact BIGINT cents per observed hour; bracketing
+    * neighbors come from IGNORE NULLS running windows (last preceding /
+    * first following observed point), and the interpolation expression
+    * takes only exact integers (cents, epoch-µs hours) into one shared
+    * IEEE tree — for an observed row hp = hn = h and the CASE collapses
+    * it to its own value, so one formula serves both. The grid spans
+    * min..max observed hour per type, so every gap is interior and the
+    * brackets never miss. Scale: corpus touched once by the hourly agg;
+    * grid/windows run on the resampled frame (types × span hours). */
+  def tsInterp(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = events(s, d)
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+          lit(hourUs))).as("hour_us"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint()
+    val grid = hourly.groupBy("event_type")
+      .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(hourUs)))
+          .as("hour_us"))
+    val joined = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+    val wp = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("cents").isNotNull, col("hour_us"))
+    val brk = joined
+      .withColumn("cp", last(col("cents"), ignoreNulls = true).over(wp))
+      .withColumn("hp", last(obsHour, ignoreNulls = true).over(wp))
+      .withColumn("cn", first(col("cents"), ignoreNulls = true).over(wn))
+      .withColumn("hn", first(obsHour, ignoreNulls = true).over(wn))
+    brk.select(col("event_type"), col("hour_us"),
+        col("cents").isNotNull.as("is_observed"),
+        round(
+          when(col("hn") === col("hp"), col("cp").cast("double"))
+            .otherwise(col("cp").cast("double")
+              + (col("cn").cast("double") - col("cp").cast("double"))
+                * ((col("hour_us") - col("hp")).cast("double")
+                  / (col("hn") - col("hp")).cast("double")))
+          / 100, 4).as("value_interp"))
+      .orderBy("event_type", "hour_us")
   }
 }
