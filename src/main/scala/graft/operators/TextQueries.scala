@@ -49,6 +49,7 @@ object TextQueries {
     "q_text_repetition"  -> textRepetition _,
     "q_vocab_oov"        -> vocabOov _,
     "q_vocab_build"      -> vocabBuild _,
+    "q_text_compress"    -> textCompress _,
     "q_contamination"    -> contamination _,
     "q_text_ngram_lm"    -> textNgramLm _,
     "q_text_chunk"       -> textChunk _,
@@ -1102,6 +1103,49 @@ object TextQueries {
         count_if(col("inv").isNull).as("n_oov"),
         round(count_if(col("inv").isNull).cast("double") /
           count(lit(1)).cast("double"), 4).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Compression-ratio quality signal (the Gopher/CCNet-family
+    * "deflate says this is boilerplate" filter): per-doc zlib-compressed
+    * size over raw UTF-8 size — repetitive/templated text compresses far
+    * below prose, so a low ratio is a strong machine-generated/boilerplate
+    * flag that needs no token model at all.
+    *
+    * The kernel is JDK zlib (`java.util.zip.Deflater`, fixed level 6)
+    * through a typed `mapPartitions`: ONE Deflater per partition, reset
+    * per row — the per-partition-codec-init justification MediaOps
+    * documents (a per-row `udf` would re-allocate the native stream per
+    * document). Row-local, zero shuffles, pipeline-parallel at any
+    * corpus size. No SQL twin exists for zlib byte counts → declared
+    * rows-only (§2 legend); determinism and the compressibility
+    * invariants are pinned in EdgeCaseSpec. */
+  def textCompress(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        val body = rows.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var z = 0L
+          while (!deflater.finished()) z += deflater.deflate(buf)
+          (id, in.length.toLong, z)
+        }
+        body ++ { deflater.end(); Iterator.empty }
+      }
+      .toDF("doc_id", "n_bytes", "z_bytes")
+    out.select(col("doc_id"), col("n_bytes"), col("z_bytes"),
+        when(col("n_bytes") > 0,
+          round(col("z_bytes").cast("double") / col("n_bytes"), 4))
+          .as("ratio"),
+        (col("n_bytes") > 0 &&
+          col("z_bytes").cast("double") < col("n_bytes") * 0.3)
+          .as("is_repetitive"))
       .orderBy("doc_id")
   }
 

@@ -279,6 +279,41 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       s"bitmap rollup lost ids across buckets: $n")
   }
 
+  test("q_text_compress: deterministic, bounded, and repetition-sensitive") {
+    val q = graft.operators.TextQueries.textCompress(spark, sfDir)
+    val a = q.collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (n, z) = (r.getAs[Long]("n_bytes"), r.getAs[Long]("z_bytes"))
+      val ratio = r.getAs[Double]("ratio")
+      assert(n > 0 && z > 0)
+      // deflate overhead is bounded (header + 5B/16K stored-block cost)
+      assert(ratio > 0.0 && ratio <= 1.2, s"ratio out of range: $ratio")
+      // real prose of any length compresses at least somewhat
+      if (n > 200) assert(z < n, s"doc ${r.getLong(0)}: $z !< $n")
+    }
+    // byte-identical across runs: the kernel has no run-dependent state
+    val b = graft.operators.TextQueries.textCompress(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq, "q_text_compress must be deterministic")
+    // the signal itself: heavy repetition compresses far below prose
+    import spark.implicits._
+    val probe = Seq((1L, "the cat sat on the mat " * 40),
+      (2L, (1 to 240).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val zs = probe.as[(Long, String)].mapPartitions { rows =>
+      val d = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](64 * 1024)
+      rows.map { case (id, t) =>
+        val in = t.getBytes("UTF-8"); d.reset(); d.setInput(in); d.finish()
+        var z = 0L
+        while (!d.finished()) z += d.deflate(buf)
+        (id, z.toDouble / in.length)
+      }
+    }.collect().toMap
+    assert(zs(1L) < zs(2L) / 2,
+      s"repetitive text must compress far better: ${zs(1L)} vs ${zs(2L)}")
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a
