@@ -94,7 +94,33 @@ object SqlQueries {
         |  AS m(code, label)
         |  ON o_orderstatus = m.code
         |GROUP BY m.label
-        |ORDER BY m.label""".stripMargin
+        |ORDER BY m.label""".stripMargin,
+    // Window functions through the shared-text path: per-customer order
+    // sequencing, running total, and previous-order lookback — the
+    // portable spelling of the §2.5 window family (row_number / framed
+    // sum / lag over one PARTITION BY). Money in exact integer cents;
+    // row_number CAST to INT and window sums back to BIGINT because the
+    // two engines' native widths differ (Spark INT/BIGINT vs DuckDB
+    // BIGINT/HUGEINT) — the CASTs make the shared text width-exact.
+    "q_sql_window" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |    CAST(lag(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+        |      AS prev_cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, cents, order_seq, cum_cents,
+        |  prev_cents
+        |FROM seq WHERE order_seq <= 3
+        |ORDER BY o_custkey, order_seq""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
