@@ -52,7 +52,8 @@ object StatsQueries {
     "q_cohort_retention" -> cohortRetention _,
     "q_session_stats"   -> sessionStats _,
     "q_rfm"             -> rfm _,
-    "q_basket_pairs"    -> basketPairs _
+    "q_basket_pairs"    -> basketPairs _,
+    "q_agg_winsor"      -> aggWinsor _
   )
 
   val oracle: Map[String, String] = Map(
@@ -578,7 +579,41 @@ object StatsQueries {
         |JOIN cnt ca ON p.item_a = ca.pk
         |JOIN cnt cb ON p.item_b = cb.pk
         |WHERE p.pair_cnt >= 2
-        |ORDER BY p.pair_cnt DESC, p.item_a, p.item_b""".stripMargin
+        |ORDER BY p.pair_cnt DESC, p.item_a, p.item_b""".stripMargin,
+
+    // Same dyadic ⅛-tail bounds (quantile_cont ≡ Spark percentile on
+    // 1/8-fraction positions — exact dyadic rationals, like q_agg_mad's
+    // quarter fractions), same exact mid-sum/count decomposition, one
+    // shared IEEE expression for each mean.
+    "q_agg_winsor" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |q AS (
+        |  SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS tot_sum,
+        |    quantile_cont(cents, 0.125) AS p_lo_cents,
+        |    quantile_cont(cents, 0.875) AS p_hi_cents
+        |  FROM o GROUP BY pri),
+        |cl AS (
+        |  SELECT o.pri,
+        |    CAST(sum(CASE WHEN cents >= p_lo_cents
+        |                   AND cents <= p_hi_cents
+        |                  THEN cents ELSE 0 END) AS BIGINT) AS mid_sum,
+        |    CAST(count(*) FILTER (WHERE cents < p_lo_cents) AS BIGINT)
+        |      AS n_low,
+        |    CAST(count(*) FILTER (WHERE cents > p_hi_cents) AS BIGINT)
+        |      AS n_high
+        |  FROM o JOIN q ON o.pri = q.pri GROUP BY o.pri)
+        |SELECT q.pri, q.n, q.p_lo_cents, q.p_hi_cents,
+        |  cl.n_low, cl.n_high,
+        |  round(CAST(q.tot_sum AS DOUBLE) / q.n, 4) AS raw_mean_cents,
+        |  round((CAST(cl.mid_sum AS DOUBLE)
+        |      + cl.n_low * q.p_lo_cents + cl.n_high * q.p_hi_cents)
+        |    / q.n, 4) AS winsor_mean_cents
+        |FROM q JOIN cl ON q.pri = cl.pri
+        |ORDER BY q.pri""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1275,6 +1310,49 @@ object StatsQueries {
           .when(col("r_score") <= 2 && col("f_score") <= 2, "lapsed")
           .otherwise("regular").as("segment"))
       .orderBy("c_custkey")
+  }
+
+  /** Winsorized robust mean: per priority, the order-total mean with the
+    * ⅛ tails clamped to the p12.5 / p87.5 bounds — outlier-clipped
+    * aggregation, the robust-metrics staple (and the curation move that
+    * keeps one whale order from owning a group's average).
+    *
+    * The tail fraction is ⅛ BY CONSTRUCTION, not convention: 1/8-grid
+    * quantile positions make the interpolated bounds exact dyadic
+    * rationals (q_agg_mad's quarter-fraction trick), so the clamp
+    * comparisons and the n_low·p_lo / n_high·p_hi products are
+    * engine-exact, not tolerance-matched. The winsorized mean decomposes
+    * into exact pieces — BIGINT mid-sum + exact tail counts × dyadic
+    * bounds — with one IEEE division at the end; the raw mean rides
+    * along for contrast. Two map-side-combined passes over the fact
+    * (bounds, then clamp-agg), bounds broadcast back. */
+  def aggWinsor(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val q = o.groupBy("pri").agg(
+      count(lit(1)).as("n"),
+      sum("cents").as("tot_sum"),
+      percentile(col("cents"), lit(0.125)).as("p_lo_cents"),
+      percentile(col("cents"), lit(0.875)).as("p_hi_cents"))
+    val cl = o.join(broadcast(q.select("pri", "p_lo_cents", "p_hi_cents")),
+        Seq("pri"))
+      .groupBy("pri").agg(
+        sum(when(col("cents") >= col("p_lo_cents") &&
+          col("cents") <= col("p_hi_cents"), col("cents"))
+          .otherwise(0L)).as("mid_sum"),
+        count_if(col("cents") < col("p_lo_cents")).as("n_low"),
+        count_if(col("cents") > col("p_hi_cents")).as("n_high"))
+    q.join(cl, Seq("pri"))
+      .select(col("pri"), col("n"), col("p_lo_cents"), col("p_hi_cents"),
+        col("n_low"), col("n_high"),
+        round(col("tot_sum").cast("double") / col("n"), 4)
+          .as("raw_mean_cents"),
+        round((col("mid_sum").cast("double")
+            + col("n_low") * col("p_lo_cents")
+            + col("n_high") * col("p_hi_cents"))
+          / col("n"), 4).as("winsor_mean_cents"))
+      .orderBy("pri")
   }
 
   /** Market-basket co-occurrence: within-order item pairs with support
