@@ -53,7 +53,8 @@ object StatsQueries {
     "q_session_stats"   -> sessionStats _,
     "q_rfm"             -> rfm _,
     "q_basket_pairs"    -> basketPairs _,
-    "q_agg_winsor"      -> aggWinsor _
+    "q_agg_winsor"      -> aggWinsor _,
+    "q_attribution"     -> attribution _
   )
 
   val oracle: Map[String, String] = Map(
@@ -613,7 +614,38 @@ object StatsQueries {
         |      + cl.n_low * q.p_lo_cents + cl.n_high * q.p_hi_cents)
         |    / q.n, 4) AS winsor_mean_cents
         |FROM q JOIN cl ON q.pri = cl.pri
-        |ORDER BY q.pri""".stripMargin
+        |ORDER BY q.pri""".stripMargin,
+
+    // Same single-sort derivation: per-user (ts, event_id) order, the
+    // last preceding touch via IGNORE NULLS windows over the 1-PRECEDING
+    // frame; all comparisons exact integers (epoch-µs, ids).
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |    event_type IN ('click', 'view') AS is_touch
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |lt AS (
+        |  SELECT event_id, ts_us, user_id, event_type,
+        |    last_value(CASE WHEN is_touch THEN ts_us END IGNORE NULLS)
+        |      OVER w AS t_ts_us,
+        |    last_value(CASE WHEN is_touch THEN event_id END IGNORE NULLS)
+        |      OVER w AS touch_id,
+        |    last_value(CASE WHEN is_touch THEN event_type END
+        |      IGNORE NULLS) OVER w AS touch_type
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+        |  CASE WHEN ts_us - t_ts_us <= 604800000000
+        |       THEN touch_id END AS touch_id,
+        |  CASE WHEN ts_us - t_ts_us <= 604800000000
+        |       THEN touch_type END AS touch_type,
+        |  CASE WHEN ts_us - t_ts_us <= 604800000000
+        |       THEN ts_us - t_ts_us END AS gap_us,
+        |  coalesce(ts_us - t_ts_us <= 604800000000, FALSE) AS attributed
+        |FROM lt WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1353,6 +1385,45 @@ object StatsQueries {
             + col("n_high") * col("p_hi_cents"))
           / col("n"), 4).as("winsor_mean_cents"))
       .orderBy("pri")
+  }
+
+  /** Last-touch attribution: each purchase credited to the user's most
+    * recent preceding click/view within a 7-day lookback — the marketing
+    * staple next to `q_event_funnel` (the funnel counts stage REACH;
+    * attribution assigns each conversion to one cause).
+    *
+    * No touch⋈purchase join at all: touches and purchases ride ONE
+    * per-user (ts, event_id) sort, and "most recent preceding touch" is
+    * an IGNORE NULLS last-value window over the 1-PRECEDING frame — the
+    * as-of-join-by-window trick, linear in the user's own events (the
+    * natural scale unit). The lookback cut and tie order are exact
+    * integer comparisons (epoch-µs, ids); same-µs touch/purchase pairs
+    * resolve by the (ts, event_id) total order on both engines. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val lookbackUs = 604800000000L // 7 days
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"),
+        col("event_type").isin("click", "view").as("is_touch"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("is_touch"), col("ts_us"))
+    val lt = ev
+      .withColumn("t_ts_us", last(touch, ignoreNulls = true).over(w))
+      .withColumn("t_id", last(when(col("is_touch"), col("event_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("t_type", last(when(col("is_touch"), col("event_type")),
+        ignoreNulls = true).over(w))
+    val inWindow = col("ts_us") - col("t_ts_us") <= lookbackUs
+    lt.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        when(inWindow, col("t_id")).as("touch_id"),
+        when(inWindow, col("t_type")).as("touch_type"),
+        when(inWindow, col("ts_us") - col("t_ts_us")).as("gap_us"),
+        coalesce(inWindow, lit(false)).as("attributed"))
+      .orderBy("purchase_id")
   }
 
   /** Market-basket co-occurrence: within-order item pairs with support
