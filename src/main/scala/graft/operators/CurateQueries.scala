@@ -47,6 +47,7 @@ object CurateQueries {
     "q_select_head"       -> selectHead _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_embed_stats"       -> embedStats _,
+    "q_embed_centroid"    -> embedCentroid _,
     "q_profile_table"     -> profileTable _,
     "q_agg_entropy"       -> aggEntropy _,
     "q_url_normalize"     -> urlNormalize _,
@@ -117,6 +118,29 @@ object CurateQueries {
         |  round(max(nrm), 4) AS max_norm,
         |  round(avg(mean_comp), 4) AS avg_mean_comp
         |FROM pervec GROUP BY label ORDER BY label""".stripMargin,
+    // Same decomposition (inertia = E||x||² − ||μ||²), same expression
+    // trees: sqrt(Σs_d²)/n and ssq/n − Σs_d²/n²; cross-row double sums
+    // drift ~1e-12 relative between engines' merge orders — absorbed by
+    // the 6/4-dp rounds.
+    "q_embed_centroid" ->
+      """WITH persq AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    sum(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS ssq
+        |  FROM embeddings GROUP BY label),
+        |dims AS (
+        |  SELECT label, i, sum(embedding[i]::DOUBLE) AS sd
+        |  FROM embeddings,
+        |    UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, sum(sd * sd) AS sum_sd2 FROM dims GROUP BY label)
+        |SELECT p.label, p.n_vecs,
+        |  round(sqrt(c.sum_sd2) / p.n_vecs, 6) AS centroid_norm,
+        |  round(p.ssq / p.n_vecs
+        |    - c.sum_sd2 / (p.n_vecs * p.n_vecs), 4) AS inertia
+        |FROM persq p JOIN cent c ON p.label = c.label
+        |ORDER BY p.label""".stripMargin,
     // One SELECT per profiled column, same metrics as the Spark stack.
     "q_profile_table" ->
       """SELECT 'o_custkey' AS column_name,
@@ -454,6 +478,41 @@ object CurateQueries {
         round(min("nrm"), 4).as("min_norm"),
         round(max("nrm"), 4).as("max_norm"),
         round(avg("mean_comp"), 4).as("avg_mean_comp"))
+      .orderBy("label")
+  }
+
+  /** Per-label centroid geometry + inertia — the k-means-style cluster
+    * audit over the labeled embedding corpus (`q_embed_stats` checks
+    * per-VECTOR health; this checks per-CLUSTER cohesion: a label whose
+    * inertia rivals its members' norms is not a cluster).
+    *
+    * Inertia needs NO second pass over the vectors: E‖x−μ‖² =
+    * E‖x‖² − ‖μ‖², so one skinny (label, dim) component-sum shuffle and
+    * one per-label ‖x‖² agg produce everything — the centroid join-back
+    * a naive implementation would do is algebra'd away. Per-row squared
+    * norms are sequential HOF folds (same in-row order both engines);
+    * cross-row double sums drift ~1e-12 between merge orders, absorbed
+    * by the rounds (the `q_embed_stats` tolerance note). */
+  def embedCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val sq = aggregate(col("embedding"), lit(0.0d),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val persq = e.select(col("label"), sq.as("sq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("sq").as("ssq"))
+    val dims = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum(col("x").cast("double")).as("sd"))
+    val cent = dims.groupBy("label")
+      .agg(sum(col("sd") * col("sd")).as("sum_sd2"))
+    persq.join(cent, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("sum_sd2")) / col("n_vecs"), 6)
+          .as("centroid_norm"),
+        round(col("ssq") / col("n_vecs")
+          - col("sum_sd2") / (col("n_vecs") * col("n_vecs")), 4)
+          .as("inertia"))
       .orderBy("label")
   }
 
