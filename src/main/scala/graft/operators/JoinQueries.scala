@@ -39,7 +39,8 @@ object JoinQueries {
     "q_join_full"      -> joinFull _,
     "q_join_bucketed"  -> joinBucketed _,
     "q_join_null_safe" -> joinNullSafe _,
-    "q_join_interval_bin" -> joinIntervalBin _
+    "q_join_interval_bin" -> joinIntervalBin _,
+    "q_join_scd2_pit"  -> joinScd2Pit _
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,7 +151,30 @@ object JoinQueries {
         |SELECT k1, k2,
         |  least(e1, e2) - greatest(s1, s2) + 1 AS overlap_days
         |FROM a JOIN b ON s1 <= e2 AND s2 <= e1
-        |ORDER BY k1, k2""".stripMargin
+        |ORDER BY k1, k2""".stripMargin,
+
+    // Same SCD2 derivation as q_scd2's twin, same [from, next-from)
+    // interval predicate; tie-date versions collapse to empty intervals
+    // on both engines, so every lineitem matches exactly one version.
+    "q_join_scd2_pit" ->
+      """WITH dim AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders),
+        |fact AS (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate, o_custkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey AS custkey,
+        |  d.o_orderkey AS version_key,
+        |  d.o_orderpriority AS priority_at_ship,
+        |  d.valid_to IS NULL AS is_current
+        |FROM fact f JOIN dim d
+        |  ON f.o_custkey = d.o_custkey
+        |  AND d.valid_from <= f.l_shipdate
+        |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+        |ORDER BY f.l_orderkey, f.l_linenumber, version_key""".stripMargin
   )
 
   /** Equi inner join orders⋈customer — sort-merge/shuffled-hash at scale,
@@ -411,5 +435,53 @@ object JoinQueries {
           - greatest(col("s_k1"), col("s_k2")) + 1).as("overlap_days"))
       .dropDuplicates("k1", "k2")
       .orderBy("k1", "k2")
+  }
+
+  /** Point-in-time join against the SCD2 dimension `q_scd2` builds: each
+    * lineitem picks the customer-priority VERSION valid at its ship
+    * date — the feature-store/warehouse consumption half of the SCD2
+    * pair (building history is useless if facts can't read it as-of).
+    *
+    * Correct-by-construction uniqueness: versions are [valid_from,
+    * next valid_from) half-open intervals per customer; tie-date
+    * versions collapse to EMPTY intervals (from = to excludes
+    * everything), and a lineitem's ship date is ≥ its own order's date ≥
+    * the customer's first valid_from — so every fact row matches exactly
+    * one version, no dedup step.
+    *
+    * Scale shape: the join's equi-key is the customer — Spark plans a
+    * shuffled hash/sort-merge join on custkey with the interval
+    * predicate as a post-join filter over each customer's own ≤10
+    * versions (never a BNLJ: PlanGuard sweeps it). The dimension is
+    * fact-derived here; a production PIT join against a small dimension
+    * broadcasts instead, for free.
+    *
+    * The output ORDER BY carries version_key because (l_orderkey,
+    * l_linenumber) is NOT unique in this fixture — the duplicated line
+    * keys are one of `q_dq_rules`' deliberately planted violations, and
+    * two dup rows with different ship dates legitimately resolve to
+    * different versions. */
+  def joinScd2Pit(s: SparkSession, d: String): DataFrame = {
+    val vw = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val dim = orders(s, d)
+      .select(col("o_custkey").as("v_custkey"),
+        col("o_orderkey").as("version_key"),
+        col("o_orderpriority"),
+        col("o_orderdate").as("valid_from"),
+        lead("o_orderdate", 1).over(vw).as("valid_to"))
+    val fact = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    fact.join(dim,
+        col("o_custkey") === col("v_custkey") &&
+          col("valid_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_custkey").as("custkey"), col("version_key"),
+        col("o_orderpriority").as("priority_at_ship"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("l_orderkey", "l_linenumber", "version_key")
   }
 }
