@@ -27,7 +27,8 @@ object WindowQueries {
     "q_window_pct"         -> windowPct _,
     "q_window_ffill"       -> windowFfill _,
     "q_scd2"               -> scd2 _,
-    "q_window_rank_delta"  -> windowRankDelta _
+    "q_window_rank_delta"  -> windowRankDelta _,
+    "q_window_streaks"     -> windowStreaks _
   )
 
   val oracle: Map[String, String] = Map(
@@ -156,7 +157,39 @@ object WindowQueries {
         |SELECT week, event_type, n, rnk,
         |  CASE WHEN lw = week - 1 THEN lr END AS prev_rnk,
         |  CASE WHEN lw = week - 1 THEN lr - rnk END AS delta
-        |FROM l ORDER BY week, rnk""".stripMargin
+        |FROM l ORDER BY week, rnk""".stripMargin,
+
+    // Same day-grain gaps-and-islands (day - row_number is constant per
+    // consecutive run); longest streak picked by the explicit
+    // (len DESC, start_day) rank, never an unspecified-tie max_by.
+    "q_window_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |per AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    min(day) AS start_day
+        |  FROM isl GROUP BY user_id, grp),
+        |best AS (
+        |  SELECT user_id, start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day) AS rn
+        |  FROM per),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_streaks,
+        |    CAST(max(len) AS BIGINT) AS max_streak
+        |  FROM per GROUP BY user_id)
+        |SELECT a.user_id, a.n_days, a.n_streaks, a.max_streak,
+        |  b.start_day AS max_streak_start_day
+        |FROM agg a JOIN best b ON a.user_id = b.user_id AND b.rn = 1
+        |ORDER BY a.user_id""".stripMargin
   )
 
   /** Top-3 orders per customer with all three ranking flavors; the ordering
@@ -339,5 +372,36 @@ object WindowQueries {
         when(col("lw") === col("week") - 1, col("lr") - col("rnk"))
           .as("delta"))
       .orderBy("week", "rnk")
+  }
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern at DAY grain (the session family works in
+    * µs gaps; engagement/retention dashboards ask about calendar-day
+    * runs). `day − row_number()` is constant within a consecutive run,
+    * so islands fall out of one per-user sort over the DISTINCT
+    * (user, day) frame — at most users × span rows, whatever the event
+    * volume. The longest streak is picked by an explicit
+    * (len DESC, start_day) rank — never an unspecified-tie `max_by` —
+    * so both engines select the same streak when lengths tie. */
+  def windowStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val per = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    val best = per
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("start_day"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("start_day").as("max_streak_start_day"))
+    per.groupBy("user_id")
+      .agg(sum("len").as("n_days"), count(lit(1)).as("n_streaks"),
+        max("len").as("max_streak"))
+      .join(best, Seq("user_id"))
+      .orderBy("user_id")
   }
 }
