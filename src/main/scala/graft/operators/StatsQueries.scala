@@ -54,7 +54,8 @@ object StatsQueries {
     "q_rfm"             -> rfm _,
     "q_basket_pairs"    -> basketPairs _,
     "q_agg_winsor"      -> aggWinsor _,
-    "q_attribution"     -> attribution _
+    "q_attribution"     -> attribution _,
+    "q_growth_accounting" -> growthAccounting _
   )
 
   val oracle: Map[String, String] = Map(
@@ -645,7 +646,39 @@ object StatsQueries {
         |       THEN ts_us - t_ts_us END AS gap_us,
         |  coalesce(ts_us - t_ts_us <= 604800000000, FALSE) AS attributed
         |FROM lt WHERE event_type = 'purchase'
-        |ORDER BY purchase_id""".stripMargin
+        |ORDER BY purchase_id""".stripMargin,
+
+    // Same per-user lag/lead classification over the distinct (user,
+    // week) frame, same prev-week self-join for the retention rate; all
+    // counts exact, one rounded division.
+    "q_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |cls AS (
+        |  SELECT user_id, week,
+        |    lag(week) OVER w AS lagw, lead(week) OVER w AS leadw
+        |  FROM uw
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+        |wk AS (
+        |  SELECT week,
+        |    CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(count(*) FILTER (WHERE lagw IS NULL) AS BIGINT)
+        |      AS n_new,
+        |    CAST(count(*) FILTER (WHERE lagw = week - 1) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(count(*) FILTER (WHERE lagw IS NOT NULL
+        |      AND lagw < week - 1) AS BIGINT) AS n_resurrected,
+        |    CAST(count(*) FILTER (WHERE leadw IS NULL
+        |      OR leadw > week + 1) AS BIGINT) AS n_inactive_next
+        |  FROM cls GROUP BY week)
+        |SELECT c.week, c.n_active, c.n_new, c.n_retained,
+        |  c.n_resurrected, c.n_inactive_next,
+        |  round(CAST(c.n_retained AS DOUBLE)
+        |    / CAST(p.n_active AS DOUBLE), 4) AS retention_rate
+        |FROM wk c LEFT JOIN wk p ON p.week = c.week - 1
+        |ORDER BY c.week""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1424,6 +1457,47 @@ object StatsQueries {
         when(inWindow, col("ts_us") - col("t_ts_us")).as("gap_us"),
         coalesce(inWindow, lit(false)).as("attributed"))
       .orderBy("purchase_id")
+  }
+
+  /** Weekly growth accounting: every active user classified as NEW
+    * (first week), RETAINED (active the previous week), or RESURRECTED
+    * (returning after a gap), plus how many go inactive after each week
+    * — the startup-metrics decomposition (active = new + retained +
+    * resurrected) that `q_cohort_retention` summarizes from the cohort
+    * side.
+    *
+    * One distinct (user, week) reduce — at most users × weeks rows —
+    * then ONE per-user sort provides both the lag (classification) and
+    * the lead (next-week inactivity); the weekly aggregate self-joins on
+    * week−1 only for the retention-rate denominator. Weeks are integer
+    * epoch-week numbers; every count is exact; the final week's
+    * `n_inactive_next` is right-censored by the corpus end (declared —
+    * both engines apply the same cut). */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val cls = uw
+      .withColumn("lagw", lag("week", 1).over(w))
+      .withColumn("leadw", lead("week", 1).over(w))
+    val wk = cls.groupBy("week").agg(
+      count(lit(1)).as("n_active"),
+      count_if(col("lagw").isNull).as("n_new"),
+      count_if(col("lagw") === col("week") - 1).as("n_retained"),
+      count_if(col("lagw").isNotNull &&
+        col("lagw") < col("week") - 1).as("n_resurrected"),
+      count_if(col("leadw").isNull ||
+        col("leadw") > col("week") + 1).as("n_inactive_next"))
+    val prev = wk.select((col("week") + 1).as("week"),
+      col("n_active").as("prev_active"))
+    wk.join(prev, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_inactive_next"),
+        round(col("n_retained").cast("double")
+          / col("prev_active").cast("double"), 4).as("retention_rate"))
+      .orderBy("week")
   }
 
   /** Market-basket co-occurrence: within-order item pairs with support

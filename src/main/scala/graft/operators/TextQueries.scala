@@ -50,6 +50,7 @@ object TextQueries {
     "q_vocab_oov"        -> vocabOov _,
     "q_vocab_build"      -> vocabBuild _,
     "q_text_compress"    -> textCompress _,
+    "q_text_zipf"        -> textZipf _,
     "q_contamination"    -> contamination _,
     "q_text_ngram_lm"    -> textNgramLm _,
     "q_text_chunk"       -> textChunk _,
@@ -430,6 +431,33 @@ object TextQueries {
         |  round(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6)
         |    AS cum_share
         |FROM ranked CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // Same top-1000 (count DESC, token) ranking, same closed-form OLS
+    // over (ln rank, ln count); ln is correctly-rounded libm on both
+    // engines and the Σ-sums drift ~1e-14 between merge orders —
+    // absorbed by the 4dp rounds.
+    "q_text_zipf" ->
+      """WITH counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok ORDER BY n DESC, tok LIMIT 1000),
+        |xy AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok)
+        |           AS DOUBLE)) AS x,
+        |    ln(CAST(n AS DOUBLE)) AS y
+        |  FROM counts),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy
+        |  FROM xy)
+        |SELECT k AS n_ranks,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+        |  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+        |    / k, 4) AS intercept,
+        |  round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+        |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+        |FROM m""".stripMargin,
     // Benchmark set = doc_id % 97 = 0; 3-token shingles; a corpus doc is
     // contaminated when ≥5 of its distinct shingles appear anywhere in
     // the benchmark shingle set. Docs under 3 tokens have no shingles and
@@ -1147,6 +1175,43 @@ object TextQueries {
           col("z_bytes").cast("double") < col("n_bytes") * 0.3)
           .as("is_repetitive"))
       .orderBy("doc_id")
+  }
+
+  /** Zipf-law fit of the corpus frequency distribution: OLS slope of
+    * ln(count) against ln(rank) over the top-1000 vocabulary — the
+    * corpus-health fingerprint (natural language sits near slope −1;
+    * templated or machine-generated corpora bend away from it), one
+    * summary row cheap enough to run per ingest batch.
+    *
+    * The rank order is the deterministic (count DESC, token) total
+    * order `q_vocab_build` uses; the fit is the closed-form OLS from
+    * Σ-moments (`q_agg_linreg`'s recipe) over a 1000-row frame, so
+    * everything after the one token-count shuffle is dimension-sized.
+    * `ln` is correctly-rounded libm on both engines; the Σ-sums drift
+    * ~1e-14 between merge orders, absorbed by the 4dp rounds. */
+  def textZipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(1000)
+    val xy = counts.select(
+      log(row_number().over(Window.orderBy(col("n").desc, col("tok")))
+        .cast("double")).as("x"),
+      log(col("n").cast("double")).as("y"))
+    val m = xy.agg(count(lit(1)).as("k"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("k").as("n_ranks"),
+      round(slope, 4).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("k"), 4).as("intercept"),
+      round((col("k") * col("sxy") - col("sx") * col("sy"))
+        * (col("k") * col("sxy") - col("sx") * col("sy"))
+        / ((col("k") * col("sxx") - col("sx") * col("sx"))
+          * (col("k") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
   }
 
   /** Vocabulary construction with coverage accounting: the top-256
