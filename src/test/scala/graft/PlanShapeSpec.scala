@@ -430,4 +430,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Window"), s"row_number window crept in:\n$plan")
     assert(plan.contains("partial"), "heap partials not map-side merged")
   }
+
+  test("q_attribution resolves touches by window, never a join") {
+    // The as-of-by-window claim: one per-user sort carries touches AND
+    // purchases; a touch⋈purchase join (the naive plan) would be
+    // quadratic in a user's events under skew.
+    val plan = finalPlanString(StatsQueries.attribution(spark, sfDir))
+    assert(!plan.contains("Join"), s"attribution joined instead:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"more than the one per-user shuffle:\n$plan")
+  }
+
+  test("q_join_scd2_pit plans equi joins only, interval as post-filter") {
+    val plan = finalPlanString(JoinQueries.joinScd2Pit(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"PIT join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("q_select_head shares one lang partitioning across both windows") {
+    // Cumulative and total windows both partition by lang: Catalyst must
+    // plan them over a single exchange of the scored frame, not one per
+    // window (plus the final presentation sort's range exchange).
+    val plan = finalPlanString(CurateQueries.selectHead(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"$hashEx lang exchanges — window reuse lost:\n$plan")
+  }
+
+  test("q_growth_accounting: lag and lead share one per-user sort") {
+    val plan = finalPlanString(StatsQueries.growthAccounting(spark, sfDir))
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows <= 1, s"$windows Window operators — lag/lead split:\n$plan")
+  }
 }
