@@ -314,6 +314,82 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       s"repetitive text must compress far better: ${zs(1L)} vs ${zs(2L)}")
   }
 
+  /** Write a miniature table under a scratch dir shaped like a testdata
+    * scale-factor dir, so operators can be driven through `Tables.*` on
+    * adversarial corpora the fixture doesn't contain. */
+  private def miniDir(name: String)(
+      tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = s"/tmp/graft-mini/$name"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    tables.foreach { case (t, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("q_ts_interp: interior gap interpolates exactly; singleton holds") {
+    import spark.implicits._
+    val h = 3600000000L
+    val ev = Seq(
+      (1L, 0L * h, 7L, "a", 1.00, "{}"),       // hour 0 observed
+      (2L, 2L * h, 7L, "a", 3.00, "{}"),       // hour 2 observed, hour 1 gap
+      (3L, 5L * h, 8L, "b", 9.99, "{}"))       // singleton series
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val dir = miniDir("interp")("events" -> ev)
+    val rows = graft.operators.TimeSeriesQueries.tsInterp(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1) / h,
+        r.getBoolean(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("a", 0L, true, 1.0), ("a", 1L, false, 2.0), ("a", 2L, true, 3.0),
+      ("b", 5L, true, 9.99)),
+      s"got: ${rows.toSeq}")
+  }
+
+  test("q_select_head: crossing row kept, post-half rows cut, 1-doc lang") {
+    import spark.implicits._
+    // lang 'xx': doc 1 carries 60% of the mass (crossing row — kept),
+    // doc 2 the other 40% (mass before it is 60% ≥ half — cut).
+    // lang 'yy': a single doc is always its own head.
+    val docs = Seq(
+      (1L, "w " * 200 + "w", "xx", "s", 60L),
+      (2L, "w", "xx", "s", 40L),
+      (3L, "w", "yy", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("selecthead")("documents" -> docs)
+    val kept = graft.operators.CurateQueries.selectHead(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 3L), s"head picked: $kept")
+  }
+
+  test("q_rfm: fewer customers than quintiles stays deterministic") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ords = Seq(
+      (1L, 10L, "O", 100.00, 10L * day, "1-URGENT"),
+      (2L, 20L, "O", 200.00, 20L * day, "1-URGENT"),
+      (3L, 30L, "O", 300.00, 30L * day, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "us", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), timestamp_micros(col("us")).as("o_orderdate"),
+        col("o_orderpriority"))
+    val dir = miniDir("rfm")("orders" -> ords)
+    val rows = graft.operators.StatsQueries.rfm(spark, dir).collect()
+    assert(rows.length === 3)
+    // 3 rows through ntile(5): buckets 1..3, most recent/biggest gets 3
+    val byCust = rows.map(r => r.getLong(0) ->
+      (r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    // r: most recent → 3; f: all-tie broken by custkey → 3; m: biggest → 3
+    assert(byCust(30L) === ((3, 3, 3)),
+      s"newest/biggest spender misranked: ${byCust(30L)}")
+    assert(byCust(10L)._1 === 1, "oldest customer must take r_score 1")
+    assert(rows.map(_.getInt(4)).forall(x => x >= 1 && x <= 3))
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a
