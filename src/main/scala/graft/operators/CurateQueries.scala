@@ -46,6 +46,7 @@ object CurateQueries {
     "q_domain_cap"        -> domainCap _,
     "q_select_head"       -> selectHead _,
     "q_dedup_incremental" -> dedupIncremental _,
+    "q_dedup_bloom"       -> dedupBloom _,
     "q_embed_stats"       -> embedStats _,
     "q_embed_centroid"    -> embedCentroid _,
     "q_profile_table"     -> profileTable _,
@@ -457,6 +458,60 @@ object CurateQueries {
         count(lit(1)).as("n_delta"),
         count_if(col("dup")).as("n_dup"),
         (count(lit(1)) - count_if(col("dup"))).as("n_new"))
+      .orderBy("lang")
+  }
+
+  /** Bloom-gated incremental dedup — `q_dedup_incremental`'s exact
+    * fingerprint join with the 100 TB prefilter in front: a Bloom filter
+    * built over the BASE corpus fingerprints (KB-scale whatever the
+    * corpus, `spark.util.sketch.BloomFilter` via `stat.bloomFilter`)
+    * rides to every executor as a broadcast, and each delta row probes
+    * it row-locally. Bloom misses are DEFINITELY new (no false
+    * negatives, by construction) and skip the join entirely; only the
+    * hits — the true dups plus an fpp-bounded sliver — reach the exact
+    * confirm join, so the join's probe side shrinks from |delta| to
+    * ≈|dups|. The report carries the pruning accounting per language:
+    * delta size, bloom-pruned, candidates, confirmed dups, and measured
+    * false positives.
+    *
+    * Deterministic: the sketch BloomFilter hashes with fixed seeds and
+    * bit-OR insertion is order-independent, so hits — and therefore
+    * every count — are run-stable. Declared rows-only (the bloom has no
+    * SQL twin); the no-false-negative and reconciliation invariants are
+    * pinned in EdgeCaseSpec on a planted-dup mini corpus. */
+  def dedupBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = documents(s, d).select(
+      col("doc_id"), col("lang"),
+      md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("fp"))
+    val base = fp.filter(col("doc_id") % 4 =!= 0)
+    val delta = fp.filter(col("doc_id") % 4 === 0)
+    // 8192 expected items / 3% fpp ≈ 7 KB of bits — the broadcast is
+    // always dimension-sized; size expectedNumItems to the BASE at scale.
+    val bloomBc = s.sparkContext.broadcast(
+      base.stat.bloomFilter("fp", 8192L, 0.03))
+    val probed = delta.select("doc_id", "lang", "fp")
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val bf = bloomBc.value
+        it.map { case (id, lang, f) => (id, lang, f, bf.mightContain(f)) }
+      }
+      .toDF("doc_id", "lang", "fp", "bloom_hit")
+    val exact = base.select("fp").distinct().withColumn("dup", lit(true))
+    val cand = probed.filter(col("bloom_hit"))
+      .join(exact, Seq("fp"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_candidates"),
+        count_if(col("dup")).as("n_dup"))
+    probed.groupBy("lang")
+      .agg(count(lit(1)).as("n_delta"),
+        count_if(!col("bloom_hit")).as("n_pruned"))
+      .join(cand, Seq("lang"), "left")
+      .select(col("lang"), col("n_delta"), col("n_pruned"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_candidates"), lit(0L))
+          - coalesce(col("n_dup"), lit(0L))).as("n_false_pos"))
       .orderBy("lang")
   }
 

@@ -390,6 +390,42 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getInt(4)).forall(x => x >= 1 && x <= 3))
   }
 
+  test("q_dedup_bloom: planted dups always confirmed, counts reconcile") {
+    import spark.implicits._
+    // delta = doc_id % 4 == 0. Docs 0 and 4 duplicate base docs 1 and 5
+    // (bloom must pass BOTH — no false negatives); docs 8, 12 are new.
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (4L, "delta epsilon", "en", "s", 13L),
+      (8L, "unique text eight", "en", "s", 17L),
+      (12L, "je suis nouveau", "fr", "s", 15L),
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (5L, "delta epsilon", "en", "s", 13L),
+      (6L, "base only six", "en", "s", 13L),
+      (7L, "encore une base", "fr", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("bloom")("documents" -> docs)
+    val rows = graft.operators.CurateQueries.dedupBloom(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = rows("en")
+    assert(en.getAs[Long]("n_dup") === 2L,
+      s"planted dups missed (false negative!): $en")
+    for (r <- rows.values) {
+      assert(r.getAs[Long]("n_delta") ===
+        r.getAs[Long]("n_pruned") + r.getAs[Long]("n_candidates"),
+        s"pruning accounting broken: $r")
+      assert(r.getAs[Long]("n_false_pos") ===
+        r.getAs[Long]("n_candidates") - r.getAs[Long]("n_dup"))
+      assert(r.getAs[Long]("n_false_pos") >= 0L)
+    }
+    // determinism: fixed-seed sketch, order-independent insertion
+    val again = graft.operators.CurateQueries.dedupBloom(spark, dir)
+      .collect().map(_.toSeq)
+    assert(again.toSeq ===
+      graft.operators.CurateQueries.dedupBloom(spark, dir)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a
