@@ -45,7 +45,8 @@ object SimilarityQueries {
     "q_embed_quantize" -> embedQuantize _,
     "q_dedup_semantic" -> dedupSemantic _,
     "q_sim_batch_topk" -> simBatchTopK _,
-    "q_dedup_incremental_lsh" -> dedupIncrementalLsh _
+    "q_dedup_incremental_lsh" -> dedupIncrementalLsh _,
+    "q_embed_knn"     -> embedKnn _
   )
 
   val oracle: Map[String, String] = Map(
@@ -159,7 +160,33 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 5
-        |ORDER BY probe_id, rnk""".stripMargin
+        |ORDER BY probe_id, rnk""".stripMargin,
+    // The oracle affords the quadratic rank (q_graph_triangles' pair
+    // formula); ranking is on the ROUNDED score with the neighbor-id
+    // tiebreak on both sides, so the top-3 cut is identical.
+    "q_embed_knn" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |bidir AS (
+        |  SELECT v1 AS vec_id, v2 AS neighbor_id, cos_sim FROM pairs
+        |  UNION ALL
+        |  SELECT v2, v1, cos_sim FROM pairs),
+        |ranked AS (
+        |  SELECT vec_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM bidir)
+        |SELECT vec_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY vec_id, rnk""".stripMargin
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -250,6 +277,60 @@ object SimilarityQueries {
     * as the verify step. */
   def dedupEmbed(s: SparkSession, d: String): DataFrame =
     embedPairs(s, d).orderBy("v1", "v2")
+
+  /** Exact k-NN graph (k = 3) over the embedding corpus — the index
+    * construction that completes the serving family (`q_sim_topk` serves
+    * ONE probe, `q_sim_batch_topk` a probe batch; graph-based ANN and
+    * dedup clustering start from each vector's neighbor list).
+    *
+    * Same blocked pair scan as [[embedPairs]] (hash joins only, pair
+    * space confined to K(K+1)/2 evenly-hashed groups, no threshold — a
+    * kNN graph needs every pair scored once), then each unordered pair
+    * feeds BOTH endpoints and the per-vector top-3 reduces through the
+    * bounded-heap [[TopKSims]] aggregator — heap partials merge
+    * map-side, so the wire carries O(n·k) rows, never the O(n²) score
+    * matrix. Ranking is on the ROUNDED 4-dp score with the neighbor-id
+    * tiebreak, so both engines cut the same top-3. */
+  def embedKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = PairBlocks
+    val bp = (for { i <- 0 until k; j <- i until k }
+      yield (i, j, i * k + j)).toDF("bi", "bj", "gid")
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        pmod(xxhash64(col("vec_id")), lit(k)).cast("int").as("blk"))
+    val a = e.join(broadcast(bp), col("blk") === col("bi"))
+      .select(col("gid"), col("blk").as("ablk"), col("vec_id").as("v1"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.join(broadcast(bp), col("blk") === col("bj"))
+      .select(col("gid"), col("blk").as("bblk"), col("vec_id").as("v2"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    // Cross-block groups hold each unordered pair once (in hash order —
+    // no id condition there, embedPairs' normalization note); diagonal
+    // groups dedup mirrors with v1 < v2. Direction does not matter here:
+    // every pair feeds both endpoints below.
+    val scored = a.join(b,
+        a("gid") === b("gid") &&
+          (col("ablk") < col("bblk") || col("v1") < col("v2")))
+      .select(col("v1"), col("v2"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
+    val both = scored
+      .select(col("v1").as("probe_id"), col("v2").as("vec_id"),
+        col("cos_sim"))
+      .unionByName(scored.select(col("v2").as("probe_id"),
+        col("v1").as("vec_id"), col("cos_sim")))
+    both.as[ProbeSim]
+      .groupByKey(_.probe_id)
+      .agg(new TopKSims(3).toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.vec_id").as("neighbor_id"),
+        col("t.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
 
   /** Row blocks for the exact pair join: pairs of blocks (bi ≤ bj) form
     * K(K+1)/2 independent work groups — sized a little above the session's
