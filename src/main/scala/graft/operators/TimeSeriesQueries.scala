@@ -34,7 +34,8 @@ object TimeSeriesQueries {
     "q_ts_ewma"     -> tsEwma _,
     "q_ts_holt"     -> tsHolt _,
     "q_ts_seasonal" -> tsSeasonal _,
-    "q_ts_interp"   -> tsInterp _
+    "q_ts_interp"   -> tsInterp _,
+    "q_ts_tukey"    -> tsTukey _
   )
 
   val oracle: Map[String, String] = Map(
@@ -235,7 +236,37 @@ object TimeSeriesQueries {
         |        * (CAST(hour_us - hp AS DOUBLE)
         |           / CAST(hn - hp AS DOUBLE)) END / 100, 4)
         |    AS value_interp
-        |FROM brk ORDER BY event_type, hour_us""".stripMargin
+        |FROM brk ORDER BY event_type, hour_us""".stripMargin,
+
+    // Same densified grid, same 25-row trailing frame, same dyadic
+    // quartiles (quarter-fraction positions over integer counts) and
+    // Tukey fences — every comparison exact.
+    "q_ts_tukey" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(range(min(hour_us), max(hour_us) + 1, 3600000000))
+        |      AS hour_us
+        |  FROM hourly GROUP BY event_type),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |fences AS (
+        |  SELECT event_type, hour_us, n,
+        |    quantile_cont(n, 0.25) OVER w AS q1,
+        |    quantile_cont(n, 0.75) OVER w AS q3
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+        |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour_us, n, q1, q3,
+        |  n < q1 - 1.5 * (q3 - q1) OR n > q3 + 1.5 * (q3 - q1)
+        |    AS is_outlier
+        |FROM fences ORDER BY event_type, hour_us""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -514,6 +545,35 @@ object TimeSeriesQueries {
                 * ((col("hour_us") - col("hp")).cast("double")
                   / (col("hn") - col("hp")).cast("double")))
           / 100, 4).as("value_interp"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** Rolling Tukey-fence outlier detection: each hour judged against the
+    * quartiles of its own trailing 25-hour window — the boxplot rule
+    * (outside [q1 − 1.5·IQR, q3 + 1.5·IQR]) made LOCAL, which is what a
+    * drifting traffic baseline needs (`q_ts_anomaly`'s global z-score
+    * flags every hour of a new higher regime; a rolling fence adapts).
+    * Tukey (not a rolling MAD) because the fences are SINGLE-LEVEL
+    * window aggregates — a rolling MAD needs the median of deviations
+    * from the frame's own median, which windows cannot nest.
+    *
+    * Exactness: quartiles of ≤25 integers interpolate on quarter
+    * fractions — dyadic rationals (the q_agg_mad trick), and 1.5·IQR
+    * keeps them dyadic, so the fence comparisons are engine-exact with
+    * no rounding anywhere. Corpus touched once by the hourly agg; the
+    * rolling windows run on the densified resampled grid. */
+  def tsTukey(s: SparkSession, d: String): DataFrame = {
+    val dense = denseHourly(s, d)
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(-24, Window.currentRow)
+    val iqr = col("q3") - col("q1")
+    dense
+      .withColumn("q1", percentile(col("n"), lit(0.25)).over(w))
+      .withColumn("q3", percentile(col("n"), lit(0.75)).over(w))
+      .select(col("event_type"), col("hour_us"), col("n"),
+        col("q1"), col("q3"),
+        (col("n") < col("q1") - lit(1.5) * iqr ||
+          col("n") > col("q3") + lit(1.5) * iqr).as("is_outlier"))
       .orderBy("event_type", "hour_us")
   }
 }
