@@ -33,6 +33,7 @@ object SourceQueries {
     "q_scan_jdbc"        -> scanJdbc _,
     "q_scan_xml"         -> scanXml _,
     "q_scan_binaryfile"  -> scanBinaryFile _,
+    "q_scan_text"        -> scanText _,
     "q_sink_partitioned" -> sinkPartitioned _
   )
 
@@ -43,6 +44,13 @@ object SourceQueries {
     "q_scan_json" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // The round-trip re-derives (length, md5) from the re-read text; the
+    // oracle computes both from the source table directly, so any
+    // corruption in the line encode/parse fails the hash.
+    "q_scan_text" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_rt,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_scan_orc" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -115,6 +123,32 @@ object SourceQueries {
     Tables.supplier(s, d).write.mode("overwrite").json(dir)
     s.read.schema(supplierSchema).json(dir)
       .orderBy("s_suppkey")
+  }
+
+  /** Raw-text round-trip of the documents corpus — `spark.read.text`,
+    * the rawest ingest format an LLM corpus arrives in (one record per
+    * line). Each line is `id<TAB>text`; the read-back parses the id off
+    * the first tab and re-derives (char length, md5) per document, which
+    * the oracle computes from the source table directly — any encode or
+    * parse corruption fails the hash compare. The fixture's texts are
+    * single-line and tab-free (space-separated words); a corpus that is
+    * not line-safe ships as JSONL instead (`q_scan_json` covers the
+    * escaping path). Write and read are both distributed — no driver
+    * staging. */
+  def scanText(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "docs_text")
+    Tables.documents(s, d)
+      .select(concat(col("doc_id").cast("string"), lit("\t"),
+        col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_rt"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
   }
 
   /** ORC round-trip of a part projection: the second columnar format
