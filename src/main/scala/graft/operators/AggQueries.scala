@@ -59,7 +59,8 @@ object AggQueries {
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_windowed_distinct" -> aggWindowedDistinct _,
     "q_agg_bitwise" -> aggBitwise _,
-    "q_agg_bitmap" -> aggBitmap _
+    "q_agg_bitmap" -> aggBitmap _,
+    "q_share_hierarchy" -> shareHierarchy _
   )
 
   /** EXACT distinct users per event type via mergeable bitmaps — the
@@ -164,8 +165,63 @@ object AggQueries {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY rf, ls""".stripMargin
+        |ORDER BY rf, ls""".stripMargin,
+    // Same exact-cents sums at all three levels; shares are single IEEE
+    // divisions of BIGINT-derived doubles, rounded 6dp.
+    "q_share_hierarchy" ->
+      """WITH leaf AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM region
+        |    JOIN nation ON n_regionkey = r_regionkey
+        |    JOIN customer ON c_nationkey = n_nationkey
+        |    JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY r_name, n_name),
+        |reg AS (
+        |  SELECT r_name, CAST(sum(cents) AS BIGINT) AS r_cents
+        |  FROM leaf GROUP BY r_name),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents FROM leaf)
+        |SELECT l.r_name, l.n_name, l.cents,
+        |  round(CAST(l.cents AS DOUBLE) / CAST(g.r_cents AS DOUBLE), 6)
+        |    AS share_of_region,
+        |  round(CAST(g.r_cents AS DOUBLE) / CAST(t.t_cents AS DOUBLE), 6)
+        |    AS region_share_of_total
+        |FROM leaf l
+        |JOIN reg g ON l.r_name = g.r_name
+        |CROSS JOIN tot t
+        |ORDER BY l.r_name, l.n_name""".stripMargin
   )
+
+  /** Hierarchical share-of-parent rollup: nation revenue as a share of
+    * its region, region as a share of the corpus — the BI composition
+    * query behind every treemap/drill-down, and the shape where naive
+    * implementations recompute the fact scan per level. Here the fact
+    * is reduced ONCE to the leaf (region, nation) grain — everything
+    * above is re-aggregation of the leaf frame (dimension-sized), the
+    * rollup-from-partials discipline; exact cents at every level, the
+    * two shares are single IEEE divisions. The 1-row total rides a
+    * broadcast cross join (PlanGuard allowlisted). */
+  def shareHierarchy(s: SparkSession, d: String): DataFrame = {
+    val leaf = region(s, d)
+      .join(nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+      .localCheckpoint()
+    val reg = leaf.groupBy("r_name").agg(sum("cents").as("r_cents"))
+    val tot = leaf.agg(sum("cents").as("t_cents"))
+    leaf.join(reg, Seq("r_name"))
+      .crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        round(col("cents").cast("double")
+          / col("r_cents").cast("double"), 6).as("share_of_region"),
+        round(col("r_cents").cast("double")
+          / col("t_cents").cast("double"), 6).as("region_share_of_total"))
+      .orderBy("r_name", "n_name")
+  }
 
   /** TPC-H-Q1-shape pricing summary — also the flagship `SparkEntry.entry`. */
   def aggGroupBy(s: SparkSession, d: String): DataFrame =
