@@ -55,7 +55,8 @@ object StatsQueries {
     "q_basket_pairs"    -> basketPairs _,
     "q_agg_winsor"      -> aggWinsor _,
     "q_attribution"     -> attribution _,
-    "q_growth_accounting" -> growthAccounting _
+    "q_growth_accounting" -> growthAccounting _,
+    "q_audience_overlap" -> audienceOverlap _
   )
 
   val oracle: Map[String, String] = Map(
@@ -678,7 +679,31 @@ object StatsQueries {
         |  round(CAST(c.n_retained AS DOUBLE)
         |    / CAST(p.n_active AS DOUBLE), 4) AS retention_rate
         |FROM wk c LEFT JOIN wk p ON p.week = c.week - 1
-        |ORDER BY c.week""".stripMargin
+        |ORDER BY c.week""".stripMargin,
+
+    // Same distinct (type, user) reduce, same user-keyed pair join; all
+    // set cardinalities exact BIGINT, one rounded division per measure.
+    "q_audience_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tu GROUP BY event_type),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+        |  round(CAST(i.n_both AS DOUBLE)
+        |    / CAST(sa.n + sb.n - i.n_both AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(i.n_both AS DOUBLE)
+        |    / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+        |FROM inter i
+        |JOIN sz sa ON i.type_a = sa.event_type
+        |JOIN sz sb ON i.type_b = sb.event_type
+        |ORDER BY i.type_a, i.type_b""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1498,6 +1523,45 @@ object StatsQueries {
         round(col("n_retained").cast("double")
           / col("prev_active").cast("double"), 4).as("retention_rate"))
       .orderBy("week")
+  }
+
+  /** Audience overlap between event types: Jaccard and containment of
+    * the user sets behind every type pair — the segment-overlap matrix
+    * (which behaviors share an audience, which are disjoint funnels).
+    * `q_basket_pairs` measures co-occurrence per BASKET; this measures
+    * it per USER across the whole corpus.
+    *
+    * The corpus reduces to the distinct (type, user) frame first (at
+    * most types × users rows); the pair join is equi-keyed on the USER
+    * — each user contributes only their own type pairs (≤ T² with T =
+    * distinct types, a constant), never a cross of user populations.
+    * Set sizes join back from a types-sized frame; all cardinalities
+    * exact, one IEEE division per measure. */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val tu = events(s, d).select(col("event_type"), col("user_id"))
+      .distinct().localCheckpoint()
+    val sz = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = tu.as("a")
+      .join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sz.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sz.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_both").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("containment"))
+      .orderBy("type_a", "type_b")
   }
 
   /** Market-basket co-occurrence: within-order item pairs with support
