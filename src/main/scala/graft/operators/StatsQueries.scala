@@ -56,7 +56,8 @@ object StatsQueries {
     "q_agg_winsor"      -> aggWinsor _,
     "q_attribution"     -> attribution _,
     "q_growth_accounting" -> growthAccounting _,
-    "q_audience_overlap" -> audienceOverlap _
+    "q_audience_overlap" -> audienceOverlap _,
+    "q_transition_matrix" -> transitionMatrix _
   )
 
   val oracle: Map[String, String] = Map(
@@ -703,7 +704,26 @@ object StatsQueries {
         |FROM inter i
         |JOIN sz sa ON i.type_a = sa.event_type
         |JOIN sz sb ON i.type_b = sb.event_type
-        |ORDER BY i.type_a, i.type_b""".stripMargin
+        |ORDER BY i.type_a, i.type_b""".stripMargin,
+
+    // Same per-customer (date, key) lag sequencing, same row-normalized
+    // probabilities from exact counts.
+    "q_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderpriority AS cur,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |cnt AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
+        |rowtot AS (
+        |  SELECT prev, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM cnt GROUP BY prev)
+        |SELECT c.prev, c.cur, c.n, r.row_n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE), 6) AS p
+        |FROM cnt c JOIN rowtot r ON c.prev = r.prev
+        |ORDER BY c.prev, c.cur""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1562,6 +1582,32 @@ object StatsQueries {
           / least(col("n_a"), col("n_b")).cast("double"), 6)
           .as("containment"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** First-order Markov transition matrix of order priorities: for each
+    * customer's order sequence, count prev→cur priority transitions and
+    * row-normalize — the behavioral sequence model behind
+    * next-state prediction and anomaly scoring (a transition that never
+    * occurs in the matrix is the anomaly).
+    *
+    * One per-customer (date, key) sort supplies the lag; the matrix
+    * itself is at most S² rows (S = distinct priorities, a constant),
+    * so everything after the lag window is constant-sized. Counts
+    * exact; probabilities are one division against the row total. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val seq = orders(s, d)
+      .select(col("o_custkey"), col("o_orderpriority").as("cur"),
+        lag("o_orderpriority", 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+    val cnt = seq.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+    val rowtot = cnt.groupBy("prev").agg(sum("n").as("row_n"))
+    cnt.join(broadcast(rowtot), Seq("prev"))
+      .select(col("prev"), col("cur"), col("n"), col("row_n"),
+        round(col("n").cast("double") / col("row_n").cast("double"), 6)
+          .as("p"))
+      .orderBy("prev", "cur")
   }
 
   /** Market-basket co-occurrence: within-order item pairs with support
