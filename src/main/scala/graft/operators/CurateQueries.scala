@@ -49,6 +49,7 @@ object CurateQueries {
     "q_dedup_bloom"       -> dedupBloom _,
     "q_embed_stats"       -> embedStats _,
     "q_embed_centroid"    -> embedCentroid _,
+    "q_embed_outliers"    -> embedOutliers _,
     "q_profile_table"     -> profileTable _,
     "q_agg_entropy"       -> aggEntropy _,
     "q_url_normalize"     -> urlNormalize _,
@@ -142,6 +143,34 @@ object CurateQueries {
         |    - c.sum_sd2 / (p.n_vecs * p.n_vecs), 4) AS inertia
         |FROM persq p JOIN cent c ON p.label = c.label
         |ORDER BY p.label""".stripMargin,
+    // Same per-dim centroid, same per-vector squared distance through
+    // the identical index-ordered sum; rank on the ROUNDED distance
+    // with the id tiebreak, like every similarity twin.
+    "q_embed_outliers" ->
+      """WITH dims AS (
+        |  SELECT label, i, sum(embedding[i]::DOUBLE) AS sd,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings,
+        |    UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(sd / n ORDER BY i) AS centroid
+        |  FROM dims GROUP BY label),
+        |d2 AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (e.embedding[i]::DOUBLE - c.centroid[i])
+        |         * (e.embedding[i]::DOUBLE - c.centroid[i]))), 4)
+        |      AS dist2
+        |  FROM embeddings e JOIN cent c ON e.label = c.label),
+        |rk AS (
+        |  SELECT label, vec_id, dist2,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY dist2 DESC, vec_id) AS rnk
+        |  FROM d2)
+        |SELECT CAST(label AS BIGINT) AS label, vec_id, dist2,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
     // One SELECT per profiled column, same metrics as the Spark stack.
     "q_profile_table" ->
       """SELECT 'o_custkey' AS column_name,
@@ -569,6 +598,50 @@ object CurateQueries {
           - col("sum_sd2") / (col("n_vecs") * col("n_vecs")), 4)
           .as("inertia"))
       .orderBy("label")
+  }
+
+  /** Distance-to-centroid outliers: the top-3 vectors farthest from
+    * their label's centroid — the per-VECTOR consumer of
+    * [[embedCentroid]]'s geometry (inertia says a cluster is loose;
+    * this names the vectors making it loose — mislabeled or corrupt
+    * embeddings surface here first).
+    *
+    * The centroid table is labels × dims (KB) and broadcasts; each
+    * vector's squared distance is one scan-stage HOF fold over
+    * `zip_with(embedding, centroid)` — the corpus is read once and
+    * never shuffled with its vectors. The per-label top-3 reduces
+    * through the bounded-heap [[TopKSims]] aggregator (map-side
+    * partials, O(k) state), ranking on the ROUNDED distance with the
+    * id tiebreak so both engines cut the same set. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val cent = e
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum(col("x").cast("double")).as("sd"),
+        count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"),
+        (col("sd") / col("n")).as("m")))).as("cm"))
+      .select(col("label").as("clabel"),
+        transform(col("cm"), c => c.getField("m")).as("centroid"))
+    val d2 = e.join(broadcast(cent), col("label") === col("clabel"))
+      .select(col("label").cast("long").as("probe_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0d), (a, v) => a + v), 4).as("cos_sim"))
+    d2.as[ProbeSim]
+      .groupByKey(_.probe_id)
+      .agg(new TopKSims(3).toColumn.name("top"))
+      .toDF("label", "top")
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("label"), col("t.vec_id").as("vec_id"),
+        col("t.cos_sim").as("dist2"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("label", "rnk")
   }
 
   /** Column profiler (the pre-ingest data-quality audit: row count, null
