@@ -51,6 +51,7 @@ object TextQueries {
     "q_vocab_build"      -> vocabBuild _,
     "q_text_compress"    -> textCompress _,
     "q_text_zipf"        -> textZipf _,
+    "q_eval_confusion"   -> evalConfusion _,
     "q_contamination"    -> contamination _,
     "q_text_ngram_lm"    -> textNgramLm _,
     "q_text_chunk"       -> textChunk _,
@@ -164,6 +165,42 @@ object TextQueries {
         |  CAST(c_en AS BIGINT) AS c_en, CAST(c_de AS BIGINT) AS c_de,
         |  CAST(c_fr AS BIGINT) AS c_fr, CAST(c_es AS BIGINT) AS c_es
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q_text_langid's classifier CASE verbatim, then the same
+    // cell/marginal aggregation; counts exact, shares one division.
+    "q_eval_confusion" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    (length(text) - length(replace(text, 'th', ''))) / 2 AS c_en,
+        |    (length(text) - length(replace(text, 'er', ''))) / 2 AS c_de,
+        |    (length(text) - length(replace(text, 'qu', ''))) / 2 AS c_fr,
+        |    (length(text) - length(replace(text, 'rt', ''))) / 2 AS c_es
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang AS actual,
+        |    CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+        |           THEN 'en'
+        |         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |         WHEN c_fr >= c_es THEN 'fr'
+        |         ELSE 'es' END AS predicted
+        |  FROM m),
+        |cells AS (
+        |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+        |  FROM scored GROUP BY actual, predicted),
+        |act AS (
+        |  SELECT actual, CAST(sum(n) AS BIGINT) AS actual_n
+        |  FROM cells GROUP BY actual),
+        |pred AS (
+        |  SELECT predicted, CAST(sum(n) AS BIGINT) AS predicted_n
+        |  FROM cells GROUP BY predicted)
+        |SELECT c.actual, c.predicted, c.n, a.actual_n, p.predicted_n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(a.actual_n AS DOUBLE), 6)
+        |    AS recall_share,
+        |  round(CAST(c.n AS DOUBLE) / CAST(p.predicted_n AS DOUBLE), 6)
+        |    AS precision_share
+        |FROM cells c
+        |JOIN act a ON c.actual = a.actual
+        |JOIN pred p ON c.predicted = p.predicted
+        |ORDER BY c.actual, c.predicted""".stripMargin,
     "q_text_tokcount" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -737,6 +774,35 @@ object TextQueries {
       cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"),
       cFr.cast("long").as("c_fr"), cEs.cast("long").as("c_es"))
       .orderBy("doc_id")
+  }
+
+  /** Classifier-evaluation confusion matrix over `q_text_langid`'s
+    * predictions: per (actual, predicted) cell counts with the class
+    * marginals and their shares — diagonal cells read as per-class
+    * recall/precision, off-diagonal as confusion routes. The
+    * model-evaluation aggregation every labeling pipeline runs after a
+    * predictor; kept next to the predictor so the pair pin each other.
+    *
+    * The corpus collapses to ≤ L² matrix cells in one
+    * map-side-combined agg; marginals re-aggregate the cell frame
+    * (constant-sized) and broadcast back. Exact counts, one division
+    * per share. */
+  def evalConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = textLangId(s, d)
+      .select(col("lang").as("actual"), col("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+    val act = cells.groupBy("actual").agg(sum("n").as("actual_n"))
+    val pred = cells.groupBy("predicted")
+      .agg(sum("n").as("predicted_n"))
+    cells.join(broadcast(act), Seq("actual"))
+      .join(broadcast(pred), Seq("predicted"))
+      .select(col("actual"), col("predicted"), col("n"),
+        col("actual_n"), col("predicted_n"),
+        round(col("n").cast("double")
+          / col("actual_n").cast("double"), 6).as("recall_share"),
+        round(col("n").cast("double")
+          / col("predicted_n").cast("double"), 6).as("precision_share"))
+      .orderBy("actual", "predicted")
   }
 
   /** Token counting: whitespace tokens + a compression-style estimate
