@@ -57,7 +57,8 @@ object StatsQueries {
     "q_attribution"     -> attribution _,
     "q_growth_accounting" -> growthAccounting _,
     "q_audience_overlap" -> audienceOverlap _,
-    "q_transition_matrix" -> transitionMatrix _
+    "q_transition_matrix" -> transitionMatrix _,
+    "q_funnel_timing"   -> funnelTiming _
   )
 
   val oracle: Map[String, String] = Map(
@@ -723,7 +724,30 @@ object StatsQueries {
         |SELECT c.prev, c.cur, c.n, r.row_n,
         |  round(CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE), 6) AS p
         |FROM cnt c JOIN rowtot r ON c.prev = r.prev
-        |ORDER BY c.prev, c.cur""".stripMargin
+        |ORDER BY c.prev, c.cur""".stripMargin,
+
+    // Same first-view / first-purchase-after derivation; quartiles of
+    // integer µs gaps on quarter-dyadic positions (exact), mean through
+    // the identical division tree.
+    "q_funnel_timing" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, min(ts_us) AS t_view
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, min(e.ts_us) - min(v.t_view) AS gap_us
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > v.t_view
+        |  GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(gap_us, 0.25) AS p25_gap_us,
+        |  quantile_cont(gap_us, 0.50) AS median_gap_us,
+        |  quantile_cont(gap_us, 0.75) AS p75_gap_us,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000, 4) AS mean_gap_sec
+        |FROM conv""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1582,6 +1606,37 @@ object StatsQueries {
           / least(col("n_a"), col("n_b")).cast("double"), 6)
           .as("containment"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** Time-to-convert distribution: per user, the gap from FIRST view to
+    * the first purchase after it, summarized as exact-quartile and mean
+    * latency — the velocity companion to `q_event_funnel` (the funnel
+    * counts WHO converts; this measures HOW FAST) and to
+    * `q_attribution` (which purchase credits which touch).
+    *
+    * Both aggregations key on user_id — one partitioning serves the
+    * view and purchase sides (the funnel's exchange-reuse note) — and
+    * the summary runs on the converted-users frame. Gaps are integer
+    * µs; quartiles interpolate on quarter-dyadic positions (exact),
+    * the mean is one IEEE division over exact sums. */
+  def funnelTiming(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id")
+      .agg((min("ts_us") - min("t_view")).as("gap_us"))
+    conv.agg(count(lit(1)).as("n_converted"),
+        percentile(col("gap_us"), lit(0.25)).as("p25_gap_us"),
+        percentile(col("gap_us"), lit(0.50)).as("median_gap_us"),
+        percentile(col("gap_us"), lit(0.75)).as("p75_gap_us"),
+        round(sum("gap_us").cast("double")
+          / count(lit(1)).cast("double") / 1000000, 4)
+          .as("mean_gap_sec"))
   }
 
   /** First-order Markov transition matrix of order priorities: for each
