@@ -35,7 +35,8 @@ object TimeSeriesQueries {
     "q_ts_holt"     -> tsHolt _,
     "q_ts_seasonal" -> tsSeasonal _,
     "q_ts_interp"   -> tsInterp _,
-    "q_ts_tukey"    -> tsTukey _
+    "q_ts_tukey"    -> tsTukey _,
+    "q_ts_cusum"    -> tsCusum _
   )
 
   val oracle: Map[String, String] = Map(
@@ -266,7 +267,67 @@ object TimeSeriesQueries {
         |SELECT event_type, hour_us, n, q1, q3,
         |  n < q1 - 1.5 * (q3 - q1) OR n > q3 + 1.5 * (q3 - q1)
         |    AS is_outlier
-        |FROM fences ORDER BY event_type, hour_us""".stripMargin
+        |FROM fences ORDER BY event_type, hour_us""".stripMargin,
+
+    // Same densified series, same exact-BIGINT moments, the same
+    // standardized one-sided recurrences driven through a recursive CTE
+    // (the q_ts_holt fold-twin technique); z keeps the (c·x − s1)
+    // integer numerator exact before its one cast.
+    "q_ts_cusum" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |ser AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2,
+        |    array_agg(n ORDER BY hour_us) AS xs
+        |  FROM dense GROUP BY event_type),
+        |sd AS (
+        |  SELECT event_type, c, s1, xs,
+        |    sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(c * (c - 1) AS DOUBLE)) AS sd
+        |  FROM ser WHERE c > 1),
+        |rec AS (
+        |  -- CAST the seeds: a bare 0.0 is DECIMAL in DuckDB and would
+        |  -- pin the recursive columns to DECIMAL(2,1), quantizing every
+        |  -- step to one decimal.
+        |  SELECT event_type, c, s1, sd, xs, CAST(0 AS BIGINT) AS i,
+        |    CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn,
+        |    CAST(0 AS DOUBLE) AS mp, CAST(0 AS DOUBLE) AS mn
+        |  FROM sd
+        |  UNION ALL
+        |  SELECT event_type, c, s1, sd, xs, i + 1,
+        |    greatest(0.0, sp + CAST(c * xs[i + 1] - s1 AS DOUBLE)
+        |      / (CAST(c AS DOUBLE) * sd) - 0.5),
+        |    greatest(0.0, sn - CAST(c * xs[i + 1] - s1 AS DOUBLE)
+        |      / (CAST(c AS DOUBLE) * sd) - 0.5),
+        |    greatest(mp, greatest(0.0,
+        |      sp + CAST(c * xs[i + 1] - s1 AS DOUBLE)
+        |        / (CAST(c AS DOUBLE) * sd) - 0.5)),
+        |    greatest(mn, greatest(0.0,
+        |      sn - CAST(c * xs[i + 1] - s1 AS DOUBLE)
+        |        / (CAST(c AS DOUBLE) * sd) - 0.5))
+        |  FROM rec WHERE i < c)
+        |SELECT event_type, c AS n_hours,
+        |  round(mp, 6) AS max_cusum_up,
+        |  round(mn, 6) AS max_cusum_down,
+        |  round(mp, 6) >= 5 AS drift_up,
+        |  round(mn, 6) >= 5 AS drift_down
+        |FROM rec WHERE i = c ORDER BY event_type""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -546,6 +607,58 @@ object TimeSeriesQueries {
                   / (col("hn") - col("hp")).cast("double")))
           / 100, 4).as("value_interp"))
       .orderBy("event_type", "hour_us")
+  }
+
+  /** CUSUM drift detection (standardized one-sided cumulative sums,
+    * k = 0.5, h = 5 — the textbook tabular CUSUM): flags a SUSTAINED
+    * mean shift in a type's hourly volume that per-point detectors
+    * miss — `q_ts_anomaly` needs one loud hour, `q_ts_tukey` a local
+    * excursion; a 1σ drift spread over a day trips neither but
+    * accumulates here.
+    *
+    * The recurrence s⁺_t = max(0, s⁺_{t-1} + z_t − k) is inherently
+    * sequential, so it folds over the collected per-type series
+    * (`q_ts_ewma`'s justification: the fold's evaluation order is
+    * DEFINED, both engines run the identical IEEE chain — the DuckDB
+    * twin drives the same arithmetic through a recursive CTE). z keeps
+    * the (c·x − s1) integer numerator exact before its one cast; the
+    * collected array is the RESAMPLED series, bounded by the time span,
+    * never event volume. */
+  def tsCusum(s: SparkSession, d: String): DataFrame = {
+    val arr = denseHourly(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("c"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"),
+        sort_array(collect_list(
+          struct(col("hour_us").as("h"), col("n").as("v")))).as("hv"))
+      .filter(col("c") > 1)
+      .withColumn("sd",
+        sqrt((col("c") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("c") * (col("c") - 1)).cast("double")))
+    def z(x: org.apache.spark.sql.Column) =
+      (col("c") * x - col("s1")).cast("double") /
+        (col("c").cast("double") * col("sd"))
+    val init = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+      lit(0.0).as("mp"), lit(0.0).as("mn"))
+    val fold = aggregate(
+      transform(col("hv"), e => e.getField("v")),
+      init,
+      (acc, x) => {
+        val spN = greatest(lit(0.0),
+          acc.getField("sp") + z(x) - lit(0.5))
+        val snN = greatest(lit(0.0),
+          acc.getField("sn") - z(x) - lit(0.5))
+        struct(spN.as("sp"), snN.as("sn"),
+          greatest(acc.getField("mp"), spN).as("mp"),
+          greatest(acc.getField("mn"), snN).as("mn"))
+      })
+    arr.select(col("event_type"), col("c").as("n_hours"),
+        fold.as("st"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("st.mp"), 6).as("max_cusum_up"),
+        round(col("st.mn"), 6).as("max_cusum_down"),
+        (round(col("st.mp"), 6) >= 5).as("drift_up"),
+        (round(col("st.mn"), 6) >= 5).as("drift_down"))
+      .orderBy("event_type")
   }
 
   /** Rolling Tukey-fence outlier detection: each hour judged against the
