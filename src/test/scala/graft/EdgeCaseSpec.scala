@@ -426,6 +426,38 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("q_ts_cusum: detects a sustained 1-sigma drift, ignores stationary") {
+    import spark.implicits._
+    val h = 3600000000L
+    // 'drift': 48 quiet hours (alternating 10/12 events) then 48 shifted
+    // hours (alternating 13/15) — no single hour is anomalous against
+    // the pooled distribution, but the shift is sustained. 'flat':
+    // the same alternation throughout.
+    def mk(tpe: String, perHour: Int => Int): Seq[(Long, Long, String)] =
+      for {
+        hour <- 0 until 96
+        k <- 0 until perHour(hour)
+      } yield ((hour.toLong << 16) | k.toLong, hour * h + k * 1000L, tpe)
+    val rows =
+      mk("drift", i => (if (i < 48) 10 else 13) + (i % 2) * 2) ++
+        mk("flat", i => 10 + (i % 2) * 2)
+    val ev = rows.toDF("event_id", "us", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit(1L).as("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = miniDir("cusum")("events" -> ev)
+    val out = graft.operators.TimeSeriesQueries.tsCusum(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Boolean]("drift_up"), r.getAs[Boolean]("drift_down"),
+          r.getAs[Double]("max_cusum_up"))).toMap
+    assert(out("drift")._1, s"sustained shift not flagged: ${out("drift")}")
+    assert(!out("flat")._1 && !out("flat")._2,
+      s"stationary series false-alarmed: ${out("flat")}")
+    assert(out("drift")._3 > out("flat")._3 * 2,
+      "drift statistic must dominate the stationary one")
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a

@@ -463,4 +463,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val windows = "\\bWindow\\b".r.findAllIn(plan).size
     assert(windows <= 1, s"$windows Window operators — lag/lead split:\n$plan")
   }
+
+  test("q_embed_knn reduces through heap partials, never a rank window") {
+    // The O(n·k)-wire claim: per-vector top-3 must come from the typed
+    // bounded-heap aggregate (partial merge map-side), not a row_number
+    // window over the full score matrix.
+    val plan = finalPlanString(SimilarityQueries.embedKnn(spark, sfDir))
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+    assert(plan.contains("partial"), "heap partials not map-side merged")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair scan degenerated to a nested loop:\n$plan")
+  }
+
+  test("q_ts_cusum touches the corpus once; fold runs on the aggregate") {
+    val plan = finalPlanString(TimeSeriesQueries.tsCusum(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, // events scan feeds the hourly agg (+grid reuse)
+      s"$scans parquet scans — resample-once regressed:\n$plan")
+  }
 }
