@@ -47,6 +47,7 @@ object CurateQueries {
     "q_select_head"       -> selectHead _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_bloom"       -> dedupBloom _,
+    "q_dq_freshness"      -> dqFreshness _,
     "q_embed_stats"       -> embedStats _,
     "q_embed_centroid"    -> embedCentroid _,
     "q_embed_outliers"    -> embedOutliers _,
@@ -259,6 +260,20 @@ object CurateQueries {
     // shuffle (pk grouping / fk left join); `count(*) FILTER` keeps every
     // count BIGINT on the DuckDB side (sum() would widen to HUGEINT and
     // fail the driver's dtype-strict hash).
+    // Same per-stream max / corpus max / lag derivation; all epoch-µs
+    // integers, the staleness cut an exact comparison.
+    "q_dq_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    max(epoch_us(ts)) AS last_ts_us
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT max(last_ts_us) AS corpus_max_us FROM per)
+        |SELECT p.event_type, p.n_events, p.last_ts_us,
+        |  t.corpus_max_us - p.last_ts_us AS lag_us,
+        |  t.corpus_max_us - p.last_ts_us > 21600000000 AS stale_6h
+        |FROM per p CROSS JOIN tot t
+        |ORDER BY p.event_type""".stripMargin,
     "q_dq_rules" ->
       """WITH j AS (
         |  SELECT o.o_orderkey AS pk, l.l_shipdate, o.o_orderdate
@@ -598,6 +613,30 @@ object CurateQueries {
           - col("sum_sd2") / (col("n_vecs") * col("n_vecs")), 4)
           .as("inertia"))
       .orderBy("label")
+  }
+
+  /** Ingestion-freshness audit: per event stream, the last-seen event
+    * time and its lag behind the freshest stream, with a staleness flag
+    * — the operational sibling of `q_dq_rules` (rules check VALUES;
+    * freshness checks ARRIVAL — a silently-stalled upstream is the
+    * failure mode value rules cannot see).
+    *
+    * One map-side-combined max/count agg collapses the corpus to a
+    * streams-sized frame; the corpus max re-aggregates that frame and
+    * rides back as a 1-row broadcast cross (PlanGuard allowlisted).
+    * Epoch-µs integers end-to-end; the 6-hour cut is an exact
+    * comparison. */
+  def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_ts_us"))
+    val tot = per.agg(max("last_ts_us").as("corpus_max_us"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"), col("last_ts_us"),
+        (col("corpus_max_us") - col("last_ts_us")).as("lag_us"),
+        (col("corpus_max_us") - col("last_ts_us") > 21600000000L)
+          .as("stale_6h"))
+      .orderBy("event_type")
   }
 
   /** Distance-to-centroid outliers: the top-3 vectors farthest from

@@ -33,6 +33,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_basket_pairs", // 1-row basket-count scalar broadcast (cross)
     "q_vocab_build",  // 1-row token-total scalar broadcast (cross)
     "q_share_hierarchy", // 1-row corpus-total scalar broadcast (cross)
+    "q_dq_freshness", // 1-row corpus-max scalar broadcast (cross)
     "q_sql_recursive" // date-spine join on a derived non-equi condition
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
