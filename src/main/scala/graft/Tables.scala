@@ -19,10 +19,18 @@ object Tables {
     * DuckDB's `epoch_us(ts)`, which reads the same stored micros. Spark 4's
     * default instead infers TIMESTAMP_NTZ for naive columns; disabling the
     * inference restores the value-preserving mapping independent of the
-    * session timezone. Runtime conf, so it also covers the driver's own
-    * session (which is not built by this repo). */
+    * session timezone (the NTZ fallback cast in [[events]] is only
+    * value-preserving under UTC, which Harness/SparkFixture pin — this
+    * branch makes that fallback unreachable in practice). Harness sets
+    * the conf at session construction; here it is re-asserted only when
+    * ABSENT, because the caller may be the driver's own session (not
+    * built by this repo) — the guarded set keeps that coverage while
+    * making the call side-effect-free once the value is in place (the
+    * effective-value check, not getOption, because registered SQL confs
+    * report their default as present). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val k = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if (spark.conf.get(k, "true") != "false") spark.conf.set(k, "false")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -530,10 +530,19 @@ object CurateQueries {
       md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("fp"))
     val base = fp.filter(col("doc_id") % 4 =!= 0)
     val delta = fp.filter(col("doc_id") % 4 === 0)
-    // 8192 expected items / 3% fpp ≈ 7 KB of bits — the broadcast is
-    // always dimension-sized; size expectedNumItems to the BASE at scale.
+    // Size expectedNumItems from the MEASURED base cardinality (floor
+    // 8192, 2× headroom for inter-build growth): a hardcoded constant
+    // silently degrades the 3% fpp design point once the corpus outgrows
+    // it — at sf0.1 the base was already 3750/8192. The count is one
+    // extra pass over a 2-column projection of the base (pushdown prunes
+    // the scan) and `stat.bloomFilter` itself is already an action, so
+    // construction stays O(2 scans); the bits stay KB-scale (~1.2 B/item
+    // at 3%). The broadcast is NOT destroyed here: the returned DataFrame
+    // is lazy and the caller executes it later — executors drop the
+    // KB-scale block with the plan's last reference (ContextCleaner).
+    val nBase = (base.count() * 2).max(8192L)
     val bloomBc = s.sparkContext.broadcast(
-      base.stat.bloomFilter("fp", 8192L, 0.03))
+      base.stat.bloomFilter("fp", nBase, 0.03))
     val probed = delta.select("doc_id", "lang", "fp")
       .as[(Long, String, String)]
       .mapPartitions { it =>

@@ -193,7 +193,7 @@ object TimeSeriesQueries {
         |    / (CAST(c AS DOUBLE)
         |       * sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
         |              / CAST(c * (c - 1) AS DOUBLE))), 4) AS z_score
-        |FROM stats WHERE c > 1
+        |FROM stats WHERE c > 1 AND c * s2 > s1 * s1
         |ORDER BY event_type, dow, hour""".stripMargin,
 
     // Same hourly cents series, same IGNORE NULLS bracketing windows,
@@ -300,7 +300,7 @@ object TimeSeriesQueries {
         |  SELECT event_type, c, s1, xs,
         |    sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
         |      / CAST(c * (c - 1) AS DOUBLE)) AS sd
-        |  FROM ser WHERE c > 1),
+        |  FROM ser WHERE c > 1 AND c * s2 > s1 * s1),
         |rec AS (
         |  -- CAST the seeds: a bare 0.0 is DECIMAL in DuckDB and would
         |  -- pin the recursive columns to DECIMAL(2,1), quantizing every
@@ -544,7 +544,10 @@ object TimeSeriesQueries {
       .withColumn("c", count(lit(1)).over(w))
       .withColumn("s1", sum(col("n")).over(w))
       .withColumn("s2", sum(col("n") * col("n")).over(w))
-    stats.filter(col("c") > 1)
+    // c·s2 > s1² ⟺ sd > 0: guards the z divide identically to the DuckDB
+    // twin (Spark NaN vs DuckDB NULL on a zero sd would diverge).
+    stats.filter(col("c") > 1 &&
+        col("c") * col("s2") > col("s1") * col("s1"))
       .select(col("event_type"), col("dow"), col("hour"), col("n"),
         round(col("n").cast("double") / col("s1").cast("double"), 6)
           .as("share"),
@@ -630,7 +633,13 @@ object TimeSeriesQueries {
         sum(col("n") * col("n")).as("s2"),
         sort_array(collect_list(
           struct(col("hour_us").as("h"), col("n").as("v")))).as("hv"))
-      .filter(col("c") > 1)
+      // c·s2 > s1² ⟺ sd > 0 (exact BIGINT compare, no float): a constant
+      // series has sd = 0, where Spark's x/0.0 = NaN (sorts greatest, so
+      // drift flags flip true) but DuckDB folds the NULL division to a
+      // 0-statistic — the twins would diverge. CUSUM over a constant
+      // series is meaningless anyway; both engines drop it identically.
+      .filter(col("c") > 1 &&
+        col("c") * col("s2") > col("s1") * col("s1"))
       .withColumn("sd",
         sqrt((col("c") * col("s2") - col("s1") * col("s1")).cast("double")
           / (col("c") * (col("c") - 1)).cast("double")))

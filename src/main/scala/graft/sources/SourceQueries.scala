@@ -133,13 +133,23 @@ object SourceQueries {
     * parse corruption fails the hash compare. The fixture's texts are
     * single-line and tab-free (space-separated words); a corpus that is
     * not line-safe ships as JSONL instead (`q_scan_json` covers the
-    * escaping path). Write and read are both distributed — no driver
+    * escaping path). That precondition is ASSERTED at write time: a text
+    * containing tab/CR/LF raises in the write scan (codegen'd
+    * `raise_error` branch, no extra pass), so a regenerated fixture that
+    * breaks line-safety fails loudly with the offending doc_id instead
+    * of surfacing as a downstream hash mismatch from silently split
+    * lines / null ids. Write and read are both distributed — no driver
     * staging. */
   def scanText(s: SparkSession, d: String): DataFrame = {
     val dir = scratch(d, "docs_text")
     Tables.documents(s, d)
-      .select(concat(col("doc_id").cast("string"), lit("\t"),
-        col("text")).as("value"))
+      .select(when(col("text").rlike("[\t\r\n]"),
+          raise_error(concat(lit("q_scan_text: doc_id "),
+            col("doc_id").cast("string"),
+            lit(" contains tab/CR/LF — id<TAB>text lines are not " +
+              "round-trip-safe for this corpus; ship it as JSONL"))))
+        .otherwise(concat(col("doc_id").cast("string"), lit("\t"),
+          col("text"))).as("value"))
       .write.mode("overwrite").text(dir)
     s.read.text(dir)
       .select(
