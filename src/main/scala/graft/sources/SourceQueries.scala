@@ -88,11 +88,11 @@ object SourceQueries {
   private[graft] def scratch(d: String, name: String): String =
     s"/tmp/graft-io/${new java.io.File(d).getName}/$name"
 
-  /** Scale-factor dir name as an identifier fragment (dots → underscores)
-    * — for artifacts keyed by SF in namespaces that reject dots (table
-    * names). */
+  /** Scale-factor dir name as an identifier fragment — for artifacts
+    * keyed by SF in namespaces that only accept [A-Za-z0-9_] (table
+    * names; test miniDirs carry hyphens/timestamps, not just sf dots). */
   private[graft] def sfName(d: String): String =
-    new java.io.File(d).getName.replace('.', '_')
+    new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
 
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType),

@@ -39,17 +39,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"unprojected column read: $readSchema")
   }
 
-  test("q_dedup_ngram's final stage reads only checkpointed intermediates") {
-    // The shared shingle pipeline (distinct doc/shingle + per-doc verify
-    // rows) must be materialized ONCE: before the localCheckpoint fix the
-    // executed plan held 24 parquet scans / 34 exchanges (ReuseExchange
-    // never fired under AQE) and the explode recomputed per consumer.
+  test("q_dedup_ngram reads only the staged shingle layout, " +
+      "posting self-join exchange-free") {
+    // The shared shingle pipeline (df-cut postings + per-doc verify rows)
+    // is an ingest-time staged layout (TextQueries.shingleLayout): the
+    // query plan must start from the staged bucketed tables — NEVER
+    // re-derive the explode+distinct from the source corpus (the round-4
+    // regression: 24 parquet scans / 34 exchanges, the explode recomputed
+    // per consumer; the round-6 regression: localCheckpoint blocks
+    // evicted under session memory pressure, silently re-deriving).
     val df = TextQueries.dedupNgram(spark, sfDir)
     val plan = finalPlanString(df)
-    assert(!plan.contains("Scan parquet"),
-      "final stage re-reads parquet — checkpoint reuse regressed")
+    assert(!plan.contains("documents.parquet"),
+      "plan re-reads the source corpus — staged-layout reuse regressed")
+    assert(plan.contains("graft_ngram_cold"), plan.take(500))
+    // Bucketed ×32 on the join keys: the cold self-join and both docs
+    // verify-side reads need no Exchange; only the pair aggregation,
+    // its probe sides, the skey group path, and the final dedup shuffle.
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges <= 8, s"$exchanges exchanges — shared-table reuse lost")
+    assert(exchanges <= 8, s"$exchanges exchanges — bucketed reuse lost")
   }
 
   test("q_join_broadcast plans a broadcast hash join") {
