@@ -248,4 +248,113 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
         s"cache miss: re-read re-scanned the files:\n$plan")
     } finally agg.unpersist()
   }
+
+  /** Total shuffle-WRITE records across every stage of `action`,
+    * captured via a listener. Listener events trail the action, so the
+    * count is polled until stable before returning. */
+  private def shuffleRecordsOf(action: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit =
+        acc.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      var prev = -1L
+      var spins = 0
+      while (acc.get != prev && spins < 50) {
+        prev = acc.get; Thread.sleep(100); spins += 1
+      }
+      acc.get
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Run `body` with opportunistic (size-estimated) broadcast joins OFF,
+    * so small and large probe runs execute in the SAME shuffle regime —
+    * at probe-small n, AQE otherwise broadcasts the pair join away and
+    * the small run's shuffle count collapses, confounding the growth
+    * ratio. Explicit broadcast() hints in the pipelines are honored
+    * regardless of the threshold, so the DESIGNED broadcasts stay. */
+  private def withoutAutoBroadcast[T](body: => T): T = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def genEmbeddings(n: Int): String = {
+    val dir = s"/tmp/graft-scaleprobe/emb_$n"
+    val emb = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        (pmod(xxhash64(col("id") * lit(31) + i), lit(1000))
+          .cast("double") / 500.0 - 1.0).cast("float")).as("embedding"),
+      lit(0).as("label"))
+    emb.coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("blocked pair scan: shuffle rows grow linearly in corpus size, " +
+      "never quadratically (adversarial 10x probe)") {
+    // The quadratic-by-contract trio (q_dedup_embed / q_embed_knn, and
+    // q_dedup_cc's edge feed) declare exact all-pairs COMPUTE — but their
+    // blocked design must keep the WIRE linear: inputs replicate into
+    // K(K+1)/2 hash-block groups (×(K+1)/2 per row, constant in n) and
+    // scores reduce map-side through the bounded-heap aggregator, so
+    // shuffle records stay O(n·K + n·k). The sf fixture (500 vectors)
+    // cannot catch a regression that re-introduces an n² SHUFFLE (e.g.
+    // dropping the map-side heap partial, or scoring through a
+    // row_number window); this probe can: at 10× the corpus, a linear
+    // wire grows ~10×, an n² wire ~100×.
+    val (small, large) = (300, 3000)
+    val dSmall = genEmbeddings(small)
+    val dLarge = genEmbeddings(large)
+    import graft.operators.SimilarityQueries
+    val (recSmall, recLarge) = withoutAutoBroadcast {
+      // Warm once (JIT, codegen settle).
+      SimilarityQueries.embedKnn(spark, dSmall).count()
+      (shuffleRecordsOf(SimilarityQueries.embedKnn(spark, dSmall).count()),
+        shuffleRecordsOf(SimilarityQueries.embedKnn(spark, dLarge).count()))
+    }
+    val ratio = recLarge.toDouble / recSmall.max(1L)
+    assert(ratio <= 30.0,
+      s"shuffle rows grew ${ratio}x on a 10x corpus " +
+        s"($recSmall -> $recLarge) — the pair scan is shuffling " +
+        "quadratic state")
+    // Absolute bound: replication ×(K+1)=9 each side of the pair join,
+    // heap partials ≤ n·(K+1), plus output/sort shuffles of n·k rows —
+    // comfortably under 40 rows shuffled per input row; n²/4 would be
+    // 750 per row at n=3000.
+    assert(recLarge <= 40L * large,
+      s"$recLarge shuffle rows for $large inputs — super-linear wire")
+  }
+
+  test("dedup_embed's thresholded pair scan keeps the wire linear too") {
+    val (small, large) = (300, 3000)
+    import graft.operators.SimilarityQueries
+    val (recSmall, recLarge) = withoutAutoBroadcast {
+      SimilarityQueries.dedupEmbed(spark, genEmbeddings(small)).count()
+      (shuffleRecordsOf(
+        SimilarityQueries.dedupEmbed(spark, genEmbeddings(small)).count()),
+        shuffleRecordsOf(
+          SimilarityQueries.dedupEmbed(spark, genEmbeddings(large))
+            .count()))
+    }
+    val ratio = recLarge.toDouble / recSmall.max(1L)
+    assert(ratio <= 30.0,
+      s"shuffle rows grew ${ratio}x on a 10x corpus " +
+        s"($recSmall -> $recLarge)")
+    assert(recLarge <= 40L * large,
+      s"$recLarge shuffle rows for $large inputs — super-linear wire")
+  }
 }
