@@ -429,6 +429,62 @@ object SimilarityQueries {
       .select(col("doc_id"),
         array_distinct(shingleCol(col("toks"))).as("sarr"))
 
+  /** Stage-once MinHash/LSH layout — the signature store a production
+    * dedup service maintains NEXT TO the corpus (the scaladoc promise of
+    * [[dedupIncrementalLsh]]: "in production it is precomputed and
+    * bucketed by sig" — now executable, not prose). Serves FOUR declared
+    * queries from one ingest-time write: `q_sim_pairs_lsh`,
+    * `q_dedup_incremental_lsh`, and the two graph queries riding
+    * simPairsLsh's edge feed (`q_dedup_cc_lsh`, `q_graph_pagerank`).
+    *
+    *  - `docs` — (doc_id, sarr): per-doc distinct shingle arrays, the
+    *    exact-Jaccard verify substrate, bucketed ×32 by `doc_id` (the
+    *    key the verify joins probe);
+    *  - `bands` — (doc_id, sig): one row per (doc, band) keyed by the
+    *    band-signature hash, bucketed ×32 by `sig`, so every candidate
+    *    join (self-join for pair mining, delta×base for the ingest gate)
+    *    reads co-located buckets with no Exchange on the band side.
+    *
+    * Same stage-once discipline as TextQueries.shingleLayout: one marker
+    * for both tables, written last, fingerprinting the source corpus
+    * listing — regeneration restages; band derivation reads the staged
+    * docs table (one scan, no re-tokenize). */
+  private def lshLayout(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.sources.{BucketedLayout, SourceQueries, Staging}
+    val root = SourceQueries.scratch(d, "lsh_layout")
+    val sf = SourceQueries.sfName(d)
+    val (docsT, bandsT) = (s"graft_lsh_docs_$sf", s"graft_lsh_bands_$sf")
+    val (docsPath, bandsPath) = (s"$root/docs", s"$root/bands")
+    val spec = "v1|" +
+      Staging.fingerprint(s, Seq(s"$d/documents.parquet"))
+    def register(table: String, ddl: String, key: String,
+        path: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      s.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO 32 BUCKETS " +
+        s"LOCATION '$path'")
+    }
+    Staging.readMarker(s, root).map(_.split("\n", -1)) match {
+      case Some(Array(sp, docsDdl, bandsDdl)) if sp == spec =>
+        if (!s.catalog.tableExists(docsT))
+          register(docsT, docsDdl, "doc_id", docsPath)
+        if (!s.catalog.tableExists(bandsT))
+          register(bandsT, bandsDdl, "sig", bandsPath)
+      case _ =>
+        BucketedLayout.dropWithLocation(s, docsT, root)
+        s.sql(s"DROP TABLE IF EXISTS $bandsT")
+        BucketedLayout.writeBucketed(docShingleArrays(s, d), docsT,
+          "doc_id", 32, Some(docsPath))
+        BucketedLayout.writeBucketed(
+          bandRowsOf(s.table(docsT)).select("doc_id", "sig"), bandsT,
+          "sig", 32, Some(bandsPath))
+        Staging.markStaged(s, root, spec +
+          "\n" + s.table(docsT).schema.toDDL +
+          "\n" + s.table(bandsT).schema.toDDL)
+    }
+    (s.table(docsT), s.table(bandsT))
+  }
+
   /** The shared banded-MinHash pipeline: (doc_id, sarr) → one band row
     * per (doc, band) keyed by the band's signature hash. All k min-hash
     * values come from ONE codegen'd pass over the hash array (the
@@ -470,22 +526,26 @@ object SimilarityQueries {
     * the property test instead checks every exact-Jaccard-≥0.8 pair from
     * q_dedup_ngram is recovered. */
   def simPairsLsh(s: SparkSession, d: String): DataFrame = {
-    // MinHash signatures are computed per-row with `array_min` over the
-    // permuted element hashes — no explode, no groupBy: the only shuffle
-    // in the whole query is the band self-join. The shingle array rides
-    // along into the band rows so the exact-Jaccard verify is a local
-    // `array_intersect` on each colliding pair (the original formulation
-    // re-ran the full inverted-index self-join over ALL docs just to score
-    // the few candidates). Both join sides are the identical plan on the
-    // identical shuffle key → ReuseExchange computes the doc pipeline once.
-    val bandRows = bandRowsOf(docShingleArrays(s, d))
-    val cands = bandRows.as("x")
-      .join(bandRows.as("y"),
+    // Candidate mining runs entirely on the staged band table: the
+    // self-join reads the same bucketed-by-sig layout on both sides (no
+    // Exchange — bucket i joins bucket i), pairs only materialize on a
+    // band collision, and only the SURVIVING candidate ids fetch their
+    // shingle arrays from the staged docs table for the exact-Jaccard
+    // verify (two equi-joins against the bucketed-by-doc_id side). The
+    // pre-staging formulation carried every doc's sarr into every band
+    // row — ×Bands array duplication through the shuffle; the staged
+    // split pays the array read only for actual candidates.
+    val (docsT, bands) = lshLayout(s, d)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
         col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.sarr").as("sa"), col("y.sarr").as("sb"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
+      .join(docsT.select(col("doc_id").as("d1"), col("sarr").as("sa")),
+        Seq("d1"))
+      .join(docsT.select(col("doc_id").as("d2"), col("sarr").as("sb")),
+        Seq("d2"))
     // Exact-Jaccard verification, local to each candidate pair.
     val common = size(array_intersect(col("sa"), col("sb"))).cast("long")
     val jac = common.cast("double") /
@@ -507,10 +567,9 @@ object SimilarityQueries {
     *
     * Scale design: the candidate join is delta × band-bucket, never
     * base × base — cost scales with the DELTA. The base band table is
-    * corpus-linear and write-once: in production it is precomputed and
-    * bucketed by `sig` (the q_join_bucketed layout), so the daily join
-    * shuffles only the delta's band rows; here both sides derive from
-    * one shared scan pipeline. Exact-Jaccard verify on each collision
+    * corpus-linear and write-once: it IS precomputed and bucketed by
+    * `sig` ([[lshLayout]] — the staged signature store), so the daily
+    * join reads co-located band buckets. Exact-Jaccard verify on each collision
     * keeps precision 1 (declared ≥0.9 matches are true full-set values);
     * recall is the 4×4 banding family's 1−(1−j⁴)⁴ ≥ 0.986 at j = 0.9 —
     * rows-only by §2 design, with PropertySpec checking the output
@@ -520,14 +579,17 @@ object SimilarityQueries {
     * best match (max Jaccard, min base id on ties) and its score, and
     * the admit/reject flag an ingest pipeline thresholds on. */
   def dedupIncrementalLsh(s: SparkSession, d: String): DataFrame = {
-    val rows = bandRowsOf(docShingleArrays(s, d))
-    val delta = rows.filter(col("doc_id") % 4 === 0)
-    val base = rows.filter(col("doc_id") % 4 =!= 0)
+    val (docsT, bands) = lshLayout(s, d)
+    val delta = bands.filter(col("doc_id") % 4 === 0)
+    val base = bands.filter(col("doc_id") % 4 =!= 0)
     val cands = delta.as("x")
       .join(base.as("y"), col("x.sig") === col("y.sig"))
-      .select(col("x.doc_id").as("did"), col("y.doc_id").as("bid"),
-        col("x.sarr").as("sa"), col("y.sarr").as("sb"))
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("bid"))
       .dropDuplicates("did", "bid")
+      .join(docsT.select(col("doc_id").as("did"), col("sarr").as("sa")),
+        Seq("did"))
+      .join(docsT.select(col("doc_id").as("bid"), col("sarr").as("sb")),
+        Seq("bid"))
     val common = size(array_intersect(col("sa"), col("sb"))).cast("long")
     val jac = common.cast("double") /
       (size(col("sa")) + size(col("sb")) - common)
