@@ -35,6 +35,7 @@ object SparkEntry {
       CurateQueries.queries ++
       GraphQueries.queries ++
       TimeSeriesQueries.queries ++
+      VersionQueries.queries ++
       graft.sources.SourceQueries.queries ++
       graft.multimodal.MediaQueries.queries
 
@@ -57,6 +58,7 @@ object SparkEntry {
       CurateQueries.oracle ++
       GraphQueries.oracle ++
       TimeSeriesQueries.oracle ++
+      VersionQueries.oracle ++
       graft.sources.SourceQueries.oracle ++
       graft.multimodal.MediaQueries.oracle
 }

@@ -61,6 +61,43 @@ object TextQueries {
     "q_text_pmi"         -> textPmi _
   )
 
+  /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
+    * shared verbatim by q_text_bm25's oracle (top-10 wrapper) and
+    * q_search_rrf's (full-list rank fusion), mirroring the
+    * [[bm25Scores]] split on the Spark side: one source of truth for
+    * the Okapi arithmetic in BOTH engines. A def (not a val) so object
+    * initialization order can never null it out of the oracle maps. */
+  private[operators] def bm25ScoresSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |  FROM toks GROUP BY doc_id),
+      |df AS (
+      |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM toks GROUP BY term),
+      |q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5),
+      |st AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+      |  (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sdl),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    ln(CAST(1.0 AS DOUBLE) +
+      |       (st.nd - q.df + CAST(0.5 AS DOUBLE))
+      |       / (q.df + CAST(0.5 AS DOUBLE)))
+      |    * (tf.tf * CAST(2.2 AS DOUBLE))
+      |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |        + CAST(0.75 AS DOUBLE) * dl.dl
+      |          / (CAST(st.sdl AS DOUBLE) / st.nd))) AS w
+      |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN st),
+      |agg AS (SELECT doc_id, round(sum(w), 4) AS score
+      |        FROM sc GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
@@ -105,37 +142,9 @@ object TextQueries {
     // are DECIMAL in DuckDB, and a decimal intermediate rounds
     // differently than the IEEE-double tree the Spark side computes.
     "q_text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM toks GROUP BY doc_id, term),
-        |dl AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        |  FROM toks GROUP BY doc_id),
-        |df AS (
-        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        |  FROM toks GROUP BY term),
-        |q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5),
-        |st AS (SELECT
-        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
-        |  (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sdl),
-        |sc AS (
-        |  SELECT tf.doc_id,
-        |    ln(CAST(1.0 AS DOUBLE) +
-        |       (st.nd - q.df + CAST(0.5 AS DOUBLE))
-        |       / (q.df + CAST(0.5 AS DOUBLE)))
-        |    * (tf.tf * CAST(2.2 AS DOUBLE))
-        |    / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |        + CAST(0.75 AS DOUBLE) * dl.dl
-        |          / (CAST(st.sdl AS DOUBLE) / st.nd))) AS w
-        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN st),
-        |agg AS (SELECT doc_id, round(sum(w), 4) AS score
-        |        FROM sc GROUP BY doc_id)
-        |SELECT doc_id, score FROM agg
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      (bm25ScoresSql +
+        "\nSELECT doc_id, score FROM agg" +
+        "\nORDER BY score DESC, doc_id LIMIT 10"),
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -712,7 +721,16 @@ object TextQueries {
     * (PlanGuard allowlists the stats cross join), so the corpus is
     * never reshuffled for them; top-10 via TakeOrdered (per-partition
     * heaps, no global sort). */
-  def textBm25(s: SparkSession, d: String): DataFrame = {
+  def textBm25(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+
+  /** The full (unlimited) BM25 score list behind [[textBm25]] — one
+    * source of truth for the Okapi arithmetic, reused by the
+    * rank-fusion query (VersionQueries.searchRrf needs every scored
+    * doc's rank, not the top-10 cut). */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val t = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -734,8 +752,6 @@ object TextQueries {
             lit(0.75) * col("dl") / avgdl))).as("w"))
     scored.groupBy("doc_id")
       .agg(round(sum(col("w")), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
   }
 
   /** Quality scoring: token count, stopword ratio, mean token length, and a

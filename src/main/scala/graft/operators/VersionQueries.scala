@@ -1,0 +1,531 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.VectorOps._
+
+/** Dataset versioning, evaluation & retrieval-fusion operators (SURVEY
+  * §2.8 round-7 rows) — the release-engineering layer of a training-data
+  * pipeline: what changed between corpus releases (`q_corpus_diff`), how
+  * a keyed changelog compacts to a snapshot (`q_cdc_snapshot`), whether
+  * a candidate quality scorer actually separates classes (`q_eval_auc`),
+  * how lexical and dense retrieval fuse (`q_search_rrf`), which
+  * embedding dimensions are dead or collinear (`q_embed_cov`), the
+  * resampled OHLC summary of a value stream (`q_ts_ohlc`), and the
+  * span-level contamination share doc-level dedup misses
+  * (`q_dup_span_frac`).
+  *
+  * Nothing like any of this exists in the 113-line reference
+  * (/root/reference/main.py — a Kafka echo demo); the family is the
+  * BASELINE.json north-star mandate, EXT provenance throughout.
+  *
+  * Determinism: SURVEY §7.5 rules — exact integer moments wherever a
+  * sum crosses rows (quantized BIGINT components in `q_embed_cov`,
+  * doubled-rank integers in `q_eval_auc`, cents in `q_ts_ohlc`),
+  * rounded scores with id tiebreaks for every ranking, and boundary
+  * rows picked by total orders both engines share.
+  */
+object VersionQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_diff"   -> corpusDiff _,
+    "q_cdc_snapshot"  -> cdcSnapshot _,
+    "q_eval_auc"      -> evalAuc _,
+    "q_search_rrf"    -> searchRrf _,
+    "q_embed_cov"     -> embedCov _,
+    "q_ts_ohlc"       -> tsOhlc _,
+    "q_dup_span_frac" -> dupSpanFrac _
+  )
+
+  // ---------------------------------------------------------------------
+  // q_corpus_diff
+  // ---------------------------------------------------------------------
+
+  /** Corpus release diff: per language, added / removed / changed /
+    * unchanged document counts and the changed-rows character delta
+    * between two snapshots of the corpus.
+    *
+    * Snapshots derive deterministically from the one fixture corpus
+    * (v1 = doc_id % 5 ≠ 0; v2 = doc_id % 5 ≠ 1 with every doc_id % 3 = 0
+    * text revised) — the same rule in the DuckDB twin, so the diff
+    * semantics are what is under test, not fixture plumbing. In
+    * production the two sides are two release manifests.
+    *
+    * Scale: ONE full-outer equi-join on the snapshot key (shuffle on
+    * doc_id, AQE handles relative sizes), change detection by md5
+    * compare (computed in the scan stage of each side — at 100 TB the
+    * hashes live in the release manifest and the text columns never
+    * join), then one map-side-combined keyed agg to a languages-sized
+    * frame. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def snap(keep: Column, text: Column) = docs
+      .filter(keep)
+      .select(col("doc_id"), col("lang"), text.as("text"))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"))
+    val v1 = snap(col("doc_id") % 5 =!= 0, col("text"))
+    val v2 = snap(col("doc_id") % 5 =!= 1,
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text")))
+    val j = v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("b.lang"), col("a.lang")).as("lang"),
+        col("a.h").as("h1"), col("b.h").as("h2"),
+        col("a.len").as("l1"), col("b.len").as("l2"))
+    val status = when(col("h1").isNull, "added")
+      .when(col("h2").isNull, "removed")
+      .when(col("h1") =!= col("h2"), "changed")
+      .otherwise("unchanged")
+    j.withColumn("st", status)
+      .groupBy("lang")
+      .agg(
+        count_if(col("st") === "added").as("n_added"),
+        count_if(col("st") === "removed").as("n_removed"),
+        count_if(col("st") === "changed").as("n_changed"),
+        count_if(col("st") === "unchanged").as("n_unchanged"),
+        sum(when(col("st") === "changed", col("l2") - col("l1"))
+          .otherwise(lit(0L))).as("chars_delta"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_cdc_snapshot
+  // ---------------------------------------------------------------------
+
+  /** Changelog → snapshot (batch CDC apply): the events table replayed
+    * as a keyed changelog — key `user_id`, version order (ts, event_id),
+    * `error` a tombstone, every other event an upsert of
+    * (event_type, value) — compacted to the latest surviving row per
+    * key.
+    *
+    * The reduce is ONE `max(struct(version…, payload…))` per key — the
+    * q_agg_argmax discipline: (ts, event_id) is unique so the struct
+    * comparison is a total order, partial maxima merge associatively
+    * map-side, and the shuffle carries one struct per key per map task.
+    * The row_number-window formulation (the oracle twin — identical
+    * answer by the shared total order) would shuffle EVERY changelog row
+    * to its key's reducer and sort: at 100 TB that is corpus rows vs
+    * key-count rows. Tombstones are dropped AFTER the reduce, so a
+    * delete that is the latest version genuinely deletes the key. */
+  def cdcSnapshot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max(struct(
+          unix_micros(col("ts")).as("v1"), col("event_id").as("v2"),
+          col("event_type").as("t"), col("value").as("v"))).as("m"),
+        count(lit(1)).as("n_versions"))
+      .filter(col("m.t") =!= "error")
+      .select(col("user_id"), col("m.t").as("last_type"),
+        col("m.v").as("last_value"), col("n_versions"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------------
+  // q_eval_auc
+  // ---------------------------------------------------------------------
+
+  /** ROC-AUC of two candidate quality scorers via the rank-sum
+    * (Mann-Whitney U) identity — the evaluation step behind every
+    * learned quality/toxicity filter: before a scorer gates a 100 TB
+    * corpus, measure whether it separates the classes at all.
+    *
+    * AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N) with average ranks on ties.
+    * Exactness: the DOUBLED average rank 2·rank + (ties − 1) is an
+    * integer, so the positive-rank sum is one BIGINT aggregate —
+    * order-independent — and the single double division happens once per
+    * scorer: auc = (rp2 − P(P+1)) / (2·P·N). Labels are the embedding
+    * cluster label's parity; scorers are two embedding coordinates
+    * (row-local float→double casts, bit-identical in both engines).
+    *
+    * Scale: no pair enumeration (naive AUC compares P·N pairs) — one
+    * global rank sort per scorer, which is exactly a distributed
+    * range-partitioned sort; ties resolved by a (scorer, score) window
+    * that reuses the same sort order. */
+  def evalAuc(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    def scored(name: String, c: Column) = e.select(
+      lit(name).as("scorer"), c.cast("double").as("score"),
+      (col("label") % 2 === 1).as("pos"))
+    val both = scored("dim1", element_at(col("embedding"), 1))
+      .unionByName(scored("dim2", element_at(col("embedding"), 2)))
+    val wr = Window.partitionBy("scorer").orderBy("score")
+    val wt = Window.partitionBy("scorer", "score")
+    val ranked = both
+      .withColumn("r2",
+        lit(2L) * rank().over(wr) + count(lit(1)).over(wt) - lit(1L))
+    ranked.groupBy("scorer")
+      .agg(
+        count_if(col("pos")).as("p"),
+        count_if(!col("pos")).as("n"),
+        sum(when(col("pos"), col("r2")).otherwise(lit(0L))).as("rp2"))
+      .select(col("scorer"), col("p").as("n_pos"), col("n").as("n_neg"),
+        round((col("rp2") - col("p") * (col("p") + 1)).cast("double")
+          / (lit(2.0) * col("p") * col("n")), 6).as("auc"))
+      .orderBy("scorer")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_search_rrf
+  // ---------------------------------------------------------------------
+
+  /** Reciprocal-rank-fusion hybrid retrieval: the BM25 ranking
+    * (q_text_bm25's Okapi scorer, same deterministic probe) fused with
+    * the embedding-cosine ranking (vec_id-0 probe, q_sim_topk's codegen
+    * cosine) by RRF = Σ 1/(60+rank) — the standard zero-tuning
+    * lexical+dense combiner (the retrieval stack behind RAG corpus
+    * serving and search-based decontamination). A doc absent from one
+    * ranking contributes 0 for it.
+    *
+    * Determinism: both ranks are row_numbers over (ROUNDED score DESC,
+    * id) — total orders — and the fusion arithmetic (1/(60+r), two-term
+    * sum) is a fixed expression tree written token-identically in the
+    * twin. Scale: the two rank pipelines are corpus-linear (BM25's
+    * keyed aggs + broadcast probe terms; one broadcast-probe cosine
+    * scan); rank assignment is a global sort here — production shards
+    * the retrieve and merges per-shard top-k, which is `q_sim_batch_topk`'s
+    * bounded-heap shape. */
+  def searchRrf(s: SparkSession, d: String): DataFrame = {
+    val bm = TextQueries.bm25Scores(s, d)
+    val ra = bm.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("rank_bm25"))
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"))
+    val cs = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+    val rc = cs.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id")))
+        .cast("long").as("rank_cos"))
+    ra.join(rc, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_cos"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_cos")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q_embed_cov
+  // ---------------------------------------------------------------------
+
+  /** Embedding-dimension covariance/correlation matrix — the
+    * feature-health audit behind whitening/PCA decisions: a dead
+    * dimension has ~zero variance, a collinear pair |corr| → 1, and
+    * either is wasted embedding budget at 100 TB.
+    *
+    * All 64·65/2 upper-triangle cells from ONE corpus pass of exact
+    * integer moments: components quantized to 10⁻⁴ units via
+    * floor(x·10⁴ + 0.5) — floor, not round, because double `round`
+    * half-way behavior differs across engines while floor is IEEE-exact
+    * in both — so Σqᵢ and Σqᵢqⱼ are order-independent BIGINT sums
+    * (|q| ≤ 10⁴ ⇒ |Σqᵢqⱼ| ≤ n·10⁸ ≈ 10¹² at sf0.1 and n·Σ ≈ 10¹⁶ at the
+    * closed form — no overflow), and each cell's covariance double is
+    * computed ONCE from exact integers. Correlation joins the 64-row
+    * diagonal back broadcast. The ×2080 pair explode is map-side (small
+    * int structs) feeding a map-side-combined (i, j) agg — the shuffle
+    * carries 2080 partial rows per map task, never the exploded corpus. */
+  def embedCov(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val q = transform(col("embedding"), x =>
+      floor(x.cast("double") * 1e4 + 0.5).cast("long"))
+    val pairs = flatten(transform(sequence(lit(1), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("qv"), i) * element_at(col("qv"), j))
+            .as("qq")))))
+    val cells = embeddings(s, d)
+      .select(q.as("qv"))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.qq")).as("sqq"))
+    val sums = embeddings(s, d)
+      .select(posexplode(q.as("qv")).as(Seq("i0", "qi")))
+      .groupBy((col("i0") + 1).as("i"))
+      .agg(sum(col("qi")).as("si"))
+    val withSums = cells
+      .join(sums.select(col("i"), col("si")), Seq("i"))
+      .join(sums.select(col("i").as("j"), col("si").as("sj")), Seq("j"))
+    // cov in original units: quantized covariance / 1e8.
+    val covQ = (col("n") * col("sqq") - col("si") * col("sj")).cast("double") /
+      (col("n") * (col("n") - 1)).cast("double")
+    val covd = withSums
+      .select(col("i"), col("j"), col("n"), covQ.as("cq"))
+    val diag = covd.filter(col("i") === col("j"))
+      .select(col("i").as("dk"), col("cq").as("vk"))
+    covd
+      .join(broadcast(diag).withColumnRenamed("dk", "i")
+        .withColumnRenamed("vk", "vi"), Seq("i"))
+      .join(broadcast(diag).withColumnRenamed("dk", "j")
+        .withColumnRenamed("vk", "vj"), Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        round(col("cq") / 1e8, 8).as("cov"),
+        round(col("cq") / sqrt(col("vi") * col("vj")), 6).as("corr"))
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_ts_ohlc
+  // ---------------------------------------------------------------------
+
+  /** Per-(type, hour) OHLC bars over the event value stream — the
+    * resampling summary every monitoring pipeline draws (open/high/low/
+    * close + volume). Exact BIGINT cents (the q_ts_interp convention);
+    * open/close picked by min/max over struct(ts, event_id, cents) —
+    * (ts, event_id) is unique, so the struct order is total, the
+    * boundary rows are engine-independent, and the whole bar is ONE
+    * map-side-combinable keyed aggregate (the oracle twin is the
+    * first/last-window formulation — identical by the shared order; the
+    * agg form ships because a window sort of every event at 100 TB vs
+    * one struct per (type, hour) per map task is the q_agg_argmax
+    * argument again). */
+  def tsOhlc(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = events(s, d).select(
+      col("event_type"),
+      (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(hourUs)))
+        .as("hour_us"),
+      unix_micros(col("ts")).as("tus"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    ev.groupBy("event_type", "hour_us")
+      .agg(
+        min(struct(col("tus"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("tus"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("hour_us"),
+        col("o.cents").as("open"), col("high"), col("low"),
+        col("c.cents").as("close"), col("n_events"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_dup_span_frac
+  // ---------------------------------------------------------------------
+
+  /** Per-document span-contamination fraction: the share of a doc's
+    * DISTINCT 8-token sliding windows that also appear in any OTHER
+    * document — the span-level dedup diagnostic. Doc-level Jaccard
+    * (q_dedup_ngram) scores a 30% boilerplate wrapper near zero; this
+    * measures the wrapped span mass directly — the audit statistic of
+    * exact-substring deduplication.
+    *
+    * Shape: per-doc distinct windows built map-side (array_distinct of
+    * the 8-gram transform — no explode→global-distinct shuffle), ONE
+    * (window → doc-count) keyed agg, fraction read back through an
+    * equi-join on the window key. Windows are raw strings so the twin
+    * computes the identical key (production swaps xxhash64 8-byte keys
+    * — q_dedup_ngram's measured 1.4× trade, same 2⁻⁶⁴ caveat). */
+  def dupSpanFrac(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(TextQueries.ngrams(col("toks"), 8)))
+          .as("w"))
+    val df = w.groupBy("w").agg(count(lit(1)).as("nd"))
+    w.join(df, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count_if(col("nd") > 1).as("n_shared"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_windows"), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle twins
+  // ---------------------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, md5(text) AS h, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, lang,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+        |             ELSE text END) AS h,
+        |    CAST(length(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+        |                     ELSE text END) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 5 <> 1),
+        |j AS (
+        |  SELECT coalesce(v2.lang, v1.lang) AS lang,
+        |    v1.h AS h1, v2.h AS h2, v1.len AS l1, v2.len AS l2
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id)),
+        |st AS (
+        |  SELECT lang,
+        |    CASE WHEN h1 IS NULL THEN 'added'
+        |         WHEN h2 IS NULL THEN 'removed'
+        |         WHEN h1 <> h2 THEN 'changed'
+        |         ELSE 'unchanged' END AS st,
+        |    l1, l2
+        |  FROM j)
+        |SELECT lang,
+        |  CAST(count(*) FILTER (st = 'added') AS BIGINT) AS n_added,
+        |  CAST(count(*) FILTER (st = 'removed') AS BIGINT) AS n_removed,
+        |  CAST(count(*) FILTER (st = 'changed') AS BIGINT) AS n_changed,
+        |  CAST(count(*) FILTER (st = 'unchanged') AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN st = 'changed' THEN l2 - l1 ELSE 0 END)
+        |    AS BIGINT) AS chars_delta
+        |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_cdc_snapshot" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_versions,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  n_versions
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // Doubled average ranks keep the rank sum an exact BIGINT:
+    // 2·rank + (ties−1); AUC = (rp2 − P(P+1)) / (2PN), one double
+    // division per scorer.
+    "q_eval_auc" ->
+      """WITH b AS (
+        |  SELECT 'dim1' AS scorer, CAST(embedding[1] AS DOUBLE) AS score,
+        |    label % 2 = 1 AS pos FROM embeddings
+        |  UNION ALL
+        |  SELECT 'dim2' AS scorer, CAST(embedding[2] AS DOUBLE) AS score,
+        |    label % 2 = 1 AS pos FROM embeddings),
+        |r AS (
+        |  SELECT scorer, pos,
+        |    2 * CAST(rank() OVER (PARTITION BY scorer ORDER BY score)
+        |          AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY scorer, score) AS BIGINT)
+        |      - 1 AS r2
+        |  FROM b)
+        |SELECT scorer,
+        |  CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
+        |  CAST(count(*) FILTER (NOT pos) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END)
+        |      - (count(*) FILTER (pos))
+        |        * ((count(*) FILTER (pos)) + 1) AS DOUBLE)
+        |    / (CAST(2.0 AS DOUBLE) * (count(*) FILTER (pos))
+        |       * (count(*) FILTER (NOT pos))), 6) AS auc
+        |FROM r GROUP BY scorer ORDER BY scorer""".stripMargin,
+
+    // The BM25 CTE chain is TextQueries.bm25ScoresSql VERBATIM (one
+    // source of truth, the q_search_rerank composition pattern); the
+    // cosine is q_sim_topk's explicit double formula including the
+    // probe itself (rank 1, cos 1).
+    "q_search_rrf" -> (TextQueries.bm25ScoresSql +
+      """,
+        |ra AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS rank_bm25
+        |  FROM agg),
+        |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(p.pv,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN p),
+        |rc AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+        |      AS BIGINT) AS rank_cos
+        |  FROM cs)
+        |SELECT doc_id, rank_bm25, rank_cos,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm25),
+        |          CAST(0 AS DOUBLE))
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_cos),
+        |          CAST(0 AS DOUBLE)), 6) AS rrf
+        |FROM ra FULL OUTER JOIN rc USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+
+    // floor(x·1e4 + 0.5), not round: double round half-way behavior
+    // differs across engines; floor is IEEE-exact in both.
+    "q_embed_cov" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv[i] * qv[j]) AS BIGINT) AS sqq
+        |  FROM q, generate_series(1, 64) s(i), generate_series(1, 64) t(j)
+        |  WHERE j >= i GROUP BY i, j),
+        |sums AS (
+        |  SELECT i, CAST(sum(qv[i]) AS BIGINT) AS si
+        |  FROM q, generate_series(1, 64) s(i) GROUP BY i),
+        |covd AS (
+        |  SELECT c.i, c.j, c.n,
+        |    CAST(c.n * c.sqq - a.si * b.si AS DOUBLE)
+        |      / CAST(c.n * (c.n - 1) AS DOUBLE) AS cq
+        |  FROM cells c JOIN sums a ON c.i = a.i JOIN sums b ON c.j = b.i),
+        |diag AS (SELECT i AS dk, cq AS vk FROM covd WHERE i = j)
+        |SELECT c.i, c.j, c.n,
+        |  round(c.cq / 1e8, 8) AS cov,
+        |  round(c.cq / sqrt(di.vk * dj.vk), 6) AS corr
+        |FROM covd c JOIN diag di ON c.i = di.dk JOIN diag dj ON c.j = dj.dk
+        |ORDER BY c.i, c.j""".stripMargin,
+
+    "q_ts_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, hour_us, cents,
+        |    first_value(cents) OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS open,
+        |    last_value(cents) OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS close
+        |  FROM ev)
+        |SELECT event_type, hour_us, open,
+        |  CAST(max(cents) AS BIGINT) AS high,
+        |  CAST(min(cents) AS BIGINT) AS low,
+        |  close, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY event_type, hour_us, open, close
+        |ORDER BY event_type, hour_us""".stripMargin,
+
+    // DuckDB list slices are 1-based INCLUSIVE: toks[i:i+7] is the
+    // 8-token window starting at i.
+    "q_dup_span_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |w AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[i:i+7], ' ') AS w
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) - 6)) AS i
+        |        FROM t)),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY w)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_shared,
+        |  round(CAST(count(*) FILTER (nd > 1) AS DOUBLE) / count(*), 4)
+        |    AS dup_frac
+        |FROM w JOIN df USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
