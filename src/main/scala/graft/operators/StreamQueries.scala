@@ -60,7 +60,8 @@ object StreamQueries {
     "q_stream_session"  -> streamSession _,
     "q_batch_session"   -> batchSession _,
     "q_stream_topk"     -> streamTopk _,
-    "q_stream_merge_sink" -> streamMergeSink _
+    "q_stream_merge_sink" -> streamMergeSink _,
+    "q_stream_cdc_apply" -> streamCdcApply _
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +176,22 @@ object StreamQueries {
         |FROM j, wm
         |WHERE p_id IS NOT NULL OR c_ts_us + 600000000 < wm_us
         |ORDER BY c_id, p_id""".stripMargin,
+    // Batch twin of the CDC-applied snapshot — VERBATIM q_cdc_snapshot
+    // semantics (the compaction + merge are associative, so the
+    // streamed result is batch-boundary-independent and the one-shot
+    // changelog replay is its exact oracle).
+    "q_stream_cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_versions,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  n_versions
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     // foreachBatch writes every micro-batch to parquet exactly once
     // (fresh sink dir + checkpoint per run), so the read-back equals the
     // full table — certifying no batch was lost or doubled.
@@ -442,6 +459,92 @@ object StreamQueries {
         round(col("sum_value"), 2).as("sum_value"),
         unix_micros(col("last.ts")).as("last_ts_us"),
         col("last.v").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming CDC apply — the incremental twin of
+    * VersionQueries.cdcSnapshot: the event changelog replayed in
+    * event-time-ordered micro-batches, each batch COMPACTED map-side to
+    * its per-key latest version (one max(struct) per key over the
+    * delta), then merged into the keyed snapshot table by taking the
+    * greater version struct and summing version counts. Both steps are
+    * ASSOCIATIVE, so the final snapshot is independent of batch
+    * boundaries — which is what lets this stream query share
+    * q_cdc_snapshot's exact batch oracle. Tombstones (`error`) are kept
+    * IN the state and filtered only at read time: a tombstone must
+    * survive merges so a later batch's earlier-versioned upsert cannot
+    * resurrect the key (the classic CDC compaction subtlety).
+    *
+    * Scale shape: per batch, one map-side-combined agg over the DELTA +
+    * one full-outer equi-join against the snapshot keyed by user_id —
+    * cost scales with delta + |table|; at 100 TB the snapshot is
+    * bucketed by the key so only the delta shuffles (q_join_bucketed's
+    * layout), and the versioned dirs stand in for a table format's
+    * transactional commit. */
+  def streamCdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.SourceQueries.scratch(d, "cdc_stream")
+    val tbl = graft.sources.SourceQueries.scratch(d, "cdc_table")
+    val ev = graft.Tables.events(s, d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+      unix_micros(max(col("ts"))).as("hi")).head()
+    val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
+    ev.filter(col("ts") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b1")
+    ev.filter(col("ts") >= split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b2")
+    val now = System.currentTimeMillis()
+    for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
+           if st.getPath.getName.endsWith(".parquet"))
+      fs.setTimes(st.getPath, now - age, -1)
+    val stream = s.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$base/b*")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val up = batch.groupBy("user_id").agg(
+            max(struct(
+              unix_micros(col("ts")).as("v1"), col("event_id").as("v2"),
+              col("event_type").as("t"), col("value").as("v"))).as("m"),
+            count(lit(1)).as("n_versions"))
+          val merged =
+            if (batchId == 0) up
+            else {
+              val prev = batch.sparkSession.read
+                .parquet(s"$tbl/v=${batchId - 1}")
+              prev.as("t").join(up.as("u"), Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  when(col("u.m").isNull, col("t.m"))
+                    .when(col("t.m").isNull, col("u.m"))
+                    .when(col("t.m") > col("u.m"), col("t.m"))
+                    .otherwise(col("u.m")).as("m"),
+                  (coalesce(col("t.n_versions"), lit(0L)) +
+                    coalesce(col("u.n_versions"), lit(0L)))
+                    .as("n_versions"))
+            }
+          merged.write.mode("overwrite").parquet(s"$tbl/v=$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.drop(2).toLong).max
+    s.read.parquet(s"$tbl/v=$latest")
+      .filter(col("m.t") =!= "error")
+      .select(col("user_id"), col("m.t").as("last_type"),
+        col("m.v").as("last_value"), col("n_versions"))
       .orderBy("user_id")
   }
 
