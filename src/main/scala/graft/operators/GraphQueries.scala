@@ -26,6 +26,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cc" -> dedupCc _,
     "q_dedup_cc_lsh" -> dedupCcLsh _,
+    "q_dedup_keep" -> dedupKeep _,
     "q_graph_pagerank" -> graphPagerank _,
     "q_graph_triangles" -> graphTriangles _
   )
@@ -166,6 +167,38 @@ object GraphQueries {
       SimilarityQueries.simPairsLsh(s, d)
         .filter(col("jaccard") >= 0.9).select("d1", "d2"),
       documents(s, d).select("doc_id"), "doc_id")
+  }
+
+  /** Near-dup cluster → canonical representative: every multi-member
+    * ≥0.9-Jaccard LSH component ([[dedupCcLsh]]'s labels) reduced to ONE
+    * keeper by quality argmax — the ACTION step that completes the dedup
+    * pipeline. Components say WHICH docs duplicate; this says which copy
+    * SURVIVES, and by the production criterion (keep the highest-quality
+    * member, q_text_quality's composite score, doc_id tiebreak) rather
+    * than ccOverPairs' min-id `keep` convenience flag.
+    *
+    * One map-side-combinable `max(struct(quality4dp, −doc_id))` per
+    * component over the members (the q_agg_argmax discipline — never a
+    * per-cluster window sort), then the singleton clusters drop: the
+    * output is the dedup WORK LIST (keeper + how many copies it
+    * absorbs). Rows-only by §2 design (the GraphX CC feed);
+    * StatsGraphSpec pins one keeper per cluster and keeper quality =
+    * the cluster max. */
+  def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val comp = dedupCcLsh(s, d).select("doc_id", "component")
+    val quality = TextQueries.textQuality(s, d)
+      .select(col("doc_id"), col("quality"))
+    comp.join(quality, Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid")))
+          .as("m"))
+      .filter(col("n_members") > 1)
+      .select(col("component"), col("n_members"),
+        (-col("m.nid")).as("keeper_doc_id"),
+        col("m.q").as("keeper_quality"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("component")
   }
 
   /** Link-analysis ranking over the near-dup graph: 10 synchronous

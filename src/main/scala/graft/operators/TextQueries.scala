@@ -37,6 +37,7 @@ object TextQueries {
     "q_tfidf"            -> tfidf _,
     "q_text_bm25"        -> textBm25 _,
     "q_text_quality"     -> textQuality _,
+    "q_bpe_pairs"        -> bpePairs _,
     "q_text_langid"      -> textLangId _,
     "q_text_tokcount"    -> textTokCount _,
     "q_text_fingerprint" -> textFingerprint _,
@@ -145,6 +146,20 @@ object TextQueries {
       (bm25ScoresSql +
         "\nSELECT doc_id, score FROM agg" +
         "\nORDER BY score DESC, doc_id LIMIT 10"),
+    "q_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |pr AS (
+        |  SELECT pair, freq FROM (
+        |    SELECT unnest(list_transform(range(1, length(word)),
+        |        i -> word[i:i+1])) AS pair, freq
+        |    FROM wf WHERE length(word) >= 2))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pr GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -752,6 +767,33 @@ object TextQueries {
             lit(0.75) * col("dl") / avgdl))).as("w"))
     scored.groupBy("doc_id")
       .agg(round(sum(col("w")), 4).as("score"))
+  }
+
+  /** BPE merge-candidate statistics: frequency-weighted adjacent
+    * character-pair counts over the corpus vocabulary, top-20 — the
+    * first iteration of byte-pair-encoding tokenizer training. Full BPE
+    * is inherently sequential (each merge changes the next iteration's
+    * pair counts), so the per-iteration STATISTICS op is what a
+    * distributed engine contributes: re-run on the merged vocab each
+    * round, exactly how distributed BPE trainers iterate.
+    *
+    * Scale: the corpus is touched ONCE by the word-count shuffle (the
+    * q_vocab_build shape, map-side combined); pair enumeration runs on
+    * the VOCAB table — distinct words × word length, corpus-independent
+    * — and multi-occurrence of a pair within a word counts each
+    * position, per the BPE definition. */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val wf = documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substr(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
   }
 
   /** Quality scoring: token count, stopword ratio, mean token length, and a

@@ -357,4 +357,40 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recLarge <= 40L * large,
       s"$recLarge shuffle rows for $large inputs — super-linear wire")
   }
+
+  test("shingle layout stages once, reuses, restages on corpus change") {
+    // The ensureBucketed discipline applied to the derived ngram layout:
+    // first call writes, repeat calls read the staged files untouched,
+    // a regenerated corpus invalidates the fingerprint and restages.
+    import spark.implicits._
+    import graft.operators.TextQueries
+    val dir = "/tmp/graft-stageonce"
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def layoutFiles: Seq[String] = {
+      val cold = new java.io.File("/tmp/graft-io/graft-stageonce/" +
+        "ngram_layout/cold")
+      Option(cold.list()).getOrElse(Array.empty[String]).toSeq.sorted
+        .filter(_.endsWith(".parquet"))
+    }
+    writeDocs(Seq(0L -> "a b c d e f", 1L -> "a b c d e f",
+      2L -> "p q r s t u"))
+    val n1 = TextQueries.dedupNgram(spark, dir).count()
+    assert(n1 === 1L, "the identical pair must pair at jaccard 1.0")
+    val staged = layoutFiles
+    assert(staged.nonEmpty, "staging produced no layout files")
+    TextQueries.dedupNgram(spark, dir).count()
+    assert(layoutFiles === staged,
+      "repeat call restaged an unchanged corpus (stage-once lost)")
+    // Regenerate with different content: fingerprint (length/modtime)
+    // changes, the layout must restage and the answer must track the
+    // NEW corpus (a stale layout would still report the old pair).
+    writeDocs(Seq(0L -> "a b c d e f", 1L -> "zz yy xx ww vv uu",
+      2L -> "p q r s t u"))
+    val n2 = TextQueries.dedupNgram(spark, dir).count()
+    assert(n2 === 0L,
+      "restage missed: result still reflects the replaced corpus")
+    assert(layoutFiles !== staged, "layout files unchanged after restage")
+  }
 }

@@ -325,4 +325,37 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
       s"lang not in PartitionFilters:\n$scan")
   }
+
+  test("dedup_keep: one keeper per multi-member cluster, keeper is the " +
+      "quality argmax") {
+    import graft.operators.{GraphQueries, TextQueries}
+    val comp = GraphQueries.dedupCcLsh(spark, sfDir)
+      .select("doc_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = TextQueries.textQuality(spark, sfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = comp.groupBy(_._2)
+      .filter(_._2.size > 1)
+      .map { case (c, members) =>
+        // The query's argmax order: (quality, -doc_id) — max quality,
+        // smallest id on ties.
+        val keeper = members.keys
+          .maxBy(id => (quality(id), -id))
+        c -> (members.size.toLong, keeper, quality(keeper))
+      }
+    val got = GraphQueries.dedupKeep(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === expected.keySet,
+      "cluster set mismatch between dedupKeep and the CC replay")
+    for ((c, (n, keeper, kq)) <- expected) {
+      val (gn, gKeeper, gq, gDropped) = got(c)
+      assert(gn === n && gKeeper === keeper && gq === kq &&
+        gDropped === n - 1,
+        s"component $c: got $gn/$gKeeper/$gq/$gDropped, " +
+          s"expected $n/$keeper/$kq/${n - 1}")
+    }
+  }
 }
