@@ -32,6 +32,7 @@ object VersionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_diff"   -> corpusDiff _,
+    "q_dq_drift_psi"  -> dqDriftPsi _,
     "q_cdc_snapshot"  -> cdcSnapshot _,
     "q_eval_auc"      -> evalAuc _,
     "q_search_rrf"    -> searchRrf _,
@@ -90,6 +91,57 @@ object VersionQueries {
         sum(when(col("st") === "changed", col("l2") - col("l1"))
           .otherwise(lit(0L))).as("chars_delta"))
       .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_dq_drift_psi
+  // ---------------------------------------------------------------------
+
+  /** Distribution drift between corpus releases: per length-bucket
+    * population-stability-index terms between [[corpusDiff]]'s two
+    * snapshots. `q_corpus_diff` audits CONTENT (which docs changed);
+    * this audits SHAPE — a changed crawler or filter that shifts the
+    * length distribution is invisible to a doc-level diff until
+    * training degrades, and PSI is the standard drift alarm.
+    *
+    * Buckets are floor(len/50) capped at 9 (integer, engine-exact);
+    * shares are Laplace-smoothed (n+1)/(N+B) so no bucket hits ln(0);
+    * the PSI term (p₂−p₁)·ln(p₂/p₁) is emitted PER BUCKET with the
+    * conventional >0.2 "investigate" flag on the term — no cross-row
+    * float sum anywhere, so every output value is independently
+    * engine-exact (ln's last-ulp drift absorbed by round 6, the
+    * q_tfidf precedent; the flag compares the ROUNDED term).
+    *
+    * Scale: two corpus-linear bucket-count aggs; totals ride a window
+    * over the ≤10-bucket frame — the corpus is never re-scanned for
+    * the normalizer. */
+  def dqDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def buckets(keep: Column, text: Column, n: String) = docs
+      .filter(keep)
+      .select(least(floor(length(text) / 50), lit(9)).cast("long")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+    val b1 = buckets(col("doc_id") % 5 =!= 0, col("text"), "n1")
+    val b2 = buckets(col("doc_id") % 5 =!= 1,
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text")), "n2")
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val j = b1.join(b2, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("t1", sum(col("n1")).over(w))
+      .withColumn("t2", sum(col("n2")).over(w))
+      .withColumn("nb", count(lit(1)).over(w))
+    val p1 = (col("n1") + 1).cast("double") / (col("t1") + col("nb"))
+    val p2 = (col("n2") + 1).cast("double") / (col("t2") + col("nb"))
+    val term = round((p2 - p1) * log(p2 / p1), 6)
+    j.select(col("bucket"), col("n1"), col("n2"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        term.as("psi_term"), (term > 0.2).as("drifted"))
+      .orderBy("bucket")
   }
 
   // ---------------------------------------------------------------------
@@ -379,6 +431,42 @@ object VersionQueries {
         |  CAST(sum(CASE WHEN st = 'changed' THEN l2 - l1 ELSE 0 END)
         |    AS BIGINT) AS chars_delta
         |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Bucket spine via full outer join; window totals over the ≤10-row
+    // bucket frame; Laplace-smoothed shares; no cross-row float sums.
+    "q_dq_drift_psi" ->
+      """WITH b1 AS (
+        |  SELECT least(CAST(floor(length(text) / 50) AS BIGINT), 9)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n1
+        |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |b2 AS (
+        |  SELECT least(CAST(floor(length(t) / 50) AS BIGINT), 9)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n2
+        |  FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+        |               ELSE text END AS t
+        |        FROM documents WHERE doc_id % 5 <> 1)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(b1.bucket, b2.bucket) AS bucket,
+        |    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+        |  FROM b1 FULL OUTER JOIN b2 ON b1.bucket = b2.bucket),
+        |t AS (
+        |  SELECT bucket, n1, n2,
+        |    sum(n1) OVER () AS t1, sum(n2) OVER () AS t2,
+        |    count(*) OVER () AS nb
+        |  FROM j),
+        |f AS (
+        |  SELECT bucket, n1, n2,
+        |    CAST(n1 + 1 AS DOUBLE) / (t1 + nb) AS p1,
+        |    CAST(n2 + 1 AS DOUBLE) / (t2 + nb) AS p2
+        |  FROM t)
+        |SELECT bucket, n1, n2,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round((p2 - p1) * ln(p2 / p1), 6) AS psi_term,
+        |  round((p2 - p1) * ln(p2 / p1), 6) > 0.2 AS drifted
+        |FROM f ORDER BY bucket""".stripMargin,
 
     "q_cdc_snapshot" ->
       """WITH r AS (
