@@ -1,11 +1,37 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.VectorOps._
+
+/** Element-wise sum of fixed-length long arrays as a typed Aggregator
+  * (§2.10 tier 3, the TopKOrders precedent): per-partition partials are
+  * one n-long array, merged associatively, so a whole-corpus moment
+  * vector reduces through the wire as bytes(n·8·partitions) — the
+  * reduction shape `q_embed_cov` needs (2145 exact moments in ONE pass)
+  * where the explode-and-groupBy formulation shuffled corpus×2080
+  * exploded rows into a 2080-key hash agg (benchmarked 2.5 s at sf0.1;
+  * this form replaces it). Long addition is associative and commutative
+  * — merge order cannot change the result. */
+class LongVecSum(n: Int)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  override def zero: Array[Long] = new Array[Long](n)
+  override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+    var i = 0; while (i < n) { b(i) += a(i); i += 1 }; b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0; while (i < n) { a(i) += b(i); i += 1 }; a
+  }
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
 
 /** Dataset versioning, evaluation & retrieval-fusion operators (SURVEY
   * §2.8 round-7 rows) — the release-engineering layer of a training-data
@@ -285,30 +311,43 @@ object VersionQueries {
     * int structs) feeding a map-side-combined (i, j) agg — the shuffle
     * carries 2080 partial rows per map task, never the exploded corpus. */
   def embedCov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val dim = 64
+    val nMoments = 1 + dim + dim * (dim + 1) / 2
     val q = transform(col("embedding"), x =>
       floor(x.cast("double") * 1e4 + 0.5).cast("long"))
-    val pairs = flatten(transform(sequence(lit(1), lit(dim)), i =>
-      transform(sequence(i, lit(dim)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("qv"), i) * element_at(col("qv"), j))
-            .as("qq")))))
-    val cells = embeddings(s, d)
+    // Per-row moment payload: [1 (count), q₁..q₆₄, qᵢ·qⱼ for i ≤ j in
+    // i-major order] — 2145 longs reduced by ONE LongVecSum pass
+    // (map-side array partials; the wire carries one array per
+    // partition, never exploded rows).
+    val payload = concat(
+      array(lit(1L)),
+      col("qv"),
+      flatten(transform(sequence(lit(1), lit(dim)), i =>
+        transform(sequence(i, lit(dim)), j =>
+          element_at(col("qv"), i) * element_at(col("qv"), j)))))
+    val acc = embeddings(s, d)
       .select(q.as("qv"))
-      .select(explode(pairs).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("p.qq")).as("sqq"))
-    val sums = embeddings(s, d)
-      .select(posexplode(q.as("qv")).as(Seq("i0", "qi")))
-      .groupBy((col("i0") + 1).as("i"))
-      .agg(sum(col("qi")).as("si"))
-    val withSums = cells
-      .join(sums.select(col("i"), col("si")), Seq("i"))
-      .join(sums.select(col("i").as("j"), col("si").as("sj")), Seq("j"))
+      .select(payload.as("p"))
+      .as[Array[Long]]
+      .select(new LongVecSum(nMoments).toColumn.name("acc"))
+      .toDF("acc")
+    // (i, j) → payload slot, Scala-side (the same i-major walk that
+    // built the payload); the 2080-row literal dim broadcasts against
+    // the 1-row moment vector (PlanGuard-allowlisted 1-row cross).
+    val slots = (for { i <- 1 to dim; j <- i to dim } yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (i, j, k) }
+    val slotsDf = broadcast(slots.toDF("i", "j", "k"))
+    val cells = acc.crossJoin(slotsDf).select(
+      col("i"), col("j"),
+      element_at(col("acc"), 1).as("n"),
+      element_at(col("acc"), col("i") + 1).as("si"),
+      element_at(col("acc"), col("j") + 1).as("sj"),
+      element_at(col("acc"), col("k") + lit(dim + 2)).as("sqq"))
     // cov in original units: quantized covariance / 1e8.
     val covQ = (col("n") * col("sqq") - col("si") * col("sj")).cast("double") /
       (col("n") * (col("n") - 1)).cast("double")
-    val covd = withSums
+    val covd = cells
       .select(col("i"), col("j"), col("n"), covQ.as("cq"))
     val diag = covd.filter(col("i") === col("j"))
       .select(col("i").as("dk"), col("cq").as("vk"))
@@ -374,16 +413,20 @@ object VersionQueries {
     * Shape: per-doc distinct windows built map-side (array_distinct of
     * the 8-gram transform — no explode→global-distinct shuffle), ONE
     * (window → doc-count) keyed agg, fraction read back through an
-    * equi-join on the window key. Windows are raw strings so the twin
-    * computes the identical key (production swaps xxhash64 8-byte keys
-    * — q_dedup_ngram's measured 1.4× trade, same 2⁻⁶⁴ caveat). */
+    * equi-join on the window key. Windows shuffle as xxhash64 longs
+    * (8 bytes vs ~50-byte window strings on every shuffle/join/agg key —
+    * q_dedup_ngram's measured 1.4× trade); the twin computes df on raw
+    * window strings, so a 2⁻⁶⁴ cross-window collision is the one channel
+    * that could diverge the engines (q_dedup_ngram's documented
+    * accepted risk). */
   def dupSpanFrac(s: SparkSession, d: String): DataFrame = {
     val w = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
-        explode(array_distinct(TextQueries.ngrams(col("toks"), 8)))
-          .as("w"))
+        explode(transform(
+          array_distinct(TextQueries.ngrams(col("toks"), 8)),
+          xxhash64(_))).as("w"))
     val df = w.groupBy("w").agg(count(lit(1)).as("nd"))
     w.join(df, Seq("w"))
       .groupBy("doc_id")
