@@ -449,7 +449,8 @@ object SimilarityQueries {
     * for both tables, written last, fingerprinting the source corpus
     * listing — regeneration restages; band derivation reads the staged
     * docs table (one scan, no re-tokenize). */
-  private def lshLayout(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[operators] def lshLayout(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.sources.{BucketedLayout, SourceQueries, Staging}
     val root = SourceQueries.scratch(d, "lsh_layout")
     val sf = SourceQueries.sfName(d)
@@ -513,6 +514,17 @@ object SimilarityQueries {
       }: _*)).as("sig"))
       .select(col("doc_id"), col("sarr"), col("sig"))
   }
+
+  /** Band rows derived directly from a (doc_id, text) frame — the same
+    * shingle→MinHash→band pipeline the staged layout runs at ingest,
+    * exposed for the STREAMING ingest gate (q_stream_lsh_ingest), whose
+    * micro-batches arrive as raw text and band map-side, delta-sized. */
+  private[operators] def bandRowsForDocs(docs: DataFrame): DataFrame =
+    bandRowsOf(docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(shingleCol(col("toks"))).as("sarr")))
 
   /** Fuzzy near-dup pairs via banded MinHash.
     *

@@ -61,7 +61,8 @@ object StreamQueries {
     "q_batch_session"   -> batchSession _,
     "q_stream_topk"     -> streamTopk _,
     "q_stream_merge_sink" -> streamMergeSink _,
-    "q_stream_cdc_apply" -> streamCdcApply _
+    "q_stream_cdc_apply" -> streamCdcApply _,
+    "q_stream_lsh_ingest" -> streamLshIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -546,6 +547,109 @@ object StreamQueries {
       .select(col("user_id"), col("m.t").as("last_type"),
         col("m.v").as("last_value"), col("n_versions"))
       .orderBy("user_id")
+  }
+
+  /** Streaming near-dup ingest gate — the production shape the staged
+    * LSH layout exists FOR: documents arrive as micro-batches of raw
+    * text, each batch bands MAP-SIDE (delta-sized MinHash pipeline, no
+    * corpus work), probes the staged base band table (bucketed by sig —
+    * the signature store [[SimilarityQueries.lshLayout]] maintains at
+    * ingest), exact-Jaccard-verifies each collision against the staged
+    * shingle arrays, and appends its admit/reject verdicts. The batch
+    * twin `q_dedup_incremental_lsh` runs the identical per-doc decision
+    * in one shot; since every delta doc's verdict depends only on that
+    * doc and the BASE (never on other delta docs), the streamed result
+    * is batch-boundary-independent — ScaleOpsSpec pins stream ≡ batch
+    * row-for-row. Rows-only by §2 design (banding recall, like its
+    * batch twin).
+    *
+    * Scale: per micro-batch cost is delta-bands × colliding base
+    * buckets + verify joins keyed by doc_id — the daily-crawl ingest
+    * gate at 100 TB, where the base tables are the write-once bucketed
+    * layout and only the delta ever shuffles. */
+  def streamLshIngest(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.SourceQueries.scratch(d, "lsh_ingest_stream")
+    val outDir = graft.sources.SourceQueries.scratch(d, "lsh_ingest_out")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+    val delta = graft.Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    // Two micro-batches split at the median delta id, modtime-ordered
+    // (the q_stream_merge_sink replay convention).
+    val mid = delta.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .head().getDouble(0)
+    delta.filter(col("doc_id") <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b1")
+    delta.filter(col("doc_id") > mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/b2")
+    val now = System.currentTimeMillis()
+    for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
+           if st.getPath.getName.endsWith(".parquet"))
+      fs.setTimes(st.getPath, now - age, -1)
+    val stream = s.readStream.schema(delta.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$base/b*")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val (baseDocs, baseBands) = SimilarityQueries.lshLayout(ss, d)
+          val deltaBands = SimilarityQueries.bandRowsForDocs(batch)
+            .select(col("doc_id").as("did"), col("sarr").as("sa"),
+              col("sig"))
+          val cands = deltaBands
+            .join(baseBands.filter(col("doc_id") % 4 =!= 0)
+              .select(col("doc_id").as("bid"), col("sig")), Seq("sig"))
+            .select("did", "bid", "sa")
+            .dropDuplicates("did", "bid")
+            .join(baseDocs.select(col("doc_id").as("bid"),
+              col("sarr").as("sb")), Seq("bid"))
+          val common =
+            size(array_intersect(col("sa"), col("sb"))).cast("long")
+          val jac = common.cast("double") /
+            (size(col("sa")) + size(col("sb")) - common)
+          cands
+            .select(col("did"), col("bid"), round(jac, 4).as("j"))
+            .filter(col("j") >= 0.9)
+            .groupBy("did")
+            .agg(count(lit(1)).as("n_dup_base"),
+              max(struct(col("j").as("j"), (-col("bid")).as("nb")))
+                .as("m"))
+            .select(col("did").as("doc_id"), col("n_dup_base"),
+              (-col("m.nb")).as("best_base"), col("m.j").as("best_jaccard"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_dup_base",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("best_base",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("best_jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    val verdicts = s.read.schema(verdictSchema).parquet(outDir)
+    graft.Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 4 === 0)
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_base"), lit(0L)).as("n_dup_base"),
+        col("best_base"), col("best_jaccard"),
+        col("n_dup_base").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
   }
 
   /** Sliding windows: 10-minute width, 5-minute slide. */

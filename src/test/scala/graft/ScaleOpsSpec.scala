@@ -358,6 +358,20 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
       s"$recLarge shuffle rows for $large inputs — super-linear wire")
   }
 
+  test("stream LSH ingest gate equals its batch twin row-for-row") {
+    // Every delta doc's verdict depends only on that doc and the BASE,
+    // so the streamed two-batch replay must reproduce the one-shot
+    // batch gate exactly — including n_dup_base counts, best-match ids
+    // and jaccards, and the null rows for clean docs.
+    import graft.operators.{SimilarityQueries, StreamQueries}
+    val batch = SimilarityQueries.dedupIncrementalLsh(spark, sfDir)
+    val stream = StreamQueries.streamLshIngest(spark, sfDir)
+    assert(stream.count() === batch.count())
+    assert(stream.exceptAll(batch).isEmpty &&
+      batch.exceptAll(stream).isEmpty,
+      "stream and batch ingest verdicts diverge")
+  }
+
   test("shingle layout stages once, reuses, restages on corpus change") {
     // The ensureBucketed discipline applied to the derived ngram layout:
     // first call writes, repeat calls read the staged files untouched,
