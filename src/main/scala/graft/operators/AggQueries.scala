@@ -60,8 +60,30 @@ object AggQueries {
     "q_agg_windowed_distinct" -> aggWindowedDistinct _,
     "q_agg_bitwise" -> aggBitwise _,
     "q_agg_bitmap" -> aggBitmap _,
-    "q_share_hierarchy" -> shareHierarchy _
+    "q_share_hierarchy" -> shareHierarchy _,
+    "q_agg_decimal_exact" -> aggDecimalExact _
   )
+
+  /** Money-typed aggregation through EXACT decimal arithmetic: order
+    * totals cast to DECIMAL(18,2) at the scan, summed/min/maxed as
+    * decimals (Tungsten's long-backed decimal aggregation — no float
+    * drift anywhere in the tree, the accounting-grade path every billing
+    * pipeline requires of an engine), surfaced as DOUBLE only at the
+    * end via one exact-valued cast so the cross-engine compare is
+    * dtype-stable (decimal PRECISION widening rules differ between
+    * engines — Spark sum yields DECIMAL(28,2), DuckDB DECIMAL(38,2) —
+    * while the exact VALUE does not; the final cast normalizes the
+    * carrier, not the number). */
+  def aggDecimalExact(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("p")).cast("double").as("total_price"),
+        min(col("p")).cast("double").as("min_price"),
+        max(col("p")).cast("double").as("max_price"))
+      .orderBy("o_orderpriority")
 
   /** EXACT distinct users per event type via mergeable bitmaps — the
     * exact counterpart to q_agg_sketch's HLL: per-(type, shard, bucket)
@@ -91,6 +113,19 @@ object AggQueries {
   // hash-matchable across engines (SURVEY §2.4); its accuracy is bounded
   // against the exact count in AggQueriesSpec instead.
   val oracle: Map[String, String] = Map(
+    // Exact decimal aggregation on both sides; only the final carrier
+    // cast is double, so values compare bit-for-bit.
+    "q_agg_decimal_exact" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_price,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS max_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // The bitmap rollup must land on the exact distinct count — the
     // oracle is a plain COUNT(DISTINCT), no bitmap machinery needed.
     "q_agg_bitmap" ->
