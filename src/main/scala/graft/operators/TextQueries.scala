@@ -38,6 +38,7 @@ object TextQueries {
     "q_text_bm25"        -> textBm25 _,
     "q_text_quality"     -> textQuality _,
     "q_bpe_pairs"        -> bpePairs _,
+    "q_text_hash_features" -> textHashFeatures _,
     "q_text_langid"      -> textLangId _,
     "q_text_tokcount"    -> textTokCount _,
     "q_text_fingerprint" -> textFingerprint _,
@@ -146,6 +147,19 @@ object TextQueries {
       (bm25ScoresSql +
         "\nSELECT doc_id, score FROM agg" +
         "\nORDER BY score DESC, doc_id LIMIT 10"),
+    "q_text_hash_features" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM t GROUP BY doc_id, bucket)
+        |SELECT doc_id, bucket, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY doc_id), 6) AS share
+        |FROM c ORDER BY doc_id, bucket""".stripMargin,
     "q_bpe_pairs" ->
       """WITH wf AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -794,6 +808,28 @@ object TextQueries {
       .groupBy("pair").agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
+  }
+
+  /** Hashing-trick text vectorization: each document's token counts
+    * folded into 16 hash buckets — the fixed-width sparse feature map
+    * every linear text classifier (quality, toxicity, language) trains
+    * on when the vocabulary is unbounded: no vocab table, no fit step,
+    * features are ROW-LOCAL so the vectorizer runs in the scan stage at
+    * any corpus scale. Bucket = first 8 md5 hex chars mod 16 (the
+    * q_freq_cms explicit hash family, so the DuckDB twin computes the
+    * IDENTICAL fold). Output is the sparse (doc, bucket, count, share)
+    * form; share is exact-rational before its one rounding. */
+  def textHashFeatures(s: SparkSession, d: String): DataFrame = {
+    val b = pmod(conv(substring(
+      md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("long"), lit(16))
+    val t = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), b.as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+    t.withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .orderBy("doc_id", "bucket")
   }
 
   /** Quality scoring: token count, stopword ratio, mean token length, and a

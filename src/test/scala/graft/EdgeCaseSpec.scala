@@ -458,6 +458,35 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       "drift statistic must dominate the stationary one")
   }
 
+  test("cdc_snapshot: tombstone deletes, resurrection only by a LATER " +
+      "upsert, singleton upsert survives") {
+    import spark.implicits._
+    val h = 3600000000L
+    // user 1: upsert then tombstone LAST → deleted.
+    // user 2: tombstone then a LATER upsert → resurrected with v=2.0.
+    // user 3: single upsert → survives, n_versions 1.
+    // user 4: only a tombstone → deleted.
+    val ev = Seq(
+      (1L, 1L * h, 1L, "view", 1.0, "{}"),
+      (2L, 2L * h, 1L, "error", 0.0, "{}"),
+      (3L, 1L * h, 2L, "error", 0.0, "{}"),
+      (4L, 2L * h, 2L, "click", 2.0, "{}"),
+      (5L, 1L * h, 3L, "signup", 3.0, "{}"),
+      (6L, 1L * h, 4L, "error", 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val dir = miniDir("cdc")("events" -> ev)
+    val got = graft.operators.VersionQueries.cdcSnapshot(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet === Set(2L, 3L),
+      s"surviving keys wrong: ${got.keySet} (1 and 4 must be deleted)")
+    assert(got(2L) === (("click", 2.0, 2L)), s"user 2: ${got(2L)}")
+    assert(got(3L) === (("signup", 3.0, 1L)), s"user 3: ${got(3L)}")
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a

@@ -60,6 +60,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 8, s"$exchanges exchanges — bucketed reuse lost")
   }
 
+  test("q_embed_cov reduces through one array aggregator, no explode") {
+    // The 2145 exact moments must reduce via the LongVecSum typed
+    // Aggregator (map-side array partials) — the pre-rewrite shape
+    // exploded corpus×2080 rows into a keyed hash agg (2.5 s at sf0.1
+    // vs 0.6 s). A Generate node on the corpus side means the explode
+    // crept back.
+    val plan = finalPlanString(
+      graft.operators.VersionQueries.embedCov(spark, sfDir))
+    assert(!plan.contains("Generate"), "corpus-side explode reappeared")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed aggregator missing from plan:\n${plan.take(400)}")
+  }
+
   test("q_join_broadcast plans a broadcast hash join") {
     val plan = finalPlanString(JoinQueries.joinBroadcast(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
