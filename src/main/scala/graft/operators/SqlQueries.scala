@@ -29,6 +29,17 @@ object SqlQueries {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    // GROUP BY ALL — the modern-ANSI ergonomics both engines implement:
+    // every non-aggregate select item becomes a grouping key, so adding
+    // a dimension cannot silently desynchronize SELECT and GROUP BY.
+    // Shared verbatim, proving the dialect surface matches.
+    "q_sql_group_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     // Correlated EXISTS / NOT EXISTS pair.
     "q_sql_exists" ->
       """SELECT c_custkey, c_name

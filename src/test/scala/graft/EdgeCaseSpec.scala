@@ -487,6 +487,23 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) === (("signup", 3.0, 1L)), s"user 3: ${got(3L)}")
   }
 
+  test("corpus_diff: planted snapshot classifies add/remove/change " +
+      "exactly") {
+    import spark.implicits._
+    // ids 0..9, one lang: v1 = %5≠0 → {1,2,3,4,6,7,8,9}; v2 = %5≠1 →
+    // {0,2,3,4,5,7,8,9} with %3=0 revised. added {0,5}, removed {1,6},
+    // changed {3,9} (+7 chars each for ' [rev2]'), unchanged {2,4,7,8}.
+    val docs = (0L to 9L).map(i => (i, s"doc number $i body", "en", "t",
+      17L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("cdiff")("documents" -> docs)
+    val r = graft.operators.VersionQueries.corpusDiff(spark, dir).collect()
+    assert(r.length === 1, s"one lang expected: ${r.toSeq}")
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) === ((2L, 2L, 2L, 4L, 14L)),
+      s"(added, removed, changed, unchanged, chars_delta) wrong: $row")
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a
