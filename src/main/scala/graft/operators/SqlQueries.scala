@@ -40,6 +40,26 @@ object SqlQueries {
         |FROM orders
         |GROUP BY ALL
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    // TPC-H Q17 shape: per-part correlated SCALAR subquery — the
+    // decorrelation stress test. Catalyst must rewrite the correlated
+    // aggregate into a grouped aggregate + join (PlanShapeSpec pins no
+    // nested-loop); an engine that re-executes the subquery per outer
+    // row dies at scale. Boundary determinism: l_quantity is whole
+    // numbers carried in doubles, so avg = exact-integer-sum / count is
+    // the same double in both engines and the 0.2·avg threshold
+    // comparison cannot diverge.
+    "q_sql_decorrelate" ->
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_small,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 5
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     // Correlated EXISTS / NOT EXISTS pair.
     "q_sql_exists" ->
       """SELECT c_custkey, c_name
@@ -147,6 +167,7 @@ object SqlQueries {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
     Tables.events(s, d).createOrReplaceTempView("events")
     s.sql(text)
   }

@@ -73,6 +73,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"typed aggregator missing from plan:\n${plan.take(400)}")
   }
 
+  test("q_sql_decorrelate rewrites the correlated scalar subquery " +
+      "to an aggregate join") {
+    // The Q17 shape: a per-outer-row re-execution (nested loop) dies at
+    // scale; Catalyst must decorrelate to grouped-agg + equi-join.
+    val df = SqlQueries.queries("q_sql_decorrelate")(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated subquery not decorrelated:\n${plan.take(600)}")
+  }
+
   test("q_join_broadcast plans a broadcast hash join") {
     val plan = finalPlanString(JoinQueries.joinBroadcast(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
