@@ -266,7 +266,10 @@ object CoreQueries {
     * never collide with a live base key at any scale factor). */
   def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select("doc_id", "lang", "n_chars")
-    val offset = base.agg(max("doc_id")).head().getLong(0) + 1
+    // max() is NULL on an empty base — degrade to offset 1, not an NPE
+    // (EmptyInputSpec); the merge below is already empty-safe.
+    val maxRow = base.agg(max("doc_id")).head()
+    val offset = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1
     val changes = base.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("lang"), (col("n_chars") * 2).as("n_chars"))
       .unionAll(base.filter(col("doc_id") % 50 === 0)

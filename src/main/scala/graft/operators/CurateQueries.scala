@@ -540,16 +540,29 @@ object CurateQueries {
     // at 3%). The broadcast is NOT destroyed here: the returned DataFrame
     // is lazy and the caller executes it later — executors drop the
     // KB-scale block with the plan's last reference (ContextCleaner).
-    val nBase = (base.count() * 2).max(8192L)
-    val bloomBc = s.sparkContext.broadcast(
-      base.stat.bloomFilter("fp", nBase, 0.03))
-    val probed = delta.select("doc_id", "lang", "fp")
-      .as[(Long, String, String)]
-      .mapPartitions { it =>
-        val bf = bloomBc.value
-        it.map { case (id, lang, f) => (id, lang, f, bf.mightContain(f)) }
+    val nBaseRows = base.count()
+    // An EMPTY base cannot build a bloom filter (stat.bloomFilter's
+    // zero-row sketch broadcast NPEs on deserialize) and doesn't need
+    // one: with nothing in the base, every delta row is definitely new
+    // — the bloom's no-false-negative contract degenerates to
+    // all-misses (EmptyInputSpec).
+    val probed =
+      if (nBaseRows == 0)
+        delta.withColumn("bloom_hit", lit(false))
+      else {
+        val nBase = (nBaseRows * 2).max(8192L)
+        val bloomBc = s.sparkContext.broadcast(
+          base.stat.bloomFilter("fp", nBase, 0.03))
+        delta.select("doc_id", "lang", "fp")
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            val bf = bloomBc.value
+            it.map { case (id, lang, f) =>
+              (id, lang, f, bf.mightContain(f))
+            }
+          }
+          .toDF("doc_id", "lang", "fp", "bloom_hit")
       }
-      .toDF("doc_id", "lang", "fp", "bloom_hit")
     val exact = base.select("fp").distinct().withColumn("dup", lit(true))
     val cand = probed.filter(col("bloom_hit"))
       .join(exact, Seq("fp"), "left")
@@ -967,7 +980,10 @@ object CurateQueries {
         .cast("binary")), 1, 8), 16, 10).cast("long"), lit(8L))
         .as("shard"))
     assigned.write.mode("overwrite").partitionBy("shard").parquet(dir)
-    s.read.parquet(dir)
+    // Explicit schema: an empty corpus writes no shard files and the
+    // manifest must come back as zero rows, not a schema-inference
+    // failure (EmptyInputSpec).
+    s.read.schema(assigned.schema).parquet(dir)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),

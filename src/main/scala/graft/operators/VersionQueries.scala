@@ -344,10 +344,15 @@ object VersionQueries {
       element_at(col("acc"), col("i") + 1).as("si"),
       element_at(col("acc"), col("j") + 1).as("sj"),
       element_at(col("acc"), col("k") + lit(dim + 2)).as("sqq"))
-    // cov in original units: quantized covariance / 1e8.
+    // cov in original units: quantized covariance / 1e8. n > 1 filter:
+    // sample covariance is undefined below two rows, and on an EMPTY
+    // corpus the aggregator still yields its (all-zero) moment row —
+    // both engines must emit zero cells, not a divide-by-zero
+    // (EmptyInputSpec; the twin's empty `cells` CTE does the same).
     val covQ = (col("n") * col("sqq") - col("si") * col("sj")).cast("double") /
       (col("n") * (col("n") - 1)).cast("double")
     val covd = cells
+      .filter(col("n") > 1)
       .select(col("i"), col("j"), col("n"), covQ.as("cq"))
     val diag = covd.filter(col("i") === col("j"))
       .select(col("i").as("dk"), col("cq").as("vk"))
@@ -359,7 +364,13 @@ object VersionQueries {
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("n"),
         round(col("cq") / 1e8, 8).as("cov"),
-        round(col("cq") / sqrt(col("vi") * col("vj")), 6).as("corr"))
+        // vi·vj > 0 guard: a constant dimension has zero variance,
+        // where Spark's x/0.0 (±Inf/NaN) and DuckDB's NULL-folding
+        // diverge — both engines emit NULL corr instead (same CASE in
+        // the twin). Unreachable on the Gaussian fixture; latent-
+        // divergence-proof regardless (the q_ts_cusum lesson).
+        when(col("vi") * col("vj") > 0,
+          round(col("cq") / sqrt(col("vi") * col("vj")), 6)).as("corr"))
       .orderBy("i", "j")
   }
 
@@ -606,11 +617,13 @@ object VersionQueries {
         |  SELECT c.i, c.j, c.n,
         |    CAST(c.n * c.sqq - a.si * b.si AS DOUBLE)
         |      / CAST(c.n * (c.n - 1) AS DOUBLE) AS cq
-        |  FROM cells c JOIN sums a ON c.i = a.i JOIN sums b ON c.j = b.i),
+        |  FROM cells c JOIN sums a ON c.i = a.i JOIN sums b ON c.j = b.i
+        |  WHERE c.n > 1),
         |diag AS (SELECT i AS dk, cq AS vk FROM covd WHERE i = j)
         |SELECT c.i, c.j, c.n,
         |  round(c.cq / 1e8, 8) AS cov,
-        |  round(c.cq / sqrt(di.vk * dj.vk), 6) AS corr
+        |  CASE WHEN di.vk * dj.vk > 0
+        |       THEN round(c.cq / sqrt(di.vk * dj.vk), 6) END AS corr
         |FROM covd c JOIN diag di ON c.i = di.dk JOIN diag dj ON c.j = dj.dk
         |ORDER BY c.i, c.j""".stripMargin,
 

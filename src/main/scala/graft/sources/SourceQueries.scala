@@ -353,9 +353,12 @@ object SourceQueries {
     * pruning — PlanShapeSpec asserts PartitionFilters). */
   def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
     val dir = scratch(d, "documents_by_lang")
-    Tables.documents(s, d).write.mode("overwrite")
-      .partitionBy("lang").parquet(dir)
-    s.read.parquet(dir)
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // Explicit schema on the read-back: an EMPTY corpus writes no data
+    // files and schema inference would fail — a sink round-trip must
+    // degrade to zero rows, not an AnalysisException (EmptyInputSpec).
+    s.read.schema(docs.schema).parquet(dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy("lang", "source")
