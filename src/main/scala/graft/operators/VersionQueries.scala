@@ -241,8 +241,13 @@ object VersionQueries {
         count_if(!col("pos")).as("n"),
         sum(when(col("pos"), col("r2")).otherwise(lit(0L))).as("rp2"))
       .select(col("scorer"), col("p").as("n_pos"), col("n").as("n_neg"),
-        round((col("rp2") - col("p") * (col("p") + 1)).cast("double")
-          / (lit(2.0) * col("p") * col("n")), 6).as("auc"))
+        // One-class degenerate input: AUC is undefined when either
+        // class is absent — both engines emit NULL (Spark would NaN,
+        // DuckDB would NULL-fold; the identical guard removes the
+        // latent divergence — the q_ts_cusum lesson).
+        when(col("p") > 0 && col("n") > 0,
+          round((col("rp2") - col("p") * (col("p") + 1)).cast("double")
+            / (lit(2.0) * col("p") * col("n")), 6)).as("auc"))
       .orderBy("scorer")
   }
 
@@ -555,11 +560,13 @@ object VersionQueries {
         |SELECT scorer,
         |  CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
         |  CAST(count(*) FILTER (NOT pos) AS BIGINT) AS n_neg,
-        |  round(CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END)
-        |      - (count(*) FILTER (pos))
-        |        * ((count(*) FILTER (pos)) + 1) AS DOUBLE)
-        |    / (CAST(2.0 AS DOUBLE) * (count(*) FILTER (pos))
-        |       * (count(*) FILTER (NOT pos))), 6) AS auc
+        |  CASE WHEN count(*) FILTER (pos) > 0
+        |        AND count(*) FILTER (NOT pos) > 0 THEN
+        |    round(CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END)
+        |        - (count(*) FILTER (pos))
+        |          * ((count(*) FILTER (pos)) + 1) AS DOUBLE)
+        |      / (CAST(2.0 AS DOUBLE) * (count(*) FILTER (pos))
+        |         * (count(*) FILTER (NOT pos))), 6) END AS auc
         |FROM r GROUP BY scorer ORDER BY scorer""".stripMargin,
 
     // The BM25 CTE chain is TextQueries.bm25ScoresSql VERBATIM (one
