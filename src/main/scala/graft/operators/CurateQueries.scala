@@ -58,7 +58,8 @@ object CurateQueries {
     "q_select_frontier"   -> selectFrontier _,
     "q_export_shards"     -> exportShards _,
     "q_mix_temperature"   -> mixTemperature _,
-    "q_select_dsir"       -> selectDsir _
+    "q_select_dsir"       -> selectDsir _,
+    "q_quality_classifier" -> qualityClassifier _
   )
 
   val oracle: Map[String, String] = Map(
@@ -444,7 +445,36 @@ object CurateQueries {
         |    CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id)
         |      AS BIGINT) AS rnk
         |  FROM sc)
-        |WHERE rnk <= 200 ORDER BY rnk""".stripMargin
+        |WHERE rnk <= 200 ORDER BY rnk""".stripMargin,
+    // Exact rational features (note the 'g' flag — DuckDB regexp_replace
+    // is first-match-only by default, Spark's is global), the shared
+    // left-associated margin tree, decision = sign of the margin.
+    "q_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('a', 'the'))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      AS stop_rate,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      AS mean_tok_len,
+        |    CAST(length(text)
+        |        - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_frac,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      AS distinct_ratio
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, stop_rate, mean_tok_len, digit_frac,
+        |    distinct_ratio,
+        |    -3.0 + 4.0 * stop_rate + 0.5 * mean_tok_len
+        |      - 6.0 * digit_frac + 2.0 * distinct_ratio AS margin
+        |  FROM f)
+        |SELECT doc_id, stop_rate, mean_tok_len, digit_frac,
+        |  distinct_ratio, margin, margin > 0 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -1101,5 +1131,46 @@ object CurateQueries {
           Window.orderBy(col("score_e4").desc, col("doc_id")))
           .cast("long"))
       .orderBy("rnk")
+  }
+
+  /** Model-based quality gate: a fixed-weight linear classifier (the
+    * fastText-quality-filter shape) over engineered per-doc features —
+    * stopword rate, mean token length, digit fraction, distinct-token
+    * ratio — emitting the margin and a keep/drop decision per doc.
+    *
+    * The sigmoid is deliberately dropped: it is monotone, so the
+    * DECISION is the sign of the margin and the gate never depends on
+    * libm `exp` (which differs in last ulps across engines — the
+    * boundary-flip risk SURVEY §7.5 exists to kill). Every feature is
+    * an exact rational (division of exact integers — correctly-rounded
+    * IEEE, bit-identical), the margin one shared double tree over fixed
+    * decimal weights, emitted unrounded.
+    *
+    * Scale shape: ZERO shuffles — the entire classifier is scan-stage
+    * codegen, which is the 100 TB point: model-based filtering at full
+    * scan throughput, no model serving, no pair joins. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, x => x.isin("a", "the"))).cast("long")
+    val stopRate = nStop.cast("double") / nTok.cast("double")
+    val meanLen = length(regexp_replace(col("text"), " ", ""))
+      .cast("double") / nTok.cast("double")
+    val digitFrac = (length(col("text"))
+      - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+      length(col("text")).cast("double")
+    val distinctRatio = size(array_distinct(t)).cast("double") /
+      nTok.cast("double")
+    val margin = lit(-3.0) + lit(4.0) * stopRate + lit(0.5) * meanLen -
+      lit(6.0) * digitFrac + lit(2.0) * distinctRatio
+    documents(s, d).select(
+        col("doc_id"),
+        stopRate.as("stop_rate"),
+        meanLen.as("mean_tok_len"),
+        digitFrac.as("digit_frac"),
+        distinctRatio.as("distinct_ratio"),
+        margin.as("margin"),
+        (margin > 0).as("keep"))
+      .orderBy("doc_id")
   }
 }

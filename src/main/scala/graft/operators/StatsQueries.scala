@@ -58,7 +58,12 @@ object StatsQueries {
     "q_growth_accounting" -> growthAccounting _,
     "q_audience_overlap" -> audienceOverlap _,
     "q_transition_matrix" -> transitionMatrix _,
-    "q_funnel_timing"   -> funnelTiming _
+    "q_funnel_timing"   -> funnelTiming _,
+    "q_agg_spearman"    -> aggSpearman _,
+    "q_agg_ttest"       -> aggTtest _,
+    "q_agg_benford"     -> aggBenford _,
+    "q_agg_cramer_v"    -> aggCramerV _,
+    "q_event_dau"       -> eventDau _
   )
 
   val oracle: Map[String, String] = Map(
@@ -747,7 +752,150 @@ object StatsQueries {
         |  quantile_cont(gap_us, 0.75) AS p75_gap_us,
         |  round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    / 1000000, 4) AS mean_gap_sec
-        |FROM conv""".stripMargin
+        |FROM conv""".stripMargin,
+    // Tie-averaged ranks in integer HALF-UNITS (2·rank + ct − 1 is
+    // always integral — the q_agg_mannwhitney trick), then the exact
+    // Pearson moment recipe over the doubled ranks (the factor 2
+    // cancels in the correlation). HUGEINT sums ↔ decimal(38,0).
+    "q_agg_spearman" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT f,
+        |    2 * CAST(rank() OVER (PARTITION BY f ORDER BY q) AS BIGINT)
+        |      + count(*) OVER (PARTITION BY f, q) - 1 AS rx,
+        |    2 * CAST(rank() OVER (PARTITION BY f ORDER BY p) AS BIGINT)
+        |      + count(*) OVER (PARTITION BY f, p) - 1 AS ry
+        |  FROM v),
+        |g AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS c,
+        |    CAST(sum(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY f)
+        |SELECT f AS l_returnflag, n,
+        |  round((c * sxy - sx * sy)
+        |    / (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)), 6)
+        |    AS spearman_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+    // One conditional-moment pass; Welch t and dof from a shared
+    // closed-form IEEE tree (÷, sqrt, no pow) on exact operands —
+    // emitted unrounded, bit-identical.
+    "q_agg_ttest" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in1,
+        |    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in2,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |g AS (
+        |  SELECT CAST(sum(in1) AS BIGINT) AS n1,
+        |    CAST(sum(in2) AS BIGINT) AS n2,
+        |    CAST(sum(in1) AS DOUBLE) AS c1,
+        |    CAST(sum(in2) AS DOUBLE) AS c2,
+        |    CAST(sum(CAST(in1 * p AS HUGEINT)) AS DOUBLE) AS s1a,
+        |    CAST(sum(CAST(in2 * p AS HUGEINT)) AS DOUBLE) AS s1b,
+        |    CAST(sum(CAST(in1 * p AS HUGEINT) * p) AS DOUBLE) AS s2a,
+        |    CAST(sum(CAST(in2 * p AS HUGEINT) * p) AS DOUBLE) AS s2b
+        |  FROM v),
+        |w AS (
+        |  SELECT n1, n2, c1, c2, s1a, s1b,
+        |    ((c1 * s2a - s1a * s1a) / (c1 * (c1 - 1))) / c1 AS sea,
+        |    ((c2 * s2b - s1b * s1b) / (c2 * (c2 - 1))) / c2 AS seb
+        |  FROM g)
+        |SELECT n1, n2,
+        |  s1a / c1 - s1b / c2 AS mean_diff,
+        |  (s1a / c1 - s1b / c2) / sqrt(sea + seb) AS t,
+        |  (sea + seb) * (sea + seb)
+        |    / (sea * sea / (c1 - 1) + seb * seb / (c2 - 1)) AS dof
+        |FROM w""".stripMargin,
+    // Leading digit by integer string-head extraction on exact cents —
+    // no float log in the digit path; expected shares touch libm log10
+    // → rounded 6; observed shares one exact IEEE division, unrounded.
+    "q_agg_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |cells AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM dg GROUP BY digit),
+        |t AS (
+        |  SELECT digit, n_obs,
+        |    CAST(sum(n_obs) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |f AS (
+        |  SELECT digit, n_obs,
+        |    CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+        |    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+        |      AS exp_share
+        |  FROM t)
+        |SELECT digit, n_obs, obs_share, exp_share,
+        |  round((obs_share - exp_share) * (obs_share - exp_share)
+        |    / exp_share, 6) AS benford_dev
+        |FROM f ORDER BY digit""".stripMargin,
+    // The q_agg_chisq contingency tree over the lang × source cell
+    // frame; χ² rounded 4 before the V closed form (window-sum order
+    // differs), level counts as exact distinct aggregates.
+    "q_agg_cramer_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT lang, source, obs,
+        |    CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS r,
+        |    CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS c,
+        |    CAST(sum(obs) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |ct AS (
+        |  SELECT *,
+        |    (obs - CAST(r AS DOUBLE) * c / n)
+        |      * (obs - CAST(r AS DOUBLE) * c / n)
+        |      / (CAST(r AS DOUBLE) * c / n) AS contrib
+        |  FROM t),
+        |g AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS c_levels,
+        |    round(sum(contrib), 4) AS chi2
+        |  FROM ct)
+        |SELECT n, r_levels, c_levels, chi2,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |    * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 4)
+        |    AS cramer_v
+        |FROM g""".stripMargin,
+    // Bounded 7× day-window fan-out of the distinct (user, day) frame —
+    // never a range self-join; integer epoch days end to end; windows
+    // clipped to [min+6, max] so every emitted window is fully formed.
+    "q_event_dau" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS dn
+        |  FROM events),
+        |b AS (SELECT min(dn) AS mind, max(dn) AS maxd FROM act),
+        |wd AS (
+        |  SELECT a.user_id, a.dn + o.g AS w
+        |  FROM act a CROSS JOIN
+        |    (SELECT unnest(range(0, 7)) AS g) o),
+        |wau AS (
+        |  SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+        |  FROM wd GROUP BY w),
+        |dau AS (
+        |  SELECT dn AS w, CAST(count(*) AS BIGINT) AS dau
+        |  FROM act GROUP BY dn)
+        |SELECT DATE '1970-01-01' + CAST(wau.w AS INTEGER) AS day,
+        |  coalesce(dau.dau, 0) AS dau, wau.wau7,
+        |  round(CAST(coalesce(dau.dau, 0) AS DOUBLE)
+        |    / CAST(wau.wau7 AS DOUBLE), 4) AS stickiness
+        |FROM wau CROSS JOIN b LEFT JOIN dau ON wau.w = dau.w
+        |WHERE wau.w >= b.mind + 6 AND wau.w <= b.maxd
+        |ORDER BY day""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -1707,5 +1855,203 @@ object StatsQueries {
           / (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 4)
           .as("lift"))
       .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
+  }
+
+  /** Spearman rank correlation of (quantity, price) per return flag —
+    * the monotone-association twin of [[aggCorrPairs]]: Pearson sees
+    * lines, ranks see any monotone link and shrug off outliers/skew.
+    *
+    * Exactness: tie-averaged ranks ride in [[aggMannWhitney]]'s INTEGER
+    * HALF-UNITS — the doubled average rank 2·rank() + ct − 1 (rank() =
+    * 1 + count-less-than; ct = tie-group size from a per-value count
+    * window) is always integral — then Pearson over the integer doubled
+    * ranks via the exact decimal(38,0) moment recipe (the constant
+    * factor 2 cancels in the correlation), one closed-form IEEE tree,
+    * rounded 6.
+    *
+    * Scale shape: the two per-group rank windows are order-statistics-
+    * mandated (the [[aggGini]] cost class — a total order per group per
+    * variable is the price of exact ranks); everything after is ONE
+    * map-side-combined moment agg. */
+  def aggSpearman(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = lineitem(s, d).select(
+      col("l_returnflag").as("f"),
+      round(col("l_quantity"), 0).cast("long").as("q"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("p"))
+    val r = v.select(col("f"),
+      (lit(2L) * rank().over(Window.partitionBy("f").orderBy("q"))
+        + count(lit(1)).over(Window.partitionBy("f", "q")) - lit(1L))
+        .as("rx"),
+      (lit(2L) * rank().over(Window.partitionBy("f").orderBy("p"))
+        + count(lit(1)).over(Window.partitionBy("f", "p")) - lit(1L))
+        .as("ry"))
+    def sd(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast(dec)).cast("double").as(n)
+    val g = r.groupBy("f").agg(
+      count(lit(1)).as("n"), count(lit(1)).cast("double").as("c"),
+      sd(col("rx"), "sx"), sd(col("ry"), "sy"),
+      sd(col("rx") * col("rx"), "sxx"),
+      sd(col("ry") * col("ry"), "syy"),
+      sd(col("rx") * col("ry"), "sxy"))
+    g.select(col("f").as("l_returnflag"), col("n"),
+        round((col("c") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("c") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("c") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("spearman_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Welch two-sample t-test of price cents, return flag R vs N — the
+    * mean-shift significance companion to [[aggMannWhitney]] (U asks
+    * about stochastic dominance; t quantifies the mean gap in noise
+    * units, unequal variances allowed).
+    *
+    * ONE map-side-combined conditional-moment agg is the only corpus
+    * pass: per-side n / Σx / Σx² as exact decimal(38,0) sums (x² up to
+    * 1e14 per row rides in BIGINT before the decimal sum) cast to
+    * double, then mean gap, per-side sample variances, t, and the
+    * Welch–Satterthwaite dof come out of a shared closed-form IEEE tree
+    * (÷, sqrt, no pow) on exact operands — emitted unrounded,
+    * bit-identical across engines. */
+  def aggTtest(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("in1"),
+        when(col("l_returnflag") === "N", 1L).otherwise(0L).as("in2"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("p"))
+    def sd(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast(dec)).cast("double").as(n)
+    val g = v.agg(
+      sum("in1").as("n1"), sum("in2").as("n2"),
+      sum("in1").cast("double").as("c1"),
+      sum("in2").cast("double").as("c2"),
+      sd(col("in1") * col("p"), "s1a"),
+      sd(col("in2") * col("p"), "s1b"),
+      sd(col("in1") * col("p") * col("p"), "s2a"),
+      sd(col("in2") * col("p") * col("p"), "s2b"))
+    val va = (col("c1") * col("s2a") - col("s1a") * col("s1a")) /
+      (col("c1") * (col("c1") - lit(1)))
+    val vb = (col("c2") * col("s2b") - col("s1b") * col("s1b")) /
+      (col("c2") * (col("c2") - lit(1)))
+    val sea = va / col("c1")
+    val seb = vb / col("c2")
+    g.select(col("n1"), col("n2"),
+      (col("s1a") / col("c1") - col("s1b") / col("c2")).as("mean_diff"),
+      ((col("s1a") / col("c1") - col("s1b") / col("c2"))
+        / sqrt(sea + seb)).as("t"),
+      ((sea + seb) * (sea + seb)
+        / (sea * sea / (col("c1") - lit(1))
+          + seb * seb / (col("c2") - lit(1)))).as("dof"))
+  }
+
+  /** Benford first-digit audit of order totals: observed leading-digit
+    * distribution vs the log₁₀(1+1/d) expectation, with a per-digit
+    * χ²-style deviation — the fraud / synthetic-data smoke alarm
+    * (fabricated numbers flunk Benford; organic financial data passes).
+    *
+    * The leading digit comes from integer string-head extraction on
+    * exact cents (no float log anywhere in the digit path), so the
+    * corpus collapses to ≤9 rows in ONE map-side-combined agg.
+    * Determinism: observed shares are one exact IEEE division, emitted
+    * unrounded; expected shares and the deviation touch libm log10 →
+    * rounded 6 (the PSI precedent). */
+  def aggBenford(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val digits = orders(s, d)
+      .select(substring(
+        round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val t = digits.withColumn("n", sum("n_obs").over(wAll))
+      .withColumn("obs_share",
+        col("n_obs").cast("double") / col("n").cast("double"))
+      .withColumn("exp_share",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+    t.select(col("digit"), col("n_obs"), col("obs_share"), col("exp_share"),
+        round((col("obs_share") - col("exp_share"))
+          * (col("obs_share") - col("exp_share")) / col("exp_share"), 6)
+          .as("benford_dev"))
+      .orderBy("digit")
+  }
+
+  /** Cramér's V effect size between document lang × source —
+    * [[aggChisq]] answers "is there association?"; V answers "how much,
+    * on [0,1]?", comparable across tables of any shape (the
+    * drift-severity number dashboards track).
+    *
+    * Scale shape: the corpus collapses to a ≤ langs × sources cell
+    * frame in one map-side-combined agg; χ² comes from the shared IEEE
+    * contingency tree over that frame (χ² total rounded 4 — window-sum
+    * accumulation order differs), then V = √(χ² / (n·(min(r,c)−1)))
+    * with the distinct level counts aggregated over the same tiny
+    * frame. Everything after the one agg is KB-sized. */
+  def aggCramerV(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    val t = cells
+      .withColumn("r", sum("obs").over(Window.partitionBy("lang")))
+      .withColumn("cc", sum("obs").over(Window.partitionBy("source")))
+      .withColumn("n", sum("obs").over(Window.partitionBy()))
+      .withColumn("expected",
+        col("r").cast("double") * col("cc") / col("n"))
+      .withColumn("contrib",
+        (col("obs") - col("expected")) * (col("obs") - col("expected"))
+          / col("expected"))
+    val row = t.agg(
+      max("n").as("n"),
+      countDistinct("lang").as("r_levels"),
+      countDistinct("source").as("c_levels"),
+      round(sum("contrib"), 4).as("chi2"))
+    row.select(col("n"), col("r_levels"), col("c_levels"), col("chi2"),
+      round(sqrt(col("chi2")
+        / (col("n").cast("double")
+          * (least(col("r_levels"), col("c_levels")) - lit(1L))
+            .cast("double"))), 4).as("cramer_v"))
+  }
+
+  /** Rolling engagement: per-day DAU, trailing-7-day WAU, and DAU/WAU
+    * stickiness — the product-health dashboard triple, computed WITHOUT
+    * a range self-join.
+    *
+    * Scale shape: the (user, day) distinct frame (≤ users × span rows —
+    * one shuffle, the only pass over raw events) explodes each active
+    * day into the ≤7 window-days it serves (`sequence(d, d+6)` — a
+    * bounded 7× fan-out of the ALREADY-reduced frame, never of raw
+    * events), then one count-distinct agg per window day. The rolling-
+    * distinct self-join alternative re-scans the activity frame 7× and
+    * cannot map-side-combine; this shape is the 100 TB formulation.
+    *
+    * Determinism: integer epoch-day arithmetic end to end (no calendar
+    * or timezone divergence — the session is UTC-pinned), window days
+    * clipped to [min+6, max] via a 1-row broadcast so every emitted
+    * window is fully formed; stickiness is one IEEE division of exact
+    * counts, rounded 4. */
+  def eventDau(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("dn"))
+      .distinct()
+    val bounds = act.agg(min("dn").as("mind"), max("dn").as("maxd"))
+    val wau = act
+      .select(col("user_id"),
+        explode(sequence(col("dn"), col("dn") + lit(6L))).as("w"))
+      .groupBy("w").agg(countDistinct("user_id").as("wau7"))
+    val dau = act.groupBy(col("dn").as("w"))
+      .agg(count(lit(1)).as("dau"))
+    wau.crossJoin(broadcast(bounds))
+      .filter(col("w") >= col("mind") + lit(6L) && col("w") <= col("maxd"))
+      .join(dau, Seq("w"), "left")
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("w").cast("int"))
+          .as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau7"),
+        round(coalesce(col("dau"), lit(0L)).cast("double")
+          / col("wau7").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
   }
 }

@@ -60,7 +60,9 @@ object TextQueries {
     "q_text_pack"        -> textPack _,
     "q_chunk_dedup"      -> chunkDedup _,
     "q_freq_cms"         -> freqCms _,
-    "q_text_pmi"         -> textPmi _
+    "q_text_pmi"         -> textPmi _,
+    "q_dedup_lines"      -> dedupLines _,
+    "q_text_readability" -> textReadability _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -187,6 +189,52 @@ object TextQueries {
         |            t -> t IN ('a', 'the'))) AS DOUBLE)
         |          / len(string_split(text, ' '))), 4) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same '. ' sentence split, md5 fingerprints, distinct-doc rule
+    // (≥2 docs), and per-doc keep/drop accounting; one exact division.
+    "q_dedup_lines" ->
+      """WITH sent AS (
+        |  SELECT doc_id, md5(s) AS h,
+        |    CAST(length(s) AS BIGINT) AS len
+        |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+        |        FROM documents)
+        |  WHERE length(s) > 0),
+        |df AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS ndocs
+        |  FROM (SELECT DISTINCT doc_id, h FROM sent) GROUP BY h)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_sent,
+        |  CAST(count(*) FILTER (ndocs >= 2) AS BIGINT) AS n_dup_sent,
+        |  CAST(sum(len) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN len ELSE 0 END) AS BIGINT)
+        |    AS chars_dup,
+        |  round(CAST(sum(CASE WHEN ndocs >= 2 THEN len ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(len) AS DOUBLE), 4) AS drop_frac
+        |FROM sent JOIN df USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Identical integer counts (sentence/word/vowel-group), the shared
+    // IEEE score tree emitted unrounded, bands thresholding that double.
+    "q_text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sent,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_syll
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_sent, n_words, n_syll,
+        |    206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |      - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |      AS flesch
+        |  FROM c)
+        |SELECT doc_id, n_sent, n_words, n_syll, flesch,
+        |  CASE WHEN flesch >= 70 THEN 'easy'
+        |       WHEN flesch >= 50 THEN 'medium'
+        |       WHEN flesch >= 30 THEN 'hard'
+        |       ELSE 'very_hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH m AS (
         |  SELECT doc_id, lang,
@@ -1678,5 +1726,72 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("lang", "shard", "bin")
+  }
+
+  /** Sentence-level cross-document dedup accounting — the CCNet/
+    * RefinedWeb line-dedup pass at sentence grain. [[chunkDedup]] finds
+    * duplicated fixed-size chunks; this scores every DOC by how much of
+    * its character mass is corpus-duplicated sentences — the
+    * remove-boilerplate-in-place signal.
+    *
+    * Scale shape: docs split on '. ' boundaries in the scan stage; the
+    * distinct (doc, hash) frame feeds ONE (hash → distinct-doc-count)
+    * keyed shuffle — the md5 fingerprint, never the sentence text, is
+    * the shuffle key (the [[chunkDedup]] rule; `len` rides along, a
+    * constant per hash) — then per-doc keep/drop totals come back
+    * through one equi-join on the fingerprint and a map-side-combined
+    * per-doc agg. Duplicated = the sentence appears in ≥2 DISTINCT
+    * docs; within-doc repeats alone don't qualify (both engines apply
+    * the same distinct-doc rule). */
+  def dedupLines(s: SparkSession, d: String): DataFrame = {
+    val sent = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+      .filter(length(col("sent")) > 0)
+      .select(col("doc_id"), md5(col("sent")).as("h"),
+        length(col("sent")).cast("long").as("len"))
+    val docFreq = sent.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+    sent.join(docFreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sent"),
+        count_if(col("ndocs") >= 2).as("n_dup_sent"),
+        sum("len").as("chars_total"),
+        sum(when(col("ndocs") >= 2, col("len")).otherwise(0L))
+          .as("chars_dup"))
+      .withColumn("drop_frac",
+        round(col("chars_dup").cast("double")
+          / col("chars_total").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Readability scoring per doc: words/sentence, a vowel-group
+    * syllable proxy, the Flesch-reading-ease analog and a banded
+    * difficulty level — the audience-targeting / curriculum-ordering
+    * signal (pretraining mixes and educational-quality filters key on
+    * it).
+    *
+    * Zero shuffles: sentence/word/syllable counts are exact integers
+    * from scan-stage split/regexp primitives (codegen throughout), the
+    * score is one shared IEEE tree over exact ratios — emitted
+    * unrounded, bit-identical across engines — and the difficulty band
+    * thresholds that shared double. */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    val nSent = size(split(col("text"), "\\. ")).cast("long")
+    val nWord = size(split(col("text"), " ")).cast("long")
+    val nSyl = size(regexp_extract_all(col("text"),
+      lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+    val wps = nWord.cast("double") / nSent.cast("double")
+    val spw = nSyl.cast("double") / nWord.cast("double")
+    val score = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    documents(s, d).select(
+        col("doc_id"),
+        nSent.as("n_sent"), nWord.as("n_words"), nSyl.as("n_syll"),
+        score.as("flesch"),
+        when(score >= 70, "easy")
+          .when(score >= 50, "medium")
+          .when(score >= 30, "hard")
+          .otherwise("very_hard").as("band"))
+      .orderBy("doc_id")
   }
 }

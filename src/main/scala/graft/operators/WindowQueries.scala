@@ -28,7 +28,8 @@ object WindowQueries {
     "q_window_ffill"       -> windowFfill _,
     "q_scd2"               -> scd2 _,
     "q_window_rank_delta"  -> windowRankDelta _,
-    "q_window_streaks"     -> windowStreaks _
+    "q_window_streaks"     -> windowStreaks _,
+    "q_window_median"      -> windowMedian _
   )
 
   val oracle: Map[String, String] = Map(
@@ -43,6 +44,19 @@ object WindowQueries {
         |               ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+    // quantile_cont over the identical (date, orderkey)-ordered ROWS
+    // frame = Spark's exact `percentile` window agg; ≤5 BIGINTs
+    // interpolate to exact halves (dyadic) — bit-identical unrounded.
+    "q_window_median" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  quantile_cont(cents, 0.5) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5_cents
+        |FROM v ORDER BY o_custkey, o_orderkey""".stripMargin,
     // Hour grid and fill both ride integer epoch-µs arithmetic (no
     // timestamp output — engine-local timezone/precision never enters);
     // the hourly representative value is arg_max by the unique event_id,
@@ -403,5 +417,28 @@ object WindowQueries {
         max("len").as("max_streak"))
       .join(best, Seq("user_id"))
       .orderBy("user_id")
+  }
+
+  /** Rolling exact median of order-total cents per customer over the
+    * trailing-5-order frame — the robust running baseline
+    * ([[windowRunning]]'s sum tracks volume; a rolling MEDIAN resists
+    * the one fat-finger order that drags any mean/sum baseline).
+    *
+    * `percentile(cents, 0.5)` as a WINDOW aggregate over rows(−4, 0):
+    * state is frame-bounded (≤5 values buffered per row, never the
+    * partition), the frame order (date, orderkey) is a total order so
+    * frames are engine-identical, and medians of ≤5 BIGINTs interpolate
+    * to exact halves — dyadic rationals, bit-identical unrounded across
+    * engines (the [[graft.operators.StatsQueries]] MAD precedent). */
+  def windowMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("med5_cents", percentile(col("cents"), lit(0.5)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("med5_cents"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 }
