@@ -1,9 +1,48 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+
+/** Misra–Gries frequency summary as a typed Aggregator (§2.10 tier 3):
+  * a k-slot (term → residual count) map per partition; inserting past k
+  * slots subtracts the (k+1)-th largest residual from every slot and
+  * drops the non-positive ones — the classic decrement step, so any
+  * term with true frequency > n/k is GUARANTEED to survive (its count
+  * can be decremented at most n/k times). Merge = count-sum then one
+  * decrement step; the survivor set can vary with merge order (only
+  * counts below the guarantee line differ) — which is exactly why
+  * [[AggQueries.aggHeavyHitters]] treats the output as a CANDIDATE
+  * superset and recounts it exactly before anything leaves the query. */
+class MisraGries(k: Int)
+    extends Aggregator[String, Map[String, Long], Array[String]] {
+  private def shrink(m: Map[String, Long]): Map[String, Long] = {
+    // (k+1)-th largest residual; defined because size > k.
+    val dec = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+    m.collect { case (t, c) if c > dec => t -> (c - dec) }
+  }
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(b: Map[String, Long], t: String): Map[String, Long] = {
+    val m = b.updated(t, b.getOrElse(t, 0L) + 1L)
+    if (m.size > k) shrink(m) else m
+  }
+  override def merge(a: Map[String, Long],
+      b: Map[String, Long]): Map[String, Long] = {
+    val m = b.foldLeft(a) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    if (m.size > k) shrink(m) else m
+  }
+  override def finish(m: Map[String, Long]): Array[String] =
+    m.keys.toArray.sorted
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Array[String]] =
+    ExpressionEncoder[Array[String]]()
+}
 
 /** Aggregation surface (SURVEY §2.4): hash aggregation with partial/final
   * phases, HAVING, distinct aggregates, rollup/cube/grouping sets, and
@@ -61,7 +100,8 @@ object AggQueries {
     "q_agg_bitwise" -> aggBitwise _,
     "q_agg_bitmap" -> aggBitmap _,
     "q_share_hierarchy" -> shareHierarchy _,
-    "q_agg_decimal_exact" -> aggDecimalExact _
+    "q_agg_decimal_exact" -> aggDecimalExact _,
+    "q_agg_heavy_hitters" -> aggHeavyHitters _
   )
 
   /** Money-typed aggregation through EXACT decimal arithmetic: order
@@ -177,6 +217,22 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // The exact-verify step makes the MG stage invisible: the final set
+    // is exactly {term : 64·count > n}, integer threshold, no float.
+    "q_agg_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+        |c AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY term)
+        |SELECT term, cnt, n_tokens,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS share
+        |FROM c CROSS JOIN n
+        |WHERE cnt * 64 > n_tokens
+        |ORDER BY cnt DESC, term""".stripMargin,
     "q_agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
@@ -346,4 +402,40 @@ object AggQueries {
         approx_count_distinct("user_id").as("approx_users"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** Heavy hitters (token frequency > n/64) by Misra–Gries candidate
+    * generation + EXACT verification recount — the bounded-memory
+    * answer to "which items dominate?" when the key space dwarfs
+    * memory.
+    *
+    * The [[MisraGries]] summary guarantees its ≤64-slot output is a
+    * SUPERSET of every true heavy hitter; the recount then makes the
+    * final set exact, so the output is deterministic (whatever MG's
+    * merge-order-dependent innards produce, survivors are re-counted
+    * exactly and misses are impossible by the guarantee) and the oracle
+    * is plain `HAVING 64·count > n`. The threshold compare stays in
+    * exact integers (64·cnt > n — no float boundary).
+    *
+    * Scale shape: the full-groupBy alternative shuffles the entire
+    * token universe; this shuffles 64-slot map partials + the ≤64-row
+    * candidate recount (broadcast-gated equi-join on term), two passes
+    * over the scan but KB over the wire. */
+  def aggHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cands = tok.as[String]
+      .select(new MisraGries(64).toColumn)
+      .toDF("cands")
+      .select(explode(col("cands")).as("term"))
+    val n = tok.agg(count(lit(1)).as("n_tokens"))
+    tok.join(broadcast(cands), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * lit(64L) > col("n_tokens"))
+      .select(col("term"), col("cnt"), col("n_tokens"),
+        round(col("cnt").cast("double") / col("n_tokens").cast("double"),
+          6).as("share"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
 }

@@ -40,7 +40,8 @@ object JoinQueries {
     "q_join_bucketed"  -> joinBucketed _,
     "q_join_null_safe" -> joinNullSafe _,
     "q_join_interval_bin" -> joinIntervalBin _,
-    "q_join_scd2_pit"  -> joinScd2Pit _
+    "q_join_scd2_pit"  -> joinScd2Pit _,
+    "q_join_asof_nearest" -> joinAsofNearest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,6 +103,26 @@ object JoinQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // Same user-keyed band join; winner by the identical
+    // (abs gap, view ts, view id) total order — ties cannot diverge.
+    "q_join_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |v AS (SELECT user_id, ts_us AS vts, event_id AS view_id
+        |      FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts_us AS pts, event_id AS purchase_id
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.user_id, p.purchase_id, p.pts, v.vts, v.view_id
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE abs(v.vts - p.pts) <= 3600000000),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY abs(vts - pts), vts, view_id) AS rn
+        |  FROM j)
+        |SELECT user_id, purchase_id, view_id, vts - pts AS gap_us
+        |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     // The salted join's OUTPUT is the plain join's output — only the
     // physical key distribution differs; the oracle states exactly that.
     "q_join_skew" ->
@@ -483,5 +504,40 @@ object JoinQueries {
         col("o_orderpriority").as("priority_at_ship"),
         col("valid_to").isNull.as("is_current"))
       .orderBy("l_orderkey", "l_linenumber", "version_key")
+  }
+
+  /** Nearest-match join: each purchase paired with the CLOSEST view by
+    * the same user within ±1 h, either direction — [[joinAsof]] looks
+    * strictly backward, which credits a view 59 minutes stale over one
+    * 5 seconds later; sensor/event alignment wants NEAREST.
+    *
+    * Scale shape: an equi-join on user_id (shuffle on the user key,
+    * AQE-managed) with the ±1 h band as a post-join filter — per-user
+    * fan is bounded by views × purchases per user (the
+    * `q_audience_overlap` class; grid binning on time cells is the
+    * rewrite if per-user fan ever unbounds). The winner per purchase is
+    * a `row_number` over (abs gap, view ts, view id) — a total order,
+    * so ties cannot diverge engines; integer µs gaps end to end. Only
+    * matched purchases emit (the unmatched-side null would make the
+    * rank's null ordering engine-specific — declared inner). */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("vts"),
+        col("event_id").as("view_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("pts"),
+        col("event_id").as("purchase_id"))
+    p.join(v, Seq("user_id"))
+      .filter(abs(col("vts") - col("pts")) <= lit(3600000000L))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("purchase_id")
+          .orderBy(abs(col("vts") - col("pts")), col("vts"),
+            col("view_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (col("vts") - col("pts")).as("gap_us"))
+      .orderBy("purchase_id")
   }
 }

@@ -2030,11 +2030,15 @@ object StatsQueries {
     * window is fully formed; stickiness is one IEEE division of exact
     * counts, rounded 4. */
   def eventDau(s: SparkSession, d: String): DataFrame = {
+    // Three consumers (bounds, WAU explode, DAU) would each rescan the
+    // corpus and repay the distinct shuffle — materialize the reduced
+    // frame once (the q_ts_acf localCheckpoint rule).
     val act = events(s, d)
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
           .cast("long").as("dn"))
       .distinct()
+      .localCheckpoint()
     val bounds = act.agg(min("dn").as("mind"), max("dn").as("maxd"))
     val wau = act
       .select(col("user_id"),

@@ -62,7 +62,8 @@ object TextQueries {
     "q_freq_cms"         -> freqCms _,
     "q_text_pmi"         -> textPmi _,
     "q_dedup_lines"      -> dedupLines _,
-    "q_text_readability" -> textReadability _
+    "q_text_readability" -> textReadability _,
+    "q_text_novelty"     -> textNovelty _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -585,6 +586,26 @@ object TextQueries {
     // contaminated when ≥5 of its distinct shingles appear anywhere in
     // the benchmark shingle set. Docs under 3 tokens have no shingles and
     // are absent from both engines' outputs.
+    // Same 3-token shingle construction as q_contamination; min-doc_id
+    // first-appearance rule; exact counts, one rounded division.
+    "q_text_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents),
+        |      UNNEST(range(1, len(toks) - 1)) AS u(i))),
+        |fst AS (
+        |  SELECT s, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM sh GROUP BY s)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+        |  round(CAST(count(*) FILTER (first_doc = doc_id) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS novelty_frac
+        |FROM sh JOIN fst USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, s FROM (
@@ -1762,6 +1783,38 @@ object TextQueries {
       .withColumn("drop_frac",
         round(col("chars_dup").cast("double")
           / col("chars_total").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc novelty vs the PRIOR corpus: the fraction of a doc's
+    * distinct 3-token shingles whose first appearance (min doc_id over
+    * the whole corpus) is the doc itself — the marginal-information
+    * signal behind dedup-pressure dashboards and "is the crawl
+    * saturating?" curves (novelty trends to 0 as a source exhausts).
+    * Ingest order = doc_id, declared — the same total order in both
+    * engines.
+    *
+    * Scale shape: ONE (shingle → min doc_id) keyed map-side-combined
+    * shuffle over the distinct (doc, shingle) frame — the shingle
+    * string is the only shuffle key (production swaps in xxhash64
+    * fingerprints, the [[dedupNgram]] trade) — then per-doc conditional
+    * counts come back through one equi-join on the same frame. Docs
+    * under 3 tokens have no shingles and are excluded (declared, both
+    * engines). */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("t")))).as("sh"))
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count_if(col("first_doc") === col("doc_id")).as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double")
+          / col("n_shingles").cast("double"), 4))
       .orderBy("doc_id")
   }
 

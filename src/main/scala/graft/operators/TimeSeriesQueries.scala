@@ -36,7 +36,8 @@ object TimeSeriesQueries {
     "q_ts_seasonal" -> tsSeasonal _,
     "q_ts_interp"   -> tsInterp _,
     "q_ts_tukey"    -> tsTukey _,
-    "q_ts_cusum"    -> tsCusum _
+    "q_ts_cusum"    -> tsCusum _,
+    "q_ts_mannkendall" -> tsMannKendall _
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,6 +71,59 @@ object TimeSeriesQueries {
     // Exact-integer ACF (see [[tsAcf]]): d_t = c·x_t − S₁ is BIGINT, the
     // centered products sum exactly (HUGEINT here, DECIMAL(38,0) there),
     // and the single final division is IEEE-identical on both engines.
+    // Same dense grid; span²-bounded pair join on the RESAMPLED frame;
+    // S and the tie term exact BIGINTs; z's ÷/sqrt tree on exact
+    // operands — bit-identical, verdict thresholds the shared double.
+    "q_ts_mannkendall" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |                  WHEN b.n < a.n THEN -1 ELSE 0 END)
+        |      AS BIGINT) AS s_stat
+        |  FROM dense a JOIN dense b
+        |    ON a.event_type = b.event_type AND a.hour_us < b.hour_us
+        |  GROUP BY a.event_type),
+        |tie AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_hours,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+        |        FROM dense GROUP BY event_type, n)
+        |  GROUP BY event_type),
+        |f AS (
+        |  SELECT s.event_type, tie.n_hours, s.s_stat,
+        |    CAST(tie.n_hours * (tie.n_hours - 1)
+        |        * (2 * tie.n_hours + 5) - tie.tie_term AS DOUBLE) / 18.0
+        |      AS var_s
+        |  FROM s JOIN tie ON s.event_type = tie.event_type),
+        |zz AS (
+        |  SELECT event_type, n_hours, s_stat, var_s,
+        |    CASE WHEN s_stat > 0
+        |           THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |         WHEN s_stat < 0
+        |           THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |         ELSE 0.0 END AS z
+        |  FROM f)
+        |SELECT event_type, n_hours, s_stat, var_s, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM zz ORDER BY event_type""".stripMargin,
     "q_ts_acf" ->
       """WITH hourly AS (
         |  SELECT event_type,
@@ -697,5 +751,50 @@ object TimeSeriesQueries {
         (col("n") < col("q1") - lit(1.5) * iqr ||
           col("n") > col("q3") + lit(1.5) * iqr).as("is_outlier"))
       .orderBy("event_type", "hour_us")
+  }
+
+  /** Mann–Kendall trend test per type's hourly series: S = Σ sign(xⱼ −
+    * xᵢ) over ordered pairs, tie-corrected variance, z, and a monotone-
+    * trend verdict — the nonparametric "is this metric drifting?"
+    * answer ([[tsCusum]] needs a known σ baseline; MK is distribution-
+    * free, the standard for environmental/ops monitoring series).
+    *
+    * Scale shape: the pair self-join runs on the RESAMPLED dense grid —
+    * span² pairs per type, bounded by the time window, NEVER corpus²
+    * (the corpus is touched once by the hourly agg inside
+    * [[denseHourly]]). S and the tie term Σ t(t−1)(2t+5) are exact
+    * BIGINTs (span-bounded — no decimal needed), and z's closed form
+    * uses only ÷ and sqrt on exact operands — bit-identical, so the
+    * trend verdict thresholds a shared double. */
+  def tsMannKendall(s: SparkSession, d: String): DataFrame = {
+    val g = denseHourly(s, d).localCheckpoint()
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.hour_us") < col("b.hour_us"))
+      .select(col("a.event_type").as("event_type"),
+        when(col("b.n") > col("a.n"), 1L)
+          .when(col("b.n") < col("a.n"), -1L)
+          .otherwise(0L).as("sgn"))
+    val sAgg = pairs.groupBy("event_type").agg(sum("sgn").as("s_stat"))
+    val ties = g.groupBy("event_type", "n").agg(count(lit(1)).as("t"))
+      .groupBy("event_type").agg(
+        sum("t").as("n_hours"),
+        sum(col("t") * (col("t") - lit(1L))
+          * (lit(2L) * col("t") + lit(5L))).as("tie_term"))
+    val nh = col("n_hours")
+    val varS = (nh * (nh - lit(1L)) * (lit(2L) * nh + lit(5L))
+      - col("tie_term")).cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - lit(1L)).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + lit(1L)).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"), col("s_stat"),
+        varS.as("var_s"), z.as("z"),
+        when(z > 1.96, "increasing")
+          .when(z < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+      .orderBy("event_type")
   }
 }

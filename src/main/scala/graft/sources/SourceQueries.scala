@@ -27,6 +27,7 @@ object SourceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv"         -> scanCsv _,
+    "q_scan_csv_corrupt" -> scanCsvCorrupt _,
     "q_scan_json"        -> scanJson _,
     "q_scan_orc"         -> scanOrc _,
     "q_scan_evolving"    -> scanEvolving _,
@@ -44,6 +45,16 @@ object SourceQueries {
     "q_scan_json" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // The twin never parses the CSV: it re-derives each row's verdict
+    // from the planted doc_id % 37 rule over the clean table.
+    "q_scan_csv_corrupt" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (doc_id % 37 = 0) AS BIGINT) AS n_bad,
+        |  CAST(count(*) FILTER (doc_id % 37 <> 0) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 37 <> 0 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_good
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // The round-trip re-derives (length, md5) from the re-read text; the
     // oracle computes both from the source table directly, so any
     // corruption in the line encode/parse fails the hash.
@@ -114,6 +125,48 @@ object SourceQueries {
       .option("header", "true").csv(dir)
     s.read.schema(nationSchema).option("header", "true").csv(dir)
       .orderBy("n_nationkey")
+  }
+
+  /** Malformed-record ingestion policy: a CSV with deterministically
+    * planted bad rows (every doc_id % 37 = 0 carries a non-numeric
+    * count field) read back in PERMISSIVE mode with a
+    * `_corrupt_record` capture column, audited per language —
+    * [[scanCsv]] proves the happy path; production CSV is never clean,
+    * and the operational question is "how much quarantines, what
+    * survives?".
+    *
+    * The oracle never parses the CSV: it re-derives each row's verdict
+    * from the SAME planted rule over the clean table, so the Spark side
+    * genuinely exercises the PERMISSIVE parser (bad field → null
+    * columns + raw line captured) while the twin certifies the
+    * row-level outcome. Malformed rows keep a parseable doc_id/lang
+    * (only the count field is broken), so the per-language attribution
+    * of bad rows is well-defined in both engines. */
+  def scanCsvCorrupt(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "documents_dirty_csv")
+    Tables.documents(s, d)
+      .select(concat(
+        col("doc_id"), lit(","), col("lang"), lit(","),
+        when(col("doc_id") % 37 === 0, concat(lit("x"), col("n_chars")))
+          .otherwise(col("n_chars").cast("string"))).as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("_corrupt_record").isNotNull).as("n_bad"),
+        count_if(col("_corrupt_record").isNull).as("n_good"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))
+          .otherwise(lit(0L))).as("chars_good"))
+      .orderBy("lang")
   }
 
   /** JSON-lines round-trip of the supplier table; doubles survive exactly

@@ -504,6 +504,52 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       s"(added, removed, changed, unchanged, chars_delta) wrong: $row")
   }
 
+  test("dedup_lines: a planted shared footer is flagged in both docs " +
+      "only") {
+    import spark.implicits._
+    // d1/d2 share the footer sentence; d3 is wholly unique; d4 repeats
+    // a sentence WITHIN itself only (distinct-doc rule: not duplicated).
+    val docs = Seq(
+      (1L, "alpha beta gamma. SHARED FOOTER TEXT", "en", "t", 36L),
+      (2L, "delta epsilon. SHARED FOOTER TEXT", "en", "t", 33L),
+      (3L, "wholly unique body here", "en", "t", 23L),
+      (4L, "same again. same again", "en", "t", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("dlines")("documents" -> docs)
+    val r = graft.operators.TextQueries.dedupLines(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getDouble(5)))).toMap
+    assert(r(1L)._1 === 1L && r(2L)._1 === 1L,
+      s"footer not flagged in both: $r")
+    assert(r(3L) === ((0L, 0.0)), s"unique doc flagged: $r")
+    assert(r(4L)._1 === 0L,
+      s"within-doc repeat wrongly counts as cross-doc dup: $r")
+    // d2: footer 18 chars of 13+18 total → drop_frac = 18/31.
+    assert(math.abs(r(2L)._2 - 18.0 / 31.0) < 1e-3, s"drop_frac: $r")
+  }
+
+  test("asof_nearest: equidistant views tie-break to the earlier one") {
+    import spark.implicits._
+    val us = 1000000L
+    val ev = Seq(
+      // user 7: purchase at t=1000s; views at exactly ±600s (tie →
+      // earlier wins), plus one 2h away (outside the band).
+      (10L, 400L * us, 7L, "view", 0.0, "{}"),
+      (11L, 1600L * us, 7L, "view", 0.0, "{}"),
+      (12L, 8200L * us, 7L, "view", 0.0, "{}"),
+      (13L, 1000L * us, 7L, "purchase", 1.0, "{}"),
+      // user 8: only a too-far view → purchase emits nothing (inner).
+      (20L, 0L, 8L, "view", 0.0, "{}"),
+      (21L, 7200L * us, 8L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val dir = miniDir("asofnear")("events" -> ev)
+    val r = graft.operators.JoinQueries.joinAsofNearest(spark, dir)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq((13L, 10L, -600L * us)),
+      s"tie must pick the earlier view; far-only users drop: ${r.toSeq}")
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a

@@ -444,6 +444,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"corpus rescanned past the checkpoint:\n$plan")
   }
 
+  test("q_event_dau never self-joins events; final plan is checkpoint-fed") {
+    // The rolling-distinct range self-join is the anti-pattern this
+    // query exists to avoid: the bounded 7× explode + count-distinct
+    // agg must run over the ONE materialized (user, day) frame, never
+    // a second corpus scan.
+    val plan = finalPlanString(StatsQueries.eventDau(spark, sfDir))
+    assert(!plan.contains("Scan parquet"),
+      s"corpus rescanned past the checkpoint:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"range self-join crept in:\n$plan")
+  }
+
+  test("q_agg_heavy_hitters gates the recount by broadcast, no sort join") {
+    // The candidate set (≤64 rows) must broadcast against the token
+    // stream; a SortMergeJoin means the full token universe shuffled —
+    // exactly what the MG pass exists to avoid.
+    val plan = finalPlanString(AggQueries.aggHeavyHitters(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate gate not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"full-universe shuffle join:\n$plan")
+  }
+
+  test("q_ts_mannkendall pairs the checkpointed grid, corpus read once") {
+    // span² pair work must run on the materialized dense grid; a parquet
+    // scan in the final plan means the corpus feeds the pair join.
+    val plan = finalPlanString(TimeSeriesQueries.tsMannKendall(spark, sfDir))
+    assert(!plan.contains("Scan parquet"),
+      s"corpus feeds the pair join:\n$plan")
+  }
+
   test("q_join_interval_bin plans a cell equi join, never a nested loop") {
     // No equi key exists in the declared semantics — the grid binning
     // must synthesize one. A BNLJ/cartesian here means the rewrite

@@ -439,4 +439,35 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         r.getAs[Long]("n_est") - r.getAs[Long]("n_true"))
     }
   }
+
+  test("heavy hitters: MG + exact recount equals brute force on a " +
+      "skewed corpus") {
+    import spark.implicits._
+    // Zipf-ish adversarial corpus far outside the fixture's shape: one
+    // token at ~30% mass, two at ~5%, a 900-token cold tail spread so
+    // thin the 64-slot summary must evict constantly. The guarantee
+    // under test: whatever MG's merge-order-dependent innards do, the
+    // verified output must equal the brute-force {term : 64·cnt > n}
+    // set with exact counts.
+    val words = Seq.fill(3000)("hot") ++ Seq.fill(500)("warm1") ++
+      Seq.fill(500)("warm2") ++
+      (0 until 6000).map(i => s"cold${i % 900}")
+    // 8 docs so several partitions/partials exercise MG merge.
+    val docs = words.grouped(1250).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mg").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.AggQueries.aggHeavyHitters(spark, dir)
+      .select("term", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = words.size.toLong
+    val brute = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 64L > n }.toMap
+    assert(got === brute,
+      s"verified MG set diverged from brute force: got=$got brute=$brute")
+    assert(got.contains("hot") && got.size >= 3,
+      s"planted hitters missing: $got")
+  }
 }
