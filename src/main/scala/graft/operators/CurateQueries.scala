@@ -59,7 +59,8 @@ object CurateQueries {
     "q_export_shards"     -> exportShards _,
     "q_mix_temperature"   -> mixTemperature _,
     "q_select_dsir"       -> selectDsir _,
-    "q_quality_classifier" -> qualityClassifier _
+    "q_quality_classifier" -> qualityClassifier _,
+    "q_export_jsonl"      -> exportJsonl _
   )
 
   val oracle: Map[String, String] = Map(
@@ -366,6 +367,22 @@ object CurateQueries {
     // partitioned layout round-trips (the oracle certifies the VALUES,
     // the read-back certifies the files).
     "q_export_shards" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
+        |      AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
+        |    AS BIGINT) AS checksum,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    // Identical manifest math to q_export_shards — the twin reads the
+    // CLEAN table; the Spark side reads its own written JSONL, so any
+    // escaping defect in the encode/parse loop diverges the checksum.
+    "q_export_jsonl" ->
       """WITH sh AS (
         |  SELECT doc_id, text, n_chars,
         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
@@ -1131,6 +1148,34 @@ object CurateQueries {
           Window.orderBy(col("score_e4").desc, col("doc_id")))
           .cast("long"))
       .orderBy("rnk")
+  }
+
+  /** JSON-lines corpus export with round-trip certification — the
+    * format trainers actually ingest ([[exportShards]] hands over
+    * parquet; every open-weights data drop ships JSONL). Same stable
+    * md5 shard assignment, written as a `partitionBy(shard)` JSON-lines
+    * layout, read back under an EXPLICIT schema, manifest computed from
+    * the WRITTEN files — so JSON string escaping itself is under test:
+    * one mangled quote, newline, or unicode escape anywhere in the
+    * encode/parse loop and the re-parsed-text checksum diverges from
+    * the clean-table oracle. */
+  def exportJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.SourceQueries.scratch(d, "export_jsonl")
+    val assigned = documents(s, d).select(
+      col("doc_id"), col("text"), col("n_chars"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(8L))
+        .as("shard"))
+    assigned.write.mode("overwrite").partitionBy("shard").json(dir)
+    s.read.schema(assigned.schema).json(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 8),
+          16, 10).cast("long")).as("checksum"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
   }
 
   /** Model-based quality gate: a fixed-weight linear classifier (the

@@ -63,7 +63,8 @@ object StatsQueries {
     "q_agg_ttest"       -> aggTtest _,
     "q_agg_benford"     -> aggBenford _,
     "q_agg_cramer_v"    -> aggCramerV _,
-    "q_event_dau"       -> eventDau _
+    "q_event_dau"       -> eventDau _,
+    "q_agg_bootstrap_ci" -> aggBootstrapCi _
   )
 
   val oracle: Map[String, String] = Map(
@@ -895,7 +896,32 @@ object StatsQueries {
         |    / CAST(wau.wau7 AS DOUBLE), 4) AS stickiness
         |FROM wau CROSS JOIN b LEFT JOIN dau ON wau.w = dau.w
         |WHERE wau.w >= b.mind + 6 AND wau.w <= b.maxd
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    // Same (orderkey, replicate) integer-hash membership; exact decimal
+    // sums → exact-operand replicate means; CI endpoints rounded 4
+    // (interpolation shape may differ by an ulp), mean-of-means rounded
+    // 6 (32-term float accumulation order).
+    "q_agg_bootstrap_ci" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT v.id, v.cents, o.rep
+        |  FROM v CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) o
+        |  WHERE ((v.id * 2654435761 + o.rep * 40503) % 2147483647) % 2
+        |    = 0),
+        |m AS (
+        |  SELECT rep, CAST(count(*) AS BIGINT) AS n_r,
+        |    CAST(sum(cents) AS DOUBLE) AS s_r
+        |  FROM r GROUP BY rep),
+        |mm AS (SELECT rep, s_r / CAST(n_r AS DOUBLE) AS mean_cents
+        |       FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        |  round(avg(mean_cents), 6) AS boot_mean_cents,
+        |  round(quantile_cont(mean_cents, 0.025), 4) AS ci_lo_cents,
+        |  round(quantile_cont(mean_cents, 0.975), 4) AS ci_hi_cents
+        |FROM mm""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -2010,6 +2036,44 @@ object StatsQueries {
         / (col("n").cast("double")
           * (least(col("r_levels"), col("c_levels")) - lit(1L))
             .cast("double"))), 4).as("cramer_v"))
+  }
+
+  /** Bootstrap confidence interval for the mean order value WITHOUT an
+    * RNG: 32 half-sample replicates whose membership is a pure integer
+    * hash of (orderkey, replicate) — reproducible on any cluster
+    * layout, engine, or retry, which is what "bootstrap at 100 TB"
+    * actually requires (seeded RNG state is partition-order-dependent;
+    * a hash is data-dependent only).
+    *
+    * ONE corpus pass: the 32× replicate fan-out is a map-side explode
+    * feeding a 32-group map-side-combined moment agg (exact decimal
+    * cent sums; per-replicate means are exact-operand divisions —
+    * bit-identical), then the CI is an exact `percentile` interpolation
+    * over the 32-row replicate frame. The CI endpoints are rounded 4
+    * (interpolation expression SHAPE may differ between engines by an
+    * ulp); the replicate-mean average is rounded 6 (32-term float sum,
+    * accumulation order differs). */
+  def aggBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = orders(s, d)
+      .select(col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .select(col("id"), col("cents"),
+        explode(sequence(lit(0L), lit(31L))).as("rep"))
+      .filter(pmod(col("id") * lit(2654435761L) + col("rep") * lit(40503L),
+        lit(2147483647L)) % 2 === 0)
+    val reps = v.groupBy("rep").agg(
+        count(lit(1)).as("n_r"),
+        sum(col("cents").cast(dec)).cast("double").as("s_r"))
+      .select(col("rep"),
+        (col("s_r") / col("n_r").cast("double")).as("mean_cents"))
+    reps.agg(
+      count(lit(1)).as("n_reps"),
+      round(avg("mean_cents"), 6).as("boot_mean_cents"),
+      round(percentile(col("mean_cents"), lit(0.025)), 4)
+        .as("ci_lo_cents"),
+      round(percentile(col("mean_cents"), lit(0.975)), 4)
+        .as("ci_hi_cents"))
   }
 
   /** Rolling engagement: per-day DAU, trailing-7-day WAU, and DAU/WAU

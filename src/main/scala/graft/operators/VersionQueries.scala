@@ -63,6 +63,7 @@ object VersionQueries {
     "q_eval_auc"      -> evalAuc _,
     "q_search_rrf"    -> searchRrf _,
     "q_embed_cov"     -> embedCov _,
+    "q_embed_pca_power" -> embedPcaPower _,
     "q_ts_ohlc"       -> tsOhlc _,
     "q_dup_span_frac" -> dupSpanFrac _
   )
@@ -315,7 +316,11 @@ object VersionQueries {
     * diagonal back broadcast. The ×2080 pair explode is map-side (small
     * int structs) feeding a map-side-combined (i, j) agg — the shuffle
     * carries 2080 partial rows per map task, never the exploded corpus. */
-  def embedCov(s: SparkSession, d: String): DataFrame = {
+  /** The exact covariance cells shared by [[embedCov]] (which decorates
+    * them into the audit matrix) and [[embedPcaPower]] (which iterates
+    * on them): (i, j, n, cq) for the upper triangle, cq in quantized
+    * 1e-8 units, one corpus pass. */
+  private def covCellsQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dim = 64
     val nMoments = 1 + dim + dim * (dim + 1) / 2
@@ -356,9 +361,13 @@ object VersionQueries {
     // (EmptyInputSpec; the twin's empty `cells` CTE does the same).
     val covQ = (col("n") * col("sqq") - col("si") * col("sj")).cast("double") /
       (col("n") * (col("n") - 1)).cast("double")
-    val covd = cells
+    cells
       .filter(col("n") > 1)
       .select(col("i"), col("j"), col("n"), covQ.as("cq"))
+  }
+
+  def embedCov(s: SparkSession, d: String): DataFrame = {
+    val covd = covCellsQ(s, d)
     val diag = covd.filter(col("i") === col("j"))
       .select(col("i").as("dk"), col("cq").as("vk"))
     covd
@@ -377,6 +386,74 @@ object VersionQueries {
         when(col("vi") * col("vj") > 0,
           round(col("cq") / sqrt(col("vi") * col("vj")), 6)).as("corr"))
       .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_embed_pca_power
+  // ---------------------------------------------------------------------
+
+  /** Top principal component of the embedding cloud by power iteration
+    * over [[covCellsQ]]'s EXACT covariance — the whitening/compression
+    * decision number (how much variance one direction carries), computed
+    * the way 100 TB allows: the corpus is touched exactly ONCE (the cov
+    * pass, materialized by localCheckpoint), then 24 matvec iterations
+    * run on the 64²-cell frame — KB-scale per step, iteration count
+    * fixed so the plan is static.
+    *
+    * Bit-determinism despite float iteration: every matvec folds its 64
+    * products in SORTED dimension order (sorted struct collect →
+    * `aggregate` HOF — the q_ts_ewma defined-order rule), and the norm /
+    * Rayleigh / trace reductions fold the same way, so the result is
+    * identical run to run and layout to layout. rows-only by contract
+    * (no SQL twin for the iteration); StatsGraphSpec replays
+    * ‖Av − λv‖ ≤ 1e-6·λ, unit norm, and λ ≥ max per-dim variance. */
+  def embedPcaPower(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val up = covCellsQ(s, d)
+      .select(col("i"), col("j"), (col("cq") / 1e8).as("a"))
+    val full = up.union(
+        up.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("a")))
+      .localCheckpoint()
+    def foldSum(ts: Column, f: Column => Column): Column =
+      aggregate(sort_array(ts), lit(0.0), (acc, x) => acc + f(x))
+    // w = A·v with the 64-term dot product folded in dimension order.
+    def matvec(v: DataFrame): DataFrame = full.join(v, Seq("j"))
+      .select(col("i"),
+        struct(col("j").as("k"), (col("a") * col("vj")).as("p")).as("t"))
+      .groupBy("i").agg(collect_list("t").as("ts"))
+      .select(col("i"), foldSum(col("ts"), _.getField("p")).as("w"))
+    var v = s.range(1, dim + 1)
+      .select(col("id").cast("int").as("j"),
+        lit(1.0 / math.sqrt(dim.toDouble)).as("vj"))
+    for (_ <- 1 to 24) {
+      val w = matvec(v)
+      val nrm = w.select(struct(col("i").as("k"), col("w").as("p")).as("t"))
+        .agg(collect_list("t").as("ts"))
+        .select(foldSum(col("ts"),
+          x => x.getField("p") * x.getField("p")).as("ss"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), (col("w") / sqrt(col("ss"))).as("vj"))
+        .localCheckpoint()
+    }
+    val av = matvec(v)
+    val lam = av.join(v.select(col("j").as("i"), col("vj")), Seq("i"))
+      .select(struct(col("i").as("k"),
+        (col("w") * col("vj")).as("p")).as("t"))
+      .agg(collect_list("t").as("ts"))
+      .select(foldSum(col("ts"), _.getField("p")).as("lambda"))
+    val trace = up.filter(col("i") === col("j"))
+      .select(struct(col("i").as("k"), col("a").as("p")).as("t"))
+      .agg(collect_list("t").as("ts"))
+      .select(foldSum(col("ts"), _.getField("p")).as("trace"))
+    v.select(col("j").cast("long").as("dim_idx"),
+        round(col("vj"), 6).as("loading"))
+      .crossJoin(broadcast(lam))
+      .crossJoin(broadcast(trace))
+      .select(col("dim_idx"), col("loading"),
+        round(col("lambda"), 8).as("lambda"),
+        round(col("lambda") / col("trace"), 6).as("explained_frac"))
+      .orderBy("dim_idx")
   }
 
   // ---------------------------------------------------------------------

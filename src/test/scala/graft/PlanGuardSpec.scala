@@ -38,7 +38,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_search_rrf",   // 1-row probe-embedding + corpus-stats broadcasts
     "q_embed_cov",    // 1-row moment vector × 2080-row literal slot dim
     "q_event_dau",    // 1-row (min, max) day-bounds broadcast (cross)
-    "q_agg_heavy_hitters" // 1-row token-total scalar broadcast (cross)
+    "q_agg_heavy_hitters", // 1-row token-total scalar broadcast (cross)
+    "q_embed_pca_power" // 1-row norm/λ/trace scalar broadcasts (cross)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
