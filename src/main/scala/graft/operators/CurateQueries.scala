@@ -476,9 +476,11 @@ object CurateQueries {
         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
         |      AS mean_tok_len,
-        |    CAST(length(text)
-        |        - length(regexp_replace(text, '[0-9]', '', 'g'))
-        |      AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_frac,
+        |    CASE WHEN length(text) > 0 THEN
+        |      CAST(length(text)
+        |          - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |        AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |    ELSE 0.0 END AS digit_frac,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
         |      AS distinct_ratio
@@ -1201,9 +1203,12 @@ object CurateQueries {
     val stopRate = nStop.cast("double") / nTok.cast("double")
     val meanLen = length(regexp_replace(col("text"), " ", ""))
       .cast("double") / nTok.cast("double")
-    val digitFrac = (length(col("text"))
-      - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
-      length(col("text")).cast("double")
+    // Zero-length guard: ''-text would make this 0/0 — Spark NaN vs
+    // DuckDB NULL. Both engines fold the empty doc to 0.0.
+    val digitFrac = when(length(col("text")) > 0,
+      (length(col("text"))
+        - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        length(col("text")).cast("double")).otherwise(lit(0.0))
     val distinctRatio = size(array_distinct(t)).cast("double") /
       nTok.cast("double")
     val margin = lit(-3.0) + lit(4.0) * stopRate + lit(0.5) * meanLen -

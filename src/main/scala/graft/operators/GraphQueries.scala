@@ -28,33 +28,58 @@ object GraphQueries {
     "q_dedup_cc_lsh" -> dedupCcLsh _,
     "q_dedup_keep" -> dedupKeep _,
     "q_graph_pagerank" -> graphPagerank _,
-    "q_graph_triangles" -> graphTriangles _
+    "q_graph_triangles" -> graphTriangles _,
+    "q_graph_comp_sizes" -> graphCompSizes _
   )
+
+  /** The transitive-closure CTE chain (cos ≥ 0.4 edges → undirected →
+    * `reach` fixpoint) shared verbatim by q_dedup_cc's oracle (per-node
+    * labels) and q_graph_comp_sizes' (size histogram over the same
+    * labels) — one source of truth for the closure in BOTH engines. */
+  private[operators] def ccReachSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(
+      |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(a.embedding,
+      |            x -> x::DOUBLE * x::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(b.embedding,
+      |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+      |und AS (SELECT v1, v2 FROM pairs
+      |        UNION ALL SELECT v2, v1 FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT u.v1, r.lbl FROM reach r JOIN und u ON u.v2 = r.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Transitive closure as a recursive CTE: labels flow along edges until
     // fixpoint (UNION dedups, so it terminates); component = min reachable
     // id — exactly what min-label propagation converges to.
-    "q_dedup_cc" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS v1, b.vec_id AS v2
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE round(
-        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |      / (sqrt(list_sum(list_transform(a.embedding,
-        |            x -> x::DOUBLE * x::DOUBLE)))
-        |       * sqrt(list_sum(list_transform(b.embedding,
-        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
-        |und AS (SELECT v1, v2 FROM pairs
-        |        UNION ALL SELECT v2, v1 FROM pairs),
-        |reach(node, lbl) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT u.v1, r.lbl FROM reach r JOIN und u ON u.v2 = r.node)
-        |SELECT node AS vec_id, min(lbl) AS component,
+    "q_dedup_cc" -> (ccReachSql + "\n" +
+      """SELECT node AS vec_id, min(lbl) AS component,
         |  CAST(node = min(lbl) AS BOOLEAN) AS keep
-        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin),
+    // The same closure, aggregated twice: labels → component sizes →
+    // size histogram with corpus share (window over the tiny frame).
+    "q_graph_comp_sizes" -> (ccReachSql + ",\n" +
+      """comp AS (
+        |  SELECT node, CAST(min(lbl) AS BIGINT) AS component
+        |  FROM reach GROUP BY node),
+        |cs AS (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+        |  FROM comp GROUP BY component),
+        |h AS (
+        |  SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components
+        |  FROM cs GROUP BY comp_size)
+        |SELECT comp_size, n_components,
+        |  CAST(comp_size * n_components AS BIGINT) AS n_vectors,
+        |  round(CAST(comp_size * n_components AS DOUBLE)
+        |    / CAST(sum(comp_size * n_components) OVER () AS DOUBLE), 6)
+        |    AS share
+        |FROM h ORDER BY comp_size""".stripMargin),
     // Triangles enumerated once each via the canonical id-ordered triple
     // join a<b<c (orientation-invariant, so any engine may count its own
     // way); per-node membership = each triangle contributes to all three
@@ -369,5 +394,27 @@ object GraphQueries {
       .select(col(idCol), col("component"),
         (col(idCol) === col("component")).as("keep"))
       .orderBy(idCol)
+  }
+
+  /** Duplicate-cluster size distribution: histogram of [[dedupCc]]'s
+    * component sizes with per-size component/vector counts and corpus
+    * share — THE dedup-health dashboard number (lots of 2-clusters is
+    * normal near-dup texture; one giant component means the threshold,
+    * not the data, is wrong).
+    *
+    * Linear on top of the component labels: two KB-sized aggregations
+    * and a window over the ≤distinct-sizes frame. The cost is inherited
+    * from the declared-exact CC feed; the production path reads
+    * [[dedupCcLsh]]'s labels with the identical two aggs. */
+  def graphCompSizes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dedupCc(s, d)
+      .groupBy("component").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      .withColumn("n_vectors", col("comp_size") * col("n_components"))
+      .withColumn("share",
+        round(col("n_vectors").cast("double")
+          / sum("n_vectors").over(Window.partitionBy()).cast("double"), 6))
+      .orderBy("comp_size")
   }
 }

@@ -781,9 +781,10 @@ object StatsQueries {
         |    CAST(sum(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy
         |  FROM r GROUP BY f)
         |SELECT f AS l_returnflag, n,
-        |  round((c * sxy - sx * sy)
-        |    / (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)), 6)
-        |    AS spearman_qty_price
+        |  CASE WHEN c * sxx > sx * sx AND c * syy > sy * sy THEN
+        |    round((c * sxy - sx * sy)
+        |      / (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)), 6)
+        |  END AS spearman_qty_price
         |FROM g ORDER BY l_returnflag""".stripMargin,
     // One conditional-moment pass; Welch t and dof from a shared
     // closed-form IEEE tree (÷, sqrt, no pow) on exact operands —
@@ -811,9 +812,11 @@ object StatsQueries {
         |  FROM g)
         |SELECT n1, n2,
         |  s1a / c1 - s1b / c2 AS mean_diff,
-        |  (s1a / c1 - s1b / c2) / sqrt(sea + seb) AS t,
-        |  (sea + seb) * (sea + seb)
-        |    / (sea * sea / (c1 - 1) + seb * seb / (c2 - 1)) AS dof
+        |  CASE WHEN sea + seb > 0 THEN
+        |    (s1a / c1 - s1b / c2) / sqrt(sea + seb) END AS t,
+        |  CASE WHEN sea + seb > 0 THEN
+        |    (sea + seb) * (sea + seb)
+        |      / (sea * sea / (c1 - 1) + seb * seb / (c2 - 1)) END AS dof
         |FROM w""".stripMargin,
     // Leading digit by integer string-head extraction on exact cents —
     // no float log in the digit path; expected shares touch libm log10
@@ -866,9 +869,10 @@ object StatsQueries {
         |    round(sum(contrib), 4) AS chi2
         |  FROM ct)
         |SELECT n, r_levels, c_levels, chi2,
-        |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
-        |    * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 4)
-        |    AS cramer_v
+        |  CASE WHEN least(r_levels, c_levels) > 1 THEN
+        |    round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |      * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 4)
+        |  END AS cramer_v
         |FROM g""".stripMargin,
     // Bounded 7× day-window fan-out of the distinct (user, day) frame —
     // never a range self-join; integer epoch days end to end; windows
@@ -1920,10 +1924,17 @@ object StatsQueries {
       sd(col("rx") * col("rx"), "sxx"),
       sd(col("ry") * col("ry"), "syy"),
       sd(col("rx") * col("ry"), "sxy"))
+    // Degenerate-group guard (the q_ts_cusum lesson): a group whose x
+    // or y is CONSTANT has zero rank variance — Spark's x/0.0 (NaN/Inf)
+    // and DuckDB's NULL-folded division diverge, so both engines emit
+    // NULL via the same exact-operand predicate. Unreachable on the
+    // fixture; latent-divergence-proof regardless.
     g.select(col("f").as("l_returnflag"), col("n"),
-        round((col("c") * col("sxy") - col("sx") * col("sy"))
-          / (sqrt(col("c") * col("sxx") - col("sx") * col("sx"))
-            * sqrt(col("c") * col("syy") - col("sy") * col("sy"))), 6)
+        when(col("c") * col("sxx") > col("sx") * col("sx") &&
+            col("c") * col("syy") > col("sy") * col("sy"),
+          round((col("c") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("c") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("c") * col("syy") - col("sy") * col("sy"))), 6))
           .as("spearman_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -1964,13 +1975,18 @@ object StatsQueries {
       (col("c2") * (col("c2") - lit(1)))
     val sea = va / col("c1")
     val seb = vb / col("c2")
+    // Degenerate guard: if both sides are constant (sea + seb = 0) the
+    // t/dof divisions hit x/0 — Spark NaN/Inf vs DuckDB NULL. Both
+    // engines emit NULL via the same predicate on exact operands.
     g.select(col("n1"), col("n2"),
       (col("s1a") / col("c1") - col("s1b") / col("c2")).as("mean_diff"),
-      ((col("s1a") / col("c1") - col("s1b") / col("c2"))
-        / sqrt(sea + seb)).as("t"),
-      ((sea + seb) * (sea + seb)
-        / (sea * sea / (col("c1") - lit(1))
-          + seb * seb / (col("c2") - lit(1)))).as("dof"))
+      when(sea + seb > 0,
+        (col("s1a") / col("c1") - col("s1b") / col("c2"))
+          / sqrt(sea + seb)).as("t"),
+      when(sea + seb > 0,
+        (sea + seb) * (sea + seb)
+          / (sea * sea / (col("c1") - lit(1))
+            + seb * seb / (col("c2") - lit(1)))).as("dof"))
   }
 
   /** Benford first-digit audit of order totals: observed leading-digit
@@ -2031,11 +2047,14 @@ object StatsQueries {
       countDistinct("lang").as("r_levels"),
       countDistinct("source").as("c_levels"),
       round(sum("contrib"), 4).as("chi2"))
+    // min(r,c) = 1 (a single-level column) makes V's denominator zero —
+    // NULL on both engines via the same integer predicate.
     row.select(col("n"), col("r_levels"), col("c_levels"), col("chi2"),
-      round(sqrt(col("chi2")
-        / (col("n").cast("double")
-          * (least(col("r_levels"), col("c_levels")) - lit(1L))
-            .cast("double"))), 4).as("cramer_v"))
+      when(least(col("r_levels"), col("c_levels")) > 1,
+        round(sqrt(col("chi2")
+          / (col("n").cast("double")
+            * (least(col("r_levels"), col("c_levels")) - lit(1L))
+              .cast("double"))), 4)).as("cramer_v"))
   }
 
   /** Bootstrap confidence interval for the mean order value WITHOUT an

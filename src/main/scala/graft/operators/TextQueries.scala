@@ -63,7 +63,8 @@ object TextQueries {
     "q_text_pmi"         -> textPmi _,
     "q_dedup_lines"      -> dedupLines _,
     "q_text_readability" -> textReadability _,
-    "q_text_novelty"     -> textNovelty _
+    "q_text_novelty"     -> textNovelty _,
+    "q_text_codeswitch"  -> textCodeswitch _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -236,6 +237,45 @@ object TextQueries {
         |       WHEN flesch >= 30 THEN 'hard'
         |       ELSE 'very_hard' END AS band
         |FROM f ORDER BY doc_id""".stripMargin,
+    // q_text_langid's marker counts verbatim; the same fixed 4-term
+    // entropy tree (0·ln0 dropped by CASE), NULL on zero markers, flag
+    // on the rounded value.
+    "q_text_codeswitch" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST((length(text) - length(replace(text, 'th', ''))) / 2
+        |      AS BIGINT) AS c_en,
+        |    CAST((length(text) - length(replace(text, 'er', ''))) / 2
+        |      AS BIGINT) AS c_de,
+        |    CAST((length(text) - length(replace(text, 'qu', ''))) / 2
+        |      AS BIGINT) AS c_fr,
+        |    CAST((length(text) - length(replace(text, 'rt', ''))) / 2
+        |      AS BIGINT) AS c_es
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, c_en + c_de + c_fr + c_es AS n_markers,
+        |    CASE WHEN c_en + c_de + c_fr + c_es > 0 THEN round(
+        |      (CASE WHEN c_en > 0 THEN
+        |        -(CAST(c_en AS DOUBLE) / (c_en + c_de + c_fr + c_es)
+        |          * ln(CAST(c_en AS DOUBLE)
+        |            / (c_en + c_de + c_fr + c_es))) ELSE 0.0 END)
+        |      + (CASE WHEN c_de > 0 THEN
+        |        -(CAST(c_de AS DOUBLE) / (c_en + c_de + c_fr + c_es)
+        |          * ln(CAST(c_de AS DOUBLE)
+        |            / (c_en + c_de + c_fr + c_es))) ELSE 0.0 END)
+        |      + (CASE WHEN c_fr > 0 THEN
+        |        -(CAST(c_fr AS DOUBLE) / (c_en + c_de + c_fr + c_es)
+        |          * ln(CAST(c_fr AS DOUBLE)
+        |            / (c_en + c_de + c_fr + c_es))) ELSE 0.0 END)
+        |      + (CASE WHEN c_es > 0 THEN
+        |        -(CAST(c_es AS DOUBLE) / (c_en + c_de + c_fr + c_es)
+        |          * ln(CAST(c_es AS DOUBLE)
+        |            / (c_en + c_de + c_fr + c_es))) ELSE 0.0 END), 6)
+        |    END AS lang_entropy
+        |  FROM m)
+        |SELECT doc_id, n_markers, lang_entropy,
+        |  lang_entropy >= 0.9 AS is_mixed
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH m AS (
         |  SELECT doc_id, lang,
@@ -936,6 +976,38 @@ object TextQueries {
         .otherwise("es").as("predicted"),
       cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"),
       cFr.cast("long").as("c_fr"), cEs.cast("long").as("c_es"))
+      .orderBy("doc_id")
+  }
+
+  /** Code-switching / language-mix detection per doc: Shannon entropy
+    * over the normalized [[textLangId]] marker-count distribution, with
+    * a mixed-content flag — monolingual docs concentrate mass on one
+    * marker (entropy → 0); mixed or machine-concatenated text spreads
+    * it. The corpus-hygiene signal language-pure training mixes filter
+    * on.
+    *
+    * Zero shuffles (scan-stage integer marker counts), entropy a FIXED
+    * 4-term expression tree — not a cross-row sum, so per-row ln ulp
+    * drift is absorbed by round 6; 0·ln 0 terms drop by the same CASE
+    * in both engines; zero-marker docs emit NULL entropy (declared);
+    * the flag compares the ROUNDED entropy. */
+  def textCodeswitch(s: SparkSession, d: String): DataFrame = {
+    def cnt(m: String): Column =
+      ((length(col("text")) - length(regexp_replace(col("text"), m, "")))
+        / 2).cast("long")
+    val (cEn, cDe, cFr, cEs) = (cnt("th"), cnt("er"), cnt("qu"), cnt("rt"))
+    val m = cEn + cDe + cFr + cEs
+    def term(c: Column): Column = {
+      val p = c.cast("double") / m.cast("double")
+      when(c > 0, -(p * log(p))).otherwise(lit(0.0))
+    }
+    val ent = round(term(cEn) + term(cDe) + term(cFr) + term(cEs), 6)
+    val entropy = when(m > 0, ent)
+    documents(s, d).select(
+        col("doc_id"),
+        m.as("n_markers"),
+        entropy.as("lang_entropy"),
+        (entropy >= 0.9).as("is_mixed"))
       .orderBy("doc_id")
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,7 +37,8 @@ object TimeSeriesQueries {
     "q_ts_interp"   -> tsInterp _,
     "q_ts_tukey"    -> tsTukey _,
     "q_ts_cusum"    -> tsCusum _,
-    "q_ts_mannkendall" -> tsMannKendall _
+    "q_ts_mannkendall" -> tsMannKendall _,
+    "q_ts_backtest" -> tsBacktest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -71,6 +72,49 @@ object TimeSeriesQueries {
     // Exact-integer ACF (see [[tsAcf]]): d_t = c·x_t − S₁ is BIGINT, the
     // centered products sum exactly (HUGEINT here, DECIMAL(38,0) there),
     // and the single final division is IEEE-identical on both engines.
+    // The q_ts_cusum recursive-fold pattern: same dense grid, state =
+    // (ewma, Σ|err|) advanced index-by-index — the IDENTICAL
+    // left-to-right float chain as Spark's aggregate fold, so the MAEs
+    // agree to the last bit before their round(4).
+    "q_ts_backtest" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |ser AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+        |    array_agg(n ORDER BY hour_us) AS xs
+        |  FROM dense GROUP BY event_type
+        |  HAVING count(*) >= 2),
+        |rec AS (
+        |  SELECT event_type, c, xs, CAST(1 AS BIGINT) AS i,
+        |    CAST(xs[1] AS DOUBLE) AS ew,
+        |    CAST(0 AS DOUBLE) AS se, CAST(0 AS DOUBLE) AS sn
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT event_type, c, xs, i + 1,
+        |    0.2 * CAST(xs[i + 1] AS DOUBLE) + 0.8 * ew,
+        |    se + abs(CAST(xs[i + 1] AS DOUBLE) - ew),
+        |    sn + abs(CAST(xs[i + 1] AS DOUBLE) - CAST(xs[i] AS DOUBLE))
+        |  FROM rec WHERE i < c)
+        |SELECT event_type, c AS n_hours,
+        |  round(se / CAST(c - 1 AS DOUBLE), 4) AS mae_ewma,
+        |  round(sn / CAST(c - 1 AS DOUBLE), 4) AS mae_naive,
+        |  CASE WHEN round(sn / CAST(c - 1 AS DOUBLE), 4) > 0
+        |       THEN round(se / sn, 4) END AS mase
+        |FROM rec WHERE i = c ORDER BY event_type""".stripMargin,
     // Same dense grid; span²-bounded pair join on the RESAMPLED frame;
     // S and the tie term exact BIGINTs; z's ÷/sqrt tree on exact
     // operands — bit-identical, verdict thresholds the shared double.
@@ -751,6 +795,50 @@ object TimeSeriesQueries {
         (col("n") < col("q1") - lit(1.5) * iqr ||
           col("n") > col("q3") + lit(1.5) * iqr).as("is_outlier"))
       .orderBy("event_type", "hour_us")
+  }
+
+  /** Rolling-origin forecast backtest of the EWMA forecaster: for every
+    * hour t ≥ 2 the forecast for x_t is EWMA(x₁..x_{t−1}), scored as
+    * MAE and as MASE against the naive lag-1 baseline — the "is the
+    * smoother actually predictive?" measurement ([[tsEwma]] fits a
+    * level; this scores its out-of-sample skill, the difference between
+    * a dashboard and a model).
+    *
+    * The full EWMA prefix sequence comes from ONE defined-order array
+    * fold (`aggregate` appending each smoothed value — per-type state
+    * is the O(span) resampled series, never raw events); errors are
+    * positional transforms over the same arrays; both MAE folds are
+    * defined-order. The DuckDB twin is the recursive-CTE fold (the
+    * [[tsCusum]] pattern) + per-row errors; MAEs and MASE are rounded 4
+    * (the twin's error sums are cross-row float aggs). Series under 2
+    * hours are declared out (no error term exists); a constant series
+    * has MASE NULL (naive MAE 0 — the same rounded-guard CASE in both
+    * engines). */
+  def tsBacktest(s: SparkSession, d: String): DataFrame = {
+    val arr = denseHourly(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sort_array(collect_list(
+          struct(col("hour_us").as("h"), col("n").as("v")))).as("hv"))
+      .filter(col("n_hours") >= 2)
+    val xs = transform(col("hv"), e => e.getField("v").cast("double"))
+    val ew = aggregate(
+      slice(xs, lit(2), size(xs) - 1),
+      array(element_at(xs, 1)),
+      (acc, x) => array_append(acc,
+        lit(0.2) * x + lit(0.8) * element_at(acc, -1)))
+    val errE = transform(sequence(lit(2), size(xs)), t =>
+      abs(element_at(xs, t) - element_at(ew, t - 1)))
+    val errN = transform(sequence(lit(2), size(xs)), t =>
+      abs(element_at(xs, t) - element_at(xs, t - 1)))
+    def foldSum(c: Column) = aggregate(c, lit(0.0), (a, x) => a + x)
+    val cnt = (size(xs) - 1).cast("double")
+    val maeE = round(foldSum(errE) / cnt, 4)
+    val maeN = round(foldSum(errN) / cnt, 4)
+    arr.select(col("event_type"), col("n_hours"),
+        maeE.as("mae_ewma"), maeN.as("mae_naive"),
+        when(maeN > 0, round(foldSum(errE) / foldSum(errN), 4))
+          .as("mase"))
+      .orderBy("event_type")
   }
 
   /** Mann–Kendall trend test per type's hourly series: S = Σ sign(xⱼ −
