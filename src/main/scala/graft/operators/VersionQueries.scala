@@ -396,61 +396,78 @@ object VersionQueries {
     * over [[covCellsQ]]'s EXACT covariance — the whitening/compression
     * decision number (how much variance one direction carries), computed
     * the way 100 TB allows: the corpus is touched exactly ONCE (the cov
-    * pass, materialized by localCheckpoint), then 24 matvec iterations
-    * run on the 64²-cell frame — KB-scale per step, iteration count
-    * fixed so the plan is static.
+    * pass, materialized by localCheckpoint), then the full 24-round
+    * iteration runs INSIDE one expression fold over the collected
+    * row-major 4096-cell array — a single projection, one job.
     *
-    * Bit-determinism despite float iteration: every matvec folds its 64
-    * products in SORTED dimension order (sorted struct collect →
-    * `aggregate` HOF — the q_ts_ewma defined-order rule), and the norm /
-    * Rayleigh / trace reductions fold the same way, so the result is
-    * identical run to run and layout to layout. rows-only by contract
+    * Bit-determinism despite float iteration: the matrix row is built
+    * from SORTED (i,j,a) structs and every matvec / norm / Rayleigh /
+    * trace reduction is a defined-order `aggregate` fold (the q_ts_ewma
+    * rule), so the result is identical run to run and layout to
+    * layout. rows-only by contract
     * (no SQL twin for the iteration); StatsGraphSpec replays
     * ‖Av − λv‖ ≤ 1e-6·λ, unit norm, and λ ≥ max per-dim variance. */
   def embedPcaPower(s: SparkSession, d: String): DataFrame = {
     val dim = 64
+    // Materialize the upper triangle once: the union below references
+    // it twice (identity + mirror), which would re-run the corpus
+    // moment pass per branch.
     val up = covCellsQ(s, d)
       .select(col("i"), col("j"), (col("cq") / 1e8).as("a"))
-    val full = up.union(
-        up.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("a")))
       .localCheckpoint()
-    def foldSum(ts: Column, f: Column => Column): Column =
-      aggregate(sort_array(ts), lit(0.0), (acc, x) => acc + f(x))
-    // w = A·v with the 64-term dot product folded in dimension order.
-    def matvec(v: DataFrame): DataFrame = full.join(v, Seq("j"))
-      .select(col("i"),
-        struct(col("j").as("k"), (col("a") * col("vj")).as("p")).as("t"))
-      .groupBy("i").agg(collect_list("t").as("ts"))
-      .select(col("i"), foldSum(col("ts"), _.getField("p")).as("w"))
-    var v = s.range(1, dim + 1)
-      .select(col("id").cast("int").as("j"),
-        lit(1.0 / math.sqrt(dim.toDouble)).as("vj"))
-    for (_ <- 1 to 24) {
-      val w = matvec(v)
-      val nrm = w.select(struct(col("i").as("k"), col("w").as("p")).as("t"))
-        .agg(collect_list("t").as("ts"))
-        .select(foldSum(col("ts"),
-          x => x.getField("p") * x.getField("p")).as("ss"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"), (col("w") / sqrt(col("ss"))).as("vj"))
-        .localCheckpoint()
+    val full = up.union(
+      up.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("a")))
+    // The whole 4096-cell matrix collapses to ONE row-major array row
+    // ((i,j,a) structs sorted — a total order), and the complete
+    // 24-round iteration runs INSIDE one expression fold: ~300k double
+    // ops in a single projection, ONE job after the cov pass. The
+    // first cut ran each matvec as its own checkpointed mini-plan —
+    // 24 × 3 tiny Spark jobs of pure scheduling overhead, benchmarked
+    // 6.5 s at sf0.1 vs sub-second for this form. Evaluation inside
+    // `aggregate`/`transform` is sequential by definition — the same
+    // bit-determinism the sorted-fold rule buys, with no cluster in
+    // the loop at all (the right shape for a 64×64 driver-scale
+    // problem the CORPUS pass has already reduced to).
+    val matRow = full
+      .select(struct(col("i"), col("j"), col("a")).as("t"))
+      .agg(sort_array(collect_list("t")).as("ts"))
+      .select(transform(col("ts"), x => x.getField("a")).as("am"))
+      .filter(size(col("am")) === lit(dim * dim))
+    def matvec(am: Column, v: Column): Column =
+      transform(sequence(lit(1), lit(dim)), i =>
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, j) =>
+          acc + element_at(am, (i - lit(1)) * lit(dim) + j)
+            * element_at(v, j)))
+    def normalize(w: Column): Column = {
+      val ss = aggregate(w, lit(0.0), (a, x) => a + x * x)
+      transform(w, x => x / sqrt(ss))
     }
-    val av = matvec(v)
-    val lam = av.join(v.select(col("j").as("i"), col("vj")), Seq("i"))
-      .select(struct(col("i").as("k"),
-        (col("w") * col("vj")).as("p")).as("t"))
-      .agg(collect_list("t").as("ts"))
-      .select(foldSum(col("ts"), _.getField("p")).as("lambda"))
-    val trace = up.filter(col("i") === col("j"))
-      .select(struct(col("i").as("k"), col("a").as("p")).as("t"))
-      .agg(collect_list("t").as("ts"))
-      .select(foldSum(col("ts"), _.getField("p")).as("trace"))
-    v.select(col("j").cast("long").as("dim_idx"),
-        round(col("vj"), 6).as("loading"))
-      .crossJoin(broadcast(lam))
-      .crossJoin(broadcast(trace))
-      .select(col("dim_idx"), col("loading"),
+    val v0 = transform(sequence(lit(1), lit(dim)),
+      _ => lit(1.0 / math.sqrt(dim.toDouble)))
+    val vf = aggregate(sequence(lit(1), lit(24)), v0,
+      (v, _) => normalize(matvec(col("am"), v)))
+    // The two localCheckpoints pin evaluated ARRAYS between stages:
+    // without them CollapseProject inlines `v` (the whole 24-round
+    // fold) into every one of the next stage's 64×64 element_at
+    // references — an exponential re-evaluation blowup (observed as a
+    // hang), not a plan-shape nicety. Each checkpoint is one 1-row job.
+    val withV = matRow.select(col("am"), vf.as("v")).localCheckpoint()
+    val withAv = withV
+      .select(col("v"), matvec(col("am"), col("v")).as("av"),
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (a, i) =>
+          a + element_at(col("am"), (i - lit(1)) * lit(dim) + i))
+          .as("trace"))
+      .localCheckpoint()
+    val r = withAv
+      .select(col("v"), col("trace"),
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (a, i) =>
+          a + element_at(col("v"), i) * element_at(col("av"), i))
+          .as("lambda"))
+    r.select(posexplode(col("v")).as(Seq("pos", "raw")),
+        col("lambda"), col("trace"))
+      .select((col("pos") + 1).cast("long").as("dim_idx"),
+        round(col("raw"), 6).as("loading"),
         round(col("lambda"), 8).as("lambda"),
         round(col("lambda") / col("trace"), 6).as("explained_frac"))
       .orderBy("dim_idx")
