@@ -550,6 +550,63 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       s"tie must pick the earlier view; far-only users drop: ${r.toSeq}")
   }
 
+  test("ts_backtest: linear trend makes EWMA lag (MASE > 1); constant " +
+      "series yields MASE null") {
+    import spark.implicits._
+    val h = 3600000000L
+    // type "a": x_t = t for 6 hours — naive error is exactly 1 every
+    // step; the lagging EWMA must do worse (MASE > 1). type "b":
+    // constant series — naive MAE 0, MASE declared NULL.
+    val ev = (1L to 6L).flatMap(t =>
+        (1L to t).map(k => (t * 100 + k, (t - 1) * h, 7L, "a", 1.0, "{}"))) ++
+      (1L to 3L).map(t => (900L + t, (t - 1) * h, 8L, "b", 1.0, "{}"))
+    val df = ev.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val dir = miniDir("backtest")("events" -> df)
+    val r = graft.operators.TimeSeriesQueries.tsBacktest(spark, dir)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getDouble(3) === 1.0, s"naive MAE on x_t=t must be 1: $a")
+    assert(!a.isNullAt(4) && a.getDouble(4) > 1.0,
+      s"EWMA must lag a linear trend (MASE > 1): $a")
+    val b = r("b")
+    assert(b.getDouble(2) === 0.0 && b.getDouble(3) === 0.0 &&
+      b.isNullAt(4), s"constant series: zero MAEs, NULL MASE: $b")
+  }
+
+  test("bootstrap CI brackets the replicate mean and is deterministic") {
+    val q = graft.operators.StatsQueries.aggBootstrapCi(spark, sfDir)
+    val r1 = q.collect().head
+    assert(r1.getLong(0) === 32L)
+    val (m, lo, hi) = (r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(lo <= m && m <= hi, s"CI [$lo, $hi] must bracket mean $m")
+    assert(hi - lo > 0, "degenerate zero-width CI on a nontrivial corpus")
+    // Hash membership ⇒ identical replicates on any rerun or layout.
+    val r2 = graft.operators.StatsQueries.aggBootstrapCi(spark, sfDir)
+      .collect().head
+    assert(r1 === r2, "bootstrap must be bit-deterministic")
+  }
+
+  test("codeswitch entropy: pure doc near 0, four-way mix flags mixed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ththththth", "en", "t", 10L),          // one marker only
+      (2L, "th er qu rt th er qu rt", "en", "t", 23L), // uniform 4-way
+      (3L, "zzzz", "en", "t", 4L))                 // no markers at all
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("codeswitch")("documents" -> docs)
+    val r = graft.operators.TextQueries.textCodeswitch(spark, dir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(2) === 0.0 && !r(1L).getBoolean(3),
+      s"pure doc: ${r(1L)}")
+    assert(math.abs(r(2L).getDouble(2) - math.log(4.0)) < 1e-4 &&
+      r(2L).getBoolean(3), s"uniform 4-way mix: ${r(2L)}")
+    assert(r(3L).isNullAt(2) && r(3L).isNullAt(3),
+      s"zero markers must be NULL, not 0/false: ${r(3L)}")
+  }
+
   test("variant_get on a missing key is null, not an error") {
     // The schema-drift contract q_json_variant relies on: a record
     // without the field must extract as NULL (open schema), and a
