@@ -136,7 +136,8 @@ object MediaQueries {
     "q_multimodal_meta"     -> multimodalMeta _,
     "q_multimodal_features" -> multimodalFeatures _,
     "q_multimodal_frames"   -> multimodalFrames _,
-    "q_multimodal_ann"      -> multimodalAnn _
+    "q_multimodal_ann"      -> multimodalAnn _,
+    "q_multimodal_dedup"    -> multimodalDedup _
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,7 +153,29 @@ object MediaQueries {
         |  md5(text) AS payload_md5
         |FROM documents
         |WHERE (doc_id % 8) * 64 + 64 >= 256
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+    // The digest is the shuffle key — the twin derives the same (kind,
+    // md5, byte length) triple from the documents table the fixture
+    // fabricates from. octet_length(text::BLOB) = Spark
+    // length(binary(payload)): both count UTF-8 bytes.
+    "q_multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |    md5(text) AS digest,
+        |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |groups AS (
+        |  SELECT kind, digest, CAST(count(*) AS BIGINT) AS n,
+        |    min(n_bytes) AS n_bytes
+        |  FROM m GROUP BY kind, digest)
+        |SELECT kind,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(n) AS BIGINT) AS n_payloads,
+        |  CAST(count(*) FILTER (n > 1) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum((n - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
+        |FROM groups GROUP BY kind ORDER BY kind""".stripMargin
   )
 
   /** Metadata + fingerprint scan with a metadata predicate — demonstrates
@@ -228,4 +251,31 @@ object MediaQueries {
       .orderBy(col("cos_sim").desc, col("media_id"))
       .limit(10)
   }
+
+  /** Exact media dedup by payload digest — the storage-dedup first pass
+    * every multimodal lake runs (byte-identical re-crawls and re-uploads
+    * dominate raw duplicate mass; content-level near-dup is
+    * `q_multimodal_ann`'s job). Per-kind census of (kind, md5) groups:
+    * distinct payloads, total payloads, duplicate groups, and the bytes
+    * a dedup pass would reclaim (Σ(n−1)·payload_bytes per group).
+    *
+    * Scale shape: the payload reduces to its 16-byte digest + length in
+    * the scan stage and the DIGEST is the shuffle key — payload bytes
+    * never shuffle, the same fingerprint-not-content discipline as the
+    * text dedup family. Both aggs are map-side combinable; the per-kind
+    * summary runs on the groups frame, not the lake. */
+  def multimodalDedup(s: SparkSession, d: String): DataFrame =
+    MediaOps.mediaTable(s, d)
+      .select(col("meta.kind").as("kind"),
+        md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("kind", "digest")
+      .agg(count(lit(1)).as("n"), min("n_bytes").as("n_bytes"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum("n").as("n_payloads"),
+        count_if(col("n") > 1).as("n_dup_groups"),
+        sum((col("n") - 1) * col("n_bytes")).as("bytes_reclaimable"))
+      .orderBy("kind")
 }

@@ -60,7 +60,10 @@ object CurateQueries {
     "q_mix_temperature"   -> mixTemperature _,
     "q_select_dsir"       -> selectDsir _,
     "q_quality_classifier" -> qualityClassifier _,
-    "q_export_jsonl"      -> exportJsonl _
+    "q_export_jsonl"      -> exportJsonl _,
+    "q_dq_kanon"          -> dqKanon _,
+    "q_filter_blocklist"  -> filterBlocklist _,
+    "q_interleave_mix"    -> interleaveMix _
   )
 
   val oracle: Map[String, String] = Map(
@@ -493,7 +496,54 @@ object CurateQueries {
         |  FROM f)
         |SELECT doc_id, stop_rate, mean_tok_len, digit_frac,
         |  distinct_ratio, margin, margin > 0 AS keep
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // c_acctbal is DOUBLE in the fixture; /1000 then floor is exact
+    // enough on both engines (same IEEE division, same floor) and the
+    // class counts and shares are pure integer arithmetic after that.
+    "q_dq_kanon" ->
+      """WITH classes AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT segment,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(count(*) FILTER (n < 5) AS BIGINT) AS n_at_risk_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_class,
+        |  CAST(max(n) AS BIGINT) AS max_class,
+        |  round(CAST(coalesce(sum(n) FILTER (n < 5), 0) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 6) AS risk_share
+        |FROM classes GROUP BY segment ORDER BY segment""".stripMargin,
+    "q_filter_blocklist" ->
+      """WITH block(source, reason) AS (
+        |  VALUES ('src3', 'licensing'), ('src7', 'spam'),
+        |         ('src12', 'optout'))
+        |SELECT d.lang,
+        |  CASE WHEN b.reason IS NULL THEN 'kept' ELSE 'removed' END
+        |    AS verdict,
+        |  coalesce(b.reason, '-') AS reason,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d LEFT JOIN block b ON d.source = b.source
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Same md5 rank as q_domain_cap; the (rnd, lang, doc_id) order is
+    // total, so both engines number identical rows.
+    "q_interleave_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rnd
+        |  FROM documents),
+        |ordered AS (
+        |  SELECT doc_id, lang, rnd,
+        |    CAST(row_number() OVER (ORDER BY rnd, lang, doc_id)
+        |      AS BIGINT) AS position
+        |  FROM ranked WHERE rnd <= 64)
+        |SELECT doc_id, lang, rnd, position FROM ordered
+        |WHERE position <= 64 ORDER BY position""".stripMargin
   )
 
   private def hex1(c: org.apache.spark.sql.Column) =
@@ -1222,5 +1272,100 @@ object CurateQueries {
         margin.as("margin"),
         (margin > 0).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** k-anonymity audit (k=5) over declared quasi-identifiers — nation ×
+    * market segment × coarse balance bucket on customer. A quasi-ID
+    * combination shared by fewer than k people re-identifies them; this
+    * is the privacy gate a table passes BEFORE it ships as training
+    * data, and the audit quantifies exactly that risk: per segment, the
+    * equivalence-class census (classes, at-risk classes, rows inside
+    * them, the re-identifiable share, smallest/largest class).
+    *
+    * Scale shape: two-level reduction. The only corpus-scale shuffle is
+    * the class-count agg keyed by the quasi-ID tuple (map-side
+    * combinable — the tuple domain, not the row count, reaches the
+    * wire); the summary agg then runs on the classes frame, bounded by
+    * the quasi-ID domain (≤ 25·5·11 here) whatever the corpus size. */
+  def dqKanon(s: SparkSession, d: String): DataFrame = {
+    val classes = customer(s, d)
+      .select(col("c_mktsegment").as("segment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .groupBy("segment", "c_nationkey", "bal_bucket")
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        count_if(col("n") < 5).as("n_at_risk_classes"),
+        sum("n").as("n_rows"),
+        coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min("n").as("min_class"),
+        max("n").as("max_class"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") /
+          col("n_rows").cast("double"), 6))
+      .orderBy("segment")
+  }
+
+  /** Domain-blocklist gate: the first removal pass of every crawl
+    * pipeline — licensing takedowns, spam domains, and opt-outs leave
+    * BEFORE any expensive content analysis runs. Documents are probed
+    * against a reasoned blocklist dim (source → reason); the output is
+    * the complete audit trail: per (lang, verdict, reason) doc and char
+    * counts, kept rows carrying verdict='kept'.
+    *
+    * Scale shape: the blocklist is KB-scale whatever the corpus, so it
+    * rides to every executor as a broadcast-hash side and the gate costs
+    * one row-local probe inside the scan stage — corpus content never
+    * shuffles for the gate itself, only the (lang, verdict, reason)
+    * counts reach the wire (map-side combined). */
+  def filterBlocklist(s: SparkSession, d: String): DataFrame = {
+    val block = s.createDataFrame(Seq(
+      ("src3", "licensing"),
+      ("src7", "spam"),
+      ("src12", "optout")
+    )).toDF("source", "reason")
+    documents(s, d)
+      .join(broadcast(block), Seq("source"), "left")
+      .select(col("lang"),
+        when(col("reason").isNull, "kept").otherwise("removed")
+          .as("verdict"),
+        coalesce(col("reason"), lit("-")).as("reason"),
+        col("n_chars"))
+      .groupBy("lang", "verdict", "reason")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "verdict", "reason")
+  }
+
+  /** Deterministic epoch-order interleave — the data-mixing scheduler
+    * that turns per-source budgets into an actual consumption ORDER:
+    * each doc is ranked within its language by md5 (the unbiased stable
+    * shuffle, q_domain_cap's trick), and the training order is
+    * (round, lang) — round r takes one doc from every language before
+    * any language sends its (r+1)-th. Contiguous same-source runs
+    * destabilize training; round-robin interleave is the standard fix.
+    * Audit output: the first 64 global positions.
+    *
+    * Scale shape: the per-lang rank is a within-partition sort under a
+    * lang-partitioned layout; the GLOBAL order window runs only on the
+    * prefiltered frame (rnd ≤ 64 ⇒ at most 64·L rows — position p
+    * requires rnd ≤ p, so the prefilter is lossless for the first 64
+    * positions), never on the corpus. A full-epoch schedule at scale is
+    * a sortWithinPartitions by (rnd, lang) under a range partitioner on
+    * rnd — same total order, no single-partition window. */
+  def interleaveMix(s: SparkSession, d: String): DataFrame = {
+    val perLang = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+        col("doc_id"))
+    val global = Window.orderBy(col("rnd"), col("lang"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(perLang).cast("long").as("rnd"))
+      .filter(col("rnd") <= 64)
+      .select(col("doc_id"), col("lang"), col("rnd"),
+        row_number().over(global).cast("long").as("position"))
+      .filter(col("position") <= 64)
+      .orderBy("position")
   }
 }

@@ -46,7 +46,9 @@ object SimilarityQueries {
     "q_dedup_semantic" -> dedupSemantic _,
     "q_sim_batch_topk" -> simBatchTopK _,
     "q_dedup_incremental_lsh" -> dedupIncrementalLsh _,
-    "q_embed_knn"     -> embedKnn _
+    "q_embed_knn"     -> embedKnn _,
+    "q_eval_ndcg"     -> evalNdcg _,
+    "q_embed_kmeans"  -> embedKmeans _
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,7 +188,98 @@ object SimilarityQueries {
         |  FROM bidir)
         |SELECT vec_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 3
-        |ORDER BY vec_id, rnk""".stripMargin
+        |ORDER BY vec_id, rnk""".stripMargin,
+    // Ranks on the 6dp-rounded cosine with vec_id tiebreak (total
+    // order); the ≤10 nonzero discount terms sum amid exact zeros, so
+    // the only cross-engine drift is libm log2's last ulp — absorbed by
+    // the 6dp rounds on dcg/idcg/ndcg.
+    "q_eval_ndcg" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, label AS probe_label,
+        |    embedding AS pv
+        |  FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT p.probe_id, p.probe_label, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(p.pv,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 6) AS cs,
+        |    CASE WHEN e.label = p.probe_label THEN 1.0 ELSE 0.0 END
+        |      AS rel
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id >= 4),
+        |ranked AS (
+        |  SELECT probe_id, probe_label, rel,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cs DESC, vec_id) AS rk,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY rel DESC, vec_id) AS irk
+        |  FROM scored),
+        |agg AS (
+        |  SELECT probe_id, probe_label,
+        |    round(sum(CASE WHEN rk <= 10
+        |      THEN rel / log2(rk + 1) ELSE 0.0 END), 6) AS dcg,
+        |    round(sum(CASE WHEN irk <= 10
+        |      THEN rel / log2(irk + 1) ELSE 0.0 END), 6) AS idcg
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT probe_id, probe_label, dcg, idcg,
+        |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 6)
+        |       ELSE 0.0 END AS ndcg
+        |FROM agg ORDER BY probe_id""".stripMargin,
+    // Iterations unrolled as CTEs with the SAME rounding barriers the
+    // Spark side applies: centroids rounded 6dp after every mean (so a
+    // ~1e-13 cross-row sum-order drift can never flip an assignment),
+    // assignment selected on round(dist, 9) with cid tiebreak, inertia
+    // rounded 4 (cross-row sum), centroid norm a fixed-order 64-term
+    // fold rounded 6.
+    "q_embed_kmeans" -> {
+      def assign(src: String, cent: String, n: Int): String =
+        s"""a$n AS (
+           |  SELECT e.vec_id, e.v, c.cid,
+           |    list_sum(list_transform(range(1, len(e.v) + 1),
+           |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS dist
+           |  FROM $src e CROSS JOIN $cent c),
+           |s$n AS (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY round(dist, 9), cid) AS rn FROM a$n),
+           |m$n AS (SELECT vec_id, v, cid, dist FROM s$n WHERE rn = 1)"""
+          .stripMargin
+      def recompute(n: Int): String =
+        s"""d$n AS (
+           |  SELECT cid, i, round(avg(v[i]), 6) AS m
+           |  FROM m$n, UNNEST(range(1, len(v) + 1)) AS u(i)
+           |  GROUP BY cid, i),
+           |c$n AS (SELECT cid, list(m ORDER BY i) AS c FROM d$n
+           |        GROUP BY cid)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid,
+         |    list_transform(v, x -> round(x, 6)) AS c
+         |  FROM v WHERE vec_id < 4),
+         |${assign("v", "c0", 1)},
+         |${recompute(1)},
+         |${assign("v", "c1", 2)},
+         |${recompute(2)},
+         |${assign("v", "c2", 3)},
+         |census AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    round(sum(dist), 4) AS inertia
+         |  FROM m3 GROUP BY cid),
+         |norms AS (
+         |  SELECT cid,
+         |    round(sqrt(list_sum(list_transform(c, x -> x * x))), 6)
+         |      AS centroid_norm
+         |  FROM c2)
+         |SELECT CAST(census.cid AS BIGINT) AS cluster_id, n_vecs,
+         |  inertia, centroid_norm
+         |FROM census JOIN norms USING (cid)
+         |ORDER BY cluster_id""".stripMargin
+    }
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -852,5 +945,118 @@ object SimilarityQueries {
       .withColumn("rnk", row_number().over(wn).cast("long"))
       .filter(col("rnk") <= 5)
       .orderBy("probe_id", "rnk")
+  }
+
+  /** NDCG@10 of dense retrieval, one row per probe — the ranking-quality
+    * metric every retrieval/rerank stack reports, closing the eval
+    * family (q_eval_confusion = classification, q_eval_auc = scoring,
+    * this = ranking). Probes = vec_id 0–3 (queries), corpus = the rest
+    * (collection); graded relevance = label match; ranks on the ROUNDED
+    * cosine (6dp, vec_id tiebreak — the q_search_rrf determinism trick);
+    * DCG = Σ_{rank≤10} rel/log₂(rank+1) vs the ideal-order IDCG, all
+    * emitted rounded 6 (libm log2 last-ulp drift absorbed, the
+    * q_dq_drift_psi precedent).
+    *
+    * Scale shape: probes broadcast into the embeddings scan, the
+    * codegen'd cosine runs per (probe, doc), and only scalar scores
+    * reach the per-probe rank windows — vectors never shuffle. The rank
+    * window sorts the corpus per probe; at serving scale the in-repo
+    * swap is the bounded-heap TopKSims Aggregator (q_sim_batch_topk),
+    * since NDCG@10 only consumes the top-10 rows of each ranking. */
+  def evalNdcg(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label"), col("embedding").as("pv"))
+    val scored = e.filter(col("vec_id") >= 4)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        round(cosine(col("embedding"), col("pv")), 6).as("cs"),
+        when(col("label") === col("probe_label"), 1.0).otherwise(0.0)
+          .as("rel"))
+    val wAct = Window.partitionBy("probe_id")
+      .orderBy(col("cs").desc, col("vec_id"))
+    val wIdeal = Window.partitionBy("probe_id")
+      .orderBy(col("rel").desc, col("vec_id"))
+    scored
+      .select(col("probe_id"), col("probe_label"), col("rel"),
+        row_number().over(wAct).as("rk"),
+        row_number().over(wIdeal).as("irk"))
+      .groupBy("probe_id", "probe_label")
+      .agg(
+        round(sum(when(col("rk") <= 10,
+          col("rel") / log2(col("rk") + 1)).otherwise(lit(0.0))), 6)
+          .as("dcg"),
+        round(sum(when(col("irk") <= 10,
+          col("rel") / log2(col("irk") + 1)).otherwise(lit(0.0))), 6)
+          .as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("probe_id")
+  }
+
+  /** Lloyd k-means over the embedding cloud (k=4, two deterministic
+    * iterations, init = the k lowest-vec_id vectors) — the clustering
+    * stage SemDeDup/cluster-balance curation runs before per-cluster
+    * dedup and sampling. Every step is engine-deterministic by
+    * construction: assignment = nearest centroid by squared L2 with
+    * (round(dist,9), cid) tie-break (a total order), recompute = per-dim
+    * member means ROUNDED 6dp — the cross-engine barrier that absorbs a
+    * mean's ~1e-13 partial-sum-order drift BEFORE it can flip any
+    * assignment. Census output: cluster sizes, inertia (rounded 4 — the
+    * cross-row sum), centroid norms (fixed 64-term fold, rounded 6).
+    *
+    * Scale shape: each iteration is one corpus scan comparing every row
+    * against k BROADCAST centroid rows (k·dim doubles of driver state)
+    * plus one keyed mean agg; nothing quadratic, vectors never join
+    * vectors. The per-dim mean here rides posexplode (64·n rows through
+    * a map-side-combined agg); the in-repo 100 TB swap is the
+    * LongVecSum array-partial Aggregator (q_embed_cov's — one array per
+    * partition on the wire). */
+  def embedKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val c0 = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cid"),
+        transform(col("v"), x => round(x, 6)).as("c"))
+    // Assign every vector to its nearest centroid; keep the raw squared
+    // distance of the WINNING row for the inertia sum (selection runs
+    // on the rounded copy so both engines take identical boundary
+    // decisions).
+    def assign(cent: DataFrame): DataFrame = {
+      val dcol = aggregate(
+        zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)
+      val w = Window.partitionBy("vec_id").orderBy(col("rd"), col("cid"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"),
+          dcol.as("dist"), round(dcol, 9).as("rd"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+    }
+    // Per-dim member means, re-assembled dimension-ordered, rounded 6.
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(round(avg("x"), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+          .as("ims"))
+        .select(col("cid"), expr("transform(ims, s -> s.m)").as("c"))
+    val c1 = recompute(assign(c0))
+    val c2 = recompute(assign(c1))
+    val a3 = assign(c2)
+    val census = a3.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), round(sum("dist"), 4).as("inertia"))
+    val norms = c2.select(col("cid"),
+      round(sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x)),
+        6).as("centroid_norm"))
+    census.join(norms, Seq("cid"))
+      .select(col("cid").cast("long").as("cluster_id"), col("n_vecs"),
+        col("inertia"), col("centroid_norm"))
+      .orderBy("cluster_id")
   }
 }

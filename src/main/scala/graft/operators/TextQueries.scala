@@ -64,7 +64,8 @@ object TextQueries {
     "q_dedup_lines"      -> dedupLines _,
     "q_text_readability" -> textReadability _,
     "q_text_novelty"     -> textNovelty _,
-    "q_text_codeswitch"  -> textCodeswitch _
+    "q_text_codeswitch"  -> textCodeswitch _,
+    "q_text_winnowing"   -> textWinnowing _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -757,7 +758,36 @@ object TextQueries {
         |  FROM wb JOIN cells ON cells.r = wb.r AND cells.b = wb.b
         |  GROUP BY wb.tok, wb.n_true)
         |SELECT tok, n_true, n_est, n_est - n_true AS overcount
-        |FROM est ORDER BY tok""".stripMargin
+        |FROM est ORDER BY tok""".stripMargin,
+    // Window frames clip identically at partition ends; md5 hex order
+    // is the same ASCII string order in both engines; n_selected ≥ 1
+    // whenever the doc has ≥ 1 gram, so no division guard is needed.
+    "q_text_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (
+        |  SELECT doc_id, i AS p,
+        |    md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])) AS h
+        |  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)),
+        |w AS (
+        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM w),
+        |grams AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM g GROUP BY doc_id),
+        |df AS (SELECT wmin, count(*) AS nd FROM sel GROUP BY wmin),
+        |perdoc AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+        |    CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_shared
+        |  FROM sel s JOIN df USING (wmin) GROUP BY s.doc_id)
+        |SELECT g.doc_id, n_grams, n_selected, n_shared,
+        |  round(n_selected::DOUBLE / n_grams, 6) AS density,
+        |  round(n_shared::DOUBLE / n_selected, 6) AS shared_frac
+        |FROM grams g JOIN perdoc USING (doc_id) ORDER BY doc_id"""
+        .stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -1917,6 +1947,53 @@ object TextQueries {
           .when(score >= 50, "medium")
           .when(score >= 30, "hard")
           .otherwise("very_hard").as("band"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprint selection (the MOSS guarantee: any shared
+    * run of w+k−1 = 7 tokens between two docs yields at least one
+    * SHARED selected fingerprint, content-position-independent — the
+    * property fixed-stride sampling loses the moment an insert/delete
+    * displaces every downstream offset): 4-token grams md5-hashed, each
+    * sliding window of w=4 consecutive gram positions selects its min
+    * hash (md5 hex order — identical in both engines), the doc's
+    * fingerprint set = the distinct chosen hashes. Output: per-doc
+    * selection density + cross-doc match accounting (how many selected
+    * fingerprints appear in ≥2 docs).
+    *
+    * Scale shape: gram explode and window-min are doc-local (scan stage
+    * + a doc-partitioned window), so only SELECTED fingerprints — ~1/w
+    * of the gram volume — reach the cross-doc (fingerprint → doc-count)
+    * shuffle: the same postings discipline as `q_dedup_ngram` at a
+    * fraction of the key volume, which is the point of winnowing as a
+    * corpus-overlap detector. Fingerprints shuffle as md5 strings here
+    * for the oracle twin; production swaps xxhash64 longs
+    * (q_dup_span_frac's documented trade). */
+  def textWinnowing(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        posexplode(ngrams(col("toks"), 4)).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"),
+        md5(col("gram").cast("binary")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, 3)
+    val sel = g.select(col("doc_id"), min("h").over(win).as("wmin"))
+      .distinct()
+    val grams = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val df = sel.groupBy("wmin").agg(count(lit(1)).as("nd"))
+    val perdoc = sel.join(df, Seq("wmin"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"),
+        count_if(col("nd") > 1).as("n_shared"))
+    grams.join(perdoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        col("n_shared"),
+        round(col("n_selected").cast("double") /
+          col("n_grams").cast("double"), 6).as("density"),
+        round(col("n_shared").cast("double") /
+          col("n_selected").cast("double"), 6).as("shared_frac"))
       .orderBy("doc_id")
   }
 }

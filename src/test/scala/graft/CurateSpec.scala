@@ -115,4 +115,76 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(!col("keep")).count() > 0,
       "no vector was deduplicated — threshold/cluster regime too loose")
   }
+
+  test("q_dq_kanon conserves rows and its class bounds are coherent") {
+    val out = CurateQueries.dqKanon(spark, sfDir).collect()
+    val total = Tables.customer(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === total,
+      "every customer row must land in exactly one equivalence class")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows_at_risk") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_at_risk_classes") <=
+        r.getAs[Long]("n_classes"))
+      assert(r.getAs[Long]("min_class") >= 1)
+      val share = r.getAs[Double]("risk_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("q_filter_blocklist conserves docs; reasons come from the list") {
+    val out = CurateQueries.filterBlocklist(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === total,
+      "kept + removed must cover the corpus exactly once")
+    val reasons = out.filter(_.getAs[String]("verdict") == "removed")
+      .map(_.getAs[String]("reason")).toSet
+    assert(reasons.subsetOf(Set("licensing", "spam", "optout")))
+    assert(out.filter(_.getAs[String]("verdict") == "kept")
+      .forall(_.getAs[String]("reason") == "-"))
+  }
+
+  test("q_interleave_mix is a round-robin: round r completes before r+1") {
+    val out = CurateQueries.interleaveMix(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("position")).toSeq ===
+      (1L to out.length.toLong).toSeq, "positions must be 1..n dense")
+    // Every doc of round r precedes every doc of round r+1, and within
+    // a round each language contributes at most one doc — the property
+    // that kills contiguous same-source runs.
+    val byRound = out.groupBy(_.getAs[Long]("rnd"))
+    for ((r, docs) <- byRound; if byRound.contains(r + 1)) {
+      assert(docs.map(_.getAs[Long]("position")).max <
+        byRound(r + 1).map(_.getAs[Long]("position")).min,
+        s"round $r must fully precede round ${r + 1}")
+    }
+    byRound.values.foreach { docs =>
+      val langs = docs.map(_.getAs[String]("lang"))
+      assert(langs.distinct.length === langs.length,
+        "a language may send at most one doc per round")
+    }
+  }
+
+  test("q_embed_kmeans partitions the cloud; census is coherent") {
+    val out = SimilarityQueries.embedKmeans(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === total,
+      "every vector must be assigned to exactly one cluster")
+    assert(out.map(_.getAs[Long]("cluster_id")).toSet
+      .subsetOf(Set(0L, 1L, 2L, 3L)))
+    out.foreach { r =>
+      assert(r.getAs[Double]("inertia") >= 0.0)
+      assert(r.getAs[Double]("centroid_norm") >= 0.0)
+    }
+  }
+
+  test("q_eval_ndcg emits one bounded row per probe") {
+    val out = SimilarityQueries.evalNdcg(spark, sfDir).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg"),
+        r.getAs[Double]("idcg"), r.getAs[Double]("ndcg"))
+      assert(idcg > 0.0, "fixture labels guarantee ≥10 relevant docs")
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+    }
+  }
 }

@@ -39,7 +39,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_embed_cov",    // 1-row moment vector × 2080-row literal slot dim
     "q_event_dau",    // 1-row (min, max) day-bounds broadcast (cross)
     "q_agg_heavy_hitters", // 1-row token-total scalar broadcast (cross)
-    "q_embed_pca_power" // 1-row norm/λ/trace scalar broadcasts (cross)
+    "q_embed_pca_power", // 1-row norm/λ/trace scalar broadcasts (cross)
+    "q_eval_ndcg",    // 4-row probe-vector broadcast (q_sim_topk shape)
+    "q_embed_kmeans"  // k-row centroid broadcast per Lloyd iteration
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must

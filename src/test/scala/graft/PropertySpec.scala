@@ -470,4 +470,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(got.contains("hot") && got.size >= 3,
       s"planted hitters missing: $got")
   }
+
+  test("winnowing guarantee: a shared w+k-1 token run shares a fingerprint") {
+    import spark.implicits._
+    // MOSS's selection guarantee (k=4-token grams, window w=4): any run
+    // of w+k−1 = 7 shared tokens yields w consecutive shared grams, so
+    // BOTH docs contain the identical 4-gram window and select the same
+    // min hash — regardless of where the run sits in each doc (doc B
+    // shifts it by a 2-token prefix, the displacement that breaks
+    // fixed-stride sampling). Unshared filler tokens are disjoint, so
+    // any shared selected fingerprint must come from the planted run.
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 u1 u2 u3 u4 u5"),
+      (2L, "p1 p2 s1 s2 s3 s4 s5 s6 s7 q1 q2"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-winnow").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textWinnowing(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_shared") >= 1,
+      "doc 1 must share a selected fingerprint with doc 2")
+    assert(out(2L).getAs[Long]("n_shared") >= 1,
+      "doc 2 must share a selected fingerprint with doc 1")
+    assert(out(3L).getAs[Long]("n_shared") === 0,
+      "the disjoint doc must share nothing")
+    // Selection bounds: ≥1 per w-window span (a gram can be the min of
+    // at most w windows), ≤ the gram count.
+    out.values.foreach { r =>
+      val (g, sel) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_selected"))
+      assert(sel >= (g + 3) / 4 && sel <= g,
+        s"selection density out of winnowing bounds: grams=$g sel=$sel")
+    }
+  }
 }
