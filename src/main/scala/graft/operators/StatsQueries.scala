@@ -64,7 +64,10 @@ object StatsQueries {
     "q_agg_benford"     -> aggBenford _,
     "q_agg_cramer_v"    -> aggCramerV _,
     "q_event_dau"       -> eventDau _,
-    "q_agg_bootstrap_ci" -> aggBootstrapCi _
+    "q_agg_bootstrap_ci" -> aggBootstrapCi _,
+    "q_event_paths"     -> eventPaths _,
+    "q_ab_test"         -> abTest _,
+    "q_revenue_concentration" -> revenueConcentration _
   )
 
   val oracle: Map[String, String] = Map(
@@ -925,7 +928,89 @@ object StatsQueries {
         |  round(avg(mean_cents), 6) AS boot_mean_cents,
         |  round(quantile_cont(mean_cents, 0.025), 4) AS ci_lo_cents,
         |  round(quantile_cont(mean_cents, 0.975), 4) AS ci_hi_cents
-        |FROM mm""".stripMargin
+        |FROM mm""".stripMargin,
+    // (ts, event_id) is a total order, so both engines see identical
+    // triples; top-20 on (n DESC, path) is deterministic.
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // Counts exact integers; the rate/lift/z tree is token-identical
+    // on both sides (no cross-row float sum), so values are emitted
+    // unrounded. Zero-denominator guards never fire on the fixture but
+    // are mirrored so the trees stay identical.
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+        |    AS variant, conv
+        |  FROM u),
+        |g AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (variant = 'A') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (variant = 'A' AND conv = 1) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(count(*) FILTER (variant = 'B') AS BIGINT) AS n_b,
+        |    CAST(count(*) FILTER (variant = 'B' AND conv = 1) AS BIGINT)
+        |      AS conv_b
+        |  FROM v),
+        |t AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |    CASE WHEN n_a > 0
+        |      THEN conv_a::DOUBLE / n_a::DOUBLE ELSE 0.0 END AS rate_a,
+        |    CASE WHEN n_b > 0
+        |      THEN conv_b::DOUBLE / n_b::DOUBLE ELSE 0.0 END AS rate_b,
+        |    (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pool
+        |  FROM g),
+        |z AS (
+        |  SELECT *,
+        |    sqrt(pool * (1.0 - pool)
+        |      * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS se
+        |  FROM t)
+        |SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+        |  rate_a - rate_b AS lift,
+        |  CASE WHEN se > 0 THEN (rate_a - rate_b) / se ELSE 0.0 END
+        |    AS z,
+        |  abs(CASE WHEN se > 0 THEN (rate_a - rate_b) / se
+        |           ELSE 0.0 END) > 1.96 AS significant
+        |FROM z""".stripMargin,
+    // Exact BIGINT cents make every band total order-independent;
+    // ntile on the (rev DESC, custkey) total order buckets identical
+    // rows in both engines (same n%10-first-groups-larger rule).
+    "q_revenue_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |band AS (
+        |  SELECT rev,
+        |    ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        |  FROM rev),
+        |b AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(rev) AS BIGINT) AS band_cents
+        |  FROM band GROUP BY decile)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        |  band_cents,
+        |  round(band_cents::DOUBLE
+        |    / (sum(band_cents) OVER ())::DOUBLE, 6) AS share,
+        |  round((sum(band_cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |    / (sum(band_cents) OVER ())::DOUBLE, 6) AS cum_share
+        |FROM b ORDER BY decile""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -2140,5 +2225,112 @@ object StatsQueries {
         round(coalesce(col("dau"), lit(0L)).cast("double")
           / col("wau7").cast("double"), 4).as("stickiness"))
       .orderBy("day")
+  }
+
+  /** 3-step behavioral path mining: consecutive event-type triples per
+    * user under the (ts, event_id) total order, counted corpus-wide,
+    * top-20 — journey DISCOVERY (q_event_funnel measures a declared
+    * funnel; this finds the routes users actually take, generalizing
+    * q_transition_matrix's 1-step memory to 3).
+    *
+    * Scale shape: the lead window rides the same user-keyed sort every
+    * sessionization op pays; the path agg is map-side combinable over a
+    * ≤ T³ key space (T = event types, constant), and the top-20 on the
+    * (n DESC, path) total order is a TakeOrdered, never a full sort. */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead("event_type", 1).over(w).as("e2"),
+        lead("event_type", 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Two-proportion z-test between hash-split variants — the
+    * experimentation primitive (q_agg_ttest covers means, mannwhitney
+    * ranks; this is the proportions member). Variant = md5 nibble of
+    * user_id (q_split_hash's stable assignment: a property of the USER,
+    * not the ingest order — the only assignment that survives re-runs
+    * and late data); conversion = ≥1 purchase event. Counts are exact
+    * integers; rates, lift and the pooled z are one shared IEEE tree
+    * over exact operands, emitted unrounded (bit-identical across
+    * engines — no cross-row float sum anywhere).
+    *
+    * Scale shape: one user-keyed conditional agg (map-side combined)
+    * reduces the corpus to a (user, variant, converted) frame, then ONE
+    * global conditional-count agg yields the 1-row closed form. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+      .select(
+        when(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B").as("variant"),
+        col("conv"))
+    val g = users.groupBy().agg(
+      count_if(col("variant") === "A").as("n_a"),
+      count_if(col("variant") === "A" && col("conv") === 1).as("conv_a"),
+      count_if(col("variant") === "B").as("n_b"),
+      count_if(col("variant") === "B" && col("conv") === 1).as("conv_b"))
+    // ANSI mode throws on /0 even inside an untaken `when` branch
+    // (subexpression elimination hoists the division), so every
+    // denominator is branchlessly floored to 1 when its guard would
+    // fire — value-identical to the oracle's CASE tree whenever data
+    // exists (the guard only triggers on an empty corpus, where every
+    // numerator is 0 and the result is the oracle's ELSE 0.0).
+    def safeDen(c: org.apache.spark.sql.Column) =
+      when(c > 0, c.cast("double")).otherwise(lit(1.0))
+    val pa = col("conv_a").cast("double") / safeDen(col("n_a"))
+    val pb = col("conv_b").cast("double") / safeDen(col("n_b"))
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      safeDen(col("n_a") + col("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / safeDen(col("n_a")) +
+        lit(1.0) / safeDen(col("n_b"))))
+    val z = when(se > 0, (pa - pb) / safeDen(se)).otherwise(lit(0.0))
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        pa.as("rate_a"), pb.as("rate_b"),
+        (pa - pb).as("lift"), z.as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  /** Revenue-concentration (Pareto/Lorenz) audit: customers ranked by
+    * exact order-revenue descending into 10 ntile bands, per-band and
+    * cumulative revenue share — the "top 10% of customers = what % of
+    * revenue" curve behind account prioritization, and the join-skew
+    * site map (q_agg_gini emits the scalar; this emits the CURVE).
+    *
+    * Scale shape: one customer-keyed agg (exact BIGINT cents, so band
+    * totals are order-independent integers), the ntile window on the
+    * (revenue DESC, custkey) total order, and everything after runs on
+    * the 10-row band frame. */
+  def revenueConcentration(s: SparkSession, d: String): DataFrame = {
+    val rev = orders(s, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("rev"))
+    val band = rev.select(col("rev"),
+      ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey")))
+        .as("decile"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy()
+    band.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("rev").as("band_cents"))
+      .select(col("decile").cast("long").as("decile"),
+        col("n_customers"), col("band_cents"),
+        round(col("band_cents").cast("double") /
+          sum("band_cents").over(wt).cast("double"), 6).as("share"),
+        round(sum("band_cents").over(wc).cast("double") /
+          sum("band_cents").over(wt).cast("double"), 6).as("cum_share"))
+      .orderBy("decile")
   }
 }

@@ -397,4 +397,45 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     val share = out.head.getDouble(3)
     assert(share > 0 && share <= 1.0 + 1e-9, s"explained_frac: $share")
   }
+
+  test("q_event_paths emits well-formed triples over the known alphabet") {
+    val out = StatsQueries.eventPaths(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val types = Set("view", "click", "signup", "purchase", "error")
+    out.foreach { r =>
+      val segs = r.getAs[String]("path").split(">")
+      assert(segs.length === 3 && segs.forall(types),
+        s"malformed path: ${r.getAs[String]("path")}")
+    }
+    val ns = out.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "top-20 must be count-descending")
+  }
+
+  test("q_ab_test covers every user once; z is finite") {
+    val r = StatsQueries.abTest(spark, sfDir).collect().head
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users,
+      "variants must partition the user base")
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+  }
+
+  test("q_revenue_concentration is a Lorenz curve: monotone to 1.0") {
+    val out = StatsQueries.revenueConcentration(spark, sfDir).collect()
+    val custs = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum === custs,
+      "deciles must cover every revenue-bearing customer")
+    val cum = out.map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "cumulative share must be monotone")
+    assert(math.abs(cum.last - 1.0) < 1e-6,
+      s"cumulative share must end at 1.0, got ${cum.last}")
+    // Concentration: the top decile must out-earn the bottom decile.
+    assert(out.head.getAs[Double]("share") >
+      out.last.getAs[Double]("share"))
+  }
 }
