@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -164,6 +164,51 @@ case class FloatVecCosine(left: Expression, right: Expression)
       newRight: Expression): FloatVecCosine = copy(newLeft, newRight)
 }
 
+/** Complete power iteration over a row-major dim×dim matrix in ONE
+  * compiled call: `rounds` × (matvec → L2-normalize) from the uniform
+  * start vector, then the Rayleigh quotient and trace — the driver-scale
+  * tail of `q_embed_pca_power` once the corpus pass has reduced the
+  * problem to a 4096-cell array.
+  *
+  * Why an Expression and not the `aggregate`/`transform` HOF fold: HOFs
+  * have no `doGenCode` — the ~300k double ops evaluated interpreted, a
+  * lambda frame per element (measured ~1.3 s of the query's 2.5 s at
+  * sf0.1), and the HOF form needed localCheckpoint barriers to stop
+  * CollapseProject from inlining the 24-round fold into every element_at
+  * reference of the next stage. One opaque compiled call removes both:
+  * the loop is a JIT'd primitive nest, and there is nothing for the
+  * optimizer to inline.
+  *
+  * Arithmetic is the HOF fold's exact sequence (row-major matvec
+  * accumulated left-to-right, normalize = x/√Σx², Rayleigh Σvᵢ·(Av)ᵢ in
+  * index order), so results are bit-identical to the fold formulation —
+  * deterministic run to run, layout to layout (the q_ts_ewma rule).
+  *
+  * Output: array<double> of dim+2 slots — [v₀..v_{dim−1}, λ, trace]. */
+case class PowerIterTop(child: Expression, dim: Int, rounds: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_power_iter"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecExprs.powerIter(a.asInstanceOf[ArrayData], dim, rounds)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecExprs.powerIter($c, $dim, $rounds)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PowerIterTop = copy(child = newChild)
+}
+
 /** Shared runtime helpers for the vector expressions; methods here are
   * called from generated Java (static forwarders), so they must stay
   * object-level and JVM-primitive-typed. */
@@ -177,6 +222,48 @@ object VecExprs {
     if (nx != ny) throw new IllegalArgumentException(
       s"$fn requires equal-length arrays, got lengths $nx and $ny")
     nx
+  }
+
+  /** [[PowerIterTop]] kernel (also called from generated Java). */
+  def powerIter(am: ArrayData, dim: Int, rounds: Int): ArrayData = {
+    val n = am.numElements()
+    if (n != dim * dim) throw new IllegalArgumentException(
+      s"graft_power_iter requires a $dim x $dim row-major matrix " +
+        s"(${dim * dim} cells), got $n")
+    val a = am.toDoubleArray()
+    val v = new Array[Double](dim)
+    val w = new Array[Double](dim)
+    java.util.Arrays.fill(v, 1.0 / math.sqrt(dim.toDouble))
+    var r = 0
+    while (r < rounds) {
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += a(i * dim + j) * v(j); j += 1 }
+        w(i) = s; i += 1
+      }
+      var ss = 0.0; i = 0
+      while (i < dim) { ss += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      i = 0
+      while (i < dim) { v(i) = w(i) / nrm; i += 1 }
+      r += 1
+    }
+    val out = new Array[Double](dim + 2)
+    var lambda = 0.0
+    var i = 0
+    while (i < dim) {
+      var s = 0.0; var j = 0
+      while (j < dim) { s += a(i * dim + j) * v(j); j += 1 }
+      lambda += v(i) * s
+      out(i) = v(i)
+      i += 1
+    }
+    var tr = 0.0; i = 0
+    while (i < dim) { tr += a(i * dim + i); i += 1 }
+    out(dim) = lambda
+    out(dim + 1) = tr
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -228,7 +315,12 @@ object GraftFunctions {
         foldedLong(args(3)))),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_power_iter"),
+      new ExpressionInfo(classOf[PowerIterTop].getName,
+        "graft_power_iter"),
+      (args: Seq[Expression]) => PowerIterTop(args(0),
+        foldedLong(args(1)).toInt, foldedLong(args(2)).toInt)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -62,6 +62,7 @@ object CurateQueries {
     "q_quality_classifier" -> qualityClassifier _,
     "q_export_jsonl"      -> exportJsonl _,
     "q_dq_kanon"          -> dqKanon _,
+    "q_dq_ldiversity"     -> dqLdiversity _,
     "q_filter_blocklist"  -> filterBlocklist _,
     "q_interleave_mix"    -> interleaveMix _
   )
@@ -517,6 +518,24 @@ object CurateQueries {
         |  round(CAST(coalesce(sum(n) FILTER (n < 5), 0) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS risk_share
         |FROM classes GROUP BY segment ORDER BY segment""".stripMargin,
+    "q_dq_ldiversity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(count(*) FILTER (l < 3) AS BIGINT) AS n_low_diversity,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n) FILTER (l < 3), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  round(CAST(coalesce(sum(n) FILTER (l < 3), 0) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 6) AS risk_share
+        |FROM classes GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_filter_blocklist" ->
       """WITH block(source, reason) AS (
         |  VALUES ('src3', 'licensing'), ('src7', 'spam'),
@@ -1306,6 +1325,38 @@ object CurateQueries {
         round(col("n_rows_at_risk").cast("double") /
           col("n_rows").cast("double"), 6))
       .orderBy("segment")
+  }
+
+  /** l-diversity audit (l=3) — k-anonymity's sensitive-attribute
+    * companion: a class of 50 people all sharing one diagnosis is
+    * 50-anonymous yet fully disclosed; what protects them is DIVERSITY
+    * of the sensitive value inside each quasi-ID class. Quasi-IDs =
+    * (nation, coarse balance bucket), sensitive = market segment;
+    * per-nation census of classes, classes with l < 3, rows inside
+    * them, the worst class diversity, and the disclosure-risk share.
+    *
+    * Scale shape: [[dqKanon]]'s two-level reduction with one extra
+    * map-side distinct — the (quasi-ID, sensitive) domain is bounded,
+    * so the exact distinct count never shuffles raw rows twice. */
+  def dqLdiversity(s: SparkSession, d: String): DataFrame = {
+    val classes = customer(s, d)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("seg"))
+      .groupBy("c_nationkey", "bal_bucket")
+      .agg(count(lit(1)).as("n"), countDistinct(col("seg")).as("l"))
+    classes.groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        count_if(col("l") < 3).as("n_low_diversity"),
+        sum("n").as("n_rows"),
+        coalesce(sum(when(col("l") < 3, col("n"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min("l").as("min_l"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") /
+          col("n_rows").cast("double"), 6))
+      .orderBy("c_nationkey")
   }
 
   /** Domain-blocklist gate: the first removal pass of every crawl

@@ -1024,18 +1024,22 @@ object SimilarityQueries {
     // Assign every vector to its nearest centroid; keep the raw squared
     // distance of the WINNING row for the inertia sum (selection runs
     // on the rounded copy so both engines take identical boundary
-    // decisions).
+    // decisions). Selection = min over (rd, cid)-lexicographic structs —
+    // one map-side-combinable agg (the q_agg_argmax discipline), never a
+    // per-key window sort of the k·n candidate frame; the oracle's
+    // row_number-over-(rd, cid) form picks the identical row because
+    // (rd, cid) is a total order per vector.
     def assign(cent: DataFrame): DataFrame = {
       val dcol = aggregate(
         zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, z) => acc + z)
-      val w = Window.partitionBy("vec_id").orderBy(col("rd"), col("cid"))
       e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("cid"),
-          dcol.as("dist"), round(dcol, 9).as("rd"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+        .select(col("vec_id"),
+          struct(round(dcol, 9).as("rd"), col("cid"),
+            dcol.as("dist"), col("v")).as("cand"))
+        .groupBy("vec_id").agg(min("cand").as("win"))
+        .select(col("vec_id"), col("win.v").as("v"),
+          col("win.cid").as("cid"), col("win.dist").as("dist"))
     }
     // Per-dim member means, re-assembled dimension-ordered, rounded 6.
     def recompute(assigned: DataFrame): DataFrame =

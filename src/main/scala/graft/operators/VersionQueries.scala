@@ -434,38 +434,21 @@ object VersionQueries {
       .agg(sort_array(collect_list("t")).as("ts"))
       .select(transform(col("ts"), x => x.getField("a")).as("am"))
       .filter(size(col("am")) === lit(dim * dim))
-    def matvec(am: Column, v: Column): Column =
-      transform(sequence(lit(1), lit(dim)), i =>
-        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, j) =>
-          acc + element_at(am, (i - lit(1)) * lit(dim) + j)
-            * element_at(v, j)))
-    def normalize(w: Column): Column = {
-      val ss = aggregate(w, lit(0.0), (a, x) => a + x * x)
-      transform(w, x => x / sqrt(ss))
-    }
-    val v0 = transform(sequence(lit(1), lit(dim)),
-      _ => lit(1.0 / math.sqrt(dim.toDouble)))
-    val vf = aggregate(sequence(lit(1), lit(24)), v0,
-      (v, _) => normalize(matvec(col("am"), v)))
-    // The two localCheckpoints pin evaluated ARRAYS between stages:
-    // without them CollapseProject inlines `v` (the whole 24-round
-    // fold) into every one of the next stage's 64×64 element_at
-    // references — an exponential re-evaluation blowup (observed as a
-    // hang), not a plan-shape nicety. Each checkpoint is one 1-row job.
-    val withV = matRow.select(col("am"), vf.as("v")).localCheckpoint()
-    val withAv = withV
-      .select(col("v"), matvec(col("am"), col("v")).as("av"),
-        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (a, i) =>
-          a + element_at(col("am"), (i - lit(1)) * lit(dim) + i))
-          .as("trace"))
-      .localCheckpoint()
-    val r = withAv
-      .select(col("v"), col("trace"),
-        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (a, i) =>
-          a + element_at(col("v"), i) * element_at(col("av"), i))
-          .as("lambda"))
-    r.select(posexplode(col("v")).as(Seq("pos", "raw")),
-        col("lambda"), col("trace"))
+    // The complete 24-round iteration runs inside graft_power_iter —
+    // ONE compiled call (VecExprs.PowerIterTop) returning
+    // [v₀..v₆₃, λ, trace]. Earlier forms of this tail, both measured at
+    // sf0.1: per-matvec checkpointed mini-plans (24×3 scheduling-bound
+    // jobs, 6.5 s) and a single interpreted `aggregate` HOF fold with
+    // localCheckpoint barriers against CollapseProject inlining
+    // (~300k lambda-frame evaluations + 3 extra 1-row jobs, ~2.5 s).
+    // The opaque compiled call needs no barrier (nothing to inline) and
+    // reproduces the fold's arithmetic sequence bit-for-bit.
+    val r = matRow.select(
+      call_function("graft_power_iter", col("am"), lit(dim), lit(24))
+        .as("out"))
+    r.select(posexplode(slice(col("out"), 1, dim)).as(Seq("pos", "raw")),
+        element_at(col("out"), dim + 1).as("lambda"),
+        element_at(col("out"), dim + 2).as("trace"))
       .select((col("pos") + 1).cast("long").as("dim_idx"),
         round(col("raw"), 6).as("loading"),
         round(col("lambda"), 8).as("lambda"),

@@ -131,6 +131,18 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_dq_ldiversity conserves rows; diversity is bounded by segments") {
+    val out = CurateQueries.dqLdiversity(spark, sfDir).collect()
+    val total = Tables.customer(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === total)
+    out.foreach { r =>
+      val l = r.getAs[Long]("min_l")
+      assert(l >= 1 && l <= 5, s"min_l out of segment-domain bounds: $l")
+      assert(r.getAs[Long]("n_low_diversity") <= r.getAs[Long]("n_classes"))
+      assert(r.getAs[Long]("n_rows_at_risk") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("q_filter_blocklist conserves docs; reasons come from the list") {
     val out = CurateQueries.filterBlocklist(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()

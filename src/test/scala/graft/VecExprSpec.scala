@@ -174,4 +174,47 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
       lit(prime))).collect()
     assert(out.head.getSeq[Long](0) === Seq(prime, prime))
   }
+
+  test("graft_power_iter finds the dominant eigenpair of a known matrix") {
+    import spark.implicits._
+    // Symmetric 2×2 [[2,1],[1,2]]: eigenvalues 3 and 1, dominant
+    // eigenvector (1,1)/√2. Trace = 4. 24 rounds from the uniform start
+    // (already the exact eigenvector here) must return it unchanged.
+    val out = Seq(Seq(2.0, 1.0, 1.0, 2.0)).toDF("am")
+      .select(call_function("graft_power_iter", col("am"), lit(2),
+        lit(24)).as("o"))
+      .collect().head.getSeq[Double](0)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(out(0) - s) < 1e-12 && math.abs(out(1) - s) < 1e-12,
+      s"loading: ${out.take(2)}")
+    assert(math.abs(out(2) - 3.0) < 1e-12, s"lambda: ${out(2)}")
+    assert(out(3) === 4.0, s"trace: ${out(3)}")
+  }
+
+  test("graft_power_iter interpreted eval matches the codegen path") {
+    val am = Array.tabulate(16)(i => rng.nextDouble())
+    // Symmetrize so the iteration is well-posed.
+    val sym = Array.tabulate(16) { k =>
+      val (i, j) = (k / 4, k % 4); (am(i * 4 + j) + am(j * 4 + i)) / 2
+    }
+    val interp = graft.functions.PowerIterTop(
+      Literal(ArrayData.toArrayData(sym), ArrayType(DoubleType)), 4, 24)
+      .eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    import spark.implicits._
+    val codegen = Seq(sym.toSeq).toDF("am")
+      .select(call_function("graft_power_iter", col("am"), lit(4),
+        lit(24)))
+      .collect().head.getSeq[Double](0).toArray
+    assert(interp === codegen, "interpreted and codegen paths must agree")
+  }
+
+  test("graft_power_iter rejects a non-square cell count") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq(Seq(1.0, 2.0, 3.0)).toDF("am")
+        .select(call_function("graft_power_iter", col("am"), lit(2),
+          lit(4))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
