@@ -407,4 +407,80 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
       "restage missed: result still reflects the replaced corpus")
     assert(layoutFiles !== staged, "layout files unchanged after restage")
   }
+
+  test("k-means wire is linear in corpus size: broadcast centroids, " +
+      "no pair blowup (adversarial 10x probe)") {
+    // q_embed_kmeans compares every vector against k BROADCAST
+    // centroids; the only corpus-scale shuffles are the per-vector
+    // struct-min partials (≈ n per iteration after map-side combine)
+    // and the per-dim mean agg (combined to ≤ k·dim per partition). A
+    // regression that joins vectors against vectors — or replaces the
+    // combinable struct-min with a window sort of the k·n candidate
+    // frame — shows up here as super-linear growth.
+    val (small, large) = (300, 3000)
+    val dSmall = genEmbeddings(small)
+    val dLarge = genEmbeddings(large)
+    import graft.operators.SimilarityQueries
+    val (recSmall, recLarge) = withoutAutoBroadcast {
+      SimilarityQueries.embedKmeans(spark, dSmall).count()
+      (shuffleRecordsOf(
+        SimilarityQueries.embedKmeans(spark, dSmall).count()),
+        shuffleRecordsOf(
+          SimilarityQueries.embedKmeans(spark, dLarge).count()))
+    }
+    val ratio = recLarge.toDouble / recSmall.max(1L)
+    assert(ratio <= 30.0,
+      s"k-means shuffle rows grew ${ratio}x on a 10x corpus " +
+        s"($recSmall -> $recLarge)")
+    // 3 assignment reductions + 2 recompute aggs + census: comfortably
+    // under 25 shuffled rows per input vector.
+    assert(recLarge <= 25L * large,
+      s"$recLarge shuffle rows for $large vectors — super-linear wire")
+  }
+
+  test("winnowing wire is linear in gram volume (adversarial 10x probe)") {
+    // q_text_winnowing's cross-doc stage operates on SELECTED
+    // fingerprints (~1/w of the grams); the doc-local window rides one
+    // gram-volume shuffle keyed by doc_id. Both are linear in corpus
+    // size — a regression that pair-joins docs over shared fingerprints
+    // (instead of the (fp -> doc-count) keyed agg + join back) would
+    // grow quadratically on the planted duplicate block below.
+    def genDocs(n: Int): String = {
+      val dir = s"/tmp/graft-scaleprobe/docs_$n"
+      // 90% unique-vocabulary docs + 10% byte-identical boilerplate
+      // (the mass-dup regime that makes shared-fingerprint fan-out
+      // quadratic if mishandled).
+      val docs = spark.range(n.toLong).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+          lit((1 to 40).map(i => s"b$i").mkString(" ")))
+          .otherwise(concat_ws(" ",
+            transform(sequence(lit(0), lit(39)), i =>
+              concat(lit("t"),
+                pmod(xxhash64(col("id") * lit(41) + i), lit(5000))))))
+          .as("text"))
+      docs.coalesce(2).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val (small, large) = (300, 3000)
+    val dSmall = genDocs(small)
+    val dLarge = genDocs(large)
+    import graft.operators.TextQueries
+    val (recSmall, recLarge) = withoutAutoBroadcast {
+      TextQueries.textWinnowing(spark, dSmall).count()
+      (shuffleRecordsOf(
+        TextQueries.textWinnowing(spark, dSmall).count()),
+        shuffleRecordsOf(
+          TextQueries.textWinnowing(spark, dLarge).count()))
+    }
+    val ratio = recLarge.toDouble / recSmall.max(1L)
+    assert(ratio <= 30.0,
+      s"winnowing shuffle rows grew ${ratio}x on a 10x corpus " +
+        s"($recSmall -> $recLarge)")
+    // ~37 grams/doc through the window shuffle + selected fingerprints
+    // (≤ grams) through distinct/df/join-back: < 200 rows per doc.
+    assert(recLarge <= 200L * large,
+      s"$recLarge shuffle rows for $large docs — super-linear wire")
+  }
 }
