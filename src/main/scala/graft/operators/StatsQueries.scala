@@ -67,7 +67,8 @@ object StatsQueries {
     "q_agg_bootstrap_ci" -> aggBootstrapCi _,
     "q_event_paths"     -> eventPaths _,
     "q_ab_test"         -> abTest _,
-    "q_revenue_concentration" -> revenueConcentration _
+    "q_revenue_concentration" -> revenueConcentration _,
+    "q_agg_hhi"         -> aggHhi _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1010,7 +1011,32 @@ object StatsQueries {
         |  round((sum(band_cents) OVER (ORDER BY decile
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
         |    / (sum(band_cents) OVER ())::DOUBLE, 6) AS cum_share
-        |FROM b ORDER BY decile""".stripMargin
+        |FROM b ORDER BY decile""".stripMargin,
+    // Exact cents keyed agg; shares are exact-operand divisions; the
+    // cross-row share-squared sum is rounded 4 and the verdict bands
+    // read the rounded value, so banding is engine-identical.
+    "q_agg_hhi" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sc
+        |  FROM lineitem GROUP BY l_suppkey),
+        |shares AS (
+        |  SELECT s.s_nationkey,
+        |    rev.sc::DOUBLE / (sum(rev.sc)
+        |      OVER (PARTITION BY s.s_nationkey))::DOUBLE AS share
+        |  FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey),
+        |agg AS (
+        |  SELECT s_nationkey,
+        |    CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    round(sum(share * share) * 10000, 4) AS hhi,
+        |    round(max(share), 6) AS top_share
+        |  FROM shares GROUP BY s_nationkey)
+        |SELECT s_nationkey, n_suppliers, hhi, top_share,
+        |  CASE WHEN hhi > 2500 THEN 'concentrated'
+        |       WHEN hhi > 1500 THEN 'moderate'
+        |       ELSE 'competitive' END AS verdict
+        |FROM agg ORDER BY s_nationkey""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -2332,5 +2358,43 @@ object StatsQueries {
         round(sum("band_cents").over(wc).cast("double") /
           sum("band_cents").over(wt).cast("double"), 6).as("cum_share"))
       .orderBy("decile")
+  }
+
+  /** Herfindahl–Hirschman market-concentration index per nation over
+    * supplier lineitem revenue — the antitrust/marketplace-health
+    * scalar (HHI = Σ shareᵢ²·10000, with the regulatory bands:
+    * < 1500 competitive, 1500–2500 moderate, > 2500 concentrated).
+    * q_revenue_concentration draws the CURVE, q_agg_gini measures
+    * inequality; this is the concentration scalar regulators quote.
+    *
+    * Scale shape: one fact-table keyed agg (exact BIGINT cents) to the
+    * suppliers frame, broadcast nation dim join, nation totals by one
+    * window over that already-reduced frame — the fact table is touched
+    * exactly once. Shares are exact-operand divisions; HHI is rounded 4
+    * (cross-row share² sum) and the verdict bands read the ROUNDED
+    * value, so both engines band identically. */
+  def aggHhi(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("l_suppkey").agg(sum("cents").as("sc"))
+    val bySupp = rev.join(
+      broadcast(supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+      Seq("l_suppkey"))
+    val wNat = Window.partitionBy("s_nationkey")
+    val shares = bySupp.select(col("s_nationkey"),
+      (col("sc").cast("double") /
+        sum("sc").over(wNat).cast("double")).as("share"))
+    shares.groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(sum(col("share") * col("share")) * 10000, 4).as("hhi"),
+        round(max("share"), 6).as("top_share"))
+      .withColumn("verdict",
+        when(col("hhi") > 2500, "concentrated")
+          .when(col("hhi") > 1500, "moderate")
+          .otherwise("competitive"))
+      .orderBy("s_nationkey")
   }
 }

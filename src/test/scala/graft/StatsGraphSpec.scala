@@ -423,6 +423,20 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
   }
 
+  test("q_agg_hhi is bounded: 10000/n <= HHI <= 10000, shares <= 1") {
+    val out = StatsQueries.aggHhi(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hhi, top) = (r.getAs[Long]("n_suppliers"),
+        r.getAs[Double]("hhi"), r.getAs[Double]("top_share"))
+      assert(hhi >= 10000.0 / n - 1e-6,
+        s"HHI below the equal-shares floor: hhi=$hhi n=$n")
+      assert(hhi <= 10000.0 + 1e-6 && top <= 1.0 + 1e-9)
+      val verdict = r.getAs[String]("verdict")
+      assert(Set("competitive", "moderate", "concentrated")(verdict))
+    }
+  }
+
   test("q_revenue_concentration is a Lorenz curve: monotone to 1.0") {
     val out = StatsQueries.revenueConcentration(spark, sfDir).collect()
     val custs = Tables.orders(spark, sfDir)
