@@ -38,7 +38,8 @@ object TimeSeriesQueries {
     "q_ts_tukey"    -> tsTukey _,
     "q_ts_cusum"    -> tsCusum _,
     "q_ts_mannkendall" -> tsMannKendall _,
-    "q_ts_backtest" -> tsBacktest _
+    "q_ts_backtest" -> tsBacktest _,
+    "q_ts_xcorr"    -> tsXcorr _
   )
 
   val oracle: Map[String, String] = Map(
@@ -425,7 +426,49 @@ object TimeSeriesQueries {
         |  round(mn, 6) AS max_cusum_down,
         |  round(mp, 6) >= 5 AS drift_up,
         |  round(mn, 6) >= 5 AS drift_down
-        |FROM rec WHERE i = c ORDER BY event_type""".stripMargin
+        |FROM rec WHERE i = c ORDER BY event_type""".stripMargin,
+    // Exact BIGINT moments per lag (counts bound every product well in
+    // range); r's double tree runs on the same exact operands in both
+    // engines, rounded 6; the zero-variance CASE mirrors the Spark
+    // `when` exactly.
+    "q_ts_xcorr" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(hour_us) AS h0, max(hour_us) AS h1 FROM hourly),
+        |grid AS (
+        |  SELECT unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.hour_us,
+        |    coalesce(ca.n, 0) AS a, coalesce(cb.n, 0) AS b
+        |  FROM grid g
+        |  LEFT JOIN (SELECT hour_us, n FROM hourly
+        |             WHERE event_type = 'click') ca USING (hour_us)
+        |  LEFT JOIN (SELECT hour_us, n FROM hourly
+        |             WHERE event_type = 'purchase') cb USING (hour_us)),
+        |pairs AS (
+        |  SELECT l.lag, d.a, d2.b
+        |  FROM (SELECT unnest(range(-3, 4)) AS lag) l, dense d, dense d2
+        |  WHERE d2.hour_us = d.hour_us + l.lag * 3600000000),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(a * b) AS BIGINT) AS sab,
+        |    CAST(sum(a * a) AS BIGINT) AS saa,
+        |    CAST(sum(b * b) AS BIGINT) AS sbb
+        |  FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_hours,
+        |  CASE WHEN n_hours * saa - sa * sa > 0
+        |        AND n_hours * sbb - sb * sb > 0
+        |    THEN round((n_hours * sab - sa * sb)::DOUBLE
+        |      / (sqrt((n_hours * saa - sa * sa)::DOUBLE)
+        |       * sqrt((n_hours * sbb - sb * sb)::DOUBLE)), 6)
+        |  END AS r
+        |FROM m ORDER BY lag""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -884,5 +927,64 @@ object TimeSeriesQueries {
           .when(z < -1.96, "decreasing")
           .otherwise("no_trend").as("trend"))
       .orderBy("event_type")
+  }
+
+  /** Cross-correlation between the click and purchase hourly series at
+    * lags −3…+3 — the lead–lag discovery op: q_ts_acf asks "does this
+    * series predict itself?", this asks "does stream A lead stream B,
+    * and by how much?" (the causality-screening step before any funnel
+    * attribution is trusted; the argmax lag is the candidate
+    * click-to-purchase latency at hour grain).
+    *
+    * Scale shape: ONE corpus agg reduces events to the hourly frame;
+    * both series 0-fill on a SHARED dense grid, each lag pairs rows by
+    * an equi-join on the shifted integer hour key (hash join on a
+    * computed key, never a range scan), and the exact-moment reduction
+    * runs on the bounded (grid × 7) frame. Counts bound every BIGINT
+    * product well inside range; r's double tree runs on exact-integer
+    * operands, rounded 6, with the zero-variance guard mirrored
+    * CASE-for-CASE in the twin. */
+  def tsXcorr(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+          lit(hourUs))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val grid = hourly.groupBy()
+      .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), lit(hourUs)))
+        .as("hour_us"))
+    val dense = grid
+      .join(hourly.filter(col("event_type") === "click")
+        .select(col("hour_us"), col("n").as("na")), Seq("hour_us"), "left")
+      .join(hourly.filter(col("event_type") === "purchase")
+        .select(col("hour_us"), col("n").as("nb")), Seq("hour_us"), "left")
+      .select(col("hour_us"), coalesce(col("na"), lit(0L)).as("a"),
+        coalesce(col("nb"), lit(0L)).as("b"))
+      .localCheckpoint()
+    val pairs = dense
+      .select(col("hour_us"), col("a"),
+        explode(sequence(lit(-3), lit(3))).as("lag"))
+      .select(col("lag").cast("long").as("lag"), col("a"),
+        (col("hour_us") + col("lag") * hourUs).as("bh"))
+      .join(dense.select(col("hour_us").as("bh"), col("b")), Seq("bh"))
+    val m = pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("a").as("sa"), sum("b").as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+    val vara = m("n_hours") * col("saa") - col("sa") * col("sa")
+    val varb = m("n_hours") * col("sbb") - col("sb") * col("sb")
+    val num = (m("n_hours") * col("sab") - col("sa") * col("sb"))
+      .cast("double")
+    m.select(col("lag"), col("n_hours"),
+        when(vara > 0 && varb > 0,
+          round(num / (sqrt(vara.cast("double")) *
+            sqrt(varb.cast("double"))), 6)).as("r"))
+      .orderBy("lag")
   }
 }
