@@ -1050,8 +1050,16 @@ object SimilarityQueries {
         .agg(array_sort(collect_list(struct(col("i"), col("m"))))
           .as("ims"))
         .select(col("cid"), expr("transform(ims, s -> s.m)").as("c"))
-    val c1 = recompute(assign(c0))
-    val c2 = recompute(assign(c1))
+    // Each centroid frame is localCheckpoint'd (k rows): without the
+    // lineage cut, assign(c2)'s plan CONTAINS c2's, which contains
+    // c1's, which contains assign(c0)'s — every downstream action
+    // re-runs the whole iteration history (~8 corpus scans measured
+    // for the 2-iteration query). Materialized centroids make each
+    // iteration scan the corpus exactly once — 3 scans total, the
+    // Lloyd minimum, and the shape an iterative pipeline must have at
+    // 100 TB (checkpoint the TINY frame, rescan the big one).
+    val c1 = recompute(assign(c0)).localCheckpoint()
+    val c2 = recompute(assign(c1)).localCheckpoint()
     val a3 = assign(c2)
     val census = a3.groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"), round(sum("dist"), 4).as("inertia"))

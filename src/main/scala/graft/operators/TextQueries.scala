@@ -1970,6 +1970,12 @@ object TextQueries {
     * for the oracle twin; production swaps xxhash64 longs
     * (q_dup_span_frac's documented trade). */
   def textWinnowing(s: SparkSession, d: String): DataFrame = {
+    // g feeds both the per-doc gram count and the selection pipeline,
+    // and sel feeds both the fingerprint-df agg and the join back —
+    // without the lineage cuts each consumer re-runs the explode +
+    // window-min upstream (the corpus pipeline ×3). localCheckpoint
+    // here; the staged-layout fixture (BucketedLayout) is the
+    // cross-query variant of the same discipline.
     val g = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 4)
@@ -1977,10 +1983,12 @@ object TextQueries {
         posexplode(ngrams(col("toks"), 4)).as(Seq("p", "gram")))
       .select(col("doc_id"), col("p"),
         md5(col("gram").cast("binary")).as("h"))
+      .localCheckpoint()
     val win = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.currentRow, 3)
     val sel = g.select(col("doc_id"), min("h").over(win).as("wmin"))
       .distinct()
+      .localCheckpoint()
     val grams = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val df = sel.groupBy("wmin").agg(count(lit(1)).as("nd"))
     val perdoc = sel.join(df, Seq("wmin"))
