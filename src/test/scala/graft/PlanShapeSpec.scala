@@ -545,4 +545,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans <= 2, // events scan feeds the hourly agg (+grid reuse)
       s"$scans parquet scans — resample-once regressed:\n$plan")
   }
+
+  test("q_embed_kmeans assigns by combinable struct-min, not a window " +
+      "sort; final stage reads checkpointed centroids") {
+    // Assignment must be the map-side-combinable min-struct agg (the
+    // q_agg_argmax discipline) — a Window node means the k·n candidate
+    // frame is being sorted per vector again. The final plan reads the
+    // materialized c2 centroids (localCheckpoint), so exactly ONE
+    // corpus scan appears in the last iteration's plan — a lineage
+    // regression re-embeds the whole iteration history (measured ~8
+    // corpus scans before the cut).
+    val plan = finalPlanString(
+      graft.operators.SimilarityQueries.embedKmeans(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"window sort crept into the assignment:\n${plan.take(800)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2,
+      s"$scans corpus scans in the final iteration — lineage cut lost")
+  }
+
+  test("q_text_winnowing's cross-doc stage reads the checkpointed " +
+      "selection, not a re-derived corpus pipeline") {
+    // g (gram explode + window min) and sel (distinct selection) each
+    // feed two consumers; the checkpoints mean the settled plan never
+    // re-reads documents.parquet — the same lineage discipline the
+    // staged shingle layout pins for q_dedup_ngram.
+    val plan = finalPlanString(
+      graft.operators.TextQueries.textWinnowing(spark, sfDir))
+    assert(!plan.contains("documents.parquet"),
+      "winnowing re-derives the gram pipeline from the source corpus")
+    val generates = "Generate".r.findAllIn(plan).size
+    assert(generates === 0,
+      s"$generates Generate nodes — the gram explode re-entered the " +
+        "settled plan")
+  }
 }
