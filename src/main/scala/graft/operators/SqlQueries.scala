@@ -151,7 +151,24 @@ object SqlQueries {
         |SELECT o_custkey, o_orderkey, cents, order_seq, cum_cents,
         |  prev_cents
         |FROM seq WHERE order_seq <= 3
-        |ORDER BY o_custkey, order_seq""".stripMargin
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    // Ordered-set aggregates (ANSI WITHIN GROUP): interpolated and
+    // discrete percentiles through the shared-text path. Quantities are
+    // whole numbers in doubles, so the interpolation a + f·(b−a) runs
+    // on exact operands at exact dyadic fractions — identical in both
+    // engines; rounded 4 regardless.
+    "q_sql_percentile" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity),
+        |    4) AS median_qty,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity),
+        |    4) AS p90_qty,
+        |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity),
+        |    4) AS median_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
