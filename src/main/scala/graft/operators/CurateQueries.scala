@@ -63,6 +63,7 @@ object CurateQueries {
     "q_export_jsonl"      -> exportJsonl _,
     "q_dq_kanon"          -> dqKanon _,
     "q_dq_ldiversity"     -> dqLdiversity _,
+    "q_dq_tcloseness"     -> dqTcloseness _,
     "q_filter_blocklist"  -> filterBlocklist _,
     "q_interleave_mix"    -> interleaveMix _
   )
@@ -536,6 +537,46 @@ object CurateQueries {
         |    / CAST(sum(n) AS DOUBLE), 6) AS risk_share
         |FROM classes GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    // Shares are exact rationals; the 5-term TV sum is rounded 6
+    // BEFORE the t-threshold compare, so banding cannot diverge.
+    "q_dq_tcloseness" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |seg_counts AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS nseg
+        |  FROM cust GROUP BY seg),
+        |global AS (
+        |  SELECT seg, nseg::DOUBLE / (sum(nseg) OVER ())::DOUBLE AS pg
+        |  FROM seg_counts),
+        |cs AS (
+        |  SELECT c_nationkey, bal_bucket, seg,
+        |    CAST(count(*) AS BIGINT) AS n_cs
+        |  FROM cust GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT c_nationkey, bal_bucket,
+        |    CAST(sum(n_cs) AS BIGINT) AS n_c
+        |  FROM cs GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT cls.c_nationkey, cls.bal_bucket, cls.n_c,
+        |    abs(coalesce(cs.n_cs, 0)::DOUBLE / cls.n_c::DOUBLE - g.pg)
+        |      AS dev
+        |  FROM cls CROSS JOIN global g
+        |  LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+        |    AND cs.bal_bucket = cls.bal_bucket AND cs.seg = g.seg),
+        |tv AS (
+        |  SELECT c_nationkey, bal_bucket, n_c,
+        |    round(sum(dev) * 0.5, 6) AS tv
+        |  FROM grid GROUP BY 1, 2, 3)
+        |SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(count(*) FILTER (tv > 0.3) AS BIGINT) AS n_fail,
+        |  CAST(coalesce(sum(n_c) FILTER (tv > 0.3), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  round(max(tv), 6) AS worst_tv
+        |FROM tv GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_filter_blocklist" ->
       """WITH block(source, reason) AS (
         |  VALUES ('src3', 'licensing'), ('src7', 'spam'),
@@ -1356,6 +1397,48 @@ object CurateQueries {
       .withColumn("risk_share",
         round(col("n_rows_at_risk").cast("double") /
           col("n_rows").cast("double"), 6))
+      .orderBy("c_nationkey")
+  }
+
+  /** t-closeness audit (t=0.3, total-variation distance) — the third
+    * member of the classic privacy triple: k-anonymity bounds class
+    * SIZE, l-diversity the sensitive-value COUNT, t-closeness the
+    * class's sensitive DISTRIBUTION's distance from the global one (a
+    * class that is 90% one segment leaks attacker belief even with
+    * three distinct values present). TV(class) = ½·Σ|p_class −
+    * p_global| over the segment domain, rounded 6 BEFORE the
+    * t-threshold compare so both engines band identically.
+    *
+    * Scale shape: one corpus keyed agg to the (class, segment) counts;
+    * the TV grid is the BOUNDED classes frame crossed with the 5-row
+    * broadcast segment distribution — never a corpus-scale cross. */
+  def dqTcloseness(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).select(col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+      col("c_mktsegment").as("seg"))
+    // Global segment distribution without a driver-side action: the
+    // total rides a window over the 5-row segment frame.
+    val global = cust.groupBy("seg").agg(count(lit(1)).as("nseg"))
+      .select(col("seg"), (col("nseg").cast("double") /
+        sum("nseg").over(Window.partitionBy()).cast("double")).as("pg"))
+    val cs = cust.groupBy("c_nationkey", "bal_bucket", "seg")
+      .agg(count(lit(1)).as("n_cs"))
+    val cls = cs.groupBy("c_nationkey", "bal_bucket")
+      .agg(sum("n_cs").as("n_c"))
+    val grid = cls.crossJoin(broadcast(global))
+      .join(cs, Seq("c_nationkey", "bal_bucket", "seg"), "left")
+      .select(col("c_nationkey"), col("bal_bucket"), col("n_c"),
+        abs(coalesce(col("n_cs"), lit(0L)).cast("double") /
+          col("n_c").cast("double") - col("pg")).as("dev"))
+    val tv = grid.groupBy("c_nationkey", "bal_bucket", "n_c")
+      .agg(round(sum(col("dev")) * 0.5, 6).as("tv"))
+    tv.groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        count_if(col("tv") > 0.3).as("n_fail"),
+        coalesce(sum(when(col("tv") > 0.3, col("n_c"))), lit(0L))
+          .as("n_rows_at_risk"),
+        round(max("tv"), 6).as("worst_tv"))
       .orderBy("c_nationkey")
   }
 

@@ -143,6 +143,21 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_dq_tcloseness: TV is a bounded distance; counts coherent") {
+    val out = CurateQueries.dqTcloseness(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tv = r.getAs[Double]("worst_tv")
+      assert(tv >= 0.0 && tv <= 1.0 + 1e-9,
+        s"total-variation out of [0,1]: $tv")
+      assert(r.getAs[Long]("n_fail") <= r.getAs[Long]("n_classes"))
+    }
+    // The fixture's tiny classes are far from the global distribution —
+    // the audit must genuinely fire somewhere.
+    assert(out.map(_.getAs[Long]("n_fail")).sum > 0,
+      "no class failed t-closeness — fixture regime too loose")
+  }
+
   test("q_filter_blocklist conserves docs; reasons come from the list") {
     val out = CurateQueries.filterBlocklist(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
