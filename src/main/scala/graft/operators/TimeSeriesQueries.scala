@@ -39,7 +39,8 @@ object TimeSeriesQueries {
     "q_ts_cusum"    -> tsCusum _,
     "q_ts_mannkendall" -> tsMannKendall _,
     "q_ts_backtest" -> tsBacktest _,
-    "q_ts_xcorr"    -> tsXcorr _
+    "q_ts_xcorr"    -> tsXcorr _,
+    "q_ts_drawdown" -> tsDrawdown _
   )
 
   val oracle: Map[String, String] = Map(
@@ -468,7 +469,33 @@ object TimeSeriesQueries {
         |      / (sqrt((n_hours * saa - sa * sa)::DOUBLE)
         |       * sqrt((n_hours * sbb - sb * sb)::DOUBLE)), 6)
         |  END AS r
-        |FROM m ORDER BY lag""".stripMargin
+        |FROM m ORDER BY lag""".stripMargin,
+    // Daily totals exact BIGINT cents; running peak is an integer window
+    // max; each drawdown is one exact-operand division rounded 6 BEFORE
+    // the running max-dd window reads it — so the running max compares
+    // already-rounded identical doubles on both engines.
+    "q_ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |peaks AS (
+        |  SELECT day, rev_cents,
+        |    CAST(max(rev_cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS peak_cents
+        |  FROM daily),
+        |dd AS (
+        |  SELECT day, rev_cents, peak_cents,
+        |    round((peak_cents - rev_cents)::DOUBLE
+        |      / peak_cents::DOUBLE, 6) AS drawdown
+        |  FROM peaks)
+        |SELECT day, rev_cents, peak_cents, drawdown,
+        |  max(drawdown) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS max_drawdown
+        |FROM dd ORDER BY day""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -986,5 +1013,34 @@ object TimeSeriesQueries {
           round(num / (sqrt(vara.cast("double")) *
             sqrt(varb.cast("double"))), 6)).as("r"))
       .orderBy("lag")
+  }
+
+  /** Peak-to-trough drawdown audit of the daily revenue series — the
+    * risk/health number every revenue (or throughput) dashboard quotes:
+    * worst decline from any prior all-time high. `q_ts_cusum` finds
+    * sustained MEAN shifts; this quantifies worst-case PEAK loss.
+    *
+    * Determinism: daily totals are exact BIGINT cents from ONE
+    * fact-table keyed agg; the running peak is an integer window max
+    * under the defined (day) total order; each drawdown is one
+    * exact-operand division rounded 6 BEFORE the running max-dd window
+    * reads it, so that max compares already-identical doubles on both
+    * engines. Scale: everything after the keyed agg runs on the
+    * bounded day-span frame (a window over ≤ span rows — the single
+    *-partition sort is on KB of data, never the fact table). */
+  def tsDrawdown(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev_cents"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = daily.select(col("day"), col("rev_cents"),
+      max("rev_cents").over(cum).as("peak_cents"))
+    val dd = peaks.withColumn("drawdown",
+      round((col("peak_cents") - col("rev_cents")).cast("double")
+        / col("peak_cents").cast("double"), 6))
+    dd.withColumn("max_drawdown", max("drawdown").over(cum))
+      .orderBy("day")
   }
 }

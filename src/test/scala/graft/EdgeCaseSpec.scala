@@ -618,4 +618,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(got.toSeq === Seq(Some(7L), None, None))
   }
+
+  test("q_ts_drawdown: peak monotone, dd in [0,1), max_dd is the running max") {
+    val out = graft.operators.TimeSeriesQueries.tsDrawdown(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    var peak = Long.MinValue
+    var maxDd = 0.0
+    out.foreach { r =>
+      val (rev, p, dd, mdd) = (r.getAs[Long]("rev_cents"),
+        r.getAs[Long]("peak_cents"), r.getAs[Double]("drawdown"),
+        r.getAs[Double]("max_drawdown"))
+      assert(p >= peak, "running peak must be monotone"); peak = p
+      assert(p >= rev, "peak is an upper bound of the series so far")
+      assert(dd >= 0.0 && dd < 1.0)
+      maxDd = math.max(maxDd, dd)
+      assert(math.abs(mdd - maxDd) < 1e-12,
+        s"max_drawdown must replay as the running max: $mdd vs $maxDd")
+    }
+    // A peak day itself has zero drawdown.
+    assert(out.filter(r =>
+      r.getAs[Long]("rev_cents") == r.getAs[Long]("peak_cents"))
+      .forall(_.getAs[Double]("drawdown") == 0.0))
+  }
 }
