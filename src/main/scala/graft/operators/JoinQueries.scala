@@ -41,7 +41,8 @@ object JoinQueries {
     "q_join_null_safe" -> joinNullSafe _,
     "q_join_interval_bin" -> joinIntervalBin _,
     "q_join_scd2_pit"  -> joinScd2Pit _,
-    "q_join_asof_nearest" -> joinAsofNearest _
+    "q_join_asof_nearest" -> joinAsofNearest _,
+    "q_join_fuzzy"     -> joinFuzzy _
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,7 +196,37 @@ object JoinQueries {
         |  ON f.o_custkey = d.o_custkey
         |  AND d.valid_from <= f.l_shipdate
         |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
-        |ORDER BY f.l_orderkey, f.l_linenumber, version_key""".stripMargin
+        |ORDER BY f.l_orderkey, f.l_linenumber, version_key""".stripMargin,
+    // Same deterministic corruption, block key, and min-struct argmin;
+    // levenshtein is the classic edit distance in both engines, and the
+    // (distance, candidate key) struct order is a total order, so the
+    // genuine cross-key ties the drop-typo creates cannot diverge.
+    "q_join_fuzzy" ->
+      """WITH probes AS (
+        |  SELECT c_custkey AS p_id,
+        |    CASE WHEN c_custkey % 3 = 0
+        |           THEN substr(c_name, 1, 17) || 'X'
+        |         WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 17)
+        |         ELSE c_name END AS p_nm,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'replaced'
+        |         WHEN c_custkey % 3 = 1 THEN 'dropped'
+        |         ELSE 'clean' END AS typo_class
+        |  FROM customer),
+        |canon AS (
+        |  SELECT c_custkey AS c_id, c_name AS c_nm,
+        |    substr(c_name, 1, 16) AS blk
+        |  FROM customer),
+        |cand AS (
+        |  SELECT p.p_id, p.typo_class, c.c_id,
+        |    CAST(levenshtein(p.p_nm, c.c_nm) AS INT) AS dist
+        |  FROM probes p JOIN canon c ON substr(p.p_nm, 1, 16) = c.blk
+        |  WHERE levenshtein(p.p_nm, c.c_nm) <= 2)
+        |SELECT p_id, typo_class,
+        |  (min(struct_pack(dist := dist, c_id := c_id))).c_id AS best_id,
+        |  (min(struct_pack(dist := dist, c_id := c_id))).dist AS best_dist,
+        |  CAST(count(*) AS BIGINT) AS n_candidates
+        |FROM cand GROUP BY p_id, typo_class
+        |ORDER BY p_id""".stripMargin
   )
 
   /** Equi inner join orders⋈customer — sort-merge/shuffled-hash at scale,
@@ -539,5 +570,52 @@ object JoinQueries {
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         (col("vts") - col("pts")).as("gap_us"))
       .orderBy("purchase_id")
+  }
+
+  /** Blocked fuzzy (entity-resolution) join: a deterministically
+    * corrupted probe side (per-key typo class — last char replaced,
+    * dropped, or kept; the planted-fixture convention, since the
+    * synthetic corpus ships no dirty names) matched back to the
+    * canonical customer dim by Levenshtein ≤ 2 INSIDE 16-char prefix
+    * blocks — the record-linkage shape every ingest dedup / master-data
+    * pass runs.
+    *
+    * Scale: a global fuzzy join is O(n²) edit-distance calls; BLOCKING
+    * on the shared name prefix (a pure scan-stage key both sides derive
+    * identically) confines candidate pairs to block-local populations
+    * (≤100 canonical names per block — the last-2-digit span) and keeps
+    * the join a plain hash equi-join on the block key, with codegen'd
+    * `levenshtein` as the post-join filter. Best match per probe by
+    * min(struct(distance, candidate key)) — a total order deliberately
+    * exercised by genuine cross-key distance-1 ties: a replaced last
+    * char is one substitution from every last-digit sibling, and the
+    * drop-typo "…12" is one insert from each of key 12 and "…120"–
+    * "…129" — the tiebreak must resolve identically on both engines. */
+  def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val probes = cust.select(
+      col("c_custkey").as("p_id"),
+      when(col("c_custkey") % 3 === 0,
+        concat(substring(col("c_name"), 1, 17), lit("X")))
+        .when(col("c_custkey") % 3 === 1, substring(col("c_name"), 1, 17))
+        .otherwise(col("c_name")).as("p_nm"),
+      when(col("c_custkey") % 3 === 0, "replaced")
+        .when(col("c_custkey") % 3 === 1, "dropped")
+        .otherwise("clean").as("typo_class"))
+    val canon = cust.select(col("c_custkey").as("c_id"),
+      col("c_name").as("c_nm"), substring(col("c_name"), 1, 16).as("blk"))
+    val cand = probes
+      .withColumn("blk", substring(col("p_nm"), 1, 16))
+      .join(canon, Seq("blk"))
+      .where(levenshtein(col("p_nm"), col("c_nm")) <= 2)
+      .select(col("p_id"), col("typo_class"), col("c_id"),
+        levenshtein(col("p_nm"), col("c_nm")).as("dist"))
+    cand.groupBy("p_id", "typo_class")
+      .agg(min(struct(col("dist"), col("c_id"))).as("best"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("p_id"), col("typo_class"),
+        col("best.c_id").as("best_id"), col("best.dist").as("best_dist"),
+        col("n_candidates"))
+      .orderBy("p_id")
   }
 }

@@ -641,4 +641,32 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       r.getAs[Long]("rev_cents") == r.getAs[Long]("peak_cents"))
       .forall(_.getAs[Double]("drawdown") == 0.0))
   }
+
+  test("q_join_fuzzy resolves every probe; typo classes match as designed") {
+    val out = graft.operators.JoinQueries.joinFuzzy(spark, sfDir).collect()
+    val custs = Tables.customer(spark, sfDir).count()
+    assert(out.length === custs,
+      "every probe must resolve (its source record is always in-block)")
+    out.foreach { r =>
+      val (cls, bestId, dist) = (r.getAs[String]("typo_class"),
+        r.getAs[Long]("best_id"), r.getAs[Int]("best_dist"))
+      cls match {
+        case "clean" =>
+          // Exact self-match wins at distance 0.
+          assert(dist === 0 && bestId === r.getAs[Long]("p_id"))
+        case "replaced" =>
+          // The replaced last char is distance 1 to every last-digit
+          // sibling; the min-struct tiebreak picks the lowest id in
+          // the probe's own 10-key family.
+          assert(dist === 1 && bestId / 10 === r.getAs[Long]("p_id") / 10)
+        case "dropped" =>
+          // Genuine cross-key distance-1 ties (including the shorter
+          // prefix key, e.g. "…12" matching both key 12 and 120–129):
+          // the min-struct tiebreak must still land at distance 1.
+          assert(dist === 1)
+        case other => fail(s"unexpected typo class $other")
+      }
+      assert(r.getAs[Long]("n_candidates") >= 1)
+    }
+  }
 }
