@@ -36,6 +36,7 @@ object SparkEntry {
       GraphQueries.queries ++
       TimeSeriesQueries.queries ++
       VersionQueries.queries ++
+      FeatureQueries.queries ++
       graft.sources.SourceQueries.queries ++
       graft.multimodal.MediaQueries.queries
 
@@ -59,6 +60,7 @@ object SparkEntry {
       GraphQueries.oracle ++
       TimeSeriesQueries.oracle ++
       VersionQueries.oracle ++
+      FeatureQueries.oracle ++
       graft.sources.SourceQueries.oracle ++
       graft.multimodal.MediaQueries.oracle
 }
