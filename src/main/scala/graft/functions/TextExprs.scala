@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime helpers callable from generated Java (static forwarders). */
 object TextExprs {
@@ -15,6 +16,18 @@ object TextExprs {
     if (h < 0 || h >= prime) throw new IllegalArgumentException(
       s"$fn requires element hashes in [0, $prime), got $h " +
         "(reduce with pmod before hashing)")
+
+  /** [[NfcNormalize]] kernel (also the static forwarder generated code
+    * calls): already-normalized text — the overwhelming common case —
+    * returns the INPUT object unchanged (the JDK's `isNormalized` scan
+    * allocates nothing), so only rows that actually decompose pay. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** All k MinHash signature values of one element-hash array in a single
@@ -204,4 +217,44 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : SimHash64 = copy(child = newChild)
+}
+
+/** Unicode NFC normalization as a codegen'd scalar expression.
+  *
+  * Spark ships no normalization function (SPARK-32833 territory), yet
+  * canonical equivalence is the FIRST text-canonicalization step of any
+  * multilingual corpus pipeline: "é" as U+00E9 and as e+U+0301 are the
+  * same grapheme but different byte strings, so every downstream
+  * fingerprint/dedup/tokenize pass sees phantom differences until
+  * normalization collapses them. Per the §2.10 ladder this is a native
+  * `Expression` (b): a Scala UDF would serialize through an encoder per
+  * row and fall out of whole-stage codegen; here the generated code is
+  * one static `java.text.Normalizer` call (ICU-equivalent for the
+  * canonical forms), staying inside the codegen'd scan stage.
+  *
+  * The JDK fast-paths latin-ASCII input (`Normalizer.isNormalized` is
+  * O(n) with no allocation for already-NFC text), so the common case —
+  * an overwhelmingly-ASCII crawl — pays almost nothing.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextExprs.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExprs.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NfcNormalize = copy(child = newChild)
 }

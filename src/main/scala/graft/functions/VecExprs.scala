@@ -316,6 +316,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
     (FunctionIdentifier("graft_power_iter"),
       new ExpressionInfo(classOf[PowerIterTop].getName,
         "graft_power_iter"),

@@ -65,7 +65,8 @@ object TextQueries {
     "q_text_readability" -> textReadability _,
     "q_text_novelty"     -> textNovelty _,
     "q_text_codeswitch"  -> textCodeswitch _,
-    "q_text_winnowing"   -> textWinnowing _
+    "q_text_winnowing"   -> textWinnowing _,
+    "q_text_nfc"         -> textNfc _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -762,6 +763,21 @@ object TextQueries {
     // Window frames clip identically at partition ends; md5 hex order
     // is the same ASCII string order in both engines; n_selected ≥ 1
     // whenever the doc has ≥ 1 gram, so no division guard is needed.
+    // Same planted decomposed accents; the normalized STRING is part of
+    // the hash compare, so the JDK Normalizer and DuckDB's utf8proc
+    // must agree byte-for-byte on the canonical composition.
+    "q_text_nfc" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 8) || ' Cafe' || chr(769) || ' nai'
+        |      || chr(776) || 've gru' || chr(776) || 'n' AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |  CAST(length(raw) AS BIGINT) AS raw_cp,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_cp,
+        |  CAST(length(raw) AS BIGINT)
+        |    - CAST(length(nfc_normalize(raw)) AS BIGINT) AS composed
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "q_text_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2002,6 +2018,37 @@ object TextQueries {
           col("n_grams").cast("double"), 6).as("density"),
         round(col("n_shared").cast("double") /
           col("n_selected").cast("double"), 6).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Unicode NFC canonicalization via the custom codegen'd
+    * [[graft.functions.NfcNormalize]] expression — the first
+    * text-canonicalization step of a multilingual pipeline ("é" as
+    * U+00E9 vs e+U+0301 is one grapheme, two byte strings; every
+    * fingerprint/dedup/tokenize pass downstream sees phantom
+    * differences until normalization collapses them). Spark ships no
+    * normalize function; per the §2.10 ladder this is a native
+    * `Expression` (one static JDK-Normalizer call inside the codegen'd
+    * scan stage, isNormalized fast path for the ASCII common case) —
+    * never a UDF.
+    *
+    * The synthetic corpus is pure ASCII, so each doc plants
+    * deterministic DECOMPOSED accents (the `q_text_pii` convention);
+    * the audit is byte-level (the normalized string itself is
+    * hash-compared against DuckDB's `nfc_normalize`) plus code-point
+    * length deltas. Scale: row-local scan-stage work, zero shuffles
+    * before the declared ORDER BY. */
+  def textNfc(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(substring(col("text"), 1, 8),
+      lit(" Cafe\u0301 nai\u0308ve gru\u0308n"))
+    documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        call_function("graft_nfc", col("raw")).as("norm"),
+        length(col("raw")).cast("long").as("raw_cp"),
+        length(call_function("graft_nfc", col("raw"))).cast("long")
+          .as("norm_cp"))
+      .withColumn("composed", col("raw_cp") - col("norm_cp"))
       .orderBy("doc_id")
   }
 }

@@ -217,4 +217,41 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
     }
     assert(ex.getMessage != null)
   }
+
+  test("graft_nfc composes decomposed sequences; identity on NFC text") {
+    import spark.implicits._
+    val rows = Seq(
+      "Café",          // e + combining acute -> é
+      "Café",           // already composed - identity
+      "plain ascii",         // fast path
+      "Å",             // A + ring -> Å
+      ""                     // empty
+    ).toDF("s").select(call_function("graft_nfc", col("s")).as("n"),
+      length(col("s")).as("lr"),
+      length(call_function("graft_nfc", col("s"))).as("ln"))
+      .collect()
+    assert(rows(0).getAs[String]("n") === "Café")
+    assert(rows(0).getAs[Int]("lr") === 5 && rows(0).getAs[Int]("ln") === 4)
+    assert(rows(1).getAs[String]("n") === "Café")
+    assert(rows(2).getAs[String]("n") === "plain ascii")
+    assert(rows(3).getAs[String]("n") === "Å")
+    assert(rows(4).getAs[String]("n") === "")
+    // JDK reference replay.
+    assert(rows(0).getAs[String]("n") ===
+      java.text.Normalizer.normalize("Café",
+        java.text.Normalizer.Form.NFC))
+  }
+
+  test("graft_nfc null yields null; non-string input fails analysis") {
+    import spark.implicits._
+    val out = Seq[Option[String]](None).toDF("s")
+      .select(call_function("graft_nfc", col("s"))).collect()
+    assert(out.head.isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq(1L).toDF("x").select(call_function("graft_nfc", col("x")))
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string")
+      || ex.getMessage != null)
+  }
 }
