@@ -62,7 +62,9 @@ object StreamQueries {
     "q_stream_topk"     -> streamTopk _,
     "q_stream_merge_sink" -> streamMergeSink _,
     "q_stream_cdc_apply" -> streamCdcApply _,
-    "q_stream_lsh_ingest" -> streamLshIngest _
+    "q_stream_lsh_ingest" -> streamLshIngest _,
+    "q_stream_dedup_watermark" -> streamDedupWatermark _,
+    "q_stream_union"    -> streamUnion _
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,6 +77,22 @@ object StreamQueries {
       """SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS window_start_us,
         |  event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Every planted duplicate shares its original's event time, so it
+    // arrives within any watermark and the kept set is exactly the
+    // distinct ids — the dedup result is boundary-independent.
+    "q_stream_dedup_watermark" ->
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
+        |    AS n_unique
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // The unioned two-source feed covers exactly the click+purchase
+    // subset of the events table; window arithmetic as q_stream_tumbling.
+    "q_stream_union" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS window_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Batch twin of the merged serving table: the MERGE combine is
     // associative (count/sum) + lexicographic (argmax by ts, event_id),
     // so the final state equals the one-shot aggregate regardless of
@@ -672,6 +690,55 @@ object StreamQueries {
       .select("event_id", "user_id", "event_type")
       .dropDuplicates("event_id")
     runToTable(deduped, OutputMode.Append()).orderBy("event_id")
+  }
+
+  /** Bounded-state streaming dedup — [[streamDedup]]'s production fix:
+    * plain `dropDuplicates` keeps every key in state FOREVER (state
+    * grows with the stream — the 100 TB outage), while
+    * `dropDuplicatesWithinWatermark` evicts a key once the watermark
+    * passes it, betting that re-deliveries arrive within the delay —
+    * exactly the at-least-once-source contract (Kafka redelivers in
+    * seconds, not days).
+    *
+    * The replay has no natural duplicates, so the feed PLANTS them: the
+    * source unioned with its own event_id%5 sample — same ids, same
+    * event times, the broker-redelivery shape. Every duplicate shares
+    * its original's event time, so it lands within any watermark and
+    * the kept set is exactly the distinct ids — fully oracled. */
+  def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val base = EventStreams.fileStream(s, d)
+      .select("event_id", "event_type", "ts")
+    val redelivered = EventStreams.fileStream(s, d)
+      .select("event_id", "event_type", "ts")
+      .filter(col("event_id") % 5 === 0)
+    val kept = base.unionByName(redelivered)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToTable(kept, OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type")
+  }
+
+  /** Streaming multi-source union — the two-topic ingest shape: a
+    * clicks stream and a purchases stream (two filtered reads of the
+    * replay source standing in for two brokers) feed ONE windowed
+    * aggregation. Union of unbounded frames is a stateless row
+    * interleave (no state or shuffle of its own); the downstream agg
+    * maintains counts across BOTH sources, batch-boundary-independent
+    * and fully oracled by the batch twin. */
+  def streamUnion(s: SparkSession, d: String): DataFrame = {
+    val clicks = EventStreams.fileStream(s, d)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreams.fileStream(s, d)
+      .filter(col("event_type") === "purchase")
+    val agg = clicks.unionByName(purchases)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Complete())
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_us", "event_type")
   }
 
   /** Custom per-key state: running count/sum per user via typed
