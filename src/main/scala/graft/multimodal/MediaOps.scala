@@ -137,7 +137,8 @@ object MediaQueries {
     "q_multimodal_features" -> multimodalFeatures _,
     "q_multimodal_frames"   -> multimodalFrames _,
     "q_multimodal_ann"      -> multimodalAnn _,
-    "q_multimodal_dedup"    -> multimodalDedup _
+    "q_multimodal_dedup"    -> multimodalDedup _,
+    "q_multimodal_pairs"    -> multimodalPairs _
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,7 +176,31 @@ object MediaQueries {
         |  CAST(sum(n) AS BIGINT) AS n_payloads,
         |  CAST(count(*) FILTER (n > 1) AS BIGINT) AS n_dup_groups,
         |  CAST(sum((n - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
-        |FROM groups GROUP BY kind ORDER BY kind""".stripMargin
+        |FROM groups GROUP BY kind ORDER BY kind""".stripMargin,
+    // Same xor-1 cross-reference and gate cascade; the payload never
+    // appears in either engine's plan — metadata-grain only.
+    "q_multimodal_pairs" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    xor(doc_id, 1) AS caption_id
+        |  FROM documents),
+        |paired AS (
+        |  SELECT m.media_id, m.kind, m.caption_id,
+        |    d.lang AS cap_lang, d.n_chars AS cap_chars,
+        |    CASE WHEN m.kind <> 'image' THEN 'not_image'
+        |         WHEN d.n_chars < 120 THEN 'caption_too_short'
+        |         WHEN d.lang NOT IN ('en', 'de', 'fr')
+        |           THEN 'caption_lang'
+        |         ELSE 'accepted' END AS verdict
+        |  FROM media m JOIN documents d ON d.doc_id = m.caption_id)
+        |SELECT kind, verdict, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(media_id) AS BIGINT) AS first_media,
+        |  CAST(sum(cap_chars) AS BIGINT) AS sum_cap_chars
+        |FROM paired GROUP BY kind, verdict
+        |ORDER BY kind, verdict""".stripMargin
   )
 
   /** Metadata + fingerprint scan with a metadata predicate — demonstrates
@@ -278,4 +303,38 @@ object MediaQueries {
         count_if(col("n") > 1).as("n_dup_groups"),
         sum((col("n") - 1) * col("n_bytes")).as("bytes_reclaimable"))
       .orderBy("kind")
+
+  /** Image–text training-pair assembly with quality gates — the
+    * CLIP/LAION curation shape: media rows paired to their caption
+    * documents by the declared xor-1 cross-reference, then gated
+    * (images only, caption ≥ 120 chars, en/de/fr caption lang) with an
+    * accept/reject reason on every pair and a per-(kind, verdict)
+    * census — the decision every multimodal corpus build makes BEFORE
+    * paying decode/embed cost on a single payload byte.
+    *
+    * Scale: the join is METADATA-GRAIN — neither side selects the
+    * payload column, so column pruning keeps the heavy bytes out of the
+    * entire plan (scan ReadSchema carries ids + metadata only); the
+    * gates are scan-stage CASEs and the census one keyed agg over the
+    * bounded (kind × verdict) domain. */
+  def multimodalPairs(s: SparkSession, d: String): DataFrame = {
+    val media = MediaOps.mediaTable(s, d)
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        expr("media_id ^ 1").as("caption_id"))
+    val caps = graft.Tables.documents(s, d)
+      .select(col("doc_id").as("caption_id"),
+        col("lang").as("cap_lang"), col("n_chars").as("cap_chars"))
+    media.join(caps, Seq("caption_id"))
+      .select(col("media_id"), col("kind"), col("cap_lang"),
+        col("cap_chars"),
+        when(col("kind") =!= "image", "not_image")
+          .when(col("cap_chars") < 120, "caption_too_short")
+          .when(!col("cap_lang").isin("en", "de", "fr"), "caption_lang")
+          .otherwise("accepted").as("verdict"))
+      .groupBy("kind", "verdict")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("media_id").as("first_media"),
+        sum("cap_chars").as("sum_cap_chars"))
+      .orderBy("kind", "verdict")
+  }
 }

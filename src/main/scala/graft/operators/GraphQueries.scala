@@ -29,7 +29,8 @@ object GraphQueries {
     "q_dedup_keep" -> dedupKeep _,
     "q_graph_pagerank" -> graphPagerank _,
     "q_graph_triangles" -> graphTriangles _,
-    "q_graph_comp_sizes" -> graphCompSizes _
+    "q_graph_comp_sizes" -> graphCompSizes _,
+    "q_graph_label_prop" -> graphLabelProp _
   )
 
   /** The transitive-closure CTE chain (cos ≥ 0.4 edges → undirected →
@@ -118,8 +119,56 @@ object GraphQueries {
         |FROM embeddings e
         |LEFT JOIN deg d ON d.node = e.vec_id
         |LEFT JOIN tcnt t ON t.node = e.vec_id
-        |ORDER BY e.vec_id""".stripMargin
+        |ORDER BY e.vec_id""".stripMargin,
+    // The same cos >= 0.4 edge CTE, then the three synchronous rounds
+    // UNROLLED (count-per-label -> min-struct argmax -> frontier merge):
+    // both tiebreaks are total orders, so the unrolled twin replays the
+    // Spark iteration decision-for-decision.
+    "q_graph_label_prop" ->
+      ("""WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+        |und AS (SELECT v1, v2 FROM pairs
+        |        UNION ALL SELECT v2, v1 FROM pairs),
+        |l0 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,
+        |    CASE WHEN vec_id % 5 = 0 THEN 0 END AS rnd
+        |  FROM embeddings),""".stripMargin
+        + "\n" + (1 to 3).map(lpRoundSql).mkString(",\n") + "\n"
+        + """SELECT vec_id, lbl AS label_final, rnd AS round_labeled,
+        |  CASE WHEN rnd = 0 THEN 'seed'
+        |       WHEN lbl IS NOT NULL THEN 'propagated'
+        |       ELSE 'unlabeled' END AS src
+        |FROM l3 ORDER BY vec_id""".stripMargin)
   )
+
+  /** One unrolled label-propagation round of the q_graph_label_prop
+    * oracle: neighbor-label counts over round r−1's frontier, the
+    * (count DESC, label ASC) argmax via min-struct, and the
+    * once-labeled-stays-fixed merge. */
+  private def lpRoundSql(r: Int): String =
+    s"""c$r AS (
+       |  SELECT u.v1, l.lbl, CAST(count(*) AS BIGINT) AS c
+       |  FROM und u JOIN l${r - 1} l
+       |    ON l.vec_id = u.v2 AND l.lbl IS NOT NULL
+       |  GROUP BY u.v1, l.lbl),
+       |a$r AS (
+       |  SELECT v1 AS vec_id,
+       |    (min(struct_pack(nc := -c, lbl := lbl))).lbl AS alb
+       |  FROM c$r GROUP BY v1),
+       |l$r AS (
+       |  SELECT l.vec_id, coalesce(l.lbl, a.alb) AS lbl,
+       |    coalesce(l.rnd, CASE WHEN a.alb IS NOT NULL THEN $r END) AS rnd
+       |  FROM l${r - 1} l LEFT JOIN a$r a ON a.vec_id = l.vec_id)"""
+      .stripMargin
 
   /** Connected components of the embedding near-dup graph (cosine ≥ 0.4,
     * same edge set as q_dedup_embed); every vector labeled with its
@@ -416,5 +465,56 @@ object GraphQueries {
         round(col("n_vectors").cast("double")
           / sum("n_vectors").over(Window.partitionBy()).cast("double"), 6))
       .orderBy("comp_size")
+  }
+
+  /** Semi-supervised label propagation over the similarity graph — the
+    * scalable cluster-labeling step after CC/SemDeDup GROUPS a corpus:
+    * propagate curator decisions (license class, quality tier, language
+    * family) from the audited few to the similar many. Seeds = the
+    * vec_id%5 nodes with their true label; 3 synchronous rounds; an
+    * unlabeled node adopts the MOST FREQUENT label among its labeled
+    * neighbors, tie → min label; once labeled, fixed (frontier
+    * expansion). Both rules are total orders, so every round — and
+    * therefore the whole iteration — is engine-identical and fully
+    * oracled as unrolled CTE rounds over the same exact cos ≥ 0.4 edge
+    * set `q_dedup_cc` declares ([[dedupCcLsh]]'s banded feed is the
+    * production swap, as for CC itself).
+    *
+    * Scale: per-round state is O(V); each round is one edge⋈label
+    * equi-join + two keyed aggs on the bounded (edge × label) frame;
+    * lineage cut per round (the k-means checkpoint discipline — without
+    * it round r re-derives rounds 1..r−1). */
+  def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+    val edges = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
+      .localCheckpoint()
+    val und = edges.unionByName(
+      edges.select(col("v2").as("v1"), col("v1").as("v2")))
+    var lab = embeddings(s, d).select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("label")).as("lbl"),
+        when(col("vec_id") % 5 === 0, 0).as("rnd"))
+      .localCheckpoint()
+    for (r <- 1 to 3) {
+      val nb = und
+        .join(lab.filter(col("lbl").isNotNull)
+          .select(col("vec_id").as("v2"), col("lbl").as("nlbl")),
+          Seq("v2"))
+        .groupBy("v1", "nlbl").agg(count(lit(1)).as("c"))
+      val adopted = nb.groupBy("v1")
+        .agg(min(struct((-col("c")).as("nc"), col("nlbl").as("lbl")))
+          .as("best"))
+        .select(col("v1").as("vec_id"), col("best.lbl").as("alb"))
+      lab = lab.join(adopted, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("lbl"), col("alb")).as("lbl"),
+          coalesce(col("rnd"),
+            when(col("alb").isNotNull, r)).as("rnd"))
+        .localCheckpoint()
+    }
+    lab.select(col("vec_id"), col("lbl").as("label_final"),
+        col("rnd").as("round_labeled"),
+        when(col("rnd") === 0, "seed")
+          .when(col("lbl").isNotNull, "propagated")
+          .otherwise("unlabeled").as("src"))
+      .orderBy("vec_id")
   }
 }

@@ -642,6 +642,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .forall(_.getAs[Double]("drawdown") == 0.0))
   }
 
+  test("q_join_radius: pair symmetry, r^2 bound, nearest is a real point") {
+    val out = graft.operators.JoinQueries.joinRadius(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length === n, "every point must appear in the census")
+    // Radius pairs are symmetric, so the neighbor-count total is even.
+    val total = out.map(_.getAs[Long]("n_neighbors")).sum
+    assert(total % 2 === 0, s"asymmetric neighbor census: $total")
+    assert(total > 0, "r=0.05 must find at least one pair")
+    val ids = out.map(_.getAs[Long]("vec_id")).toSet
+    out.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("nearest_id"))) {
+        assert(ids(r.getAs[Long]("nearest_id")))
+        assert(r.getAs[Long]("nearest_id") !== r.getAs[Long]("vec_id"),
+          "self-pair must be excluded")
+        assert(r.getAs[Double]("nearest_d2") <= 0.0025 + 1e-12)
+      } else {
+        assert(r.getAs[Long]("n_neighbors") === 0)
+      }
+    }
+  }
+
   test("q_join_fuzzy resolves every probe; typo classes match as designed") {
     val out = graft.operators.JoinQueries.joinFuzzy(spark, sfDir).collect()
     val custs = Tables.customer(spark, sfDir).count()

@@ -110,4 +110,31 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("Filter"), plan)
     df.collect() // and the query actually runs
   }
+
+  test("q_multimodal_pairs: census partitions all pairs; payload pruned") {
+    val df = MediaQueries.multimodalPairs(spark, sfDir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // Every media row has its xor-1 caption partner when the id count is
+    // even (the fixture's doc ids are dense from 0), so the census must
+    // cover every document exactly once.
+    val docs = Tables.documents(spark, sfDir).count()
+    val covered = out.map(_.getAs[Long]("n_pairs")).sum
+    assert(covered === docs - docs % 2 || covered === docs,
+      s"census covered $covered of $docs")
+    // Gate cascade: non-images carry only the not_image verdict; image
+    // verdicts come from the declared reason set.
+    out.foreach { r =>
+      val (kind, verdict) = (r.getAs[String]("kind"),
+        r.getAs[String]("verdict"))
+      if (kind != "image") assert(verdict === "not_image")
+      else assert(Set("accepted", "caption_too_short", "caption_lang")(
+        verdict), s"unexpected image verdict $verdict")
+    }
+    // The payload column must be pruned out of the entire plan: the
+    // metadata-grain contract this operator exists to demonstrate.
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("payload"),
+      "payload leaked into the pair-assembly plan")
+  }
 }

@@ -494,6 +494,38 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(n0 > 0 && n0 <= supps * (supps - 1) / 2)
   }
 
+  test("q_graph_label_prop: seeds fixed, frontier monotone, labels valid") {
+    val out = graft.operators.GraphQueries.graphLabelProp(spark, sfDir)
+      .collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length === n, "every vector must appear exactly once")
+    val truth = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val labelDomain = truth.values.toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val src = r.getAs[String]("src")
+      if (id % 5 == 0) {
+        // Seeds keep their true label at round 0, forever.
+        assert(src === "seed")
+        assert(r.getAs[Int]("label_final") === truth(id))
+        assert(r.getAs[Int]("round_labeled") === 0)
+      } else if (src == "propagated") {
+        assert(labelDomain(r.getAs[Int]("label_final")),
+          "propagated label must come from the seed domain")
+        val rd = r.getAs[Int]("round_labeled")
+        assert(rd >= 1 && rd <= 3)
+      } else {
+        assert(src === "unlabeled")
+        assert(r.isNullAt(r.fieldIndex("label_final")))
+      }
+    }
+    // The frontier actually expanded: some non-seed node got labeled.
+    assert(out.exists(_.getAs[String]("src") == "propagated"),
+      "3 rounds over the cos>=0.4 graph must label at least one node")
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
