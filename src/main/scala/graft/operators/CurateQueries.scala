@@ -65,7 +65,8 @@ object CurateQueries {
     "q_dq_ldiversity"     -> dqLdiversity _,
     "q_dq_tcloseness"     -> dqTcloseness _,
     "q_filter_blocklist"  -> filterBlocklist _,
-    "q_interleave_mix"    -> interleaveMix _
+    "q_interleave_mix"    -> interleaveMix _,
+    "q_select_kcenter"    -> selectKcenter _
   )
 
   val oracle: Map[String, String] = Map(
@@ -603,8 +604,63 @@ object CurateQueries {
         |      AS BIGINT) AS position
         |  FROM ranked WHERE rnd <= 64)
         |SELECT doc_id, lang, rnd, position FROM ordered
-        |WHERE position <= 64 ORDER BY position""".stripMargin
+        |WHERE position <= 64 ORDER BY position""".stripMargin,
+    // The greedy rounds unrolled; distance2 = nrm2_a + nrm2_c - 2*dot
+    // with the SAME ordered-summation list arithmetic as the Spark
+    // side's graft_vec_dot (the q_dedup_cc edge precedent), so the
+    // raw-double argmax picks the identical center every round.
+    "q_select_kcenter" ->
+      ("""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS nrm2
+        |  FROM embeddings),
+        |cent1 AS (
+        |  SELECT 1 AS center_rank, vec_id AS c_id, embedding AS c_emb,
+        |    nrm2 AS c_nrm2
+        |  FROM e ORDER BY vec_id LIMIT 1)""".stripMargin
+        + ",\n" + (2 to 4).map(kcRoundSql).mkString(",\n") + ",\n"
+        + """asg AS (
+        |  SELECT e.vec_id,
+        |    (min(struct_pack(d2 := e.nrm2 + c.c_nrm2
+        |        - 2.0 * list_sum(list_transform(
+        |            range(1, len(e.embedding) + 1),
+        |            i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE)),
+        |      rk := c.center_rank))).rk AS center_rank,
+        |    (min(struct_pack(d2 := e.nrm2 + c.c_nrm2
+        |        - 2.0 * list_sum(list_transform(
+        |            range(1, len(e.embedding) + 1),
+        |            i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE)),
+        |      rk := c.center_rank))).d2 AS d2
+        |  FROM e CROSS JOIN cent4 c GROUP BY e.vec_id)
+        |SELECT a.center_rank, c.c_id,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  round(max(a.d2), 6) AS coverage_d2
+        |FROM asg a JOIN cent4 c ON c.center_rank = a.center_rank
+        |GROUP BY a.center_rank, c.c_id
+        |ORDER BY a.center_rank""".stripMargin)
   )
+
+  /** One unrolled greedy round of the q_select_kcenter oracle: min
+    * distance² to the chosen set, the (−dmin, id) argmax, and the
+    * center append. */
+  private def kcRoundSql(r: Int): String =
+    s"""dm$r AS (
+       |  SELECT e.vec_id,
+       |    min(e.nrm2 + c.c_nrm2 - 2.0 * list_sum(list_transform(
+       |        range(1, len(e.embedding) + 1),
+       |        i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE)))
+       |      AS dmin
+       |  FROM e CROSS JOIN cent${r - 1} c GROUP BY e.vec_id),
+       |nx$r AS (
+       |  SELECT (min(struct_pack(nd := -dmin, id := vec_id))).id
+       |    AS vec_id
+       |  FROM dm$r),
+       |cent$r AS (
+       |  SELECT * FROM cent${r - 1}
+       |  UNION ALL
+       |  SELECT $r AS center_rank, e.vec_id, e.embedding, e.nrm2
+       |  FROM nx$r n JOIN e ON e.vec_id = n.vec_id)""".stripMargin
 
   private def hex1(c: org.apache.spark.sql.Column) =
     substring(md5(c.cast("string").cast("binary")), 1, 1)
@@ -1501,5 +1557,70 @@ object CurateQueries {
         row_number().over(global).cast("long").as("position"))
       .filter(col("position") <= 64)
       .orderBy("position")
+  }
+
+  /** Greedy k-center (farthest-point-first) coreset selection, k=4 —
+    * the DIVERSITY member of the data-selection family
+    * (`q_select_head` buys coverage mass, `q_select_frontier` Pareto
+    * tradeoffs, `q_select_dsir` distribution match; k-center maximizes
+    * SPREAD — the classic 2-approximation to the NP-hard k-center
+    * objective, the standard seed for diverse few-shot pools and
+    * sample-efficient labeling).
+    *
+    * Determinism: next center = argmax over the corpus of min
+    * distance² to the chosen set, tie → min id (total order);
+    * distance² = ∥a∥²+∥c∥²−2a·c with norms precomputed ONCE and the
+    * dot the codegen'd `graft_vec_dot` — the SAME ordered-summation
+    * tree as the twin's list arithmetic (the `q_dedup_cc` edge
+    * precedent), so raw-double argmax decisions cannot diverge.
+    *
+    * Scale: each round is one ≤k-row broadcast cross against the
+    * corpus (scan-stage distance, PlanGuard-allowlisted), one keyed
+    * min agg, and a 1-row argmax reduction; center state is
+    * checkpointed per round (the k-means lineage discipline). The
+    * final census re-assigns in one pass and emits each center's
+    * cluster size and coverage radius — max(d2) over the corpus IS the
+    * k-center objective value. */
+  def selectKcenter(s: SparkSession, d: String): DataFrame = {
+    val dot = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      call_function("graft_vec_dot", a, b)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm2"))
+      .localCheckpoint()
+    val d2 = col("nrm2") + col("c_nrm2") -
+      lit(2.0) * dot(col("embedding"), col("c_emb"))
+    var centers = e.orderBy("vec_id").limit(1)
+      .select(lit(1).as("center_rank"), col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("nrm2").as("c_nrm2"))
+      .localCheckpoint()
+    for (r <- 2 to 4) {
+      val dmin = e.crossJoin(broadcast(centers))
+        .select(col("vec_id"), d2.as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("dmin"))
+      val next = dmin
+        .agg(min(struct((-col("dmin")).as("nd"), col("vec_id").as("id")))
+          .as("b"))
+        .select(col("b.id").as("vec_id"))
+      val grown = next.join(e, Seq("vec_id"))
+        .select(lit(r).as("center_rank"), col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("nrm2").as("c_nrm2"))
+      centers = centers.unionByName(grown).localCheckpoint()
+    }
+    val asg = e.crossJoin(broadcast(centers))
+      .select(col("vec_id"),
+        struct(d2.as("d2"), col("center_rank").as("rk")).as("cand"))
+      .groupBy("vec_id").agg(min("cand").as("b"))
+      .select(col("vec_id"), col("b.rk").as("center_rank"),
+        col("b.d2").as("d2"))
+    asg.groupBy("center_rank")
+      .agg(count(lit(1)).as("n_points"),
+        round(max("d2"), 6).as("coverage_d2"))
+      .join(broadcast(centers.select(col("center_rank"), col("c_id"))),
+        Seq("center_rank"))
+      .select(col("center_rank"), col("c_id"), col("n_points"),
+        col("coverage_d2"))
+      .orderBy("center_rank")
   }
 }

@@ -214,4 +214,32 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
       assert(ndcg >= 0.0 && ndcg <= 1.0)
     }
   }
+
+  test("q_select_kcenter: greedy separation bound and census conservation") {
+    val out = CurateQueries.selectKcenter(spark, sfDir).collect()
+    assert(out.length === 4, "k=4 centers must all be chosen")
+    assert(out.map(_.getAs[Int]("center_rank")).toSeq === Seq(1, 2, 3, 4))
+    val ids = out.map(_.getAs[Long]("c_id"))
+    assert(ids.distinct.length === 4, "centers must be distinct points")
+    // Census covers the whole corpus exactly once.
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_points")).sum === n)
+    // The greedy invariant: every center was, at selection time, at
+    // least the final coverage radius away from all earlier centers —
+    // so min pairwise center separation >= max coverage radius.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(ids: _*))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val minSep = (for {
+      i <- ids.indices; j <- ids.indices if i < j
+    } yield d2(vecs(ids(i)), vecs(ids(j)))).min
+    val maxCov = out.map(_.getAs[Double]("coverage_d2")).max
+    assert(minSep >= maxCov - 1e-6,
+      s"greedy separation violated: minSep=$minSep < maxCov=$maxCov")
+  }
 }

@@ -579,4 +579,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"$generates Generate nodes — the gram explode re-entered the " +
         "settled plan")
   }
+
+  test("q_graph_label_prop's final round reads checkpointed state, " +
+      "not a re-derived pair pipeline") {
+    // The edge feed (embedPairs) and each round's label frame are
+    // localCheckpoint'd; without the cuts, round 3's plan re-embeds the
+    // blocked pair join and rounds 1–2 wholesale (the k-means lineage
+    // lesson). The settled plan must read only materialized RDDs —
+    // zero parquet scans of the source corpus.
+    val plan = finalPlanString(
+      graft.operators.GraphQueries.graphLabelProp(spark, sfDir))
+    assert(!plan.contains("embeddings.parquet"),
+      "label propagation re-derived the pair pipeline from parquet")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 0,
+      s"$scans parquet scans in the final round — lineage cut lost")
+  }
 }
