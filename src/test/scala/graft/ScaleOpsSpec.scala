@@ -483,4 +483,68 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recLarge <= 200L * large,
       s"$recLarge shuffle rows for $large docs — super-linear wire")
   }
+
+  private def genCustomers(n: Int): String = {
+    val dir = s"/tmp/graft-scaleprobe/cust_$n"
+    spark.range(n.toLong).select(
+        col("id").as("c_custkey"),
+        format_string("Customer#%09d", col("id")).as("c_name"),
+        (col("id") % 25).cast("int").as("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+      .coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("q_join_fuzzy's blocked candidate wire grows linearly, " +
+      "never as the global cross (adversarial 10x probe)") {
+    // Block size is FIXED by the name format (last-2-digit span = 100
+    // names/block), so candidates per probe are constant in n: the
+    // candidate frame and both agg shuffles must grow ~10x on a 10x
+    // corpus. A regression to global fuzzy matching (losing the block
+    // key) would grow the wire ~100x — exactly what this probe trips.
+    val (small, large) = (1000, 10000)
+    import graft.operators.JoinQueries
+    val (recSmall, recLarge) = withoutAutoBroadcast {
+      JoinQueries.joinFuzzy(spark, genCustomers(small)).count()
+      (shuffleRecordsOf(
+        JoinQueries.joinFuzzy(spark, genCustomers(small)).count()),
+        shuffleRecordsOf(
+          JoinQueries.joinFuzzy(spark, genCustomers(large)).count()))
+    }
+    val ratio = recLarge.toDouble / recSmall.max(1L)
+    assert(ratio <= 30.0,
+      s"shuffle rows grew ${ratio}x on a 10x corpus " +
+        s"($recSmall -> $recLarge) — the fuzzy join lost its blocking")
+    // Probe repartition (n) + canon side (n) + two agg exchanges (≤ 2n).
+    assert(recLarge <= 10L * large,
+      s"$recLarge shuffle rows for $large customers — super-linear wire")
+  }
+
+  test("q_join_radius's cell-join wire grows linearly even as pair " +
+      "DENSITY grows quadratically (adversarial 10x probe)") {
+    // At fixed radius a denser corpus has ~n^2 candidate PAIRS — but
+    // pairs are compute inside the joined stage, not wire: the shuffle
+    // carries the left points (n), the 9-cell exploded right (9n), and
+    // the map-side-combined census partials (≤ n). A regression that
+    // shuffles the pair frame itself (e.g. an agg that loses its
+    // partial, or a window over candidates) grows the wire with n^2
+    // density and trips this bound.
+    val (small, large) = (300, 3000)
+    import graft.operators.JoinQueries
+    val (recSmall, recLarge) = withoutAutoBroadcast {
+      JoinQueries.joinRadius(spark, genEmbeddings(small)).count()
+      (shuffleRecordsOf(
+        JoinQueries.joinRadius(spark, genEmbeddings(small)).count()),
+        shuffleRecordsOf(
+          JoinQueries.joinRadius(spark, genEmbeddings(large)).count()))
+    }
+    val ratio = recLarge.toDouble / recSmall.max(1L)
+    assert(ratio <= 30.0,
+      s"shuffle rows grew ${ratio}x on a 10x corpus " +
+        s"($recSmall -> $recLarge) — candidate pairs reached the wire")
+    assert(recLarge <= 20L * large,
+      s"$recLarge shuffle rows for $large points — super-linear wire")
+  }
 }
