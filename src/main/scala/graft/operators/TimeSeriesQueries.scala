@@ -40,7 +40,8 @@ object TimeSeriesQueries {
     "q_ts_mannkendall" -> tsMannKendall _,
     "q_ts_backtest" -> tsBacktest _,
     "q_ts_xcorr"    -> tsXcorr _,
-    "q_ts_drawdown" -> tsDrawdown _
+    "q_ts_drawdown" -> tsDrawdown _,
+    "q_ts_var"      -> tsVar _
   )
 
   val oracle: Map[String, String] = Map(
@@ -495,7 +496,36 @@ object TimeSeriesQueries {
         |  max(drawdown) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS max_drawdown
-        |FROM dd ORDER BY day""".stripMargin
+        |FROM dd ORDER BY day""".stripMargin,
+    // The tail threshold is percentile_disc — an actual exact-cent data
+    // value, so tail membership (delta <= threshold) is an integer
+    // compare on both engines; only the interpolated headline and the
+    // tail mean are doubles, both rounded 4.
+    "q_ts_var" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |delta AS (
+        |  SELECT day, rev - lag(rev) OVER (ORDER BY day) AS d
+        |  FROM daily),
+        |dd AS (SELECT day, CAST(d AS BIGINT) AS d FROM delta
+        |       WHERE d IS NOT NULL),
+        |q AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(min(d) AS BIGINT) AS worst_delta,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY d)
+        |      AS BIGINT) AS var95_cents,
+        |    round(percentile_cont(0.05) WITHIN GROUP (ORDER BY d), 4)
+        |      AS var95_interp
+        |  FROM dd)
+        |SELECT q.n_days, q.worst_delta, q.var95_cents, q.var95_interp,
+        |  round(CAST((SELECT sum(d) FROM dd WHERE d <= q.var95_cents)
+        |      AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM dd WHERE d <= q.var95_cents)
+        |      AS DOUBLE), 4) AS cvar_cents
+        |FROM q""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -1042,5 +1072,46 @@ object TimeSeriesQueries {
         / col("peak_cents").cast("double"), 6))
     dd.withColumn("max_drawdown", max("drawdown").over(cum))
       .orderBy("day")
+  }
+
+  /** Value-at-Risk / CVaR of daily revenue CHANGES at 95% —
+    * [[tsDrawdown]] measures realized worst-case decline; VaR asks the
+    * forward question "how bad is the worst 5% of days?" and CVaR "how
+    * bad are they ON AVERAGE?" — the coherent tail-risk pair every
+    * capacity/revenue planner quotes.
+    *
+    * Determinism: deltas are exact BIGINT cents under the day total
+    * order; the tail THRESHOLD is `percentile_disc` — an ACTUAL data
+    * value, no float interpolation — so tail membership is an
+    * exact-integer compare on both engines; the interpolated
+    * `percentile_cont` headline and the tail mean are the only doubles,
+    * both rounded 4 (the `q_sql_percentile` precedent). Scale: one
+    * fact-table keyed agg; everything after runs on the bounded
+    * day-span frame. */
+  def tsVar(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev"))
+    val dd = daily
+      .select(col("day"),
+        (col("rev") - lag("rev", 1).over(Window.orderBy("day"))).as("d"))
+      .filter(col("d").isNotNull)
+      .localCheckpoint()
+    val q = dd.agg(
+      count(lit(1)).as("n_days"),
+      min("d").as("worst_delta"),
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY d)")
+        .cast("long").as("var95_cents"),
+      round(expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY d)"), 4)
+        .as("var95_interp"))
+    val tail = dd.crossJoin(broadcast(q.select("var95_cents")))
+      .filter(col("d") <= col("var95_cents"))
+      .agg(sum("d").as("ts"), count(lit(1)).as("tn"))
+    q.crossJoin(broadcast(tail))
+      .select(col("n_days"), col("worst_delta"), col("var95_cents"),
+        col("var95_interp"),
+        round(col("ts").cast("double") / col("tn").cast("double"), 4)
+          .as("cvar_cents"))
   }
 }

