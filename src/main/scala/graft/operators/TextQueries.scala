@@ -66,7 +66,8 @@ object TextQueries {
     "q_text_novelty"     -> textNovelty _,
     "q_text_codeswitch"  -> textCodeswitch _,
     "q_text_winnowing"   -> textWinnowing _,
-    "q_text_nfc"         -> textNfc _
+    "q_text_nfc"         -> textNfc _,
+    "q_text_span_mask"   -> textSpanMask _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -778,6 +779,31 @@ object TextQueries {
         |  CAST(length(raw) AS BIGINT)
         |    - CAST(length(nfc_normalize(raw)) AS BIGINT) AS composed
         |FROM planted ORDER BY doc_id""".stripMargin,
+    // Same md5-uniform span pick and list surgery; the [2, n-4] range
+    // keeps slice arguments valid on both engines, and short docs fold
+    // to the same pass-through CASE.
+    "q_text_span_mask" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+        |      AS BIGINT) AS u
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, text, t, n,
+        |    CAST(2 + u % (n - 5) AS INT) AS start
+        |  FROM toks)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN n >= 8 THEN 'masked' ELSE 'too_short' END AS verdict,
+        |  CASE WHEN n >= 8 THEN start END AS span_start,
+        |  CASE WHEN n >= 8 THEN array_to_string(
+        |      list_concat(list_concat(t[1:start - 1],
+        |        ['<extra_id_0>']), t[start + 3:n]), ' ')
+        |    ELSE text END AS masked,
+        |  CASE WHEN n >= 8 THEN array_to_string(
+        |      list_concat(['<extra_id_0>'], t[start:start + 2]), ' ')
+        |  END AS target
+        |FROM sp ORDER BY doc_id""".stripMargin,
     "q_text_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2018,6 +2044,41 @@ object TextQueries {
           col("n_grams").cast("double"), 6).as("density"),
         round(col("n_shared").cast("double") /
           col("n_selected").cast("double"), 6).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** T5-style span-corruption prep — the text→(input, target) pair
+    * factory behind every span-corruption pretraining mix: per doc one
+    * hash-chosen 3-token span is cut and replaced by the sentinel,
+    * emitting the masked input, the target sequence, and the span
+    * audit.
+    *
+    * Determinism: the span start comes from the md5-uniform of doc_id
+    * (the cross-engine RNG-free draw — xxhash64 has no DuckDB twin,
+    * md5 does; the `q_dp_laplace` bridge), reduced to the valid range
+    * [2, n−4] so the first and last tokens always survive. All array
+    * surgery (slice/concat/join) is row-local scan-stage work. Short
+    * docs (< 8 tokens) pass through unmasked with a declared verdict —
+    * never a throw. */
+  def textSpanMask(s: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val n = size(t)
+    val u = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val start = (lit(2) + pmod(u, (n - 5).cast("long"))).cast("int")
+    val masked = concat_ws(" ", concat(
+      slice(t, lit(1), start - 1),
+      array(lit("<extra_id_0>")),
+      slice(t, start + 3, n - start - lit(2))))
+    val target = concat_ws(" ",
+      concat(array(lit("<extra_id_0>")), slice(t, start, lit(3))))
+    documents(s, d).select(
+        col("doc_id"), n.cast("long").as("n_tokens"),
+        when(n >= 8, "masked").otherwise("too_short").as("verdict"),
+        when(n >= 8, start).as("span_start"),
+        when(n >= 8, masked).otherwise(col("text")).as("masked"),
+        when(n >= 8, target).as("target"))
       .orderBy("doc_id")
   }
 

@@ -642,6 +642,42 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .forall(_.getAs[Double]("drawdown") == 0.0))
   }
 
+  test("q_text_span_mask: round-trip — unmasking reconstructs the doc") {
+    val out = graft.operators.TextQueries.textSpanMask(spark, sfDir)
+      .collect()
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length === texts.size)
+    var maskedCount = 0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("verdict") match {
+        case "masked" =>
+          maskedCount += 1
+          val masked = r.getAs[String]("masked")
+          val target = r.getAs[String]("target")
+          assert(target.startsWith("<extra_id_0> "))
+          // Substituting the target span back at the sentinel must
+          // reconstruct the original document exactly.
+          val rebuilt = masked.replace("<extra_id_0>",
+            target.stripPrefix("<extra_id_0> "))
+          assert(rebuilt === texts(id),
+            s"doc $id does not round-trip through mask+target")
+          assert(target.split(" ").length === 4, "sentinel + 3 tokens")
+          val st = r.getAs[Int]("span_start")
+          val n = r.getAs[Long]("n_tokens")
+          assert(st >= 2 && st <= n - 4, s"span start $st out of [2, ${n - 4}]")
+        case "too_short" =>
+          assert(r.getAs[Long]("n_tokens") < 8)
+          assert(r.getAs[String]("masked") === texts(id),
+            "short docs must pass through unmodified")
+        case other => fail(s"unexpected verdict $other")
+      }
+    }
+    assert(maskedCount > 0, "fixture must exercise the masking path")
+  }
+
   test("q_ts_var: threshold is a real delta; CVaR <= VaR <= worst 5% tail") {
     val r = graft.operators.TimeSeriesQueries.tsVar(spark, sfDir)
       .collect().head
