@@ -37,6 +37,7 @@ object SparkEntry {
       TimeSeriesQueries.queries ++
       VersionQueries.queries ++
       FeatureQueries.queries ++
+      AuditQueries.queries ++
       graft.sources.SourceQueries.queries ++
       graft.multimodal.MediaQueries.queries
 
@@ -61,6 +62,7 @@ object SparkEntry {
       TimeSeriesQueries.oracle ++
       VersionQueries.oracle ++
       FeatureQueries.oracle ++
+      AuditQueries.oracle ++
       graft.sources.SourceQueries.oracle ++
       graft.multimodal.MediaQueries.oracle
 }
