@@ -30,7 +30,8 @@ object GraphQueries {
     "q_graph_pagerank" -> graphPagerank _,
     "q_graph_triangles" -> graphTriangles _,
     "q_graph_comp_sizes" -> graphCompSizes _,
-    "q_graph_label_prop" -> graphLabelProp _
+    "q_graph_label_prop" -> graphLabelProp _,
+    "q_graph_linkpred" -> graphLinkpred _
   )
 
   /** The transitive-closure CTE chain (cos ≥ 0.4 edges → undirected →
@@ -147,7 +148,48 @@ object GraphQueries {
         |  CASE WHEN rnd = 0 THEN 'seed'
         |       WHEN lbl IS NOT NULL THEN 'propagated'
         |       ELSE 'unlabeled' END AS src
-        |FROM l3 ORDER BY vec_id""".stripMargin)
+        |FROM l3 ORDER BY vec_id""".stripMargin),
+    // Same cos >= 0.4 edge CTE; wedges through <= 32-degree middles, the
+    // Adamic-Adar terms quantized to exact 1e-6 units BEFORE the keyed
+    // sum (the q_select_dsir discipline: float work ends at the degree
+    // table, the pair aggregation is pure BIGINT — order-independent),
+    // adjacency removed by NOT EXISTS, Jaccard an exact rational.
+    "q_graph_linkpred" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+        |und AS (SELECT v1, v2 FROM pairs
+        |        UNION ALL SELECT v2, v1 FROM pairs),
+        |deg AS (SELECT v1 AS node, CAST(count(*) AS BIGINT) AS degree
+        |        FROM und GROUP BY 1),
+        |cand AS (
+        |  SELECT x.v2 AS v1, y.v2 AS v2,
+        |    CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(CAST(round(1000000.0 / ln(CAST(dz.degree AS DOUBLE)),
+        |      0) AS BIGINT)) AS BIGINT) AS aa_units
+        |  FROM und x
+        |  JOIN und y ON y.v1 = x.v1 AND x.v2 < y.v2
+        |  JOIN deg dz ON dz.node = x.v1 AND dz.degree BETWEEN 2 AND 32
+        |  GROUP BY 1, 2),
+        |nonadj AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+        |                    WHERE p.v1 = c.v1 AND p.v2 = c.v2))
+        |SELECT n.v1, n.v2, n.cn, d1.degree AS deg1, d2.degree AS deg2,
+        |  round(CAST(n.cn AS DOUBLE)
+        |    / CAST(d1.degree + d2.degree - n.cn AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(n.aa_units AS DOUBLE) / 1000000.0, 6) AS adamic_adar
+        |FROM nonadj n
+        |JOIN deg d1 ON d1.node = n.v1
+        |JOIN deg d2 ON d2.node = n.v2
+        |ORDER BY n.v1, n.v2""".stripMargin
   )
 
   /** One unrolled label-propagation round of the q_graph_label_prop
@@ -516,5 +558,65 @@ object GraphQueries {
           .when(col("lbl").isNotNull, "propagated")
           .otherwise("unlabeled").as("src"))
       .orderBy("vec_id")
+  }
+
+  /** Link prediction over the near-dup graph: every NON-adjacent pair
+    * with ≥1 common neighbor, scored by common-neighbor count, Jaccard
+    * overlap of neighborhoods, and Adamic-Adar (Σ 1/ln deg(z) over the
+    * common neighbors z — rare shared neighbors weigh more than hubs).
+    *
+    * Why a dedup/curation pipeline wants this: a high-scoring non-edge
+    * inside a near-dup neighborhood is the MISSED CANDIDATE detector —
+    * two docs that share most of their near-dup neighbors but were never
+    * pair-verified (LSH banding missed them, or the threshold sat just
+    * above their similarity) are exactly the pairs worth a second exact
+    * verify pass; the same scores are the classic "people also bought"
+    * recommender primitives when the graph is behavioral.
+    *
+    * Scale design: wedges (a—z—b) are generated per MIDDLE z, so pair
+    * work is Σ deg(z)² — bounded here by the declared deg ≤ 32 middle
+    * cut (the df-cut discipline of `q_dedup_ngram`: super-hub middles
+    * contribute near-zero Adamic-Adar signal, 1/ln(h), and h² wedge
+    * cost; production tunes the cut, the semantics declare it). The
+    * Adamic-Adar term is quantized to exact 1e-6 units per middle BEFORE
+    * the keyed sum (the `q_select_dsir` discipline: float work ends at
+    * the degree table, the pair aggregation is pure BIGINT, so the sum
+    * is order-independent and engine-exact); Jaccard is an exact
+    * rational from integer degrees. The edge feed is [[SimilarityQueries
+    * .embedPairs]] materialized ONCE (localCheckpoint — three consumers:
+    * wedge gen via und, adjacency anti-join, degree table). */
+  def graphLinkpred(s: SparkSession, d: String): DataFrame = {
+    val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
+      .localCheckpoint()
+    val und = pairs.union(pairs.select(col("v2"), col("v1")))
+    val deg = und.groupBy(col("v1").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    // degree ∈ [2, 32]: a degree-1 middle cannot form a wedge, and its
+    // exclusion keeps 1/ln(deg) total (ln 1 = 0 would divide by zero at
+    // scan stage under ANSI, before the wedge join could discard it).
+    val mid = und.select(col("v1").as("z"), col("v2").as("nbr"))
+      .join(deg.filter(col("degree") >= 2 && col("degree") <= 32),
+        col("z") === col("node"))
+      .select(col("z"), col("nbr"),
+        round(lit(1000000.0) / log(col("degree").cast("double")), 0)
+          .cast("long").as("aa_unit"))
+    val cand = mid.as("x")
+      .join(mid.as("y"),
+        col("x.z") === col("y.z") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("v1"), col("y.nbr").as("v2"))
+      .agg(count(lit(1)).as("cn"), sum(col("x.aa_unit")).as("aa_units"))
+    val nonadj = cand.join(pairs, Seq("v1", "v2"), "left_anti")
+    nonadj
+      .join(deg.select(col("node").as("v1"), col("degree").as("deg1")),
+        Seq("v1"))
+      .join(deg.select(col("node").as("v2"), col("degree").as("deg2")),
+        Seq("v2"))
+      .select(col("v1"), col("v2"), col("cn"), col("deg1"), col("deg2"),
+        round(col("cn").cast("double")
+          / (col("deg1") + col("deg2") - col("cn")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("aa_units").cast("double") / 1000000.0, 6)
+          .as("adamic_adar"))
+      .orderBy("v1", "v2")
   }
 }

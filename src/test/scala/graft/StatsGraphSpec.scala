@@ -526,6 +526,60 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
       "3 rounds over the cos>=0.4 graph must label at least one node")
   }
 
+  test("q_graph_linkpred matches a brute-force neighborhood replay") {
+    import graft.operators.GraphQueries
+    // Independent edge replay: exact cos >= 0.4 at 4dp, dot and norm
+    // accumulated left-to-right in array order like the codegen'd
+    // expressions.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val edges = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } yield (ids(i), ids(j))).toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { adj(a) += b; adj(b) += a }
+    val out = GraphQueries.graphLinkpred(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture graph must yield open wedges")
+    for (r <- out) {
+      val (a, b) = (r.getAs[Long]("v1"), r.getAs[Long]("v2"))
+      assert(a < b, "pairs canonical")
+      assert(!edges((a, b)), s"($a,$b) is an existing edge")
+      // Brute-force replay under the declared deg<=32 middle cut.
+      val common = (adj(a) & adj(b)).filter(z =>
+        adj(z).size >= 2 && adj(z).size <= 32)
+      assert(r.getAs[Long]("cn") == common.size, s"cn of ($a,$b)")
+      assert(r.getAs[Long]("deg1") == adj(a).size)
+      assert(r.getAs[Long]("deg2") == adj(b).size)
+      val aa = common.toSeq.map(z =>
+        math.round(1e6 / math.log(adj(z).size.toDouble))).sum / 1e6
+      assert(math.abs(r.getAs[Double]("adamic_adar") - aa) < 1e-5)
+      val jac = r.getAs[Double]("jaccard")
+      assert(jac > 0 && jac <= 1.0)
+    }
+    // Completeness: every non-adjacent pair with a cut-respecting
+    // common neighbor is emitted.
+    val expected = (for {
+      z <- adj.keys if adj(z).size >= 2 && adj(z).size <= 32
+      Seq(a, b) <- adj(z).toSeq.sorted.combinations(2)
+      if !edges((a, b))
+    } yield (a, b)).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
