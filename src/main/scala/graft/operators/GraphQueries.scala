@@ -31,7 +31,8 @@ object GraphQueries {
     "q_graph_triangles" -> graphTriangles _,
     "q_graph_comp_sizes" -> graphCompSizes _,
     "q_graph_label_prop" -> graphLabelProp _,
-    "q_graph_linkpred" -> graphLinkpred _
+    "q_graph_linkpred" -> graphLinkpred _,
+    "q_graph_kcore" -> graphKcore _
   )
 
   /** The transitive-closure CTE chain (cos ≥ 0.4 edges → undirected →
@@ -189,8 +190,55 @@ object GraphQueries {
         |FROM nonadj n
         |JOIN deg d1 ON d1.node = n.v1
         |JOIN deg d2 ON d2.node = n.v2
-        |ORDER BY n.v1, n.v2""".stripMargin
+        |ORDER BY n.v1, n.v2""".stripMargin,
+    // Same cos >= 0.4 edge CTE; the six h-index rounds UNROLLED (the
+    // q_graph_label_prop discipline) — pure integer arithmetic
+    // throughout, so every round is engine-exact by construction.
+    "q_graph_kcore" ->
+      ("""WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+        |und AS (SELECT v1, v2 FROM pairs
+        |        UNION ALL SELECT v2, v1 FROM pairs),
+        |deg AS (SELECT v1 AS node, CAST(count(*) AS BIGINT) AS degree
+        |        FROM und GROUP BY 1),
+        |est0 AS (
+        |  SELECT e.vec_id AS node,
+        |    CAST(coalesce(d.degree, 0) AS BIGINT) AS est
+        |  FROM embeddings e LEFT JOIN deg d ON d.node = e.vec_id),"""
+        .stripMargin
+        + "\n" + (1 to 6).map(kcoreRoundSql).mkString(",\n") + "\n"
+        + """SELECT e.node AS vec_id,
+        |  CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+        |  e.est AS coreness
+        |FROM est6 e LEFT JOIN deg d ON d.node = e.node
+        |ORDER BY vec_id""".stripMargin)
   )
+
+  /** One unrolled h-index round of the q_graph_kcore oracle: each node's
+    * neighbors' round-(r−1) estimates sorted descending, h = max
+    * min(rank, est), next estimate = min(previous, h) — h of an empty
+    * neighborhood is 0. */
+  private def kcoreRoundSql(r: Int): String =
+    s"""h$r AS (
+       |  SELECT v1 AS node, max(least(rn, est)) AS h FROM (
+       |    SELECT u.v1, e.est,
+       |      CAST(row_number() OVER (PARTITION BY u.v1
+       |        ORDER BY e.est DESC, u.v2) AS BIGINT) AS rn
+       |    FROM und u JOIN est${r - 1} e ON e.node = u.v2)
+       |  GROUP BY v1),
+       |est$r AS (
+       |  SELECT p.node, CAST(least(p.est, coalesce(h.h, 0)) AS BIGINT)
+       |    AS est
+       |  FROM est${r - 1} p LEFT JOIN h$r h ON h.node = p.node)"""
+      .stripMargin
 
   /** One unrolled label-propagation round of the q_graph_label_prop
     * oracle: neighbor-label counts over round r−1's frontier, the
@@ -618,5 +666,62 @@ object GraphQueries {
         round(col("aa_units").cast("double") / 1000000.0, 6)
           .as("adamic_adar"))
       .orderBy("v1", "v2")
+  }
+
+  /** k-core decomposition of the near-dup graph via the distributed
+    * h-index iteration (Montresor/De Pellegrini/Miorandi-style coreness):
+    * every node starts at its degree and each synchronous round lowers
+    * its estimate to the h-index of its neighbors' estimates (the
+    * largest h with ≥ h neighbors at ≥ h); the fixpoint is exactly the
+    * core number. Six rounds are the DECLARED contract (the
+    * `q_graph_label_prop` bounded-round discipline) — monotone
+    * non-increasing, so extra rounds never hurt, and StatsGraphSpec
+    * pins that round 6 has actually reached the serial-peel fixpoint on
+    * the fixture.
+    *
+    * Why a dedup/curation pipeline wants this: CC says which docs
+    * cluster, the clustering coefficient says how tightly — coreness
+    * says WHERE the dense kernel is. A component's max-core is the
+    * "every copy of everything" nucleus (collapse aggressively); its
+    * low-core fringe is loosely-attached drift (review before
+    * collapsing). Same triage as `q_graph_triangles`, but coreness
+    * NESTS (k-core ⊇ (k+1)-core), giving a dial instead of a score.
+    *
+    * Scale design: per-round state is O(V) integers; each round is one
+    * keyed join (neighbor estimates along edges), one per-node window
+    * over deg-sized neighbor lists (partitioned by node — never global),
+    * one keyed left join back. Pure integer arithmetic end-to-end, so
+    * the unrolled DuckDB twin is exact, not approximately so. Round
+    * lineage is cut by localCheckpoint (the k-means discipline). */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
+      .localCheckpoint()
+    val und = pairs.union(pairs.select(col("v2"), col("v1")))
+      .localCheckpoint()
+    val deg = und.groupBy(col("v1").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    var est = embeddings(s, d).select(col("vec_id").as("node"))
+      .join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("est"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val h = und.join(est.withColumnRenamed("node", "v2")
+          .withColumnRenamed("est", "nest"), Seq("v2"))
+        .select(col("v1"), col("nest"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("v1")
+            .orderBy(col("nest").desc, col("v2"))).cast("long").as("rn"))
+        .groupBy(col("v1").as("node"))
+        .agg(max(least(col("rn"), col("nest"))).as("h"))
+      est = est.join(h, Seq("node"), "left")
+        .select(col("node"),
+          least(col("est"), coalesce(col("h"), lit(0L))).as("est"))
+        .localCheckpoint()
+    }
+    est.join(deg, Seq("node"), "left")
+      .select(col("node").as("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        col("est").as("coreness"))
+      .orderBy("vec_id")
   }
 }

@@ -580,6 +580,54 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
+  test("q_graph_kcore round-6 estimates equal serial-peel core numbers") {
+    import graft.operators.GraphQueries
+    val out = GraphQueries.graphKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Serial peeling replay on the same edge set (derived from the
+    // query's own degree output plus the brute-force edges of the
+    // linkpred test's construction): repeatedly remove the minimum-
+    // degree node; its coreness is the max min-degree seen so far.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } { adj(ids(i)) += ids(j); adj(ids(j)) += ids(i) }
+    val degLive = scala.collection.mutable.Map(
+      ids.map(v => v -> adj(v).size): _*)
+    val live = scala.collection.mutable.Set(ids: _*)
+    val core = scala.collection.mutable.Map[Long, Int]()
+    var k = 0
+    while (live.nonEmpty) {
+      val v = live.minBy(x => (degLive(x), x))
+      k = math.max(k, degLive(v))
+      core(v) = k
+      live -= v
+      for (u <- adj(v) if live(u)) degLive(u) -= 1
+    }
+    assert(out.nonEmpty)
+    for ((v, d, c) <- out) {
+      assert(d == adj(v).size, s"degree of $v")
+      assert(c == core(v).toLong,
+        s"round-6 estimate of $v ($c) must equal peel coreness ${core(v)}")
+    }
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
