@@ -41,7 +41,8 @@ object TimeSeriesQueries {
     "q_ts_backtest" -> tsBacktest _,
     "q_ts_xcorr"    -> tsXcorr _,
     "q_ts_drawdown" -> tsDrawdown _,
-    "q_ts_var"      -> tsVar _
+    "q_ts_var"      -> tsVar _,
+    "q_ts_changepoint" -> tsChangepoint _
   )
 
   val oracle: Map[String, String] = Map(
@@ -525,7 +526,44 @@ object TimeSeriesQueries {
         |      AS DOUBLE)
         |    / CAST((SELECT count(*) FROM dd WHERE d <= q.var95_cents)
         |      AS DOUBLE), 4) AS cvar_cents
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+    // Exact BIGINT prefix sums under the day order; J one shared IEEE
+    // tree over exact operands; min-struct argmax with nj first,
+    // earliest-day tiebreak — engine-identical decision.
+    "q_ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n1,
+        |    CAST(sum(rev_cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s1,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(rev_cents) OVER () AS BIGINT) AS s
+        |  FROM daily),
+        |j AS (
+        |  SELECT day, n1, s1, n - n1 AS n2, s - s1 AS s2,
+        |    -(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n1 AS DOUBLE)
+        |      + CAST(s - s1 AS DOUBLE) * CAST(s - s1 AS DOUBLE)
+        |        / CAST(n - n1 AS DOUBLE)) AS nj
+        |  FROM c WHERE n1 < n),
+        |best AS (
+        |  SELECT min(struct_pack(nj := nj, day := day, n1 := n1,
+        |    s1 := s1, n2 := n2, s2 := s2)) AS b FROM j)
+        |SELECT (b).day AS cp_day, (b).n1 AS n_left, (b).n2 AS n_right,
+        |  round(CAST((b).s1 AS DOUBLE) / CAST((b).n1 AS DOUBLE)
+        |    / 100.0, 4) AS mean_left,
+        |  round(CAST((b).s2 AS DOUBLE) / CAST((b).n2 AS DOUBLE)
+        |    / 100.0, 4) AS mean_right,
+        |  round((CAST((b).s2 AS DOUBLE) / CAST((b).n2 AS DOUBLE)
+        |    - CAST((b).s1 AS DOUBLE) / CAST((b).n1 AS DOUBLE))
+        |    / 100.0, 4) AS shift
+        |FROM best""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -1113,5 +1151,56 @@ object TimeSeriesQueries {
         col("var95_interp"),
         round(col("ts").cast("double") / col("tn").cast("double"), 4)
           .as("cvar_cents"))
+  }
+
+  /** Single change-point detection on the daily revenue series: the
+    * split that maximizes the between-segment sum of squares — the
+    * binary-segmentation primitive (CUSUM's offline sibling: `q_ts_cusum`
+    * asks "is the mean drifting NOW" online; this asks "WHERE did the
+    * mean shift" in retrospect, the first split of a full binary
+    * segmentation).
+    *
+    * Determinism: prefix sums are exact BIGINT cents under the day total
+    * order; the objective J(i) = s1²/n1 + s2²/n2 (maximizing J minimizes
+    * within-segment SSE — the quadratic terms cancel) is ONE shared IEEE
+    * tree over exact integer operands on both engines, so the raw-double
+    * argmax cannot diverge (the `q_select_kcenter` precedent); ties
+    * break to the earliest day via min-struct. Scale: one fact keyed
+    * agg collapses the corpus to the day frame; the unpartitioned
+    * prefix window runs on that bounded frame (the `q_ts_drawdown`
+    * shape), and the argmax is a map-side-combinable 1-row min-struct
+    * agg, never a global sort. */
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev_cents"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val c = daily.select(col("day"),
+      row_number().over(Window.orderBy("day")).cast("long").as("n1"),
+      sum("rev_cents").over(wCum).as("s1"),
+      count(lit(1)).over(wAll).as("n"),
+      sum("rev_cents").over(wAll).as("s"))
+    val j = c.filter(col("n1") < col("n"))
+      .select(col("day"), col("n1"), col("s1"),
+        (col("n") - col("n1")).as("n2"), (col("s") - col("s1")).as("s2"))
+      .withColumn("nj",
+        -(col("s1").cast("double") * col("s1").cast("double")
+            / col("n1").cast("double")
+          + col("s2").cast("double") * col("s2").cast("double")
+            / col("n2").cast("double")))
+    j.agg(min(struct(col("nj"), col("day"), col("n1"), col("s1"),
+        col("n2"), col("s2"))).as("b"))
+      .select(col("b.day").as("cp_day"),
+        col("b.n1").as("n_left"), col("b.n2").as("n_right"),
+        round(col("b.s1").cast("double") / col("b.n1").cast("double")
+          / 100.0, 4).as("mean_left"),
+        round(col("b.s2").cast("double") / col("b.n2").cast("double")
+          / 100.0, 4).as("mean_right"),
+        round((col("b.s2").cast("double") / col("b.n2").cast("double")
+          - col("b.s1").cast("double") / col("b.n1").cast("double"))
+          / 100.0, 4).as("shift"))
   }
 }

@@ -628,6 +628,38 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_ts_changepoint matches a brute-force argmax replay") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, sfDir)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev")).orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = daily.length
+    val total = daily.map(_._2).sum
+    var best = (Double.MaxValue, Long.MaxValue, 0L, 0L)
+    var s1 = 0L
+    for (i <- 0 until (n - 1)) {
+      s1 += daily(i)._2
+      val n1 = (i + 1).toLong; val n2 = (n - i - 1).toLong
+      val s2 = total - s1
+      val nj = -(s1.toDouble * s1.toDouble / n1.toDouble
+        + s2.toDouble * s2.toDouble / n2.toDouble)
+      if (nj < best._1 ||
+          (nj == best._1 && daily(i)._1 < best._2))
+        best = (nj, daily(i)._1, n1, s1)
+    }
+    val r = graft.operators.TimeSeriesQueries
+      .tsChangepoint(spark, sfDir).collect().head
+    assert(r.getAs[Long]("cp_day") == best._2)
+    assert(r.getAs[Long]("n_left") == best._3)
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == n)
+    val mL = r.getAs[Double]("mean_left")
+    val mR = r.getAs[Double]("mean_right")
+    assert(math.abs(mL - best._4.toDouble / best._3 / 100.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("shift") - (mR - mL)) < 1e-3)
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
