@@ -71,10 +71,61 @@ object StatsQueries {
     "q_agg_hhi"         -> aggHhi _,
     "q_agg_anova"       -> aggAnova _,
     "q_agg_kendall"     -> aggKendall _,
-    "q_agg_theil_u"     -> aggTheilU _
+    "q_agg_theil_u"     -> aggTheilU _,
+    "q_survival_km"     -> survivalKm _
   )
 
   val oracle: Map[String, String] = Map(
+    // Risk sets and event counts are exact integers under the duration
+    // total order; each hazard term ln((n-d)/n) is quantized to 1e-6-nat
+    // BIGINT units BEFORE the cumulative sum (the q_select_dsir
+    // discipline: the running log-survival is an exact integer, ORDER-
+    // INDEPENDENT), exp applied once per row to the identical double.
+    "q_survival_km" ->
+      """WITH day AS (
+        |  SELECT o_custkey,
+        |    min(epoch_us(o_orderdate) // 86400000000) AS f,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS l
+        |  FROM orders GROUP BY 1),
+        |md AS (SELECT max(l) AS maxd FROM day),
+        |obs AS (
+        |  SELECT CASE WHEN d.l < m.maxd - 60 THEN d.l - d.f
+        |              ELSE m.maxd - d.f END AS dur,
+        |    CASE WHEN d.l < m.maxd - 60 THEN 1 ELSE 0 END AS evt
+        |  FROM day d, md m),
+        |bydur AS (
+        |  SELECT dur, CAST(sum(evt) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS nt
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, d, nt,
+        |    CAST(sum(nt) OVER () - sum(nt) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + nt
+        |      AS BIGINT) AS n_risk
+        |  FROM bydur),
+        |terms AS (
+        |  SELECT dur, d, nt, n_risk,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST(round(1000000.0 * ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 0) AS BIGINT) END AS units,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM risk),
+        |cum AS (
+        |  SELECT dur, d, nt, n_risk,
+        |    CAST(sum(units) OVER w AS BIGINT) AS cum_units,
+        |    CAST(max(dead) OVER w AS INT) AS all_dead
+        |  FROM terms
+        |  WINDOW w AS (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT dur AS dur_days, n_risk, d AS d_events,
+        |  CAST(nt - d AS BIGINT) AS n_censored,
+        |  CASE WHEN all_dead = 0
+        |    THEN round(CAST(cum_units AS DOUBLE) / 1000000.0, 6)
+        |    END AS log_surv,
+        |  CASE WHEN all_dead = 0
+        |    THEN round(exp(CAST(cum_units AS DOUBLE) / 1000000.0), 6)
+        |    ELSE 0.0 END AS surv
+        |FROM cum WHERE d > 0 ORDER BY dur_days""".stripMargin,
     // Moment statistics agree to well past 4 dp between engines (both
     // accumulate in double; merge-order differences are ~1e-9 relative).
     "q_agg_stats" ->
@@ -2633,5 +2684,66 @@ object StatsQueries {
       round(col("hxy"), 6).as("h_x_given_y"),
       when(col("hx") > 0,
         round((col("hx") - col("hxy")) / col("hx"), 6)).as("theil_u"))
+  }
+
+  /** Kaplan-Meier survival over customer purchase lifetimes — the
+    * censoring-aware churn curve (time-to-churn where "churn" = no order
+    * in the final 60-day observation window; customers still active at
+    * corpus end are CENSORED at their observed span, which a naive
+    * "mean lifetime" silently miscounts — the whole reason KM exists).
+    * Per event time: the at-risk set, events, censored count, and the
+    * product-limit estimate Ŝ(t) = Π (1 − d_i/n_i).
+    *
+    * Determinism: risk sets and event counts are exact integers under
+    * the duration total order; each hazard term ln((n−d)/n) is quantized
+    * to 1e-6-nat BIGINT units BEFORE the running sum (the
+    * `q_select_dsir` discipline — the cumulative log-survival is an
+    * exact integer, order-independent), `exp` applied once per row to
+    * the identical double, both emits rounded 6. A total-death time
+    * (d = n_risk, ln 0) is handled as declared output: surv = 0,
+    * log_surv NULL, for that row and every later one.
+    *
+    * Scale: the fact collapses to per-customer spans in one keyed agg
+    * (map-side combined); the corpus-max day is a 1-row broadcast
+    * cross; everything after runs on the bounded duration frame
+    * (≤ day-span rows), where the unpartitioned windows are free. */
+  def survivalKm(s: SparkSession, d: String): DataFrame = {
+    val day = expr("unix_micros(o_orderdate) div 86400000000")
+    val pc = orders(s, d).groupBy("o_custkey")
+      .agg(min(day).as("f"), max(day).as("l"))
+    val md = pc.agg(max("l").as("maxd"))
+    val obs = pc.crossJoin(broadcast(md))
+      .select(
+        when(col("l") < col("maxd") - 60, col("l") - col("f"))
+          .otherwise(col("maxd") - col("f")).as("dur"),
+        when(col("l") < col("maxd") - 60, 1L).otherwise(0L).as("evt"))
+    val byDur = obs.groupBy("dur")
+      .agg(sum("evt").as("d"), count(lit(1)).as("nt"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val risk = byDur.select(col("dur"), col("d"), col("nt"),
+      (sum("nt").over(wAll) - sum("nt").over(w) + col("nt"))
+        .as("n_risk"))
+    val terms = risk
+      .withColumn("units", when(col("d") < col("n_risk"),
+        round(lit(1000000.0)
+          * log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")), 0).cast("long")))
+      .withColumn("dead",
+        when(col("d") === col("n_risk"), 1).otherwise(0))
+    terms
+      .withColumn("cum_units", sum("units").over(w))
+      .withColumn("all_dead", max("dead").over(w))
+      .filter(col("d") > 0)
+      .select(col("dur").as("dur_days"), col("n_risk"),
+        col("d").as("d_events"), (col("nt") - col("d")).as("n_censored"),
+        when(col("all_dead") === 0,
+          round(col("cum_units").cast("double") / 1000000.0, 6))
+          .as("log_surv"),
+        when(col("all_dead") === 0,
+          round(exp(col("cum_units").cast("double") / 1000000.0), 6))
+          .otherwise(0.0).as("surv"))
+      .orderBy("dur_days")
   }
 }

@@ -46,7 +46,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_agg_theil_u",  // 1-row entropy-sum scalar broadcasts (cross)
     "q_feature_target_encode", // 1-row global-prior broadcast (cross)
     "q_select_kcenter", // <=4-row center-table broadcast crosses
-    "q_ts_var"        // 1-row VaR-threshold/tail-stat broadcasts (cross)
+    "q_ts_var",       // 1-row VaR-threshold/tail-stat broadcasts (cross)
+    "q_survival_km"   // 1-row corpus-max-day broadcast (cross)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must

@@ -660,6 +660,33 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("shift") - (mR - mL)) < 1e-3)
   }
 
+  test("q_survival_km: product-limit curve is a valid survival function") {
+    val out = graft.operators.StatsQueries.survivalKm(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    var lastSurv = 1.0
+    var lastRisk = Long.MaxValue
+    var logProd = 0.0
+    for (r <- out) {
+      val nr = r.getAs[Long]("n_risk")
+      val d = r.getAs[Long]("d_events")
+      assert(d >= 1 && d <= nr)
+      assert(nr < lastRisk, "risk set strictly shrinks over event times")
+      lastRisk = nr
+      val sv = r.getAs[Double]("surv")
+      assert(sv >= 0.0 && sv <= lastSurv + 1e-9,
+        "survival is non-increasing")
+      lastSurv = sv
+      // Serial replay of the quantized product-limit estimate.
+      if (d < nr) {
+        logProd +=
+          math.round(1e6 * math.log((nr - d).toDouble / nr)) / 1e6
+        assert(math.abs(sv - math.exp(logProd)) < 1e-5,
+          s"surv at dur ${r.getAs[Long]("dur_days")}")
+      } else assert(sv == 0.0, "total-death time pins surv to 0")
+    }
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
