@@ -32,7 +32,9 @@ object FeatureQueries {
     "q_feature_onehot"        -> featureOnehot _,
     "q_eval_calibration"      -> evalCalibration _,
     "q_curriculum_order"      -> curriculumOrder _,
-    "q_dp_laplace"            -> dpLaplace _
+    "q_dp_laplace"            -> dpLaplace _,
+    "q_feature_woe"           -> featureWoe _,
+    "q_eval_brier"            -> evalBrier _
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,7 +152,106 @@ object FeatureQueries {
         |    ELSE -sign(v) * ln(1.0 - 2.0 * abs(v)) END, 4) AS noise,
         |  round(CAST(n AS DOUBLE) + (CASE WHEN v = 0.0 THEN 0.0
         |    ELSE -sign(v) * ln(1.0 - 2.0 * abs(v)) END), 4) AS released
-        |FROM u ORDER BY c_nationkey""".stripMargin
+        |FROM u ORDER BY c_nationkey""".stripMargin,
+    // Counts exact; WOE one shared ln tree over exact operands; IV terms
+    // quantized to 1e-6 units before the cross-segment window total.
+    "q_feature_woe" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |lab AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CASE WHEN u.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS yy
+        |  FROM customer c LEFT JOIN urgent u ON u.o_custkey = c.c_custkey),
+        |seg AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(yy) AS BIGINT) AS pos
+        |  FROM lab GROUP BY 1),
+        |t AS (
+        |  SELECT segment, n_cust, pos, n_cust - pos AS neg,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS tp,
+        |    CAST(sum(n_cust - pos) OVER () AS BIGINT) AS tn
+        |  FROM seg),
+        |sc AS (
+        |  SELECT segment, n_cust, pos, neg,
+        |    ln(((CAST(pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE))
+        |      / ((CAST(neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE)))
+        |      AS woe_raw,
+        |    CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)
+        |      - CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE) AS dshare
+        |  FROM t)
+        |SELECT segment, n_cust, pos, neg,
+        |  round(woe_raw, 6) AS woe,
+        |  round(dshare * woe_raw, 6) AS iv_term,
+        |  round(CAST(sum(CAST(round(1000000.0 * dshare * woe_raw, 0)
+        |      AS BIGINT)) OVER () AS BIGINT) / 1000000.0, 6) AS iv_total
+        |FROM sc ORDER BY segment""".stripMargin,
+    // Per-row basis-point integers make the Brier numerator a pure
+    // BIGINT sum; reliability/resolution numerators are exact per-bin
+    // integers quantized to 1e-6 units before the 10-bin total.
+    "q_eval_brier" ->
+      """WITH scored AS (
+        |  SELECT (CAST(embedding[1] AS DOUBLE)
+        |      / (1.0 + abs(CAST(embedding[1] AS DOUBLE))) + 1.0) / 2.0
+        |      AS p,
+        |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+        |    CAST(floor(p * 10000) AS BIGINT) AS p_bp,
+        |    CAST(y AS BIGINT) AS y
+        |  FROM scored),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(p_bp) AS BIGINT) AS sum_bp,
+        |    CAST(sum((p_bp - y * 10000) * (p_bp - y * 10000)) AS BIGINT)
+        |      AS sq
+        |  FROM r GROUP BY 1),
+        |g AS (
+        |  SELECT bin, n, pos, sum_bp, sq,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nn,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS tpos,
+        |    CAST(sum(sq) OVER () AS BIGINT) AS tsq
+        |  FROM bins),
+        |u AS (
+        |  SELECT *,
+        |    CAST(round(CAST(sum_bp - pos * 10000 AS DOUBLE)
+        |      * CAST(sum_bp - pos * 10000 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * 100.0), 0) AS BIGINT) AS rel_units,
+        |    CAST(round(CAST(pos * nn - tpos * n AS DOUBLE)
+        |      * CAST(pos * nn - tpos * n AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |      AS res_units
+        |  FROM g),
+        |one AS (
+        |  SELECT nn, tpos, tsq,
+        |    CAST(sum(rel_units) AS BIGINT) AS relu,
+        |    CAST(sum(res_units) AS BIGINT) AS resu
+        |  FROM u GROUP BY 1, 2, 3)
+        |SELECT nn AS n, tpos AS n_pos,
+        |  round(CAST(tsq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1.0e8), 6)
+        |    AS brier,
+        |  round(CAST(tpos AS DOUBLE) * CAST(nn - tpos AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+        |    AS uncertainty,
+        |  round(CAST(relu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE)),
+        |    6) AS reliability,
+        |  round(CAST(resu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE)),
+        |    6) AS resolution,
+        |  round(CAST(tpos AS DOUBLE) * CAST(nn - tpos AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |    - CAST(resu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE))
+        |    + CAST(relu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE)),
+        |    6) AS brier_decomp,
+        |  round(CAST(tsq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1.0e8)
+        |    - (CAST(tpos AS DOUBLE) * CAST(nn - tpos AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |      - CAST(resu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE))
+        |      + CAST(relu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE))),
+        |    6) AS decomp_gap
+        |FROM one""".stripMargin
   )
 
   /** Smoothed target (mean) encoding of the (nation × segment)
@@ -226,6 +327,125 @@ object FeatureQueries {
     * boundary row). Per-bin sums are exact integers; every emitted
     * rate is an exact-rational round 6. Scale: ONE map-side-combined
     * agg collapses the corpus to the 10-bin frame. */
+  /** Weight-of-evidence / information-value audit of a categorical
+    * feature against a binary outcome — the credit-scoring-born feature
+    * screen (IV ranks candidate features by separation power BEFORE any
+    * model is fit; WOE is also the monotone encoding logistic models
+    * consume): per market segment, the evidence ln of the smoothed
+    * positive/negative share ratio, its IV contribution, and the total
+    * IV.
+    *
+    * Outcome = "customer placed ≥1 URGENT-priority order" (a semi-join
+    * shape: the label table is the distinct urgent customer set, joined
+    * left so orderless customers count as negatives). Counts are exact
+    * integers; WOE = ln(((pos+0.5)/POS)/((neg+0.5)/NEG)) — the +0.5
+    * Laplace half-count keeps empty cells finite — is ONE shared tree
+    * over exact operands; IV terms are quantized to 1e-6 units before
+    * the cross-segment total (the `q_select_dsir` discipline), so
+    * `iv_total` is order-independent. Scale: corpus collapses in one
+    * keyed agg; the class totals come from a window over the ≤5-row
+    * segment frame, never a corpus-side cross. */
+  def featureWoe(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val lab = customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("segment"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("yy"))
+    val seg = lab.groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"), sum("yy").as("pos"))
+      .withColumn("neg", col("n_cust") - col("pos"))
+    val wAll = Window.partitionBy()
+    val t = seg
+      .withColumn("tp", sum("pos").over(wAll))
+      .withColumn("tn", sum("neg").over(wAll))
+    val woe = log(((col("pos").cast("double") + lit(0.5))
+        / col("tp").cast("double"))
+      / ((col("neg").cast("double") + lit(0.5))
+        / col("tn").cast("double")))
+    val dshare = col("pos").cast("double") / col("tp").cast("double") -
+      col("neg").cast("double") / col("tn").cast("double")
+    t.withColumn("woe_raw", woe).withColumn("dshare", dshare)
+      .withColumn("iv_units",
+        round(lit(1000000.0) * col("dshare") * col("woe_raw"), 0)
+          .cast("long"))
+      .select(col("segment"), col("n_cust"), col("pos"), col("neg"),
+        round(col("woe_raw"), 6).as("woe"),
+        round(col("dshare") * col("woe_raw"), 6).as("iv_term"),
+        round(sum("iv_units").over(wAll).cast("double") / 1000000.0, 6)
+          .as("iv_total"))
+      .orderBy("segment")
+  }
+
+  /** Brier-score Murphy decomposition of the probability scorer
+    * `q_eval_calibration` bins (reliability − resolution + uncertainty):
+    * calibration's per-bin table says WHERE the scorer lies; this single
+    * summary row says HOW MUCH of the total squared-error loss is
+    * miscalibration (reliability — fixable by recalibration) vs missing
+    * discrimination (resolution — not fixable without a better model)
+    * vs irreducible outcome variance (uncertainty).
+    *
+    * Exactness: the libm-free rational squash makes p_bp an EXACT
+    * basis-point integer per row, so the raw Brier numerator
+    * Σ(p_bp − y·10⁴)² is a pure-BIGINT map-side-combinable sum;
+    * reliability/resolution numerators are exact per-bin integers
+    * ((sum_bp − pos·10⁴)², (pos·N − POS·n)²) quantized to 1e-6 units
+    * before the 10-bin total — every emitted double is an exact
+    * rational or a deterministic quantized sum, no float accumulation
+    * anywhere. `decomp_gap` reports the within-bin variance residual
+    * (the binned decomposition identity is exact only when predictions
+    * are constant within bins — the gap IS the binning coarseness
+    * audit). */
+  def evalBrier(s: SparkSession, d: String): DataFrame = {
+    val x = element_at(col("embedding"), 1).cast("double")
+    val p = (x / (lit(1.0) + abs(x)) + lit(1.0)) / lit(2.0)
+    val rows = embeddings(s, d)
+      .select(least(floor(p * 10), lit(9.0)).cast("long").as("bin"),
+        floor(p * 10000).cast("long").as("p_bp"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("y"))
+    val bins = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"),
+        sum("p_bp").as("sum_bp"),
+        sum((col("p_bp") - col("y") * 10000L)
+          * (col("p_bp") - col("y") * 10000L)).as("sq"))
+    val wAll = Window.partitionBy()
+    val g = bins
+      .withColumn("nn", sum("n").over(wAll))
+      .withColumn("tpos", sum("pos").over(wAll))
+      .withColumn("tsq", sum("sq").over(wAll))
+      .withColumn("rel_units",
+        round((col("sum_bp") - col("pos") * 10000L).cast("double")
+          * (col("sum_bp") - col("pos") * 10000L).cast("double")
+          / (col("n").cast("double") * lit(100.0)), 0).cast("long"))
+      .withColumn("res_units",
+        round((col("pos") * col("nn") - col("tpos") * col("n"))
+            .cast("double")
+          * (col("pos") * col("nn") - col("tpos") * col("n"))
+            .cast("double")
+          / (col("n").cast("double") * col("nn").cast("double")
+            * col("nn").cast("double")) * lit(1000000.0), 0)
+          .cast("long"))
+    val one = g.groupBy("nn", "tpos", "tsq")
+      .agg(sum("rel_units").as("relu"), sum("res_units").as("resu"))
+    val brier = col("tsq").cast("double") /
+      (col("nn").cast("double") * lit(1.0e8))
+    val unc = col("tpos").cast("double") *
+      (col("nn") - col("tpos")).cast("double") /
+      (col("nn").cast("double") * col("nn").cast("double"))
+    val rel = col("relu").cast("double") /
+      (lit(1000000.0) * col("nn").cast("double"))
+    val res = col("resu").cast("double") /
+      (lit(1000000.0) * col("nn").cast("double"))
+    one.select(col("nn").as("n"), col("tpos").as("n_pos"),
+      round(brier, 6).as("brier"),
+      round(unc, 6).as("uncertainty"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc - res + rel, 6).as("brier_decomp"),
+      round(brier - (unc - res + rel), 6).as("decomp_gap"))
+  }
+
   def evalCalibration(s: SparkSession, d: String): DataFrame = {
     val x = element_at(col("embedding"), 1).cast("double")
     val p = (x / (lit(1.0) + abs(x)) + lit(1.0)) / lit(2.0)

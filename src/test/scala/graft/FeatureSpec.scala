@@ -109,4 +109,58 @@ class FeatureSpec extends AnyFunSuite with SparkFixture {
     // the md5-uniform's resolution (|u-1/2| >= 2^-33 => |noise| <= 23).
     assert(a.forall(r => math.abs(r.getAs[Double]("noise")) < 23.0))
   }
+
+  test("q_feature_woe: counts conserve, WOE sign tracks share ratio") {
+    val out = graft.operators.FeatureQueries.featureWoe(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_cust")).sum == nCust)
+    val tp = out.map(_.getAs[Long]("pos")).sum.toDouble
+    val tn = out.map(_.getAs[Long]("neg")).sum.toDouble
+    val ivTotals = out.map(_.getAs[Double]("iv_total")).distinct
+    assert(ivTotals.length == 1, "iv_total is one global number")
+    assert(ivTotals.head >= -1e-9)
+    var ivSum = 0.0
+    for (r <- out) {
+      val (pos, neg) = (r.getAs[Long]("pos"), r.getAs[Long]("neg"))
+      val woe = r.getAs[Double]("woe")
+      val expect = math.log(((pos + 0.5) / tp) / ((neg + 0.5) / tn))
+      assert(math.abs(woe - expect) < 1e-5, s"woe of ${r.getString(0)}")
+      // IV contributions are products of same-sign factors.
+      assert(r.getAs[Double]("iv_term") >= -1e-4)
+      ivSum += r.getAs[Double]("iv_term")
+    }
+    assert(math.abs(ivSum - ivTotals.head) < 1e-4)
+  }
+
+  test("q_eval_brier: decomposition is coherent and replays exactly") {
+    val r = graft.operators.FeatureQueries.evalBrier(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n")
+    val brier = r.getAs[Double]("brier")
+    val unc = r.getAs[Double]("uncertainty")
+    val rel = r.getAs[Double]("reliability")
+    val res = r.getAs[Double]("resolution")
+    assert(brier >= 0 && brier <= 1)
+    assert(rel >= 0 && res >= -1e-9)
+    assert(res <= unc + 1e-6, "resolution cannot exceed uncertainty")
+    assert(math.abs(r.getAs[Double]("brier_decomp") - (unc - res + rel))
+      < 2e-6)
+    assert(math.abs(r.getAs[Double]("decomp_gap")
+      - (brier - (unc - res + rel))) < 2e-6)
+    // Row-level Brier replay from the raw scorer.
+    val raw = Tables.embeddings(spark, sfDir)
+      .select("embedding", "label").collect()
+    val terms = raw.map { row =>
+      val x = row.getSeq[Float](0).head.toDouble
+      val p = (x / (1.0 + math.abs(x)) + 1.0) / 2.0
+      val y = if (row.getInt(1) % 2 == 1) 1L else 0L
+      val bp = math.floor(p * 10000).toLong
+      val diff = bp - y * 10000L
+      diff * diff
+    }
+    assert(n == raw.length)
+    assert(math.abs(brier - terms.sum.toDouble / (n * 1.0e8)) < 1e-6)
+  }
 }
