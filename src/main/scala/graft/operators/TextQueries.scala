@@ -67,7 +67,8 @@ object TextQueries {
     "q_text_codeswitch"  -> textCodeswitch _,
     "q_text_winnowing"   -> textWinnowing _,
     "q_text_nfc"         -> textNfc _,
-    "q_text_span_mask"   -> textSpanMask _
+    "q_text_span_mask"   -> textSpanMask _,
+    "q_text_keyness"     -> textKeyness _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -804,6 +805,46 @@ object TextQueries {
         |      list_concat(['<extra_id_0>'], t[start:start + 2]), ' ')
         |  END AS target
         |FROM sp ORDER BY doc_id""".stripMargin,
+    // 2x2 contingency exact BIGINT; each G2 term one shared ln tree over
+    // exact integer products (< 2^53); b = 0 declared a zero term; rank
+    // on the raw double with token tiebreak; direction an exact integer
+    // cross-product compare.
+    "q_text_keyness" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |lt AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS a
+        |  FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS t
+        |       FROM lt GROUP BY 1),
+        |ll AS (
+        |  SELECT lang, nl, CAST(sum(nl) OVER () AS BIGINT) AS n
+        |  FROM (SELECT lang, CAST(sum(a) AS BIGINT) AS nl
+        |        FROM lt GROUP BY 1)),
+        |g AS (
+        |  SELECT l.lang, l.tok, l.a, tt.t - l.a AS b, tt.t, ll.nl, ll.n,
+        |    2.0 * (CAST(l.a AS DOUBLE)
+        |        * ln(CAST(l.a * ll.n AS DOUBLE)
+        |          / CAST(ll.nl * tt.t AS DOUBLE))
+        |      + CASE WHEN tt.t - l.a > 0 THEN
+        |          CAST(tt.t - l.a AS DOUBLE)
+        |          * ln(CAST((tt.t - l.a) * ll.n AS DOUBLE)
+        |            / CAST((ll.n - ll.nl) * tt.t AS DOUBLE))
+        |        ELSE 0.0 END) AS g2raw
+        |  FROM lt l JOIN tt ON tt.tok = l.tok
+        |  JOIN ll ON ll.lang = l.lang
+        |  WHERE l.a >= 5),
+        |r AS (
+        |  SELECT lang, tok, a, b, t, nl, n, g2raw,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY g2raw DESC, tok) AS BIGINT) AS rank
+        |  FROM g)
+        |SELECT lang, rank, tok, a AS n_lang, b AS n_rest,
+        |  round(g2raw, 4) AS g2,
+        |  CASE WHEN a * n > t * nl THEN 'over' ELSE 'under' END
+        |    AS direction
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q_text_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2111,5 +2152,58 @@ object TextQueries {
           .as("norm_cp"))
       .withColumn("composed", col("raw_cp") - col("norm_cp"))
       .orderBy("doc_id")
+  }
+
+  /** Corpus keyness: the top-5 tokens per language by Dunning's G²
+    * log-likelihood ratio against the rest of the corpus — the
+    * corpus-linguistics keyword extractor (what makes THIS slice read
+    * differently from the rest), and the principled replacement for
+    * raw-frequency "top words": G² asks whether a token's in-slice rate
+    * beats its corpus rate by more than sampling noise, so it surfaces
+    * discriminative vocabulary instead of stopwords. `q_text_pmi` scores
+    * token PAIRS inside documents; this scores token-vs-SLICE
+    * association — the contrastive profile a language/domain router or
+    * a contamination analyst reads.
+    *
+    * Determinism: the 2×2 contingency (a = in-slice count, b = rest,
+    * NL/N marginals) is exact BIGINT; each G² term a·ln(aN/(NL·t)) is
+    * ONE shared tree over exact integer products (all < 2⁵³, so the
+    * double operands are exact), the b = 0 single-slice case declared
+    * as a zero term; the per-language rank orders by the raw double
+    * (engine-identical by the shared tree, the kcenter precedent) with
+    * the token as total-order tiebreak; `direction` is an exact integer
+    * cross-product compare. Scale: token counts are ONE map-side
+    * combined shuffle; every later frame is vocabulary- or lang-sized,
+    * the lang-marginal window runs on the ≤#langs frame and broadcasts
+    * back. */
+  def textKeyness(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val lt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("a"))
+    val tt = lt.groupBy("tok").agg(sum("a").as("t"))
+    val ll = lt.groupBy("lang").agg(sum("a").as("nl"))
+      .withColumn("n",
+        sum("nl").over(Window.partitionBy()))
+    val j = lt.join(tt, "tok").join(broadcast(ll), "lang")
+      .filter(col("a") >= 5)
+      .withColumn("b", col("t") - col("a"))
+    val termA = col("a").cast("double") *
+      log((col("a") * col("n")).cast("double")
+        / (col("nl") * col("t")).cast("double"))
+    val termB = when(col("b") > 0, col("b").cast("double") *
+      log((col("b") * col("n")).cast("double")
+        / ((col("n") - col("nl")) * col("t")).cast("double")))
+      .otherwise(lit(0.0))
+    val g = j.withColumn("g2raw", lit(2.0) * (termA + termB))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("g2raw").desc, col("tok"))
+    g.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("tok"),
+        col("a").as("n_lang"), col("b").as("n_rest"),
+        round(col("g2raw"), 4).as("g2"),
+        when(col("a") * col("n") > col("t") * col("nl"), "over")
+          .otherwise("under").as("direction"))
+      .orderBy("lang", "rank")
   }
 }

@@ -748,4 +748,46 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("n_candidates") >= 1)
     }
   }
+
+  test("q_text_keyness matches a brute-force G2 replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val lt = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    for ((lang, text) <- docs; tok <- text.split(" ", -1))
+      lt((lang, tok)) += 1
+    val tt = lt.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val nl = lt.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val n = nl.values.sum
+    def g2(lang: String, tok: String): Double = {
+      val a = lt((lang, tok)); val t = tt(tok); val b = t - a
+      val termA = a.toDouble *
+        math.log((a * n).toDouble / (nl(lang) * t).toDouble)
+      val termB = if (b > 0) b.toDouble *
+        math.log((b * n).toDouble / ((n - nl(lang)) * t).toDouble)
+        else 0.0
+      2.0 * (termA + termB)
+    }
+    val expected = lt.keys.toSeq.filter(k => lt(k) >= 5)
+      .groupBy(_._1).flatMap { case (lang, keys) =>
+        keys.sortBy(k => (-g2(k._1, k._2), k._2)).take(5).zipWithIndex
+          .map { case ((l, t), i) => (l, (i + 1).toLong) -> t }
+      }
+    val out = graft.operators.TextQueries.textKeyness(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("rank"))
+      assert(expected(key) == r.getAs[String]("tok"), s"row $key")
+      val gg = r.getAs[Double]("g2")
+      assert(gg >= -1e-9, "two-term G2 over the token row is a KL, >= 0")
+      assert(math.abs(gg - g2(key._1, r.getAs[String]("tok"))) < 1e-3)
+      val a = r.getAs[Long]("n_lang"); val b = r.getAs[Long]("n_rest")
+      val over = a * n > (a + b) * nl(key._1)
+      assert(r.getAs[String]("direction") ==
+        (if (over) "over" else "under"))
+    }
+    assert(out.length == expected.size)
+  }
 }
