@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -32,7 +33,8 @@ object GraphQueries {
     "q_graph_comp_sizes" -> graphCompSizes _,
     "q_graph_label_prop" -> graphLabelProp _,
     "q_graph_linkpred" -> graphLinkpred _,
-    "q_graph_kcore" -> graphKcore _
+    "q_graph_kcore" -> graphKcore _,
+    "q_graph_modularity" -> graphModularity _
   )
 
   /** The transitive-closure CTE chain (cos ≥ 0.4 edges → undirected →
@@ -219,7 +221,55 @@ object GraphQueries {
         |  CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
         |  e.est AS coreness
         |FROM est6 e LEFT JOIN deg d ON d.node = e.node
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin),
+    // Same cos >= 0.4 edge CTE; intra counts / degree sums / m exact
+    // integers, Q terms one shared tree quantized to 1e-6 units before
+    // the cross-label total; m = 0 declared zero terms.
+    "q_graph_modularity" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    CAST(a.label AS BIGINT) AS l1, CAST(b.label AS BIGINT) AS l2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+        |intra AS (
+        |  SELECT l1 AS label, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM pairs WHERE l1 = l2 GROUP BY 1),
+        |degc AS (
+        |  SELECT lab AS label, CAST(count(*) AS BIGINT) AS d_c FROM (
+        |    SELECT l1 AS lab FROM pairs
+        |    UNION ALL SELECT l2 FROM pairs) GROUP BY 1),
+        |nodes AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM embeddings GROUP BY 1),
+        |f AS (
+        |  SELECT n.label, n.n_nodes,
+        |    CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c,
+        |    CAST(coalesce(g.d_c, 0) AS BIGINT) AS d_c
+        |  FROM nodes n
+        |  LEFT JOIN intra i ON i.label = n.label
+        |  LEFT JOIN degc g ON g.label = n.label),
+        |fm AS (
+        |  SELECT *, CAST(sum(d_c) OVER () // 2 AS BIGINT) AS m FROM f),
+        |q AS (
+        |  SELECT *,
+        |    CASE WHEN m > 0 THEN
+        |      CAST(e_c AS DOUBLE) / CAST(m AS DOUBLE)
+        |      - (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+        |        * (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+        |    ELSE 0.0 END AS qterm
+        |  FROM fm)
+        |SELECT label, n_nodes, e_c, d_c,
+        |  round(qterm, 6) AS q_term,
+        |  round(CAST(sum(CAST(round(1000000.0 * qterm, 0) AS BIGINT))
+        |    OVER () AS BIGINT) / 1000000.0, 6) AS q_total
+        |FROM q ORDER BY label""".stripMargin
   )
 
   /** One unrolled h-index round of the q_graph_kcore oracle: each node's
@@ -723,5 +773,64 @@ object GraphQueries {
         coalesce(col("degree"), lit(0L)).as("degree"),
         col("est").as("coreness"))
       .orderBy("vec_id")
+  }
+
+  /** Newman modularity of the METADATA partition (the embedding `label`
+    * classes) over the near-dup graph: Q = Σ_c [e_c/m − (d_c/2m)²] —
+    * does the declared clustering explain the observed similarity
+    * structure? High Q = near-dup edges stay inside label classes (the
+    * labels are a usable dedup/sharding key); Q ≈ 0 = the similarity
+    * graph ignores the labels (routing or stratifying by them would
+    * split near-dup clusters across shards — the silent dedup-recall
+    * killer in label-partitioned pipelines). The audit complement of
+    * `q_dedup_cc`: CC DERIVES a partition from the graph, this SCORES a
+    * partition someone already has.
+    *
+    * Exactness: intra-edge counts, label degree sums, and m are exact
+    * integers; each Q term is one shared IEEE tree over exact operands,
+    * terms quantized to 1e-6 units before the cross-label total (the
+    * `q_select_dsir` discipline). Scale: two keyed label joins on the
+    * edge list, one keyed degree agg, then everything runs on the
+    * ≤#labels frame (windows over that frame, never a corpus cross). */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
+      .localCheckpoint()
+    val lab = embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val e = pairs
+      .join(lab.select(col("vec_id").as("v1"), col("lab").as("l1")),
+        Seq("v1"))
+      .join(lab.select(col("vec_id").as("v2"), col("lab").as("l2")),
+        Seq("v2"))
+    val intra = e.filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("label")).agg(count(lit(1)).as("e_c"))
+    val und = pairs.union(pairs.select(col("v2"), col("v1")))
+    val degC = und
+      .join(lab.select(col("vec_id").as("v1"), col("lab")), Seq("v1"))
+      .groupBy(col("lab").as("label")).agg(count(lit(1)).as("d_c"))
+    val nodes = lab.groupBy(col("lab").as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val wAll = Window.partitionBy()
+    val f = nodes
+      .join(intra, Seq("label"), "left")
+      .join(degC, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"))
+      .withColumn("m", (sum("d_c").over(wAll) / 2).cast("long"))
+    // m = 0 (an edgeless corpus) leaves Q undefined; declared as zero
+    // terms — and the guard keeps the divide unreachable under ANSI.
+    val qTerm = when(col("m") > 0,
+      col("e_c").cast("double") / col("m").cast("double") -
+        (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+        (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))))
+      .otherwise(lit(0.0))
+    f.withColumn("q_units",
+        round(lit(1000000.0) * qTerm, 0).cast("long"))
+      .select(col("label"), col("n_nodes"), col("e_c"), col("d_c"),
+        round(qTerm, 6).as("q_term"),
+        round(sum("q_units").over(wAll).cast("double") / 1000000.0, 6)
+          .as("q_total"))
+      .orderBy("label")
   }
 }

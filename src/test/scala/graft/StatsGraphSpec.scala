@@ -687,6 +687,52 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_graph_modularity matches a brute-force partition score") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+    val vecs = rows.map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val labOf = rows.map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val edges = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } yield (ids(i), ids(j))
+    val m = edges.size.toLong
+    val eC = edges.filter(e => labOf(e._1) == labOf(e._2))
+      .groupBy(e => labOf(e._1)).view.mapValues(_.size.toLong).toMap
+    val dC = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(labOf).view.mapValues(_.size.toLong).toMap
+    val out = graft.operators.GraphQueries.graphModularity(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty && m > 0)
+    assert(out.map(_.getAs[Long]("d_c")).sum == 2 * m)
+    assert(out.map(_.getAs[Long]("e_c")).sum <= m)
+    var qSum = 0.0
+    for (r <- out) {
+      val l = r.getAs[Long]("label")
+      assert(r.getAs[Long]("e_c") == eC.getOrElse(l, 0L))
+      assert(r.getAs[Long]("d_c") == dC.getOrElse(l, 0L))
+      val expect = eC.getOrElse(l, 0L).toDouble / m -
+        math.pow(dC.getOrElse(l, 0L).toDouble / (2.0 * m), 2)
+      assert(math.abs(r.getAs[Double]("q_term") - expect) < 1e-5)
+      qSum += expect
+    }
+    val qt = out.map(_.getAs[Double]("q_total")).distinct
+    assert(qt.length == 1 && qt.head <= 1.0 + 1e-9)
+    assert(math.abs(qt.head - qSum) < 1e-4)
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
