@@ -42,7 +42,8 @@ object TimeSeriesQueries {
     "q_ts_xcorr"    -> tsXcorr _,
     "q_ts_drawdown" -> tsDrawdown _,
     "q_ts_var"      -> tsVar _,
-    "q_ts_changepoint" -> tsChangepoint _
+    "q_ts_changepoint" -> tsChangepoint _,
+    "q_ts_theilsen" -> tsTheilSen _
   )
 
   val oracle: Map[String, String] = Map(
@@ -563,7 +564,36 @@ object TimeSeriesQueries {
         |  round((CAST((b).s2 AS DOUBLE) / CAST((b).n2 AS DOUBLE)
         |    - CAST((b).s1 AS DOUBLE) / CAST((b).n1 AS DOUBLE))
         |    / 100.0, 4) AS shift
-        |FROM best""".stripMargin
+        |FROM best""".stripMargin,
+    // Every pairwise slope is one exact-operand IEEE division, so the
+    // slope multiset is engine-identical and percentile_disc picks the
+    // same actual element; the intercept reuses that exact median.
+    "q_ts_theilsen" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+        |    / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) AS med
+        |  FROM p),
+        |i AS (
+        |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY
+        |      CAST(d.rev_cents AS DOUBLE) - s.med * CAST(d.day AS DOUBLE))
+        |    AS icept
+        |  FROM daily d, s)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+        |  s.n_pairs,
+        |  round(s.med, 6) AS slope_cents_per_day,
+        |  round(i.icept, 2) AS intercept_cents,
+        |  CASE WHEN s.med > 0 THEN 'up' WHEN s.med < 0 THEN 'down'
+        |       ELSE 'flat' END AS direction
+        |FROM s, i""".stripMargin
   )
 
   /** Hourly volume-anomaly scan per event type: resample the stream to
@@ -1202,5 +1232,51 @@ object TimeSeriesQueries {
         round((col("b.s2").cast("double") / col("b.n2").cast("double")
           - col("b.s1").cast("double") / col("b.n1").cast("double"))
           / 100.0, 4).as("shift"))
+  }
+
+  /** Theil–Sen robust trend estimator on the daily revenue series: the
+    * median of all pairwise slopes, plus the median-residual intercept —
+    * `q_ts_mannkendall` answers IS there a monotone trend (a rank test);
+    * this answers HOW STEEP it is, with the estimator's 29% breakdown
+    * point (a season of corrupted days cannot drag the slope the way it
+    * drags least-squares — the robust companion to `q_agg_linreg`).
+    *
+    * Determinism: every pairwise slope is ONE exact-operand IEEE
+    * division (BIGINT cent deltas over BIGINT day deltas), so the slope
+    * multiset is engine-identical and `percentile_disc(0.5)` — an
+    * ACTUAL slope value, no interpolation — picks the same element;
+    * residuals reuse that exact median in the same tree, so the
+    * intercept pick is identical too. Scale: the fact collapses to the
+    * day frame FIRST (one keyed agg), and the O(n²) pair scan is over
+    * DAYS, not rows — ~3.2 M pairs for a decade of days, constant in
+    * corpus size; the non-equi day self-join is a deliberate bounded
+    * BNLJ on the PlanGuard allowlist, the checkpointed day frame its
+    * only input. */
+  def tsTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev_cents"))
+      .localCheckpoint()
+    val a = daily.select(col("day").as("d1"), col("rev_cents").as("y1"))
+    val b = daily.select(col("day").as("d2"), col("rev_cents").as("y2"))
+    val slopes = a.join(b, col("d2") > col("d1"))
+      .select(((col("y2") - col("y1")).cast("double")
+        / (col("d2") - col("d1")).cast("double")).as("slope"))
+    val med = slopes.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+        .as("med"))
+    val icept = daily.crossJoin(broadcast(med.select("med")))
+      .select((col("rev_cents").cast("double")
+        - col("med") * col("day").cast("double")).as("resid"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY resid)")
+        .as("icept"))
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(med)).crossJoin(broadcast(icept))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("med"), 6).as("slope_cents_per_day"),
+        round(col("icept"), 2).as("intercept_cents"),
+        when(col("med") > 0, "up").when(col("med") < 0, "down")
+          .otherwise("flat").as("direction"))
   }
 }

@@ -733,6 +733,32 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(qt.head - qSum) < 1e-4)
   }
 
+  test("q_ts_theilsen matches a brute-force pairwise-slope replay") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, sfDir)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev")).orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1).toDouble).sorted
+    // percentile_disc(0.5): the smallest element at cumulative
+    // probability >= 0.5.
+    val med = slopes(math.ceil(slopes.length * 0.5).toInt - 1)
+    val resid = daily.map { case (d, y) => y.toDouble - med * d }.sorted
+    val icept = resid(math.ceil(resid.length * 0.5).toInt - 1)
+    val r = graft.operators.TimeSeriesQueries.tsTheilSen(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == daily.length)
+    assert(r.getAs[Long]("n_pairs") == slopes.length)
+    assert(math.abs(r.getAs[Double]("slope_cents_per_day") - med) < 1e-6)
+    assert(math.abs(r.getAs[Double]("intercept_cents") - icept) < 0.01)
+    val dir = if (med > 0) "up" else if (med < 0) "down" else "flat"
+    assert(r.getAs[String]("direction") == dir)
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
