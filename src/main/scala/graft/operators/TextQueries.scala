@@ -68,7 +68,8 @@ object TextQueries {
     "q_text_winnowing"   -> textWinnowing _,
     "q_text_nfc"         -> textNfc _,
     "q_text_span_mask"   -> textSpanMask _,
-    "q_text_keyness"     -> textKeyness _
+    "q_text_keyness"     -> textKeyness _,
+    "q_text_jsd"         -> textJsd _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -845,6 +846,47 @@ object TextQueries {
         |  CASE WHEN a * n > t * nl THEN 'over' ELSE 'under' END
         |    AS direction
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    // Present-token JS terms one shared tree over exact rationals,
+    // quantized to 1e-9 units before the per-lang sum; the absent-token
+    // mass folds in closed form as ln 2 times an exact rational.
+    "q_text_jsd" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |lt AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS a
+        |  FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS t
+        |       FROM lt GROUP BY 1),
+        |ll AS (
+        |  SELECT lang, nl, v_lang, CAST(sum(nl) OVER () AS BIGINT) AS n
+        |  FROM (SELECT lang, CAST(sum(a) AS BIGINT) AS nl,
+        |          CAST(count(DISTINCT tok) AS BIGINT) AS v_lang
+        |        FROM lt GROUP BY 1)),
+        |j AS (
+        |  SELECT l.lang, l.a, tt.t - l.a AS b, ll.nl, ll.v_lang, ll.n,
+        |    CAST(l.a AS DOUBLE) / CAST(ll.nl AS DOUBLE) AS p,
+        |    CAST(tt.t - l.a AS DOUBLE) / CAST(ll.n - ll.nl AS DOUBLE)
+        |      AS q
+        |  FROM lt l JOIN tt ON tt.tok = l.tok
+        |  JOIN ll ON ll.lang = l.lang),
+        |u AS (
+        |  SELECT lang, nl, v_lang, n, b,
+        |    CAST(round(1.0e9 * (CASE WHEN b > 0 THEN
+        |        p * ln(p / ((p + q) / 2.0))
+        |        + q * ln(q / ((p + q) / 2.0))
+        |      ELSE p * ln(2.0) END), 0) AS BIGINT) AS units
+        |  FROM j),
+        |agg AS (
+        |  SELECT lang, CAST(sum(units) AS BIGINT) AS units,
+        |    CAST(sum(b) AS BIGINT) AS bmass,
+        |    max(nl) AS nl, max(v_lang) AS v_lang, max(n) AS n
+        |  FROM u GROUP BY 1)
+        |SELECT lang, nl AS n_tokens, v_lang,
+        |  round((CAST(units AS DOUBLE) / 1.0e9
+        |    + ln(2.0) * (CAST(n - nl - bmass AS DOUBLE)
+        |      / CAST(n - nl AS DOUBLE))) / 2.0, 4) AS jsd
+        |FROM agg ORDER BY lang""".stripMargin,
     "q_text_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2205,5 +2247,54 @@ object TextQueries {
         when(col("a") * col("n") > col("t") * col("nl"), "over")
           .otherwise("under").as("direction"))
       .orderBy("lang", "rank")
+  }
+
+  /** Jensen-Shannon divergence of each language slice's unigram
+    * distribution against the rest of the corpus — the one-number
+    * vocabulary-drift audit (`q_text_keyness` names WHICH tokens
+    * diverge; JSD says HOW FAR the whole distribution sits from the
+    * rest, bounded in [0, ln 2] and symmetric — the number a corpus-mix
+    * dashboard tracks per release, `q_dq_drift_psi`'s cousin over the
+    * open vocabulary instead of fixed score buckets).
+    *
+    * The absent-token mass is folded in CLOSED FORM: a token missing
+    * from the slice contributes q·ln 2 to the rest-side KL (its mixture
+    * is q/2), and Σ of those q is 1 − B_l/NR with B_l the exact integer
+    * rest-mass of the PRESENT tokens — so the frame only ever holds
+    * (lang, token) pairs that occur in the slice, never the vocab ×
+    * langs cross. Present-token terms are one shared tree over exact
+    * rationals, quantized to 1e-9 units before the per-lang sum (the
+    * `q_select_dsir` discipline); the tail term is ln 2 times an exact
+    * rational. Scale: one map-side token-count shuffle, then everything
+    * is vocabulary-sized; marginals broadcast from the ≤#langs frame. */
+  def textJsd(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val lt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("a"))
+    val tt = lt.groupBy("tok").agg(sum("a").as("t"))
+    val ll = lt.groupBy("lang").agg(sum("a").as("nl"),
+        countDistinct("tok").as("v_lang"))
+      .withColumn("n", sum("nl").over(Window.partitionBy()))
+    val j = lt.join(tt, "tok").join(broadcast(ll), "lang")
+      .withColumn("b", col("t") - col("a"))
+    val p = col("a").cast("double") / col("nl").cast("double")
+    val q = col("b").cast("double") /
+      (col("n") - col("nl")).cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = when(col("b") > 0,
+      p * log(p / m) + q * log(q / m)).otherwise(p * log(lit(2.0)))
+    val agg = j.withColumn("units",
+        round(lit(1.0e9) * term, 0).cast("long"))
+      .groupBy("lang")
+      .agg(sum("units").as("units"), sum("b").as("bmass"),
+        max("nl").as("nl"), max("v_lang").as("v_lang"),
+        max("n").as("n"))
+    agg.select(col("lang"), col("nl").as("n_tokens"), col("v_lang"),
+        round((col("units").cast("double") / lit(1.0e9)
+          + log(lit(2.0)) * ((col("n") - col("nl") - col("bmass"))
+            .cast("double")
+            / (col("n") - col("nl")).cast("double"))) / lit(2.0), 4)
+          .as("jsd"))
+      .orderBy("lang")
   }
 }

@@ -749,6 +749,40 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_text_jsd matches a brute-force divergence replay, bounded") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val lt = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    for ((lang, text) <- docs; tok <- text.split(" ", -1))
+      lt((lang, tok)) += 1
+    val tt = lt.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val nl = lt.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val n = nl.values.sum
+    val out = graft.operators.TextQueries.textJsd(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_tokens") == nl(lang))
+      // Full-vocabulary replay WITHOUT the closed-form shortcut: walk
+      // every corpus token, including those absent from the slice.
+      val nr = (n - nl(lang)).toDouble
+      var sum = 0.0
+      for ((tok, t) <- tt) {
+        val a = lt((lang, tok)); val b = t - a
+        val p = a.toDouble / nl(lang); val q = b.toDouble / nr
+        val m = (p + q) / 2.0
+        if (a > 0) sum += p * math.log(p / m)
+        if (b > 0) sum += q * math.log(q / m)
+      }
+      val jsd = r.getAs[Double]("jsd")
+      assert(jsd >= 0 && jsd <= math.log(2.0) + 1e-9)
+      assert(math.abs(jsd - sum / 2.0) < 1e-3,
+        s"jsd of $lang: $jsd vs ${sum / 2.0}")
+    }
+  }
+
   test("q_text_keyness matches a brute-force G2 replay") {
     val docs = Tables.documents(spark, sfDir)
       .select("lang", "text").collect()
