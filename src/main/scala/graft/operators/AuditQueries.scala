@@ -58,8 +58,12 @@ object AuditQueries {
       .select(lit(name).as("edge"), col("child_rows"), col("child_keys"),
         col("null_fk"), col("orphan_rows"), col("parent_rows"),
         col("parents_hit"),
-        round(col("parents_hit").cast("double")
-          / col("parent_rows").cast("double"), 6).as("coverage"),
+        // parent_rows = 0 (an empty-corpus edge) leaves coverage
+        // undefined — declared NULL; the guard keeps the divide
+        // unreachable under ANSI.
+        when(col("parent_rows") > 0,
+          round(col("parents_hit").cast("double")
+            / col("parent_rows").cast("double"), 6)).as("coverage"),
         col("max_fanout"))
   }
 
@@ -178,10 +182,11 @@ object AuditQueries {
            |    AS parent_rows,
            |  CAST(count(CASE WHEN fk IS NOT NULL AND pk IS NOT NULL
            |    THEN 1 END) AS BIGINT) AS parents_hit,
-           |  round(CAST(count(CASE WHEN fk IS NOT NULL AND pk IS NOT NULL
-           |      THEN 1 END) AS DOUBLE)
-           |    / CAST(count(CASE WHEN pk IS NOT NULL THEN 1 END)
-           |      AS DOUBLE), 6) AS coverage,
+           |  CASE WHEN count(CASE WHEN pk IS NOT NULL THEN 1 END) > 0
+           |    THEN round(CAST(count(CASE WHEN fk IS NOT NULL
+           |        AND pk IS NOT NULL THEN 1 END) AS DOUBLE)
+           |      / CAST(count(CASE WHEN pk IS NOT NULL THEN 1 END)
+           |        AS DOUBLE), 6) END AS coverage,
            |  CAST(coalesce(max(CASE WHEN fk IS NOT NULL THEN cnt END), 0)
            |    AS BIGINT) AS max_fanout
            |FROM (SELECT CAST($fk AS BIGINT) AS fk,
