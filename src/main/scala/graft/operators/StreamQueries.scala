@@ -64,10 +64,19 @@ object StreamQueries {
     "q_stream_cdc_apply" -> streamCdcApply _,
     "q_stream_lsh_ingest" -> streamLshIngest _,
     "q_stream_dedup_watermark" -> streamDedupWatermark _,
-    "q_stream_union"    -> streamUnion _
+    "q_stream_union"    -> streamUnion _,
+    "q_stream_enrich"   -> streamEnrich _
   )
 
   val oracle: Map[String, String] = Map(
+    // Batch twin of the enriched streaming aggregate: the stream-static
+    // join resolves each event against the same dimension snapshot the
+    // batch join reads, and the keyed counts are batch-boundary-free.
+    "q_stream_enrich" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+        |  c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_stream_echo" ->
       """SELECT event_id, upper(event_type) AS event_type_up, value
         |FROM events ORDER BY event_id""".stripMargin,
@@ -739,6 +748,34 @@ object StreamQueries {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"))
       .orderBy("window_start_us", "event_type")
+  }
+
+  /** Stream-STATIC dimension enrichment — the production lookup-join
+    * shape every event pipeline runs (clickstream × customer dimension):
+    * the unbounded stream joins a bounded dimension table, then
+    * aggregates on the ENRICHED attributes (state keyed by nation ×
+    * segment × type, not by raw user — the classic "rollup to the
+    * dimension grain" pattern).
+    *
+    * Scale semantics: Structured Streaming re-resolves the static side
+    * EVERY micro-batch (the slowly-changing-dimension refresh property —
+    * a dim update is picked up at the next trigger without restarting
+    * the query), and the explicit `broadcast` keeps the stream side
+    * shuffle-free through the join — the only stateful shuffle is the
+    * keyed aggregate, whose cardinality is dimension-grain (25 nations ×
+    * 5 segments × types), corpus-independent. Fully oracled: the
+    * dimension snapshot is the same table the batch twin joins, and
+    * keyed counts are batch-boundary-free. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val agg = EventStreams.fileStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Complete())
+      .orderBy("c_nationkey", "c_mktsegment", "event_type")
   }
 
   /** Custom per-key state: running count/sum per user via typed
