@@ -43,7 +43,8 @@ object TimeSeriesQueries {
     "q_ts_drawdown" -> tsDrawdown _,
     "q_ts_var"      -> tsVar _,
     "q_ts_changepoint" -> tsChangepoint _,
-    "q_ts_theilsen" -> tsTheilSen _
+    "q_ts_theilsen" -> tsTheilSen _,
+    "q_ts_holtwinters" -> tsHoltWinters _
   )
 
   val oracle: Map[String, String] = Map(
@@ -565,6 +566,61 @@ object TimeSeriesQueries {
         |    - CAST((b).s1 AS DOUBLE) / CAST((b).n1 AS DOUBLE))
         |    / 100.0, 4) AS shift
         |FROM best""".stripMargin,
+    // The q_ts_holt recursion with a 24-slot seasonal LIST carried
+    // through the recursive CTE; per-step expression tree identical to
+    // the Spark fold; init means are sums of integer-valued doubles
+    // (exact in any order, licensing list_sum vs the sequential fold).
+    "q_ts_holtwinters" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |ser AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    array_agg(CAST(n AS DOUBLE) ORDER BY hour_us) AS xs
+        |  FROM dense GROUP BY event_type),
+        |init AS (
+        |  SELECT event_type, n_hours, xs,
+        |    list_sum(xs[1:24]) / 24.0 AS l0,
+        |    (list_sum(xs[25:48]) / 24.0 - list_sum(xs[1:24]) / 24.0)
+        |      / 24.0 AS tr0,
+        |    list_transform(xs[1:24],
+        |      x -> x - list_sum(xs[1:24]) / 24.0) AS s0
+        |  FROM ser WHERE n_hours >= 48),
+        |rec AS (
+        |  SELECT event_type, n_hours, xs, CAST(24 AS BIGINT) AS i,
+        |    l0 AS l, tr0 AS tr, s0 AS s
+        |  FROM init
+        |  UNION ALL
+        |  SELECT event_type, n_hours, xs, i + 1,
+        |    0.2 * (xs[i + 1] - s[(i % 24) + 1]) + 0.8 * (l + tr),
+        |    0.1 * ((0.2 * (xs[i + 1] - s[(i % 24) + 1])
+        |      + 0.8 * (l + tr)) - l) + 0.9 * tr,
+        |    list_concat(list_concat(
+        |      s[1:((i % 24) + 1) - 1],
+        |      [0.3 * (xs[i + 1] - (0.2 * (xs[i + 1] - s[(i % 24) + 1])
+        |        + 0.8 * (l + tr))) + 0.7 * s[(i % 24) + 1]]),
+        |      s[((i % 24) + 1) + 1:])
+        |  FROM rec WHERE i < n_hours)
+        |SELECT event_type, n_hours,
+        |  round(l, 6) AS level_last,
+        |  round(tr, 6) AS trend_last,
+        |  round(l + tr + s[(n_hours % 24) + 1], 6) AS forecast_1,
+        |  round(list_aggregate(s, 'max') - list_aggregate(s, 'min'), 6)
+        |    AS season_amp
+        |FROM rec WHERE i = n_hours ORDER BY event_type""".stripMargin,
     // Every pairwise slope is one exact-operand IEEE division, so the
     // slope multiset is engine-identical and percentile_disc picks the
     // same actual element; the intercept reuses that exact median.
@@ -1232,6 +1288,73 @@ object TimeSeriesQueries {
         round((col("b.s2").cast("double") / col("b.n2").cast("double")
           - col("b.s1").cast("double") / col("b.n1").cast("double"))
           / 100.0, 4).as("shift"))
+  }
+
+  /** Holt-Winters additive triple exponential smoothing on the dense
+    * hourly series (period m = 24, the hour-of-day cycle): `q_ts_holt`
+    * tracks level + trend and goes blind the moment traffic has a daily
+    * rhythm — every forecast lags the cycle; Holt-Winters carries a
+    * 24-slot seasonal state vector updated one slot per step
+    * (α = 0.2, β = 0.1, γ = 0.3), the standard operational
+    * traffic-forecast baseline.
+    *
+    * Determinism: the fold is the `q_ts_holt` defined-order `aggregate`
+    * HOF, here with a struct(level, trend, season[24], i) accumulator
+    * and per-step array-slot surgery; the DuckDB twin replays the
+    * identical recursion carrying the LIST through a recursive CTE —
+    * same expression tree per step, so thousands of chained IEEE ops
+    * stay bit-identical (the q_ts_holt precedent, plus a vector state).
+    * The season/trend INIT means are sums of INTEGER-valued doubles
+    * (exact regardless of summation order — what licenses `list_sum`
+    * against the sequential fold). Types need ≥ 48 hours (two full
+    * seasons) or are dropped by declared contract.
+    *
+    * Scale: the corpus collapses to per-type dense hourly arrays in one
+    * keyed agg; the fold is per-type scan-stage expression work —
+    * embarrassingly parallel across types, no shuffle after the agg. */
+  def tsHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val arr = denseHourly(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sort_array(collect_list(
+          struct(col("hour_us").as("h"), col("n").as("v")))).as("hv"))
+      .filter(col("n_hours") >= 48)
+    val xs = transform(col("hv"), e => e.getField("v").cast("double"))
+    val sum1 = aggregate(slice(xs, lit(1), lit(24)),
+      lit(0.0), (a, x) => a + x)
+    val sum2 = aggregate(slice(xs, lit(25), lit(24)),
+      lit(0.0), (a, x) => a + x)
+    val l0 = sum1 / lit(24.0)
+    val tr0 = (sum2 / lit(24.0) - sum1 / lit(24.0)) / lit(24.0)
+    val s0 = transform(slice(xs, lit(1), lit(24)), x => x - l0)
+    val init = struct(lit(24L).as("i"), l0.as("l"), tr0.as("tr"),
+      s0.as("s"))
+    val fold = aggregate(
+      slice(xs, lit(25), greatest(size(xs) - 24, lit(0))),
+      init,
+      (acc, x) => {
+        val i = acc.getField("i")
+        val idx = ((i % 24) + 1).cast("int")
+        val sv = acc.getField("s")
+        val sIdx = element_at(sv, idx)
+        val l = acc.getField("l"); val tr = acc.getField("tr")
+        val lNew = lit(0.2) * (x - sIdx) + lit(0.8) * (l + tr)
+        val trNew = lit(0.1) * (lNew - l) + lit(0.9) * tr
+        val sNew = lit(0.3) * (x - lNew) + lit(0.7) * sIdx
+        struct((i + 1).as("i"), lNew.as("l"), trNew.as("tr"),
+          concat(slice(sv, lit(1), idx - 1), array(sNew),
+            slice(sv, idx + 1, lit(24) - idx)).as("s"))
+      })
+    arr.select(col("event_type"), col("n_hours"), fold.as("st"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("st.l"), 6).as("level_last"),
+        round(col("st.tr"), 6).as("trend_last"),
+        round(col("st.l") + col("st.tr")
+          + element_at(col("st.s"),
+            ((col("n_hours") % 24) + 1).cast("int")), 6)
+          .as("forecast_1"),
+        round(array_max(col("st.s")) - array_min(col("st.s")), 6)
+          .as("season_amp"))
+      .orderBy("event_type")
   }
 
   /** Theil–Sen robust trend estimator on the daily revenue series: the

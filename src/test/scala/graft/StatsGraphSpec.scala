@@ -759,6 +759,48 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[String]("direction") == dir)
   }
 
+  test("q_ts_holtwinters matches a serial Holt-Winters replay") {
+    import org.apache.spark.sql.functions._
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) - unix_micros(ts) % 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        val m = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+        val (h0, h1) = (m.keys.min, m.keys.max)
+        t -> (h0 to h1 by 3600000000L).map(h =>
+          m.getOrElse(h, 0L).toDouble).toArray
+      }
+    val out = graft.operators.TimeSeriesQueries
+      .tsHoltWinters(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val t = r.getAs[String]("event_type")
+      val xs = hourly(t)
+      assert(r.getAs[Long]("n_hours") == xs.length && xs.length >= 48)
+      var l = xs.take(24).sum / 24.0
+      val tr0 = (xs.slice(24, 48).sum / 24.0 - xs.take(24).sum / 24.0) / 24.0
+      var tr = tr0
+      val sv = xs.take(24).map(_ - l)
+      for (i <- 24 until xs.length) {
+        val idx = i % 24
+        val x = xs(i)
+        val lNew = 0.2 * (x - sv(idx)) + 0.8 * (l + tr)
+        val trNew = 0.1 * (lNew - l) + 0.9 * tr
+        sv(idx) = 0.3 * (x - lNew) + 0.7 * sv(idx)
+        l = lNew; tr = trNew
+      }
+      assert(math.abs(r.getAs[Double]("level_last") - l) < 1e-4)
+      assert(math.abs(r.getAs[Double]("trend_last") - tr) < 1e-4)
+      val fc = l + tr + sv(xs.length % 24)
+      assert(math.abs(r.getAs[Double]("forecast_1") - fc) < 1e-3)
+      assert(math.abs(r.getAs[Double]("season_amp")
+        - (sv.max - sv.min)) < 1e-3)
+    }
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
