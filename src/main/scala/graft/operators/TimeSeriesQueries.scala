@@ -44,7 +44,8 @@ object TimeSeriesQueries {
     "q_ts_var"      -> tsVar _,
     "q_ts_changepoint" -> tsChangepoint _,
     "q_ts_theilsen" -> tsTheilSen _,
-    "q_ts_holtwinters" -> tsHoltWinters _
+    "q_ts_holtwinters" -> tsHoltWinters _,
+    "q_ts_stl" -> tsStl _
   )
 
   val oracle: Map[String, String] = Map(
@@ -566,6 +567,65 @@ object TimeSeriesQueries {
         |    - CAST((b).s1 AS DOUBLE) / CAST((b).n1 AS DOUBLE))
         |    / 100.0, 4) AS shift
         |FROM best""".stripMargin,
+    // Trend an exact rational (25-hour integer sum / 25); detrended
+    // values quantized to 1e-4 units before ANY aggregation; eta^2 from
+    // pure-BIGINT moments with per-cell within terms rounded to integer
+    // unit^2 before the cross-cell sum.
+    "q_ts_stl" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour_us) AS h0, max(hour_us) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        |  FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.hour_us, coalesce(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour_us = h.hour_us),
+        |ma AS (
+        |  SELECT event_type, hour_us, n,
+        |    CAST(count(*) OVER w AS BIGINT) AS wcnt,
+        |    CAST(sum(n) OVER w AS BIGINT) AS wsum
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |det AS (
+        |  SELECT event_type,
+        |    (hour_us % 86400000000) // 3600000000 AS hod,
+        |    CAST(round(10000.0 * (CAST(n AS DOUBLE)
+        |      - CAST(wsum AS DOUBLE) / 25.0), 0) AS BIGINT) AS du
+        |  FROM ma WHERE wcnt = 25),
+        |cells AS (
+        |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(du) AS BIGINT) AS su,
+        |    CAST(sum(du * du) AS BIGINT) AS sq
+        |  FROM det GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *,
+        |    CAST(sum(n_obs) OVER wt AS BIGINT) AS c,
+        |    CAST(sum(su) OVER wt AS BIGINT) AS s1,
+        |    CAST(sum(sq) OVER wt AS BIGINT) AS s2,
+        |    CAST(sum(CAST(round(CAST(sq AS DOUBLE)
+        |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+        |        / CAST(n_obs AS DOUBLE), 0) AS BIGINT)) OVER wt
+        |      AS BIGINT) AS sswu
+        |  FROM cells
+        |  WINDOW wt AS (PARTITION BY event_type))
+        |SELECT event_type, hod, n_obs,
+        |  round(CAST(su AS DOUBLE)
+        |    / (CAST(n_obs AS DOUBLE) * 10000.0), 4) AS seasonal,
+        |  CASE WHEN c * s2 > s1 * s1 THEN
+        |    round(1.0 - CAST(sswu AS DOUBLE)
+        |      / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE)), 4)
+        |    END AS seasonal_strength
+        |FROM t ORDER BY event_type, hod""".stripMargin,
     // The q_ts_holt recursion with a 24-slot seasonal LIST carried
     // through the recursive CTE; per-step expression tree identical to
     // the Spark fold; init means are sums of integer-valued doubles
@@ -1355,6 +1415,71 @@ object TimeSeriesQueries {
         round(array_max(col("st.s")) - array_min(col("st.s")), 6)
           .as("season_amp"))
       .orderBy("event_type")
+  }
+
+  /** STL-style additive decomposition of the dense hourly series into
+    * trend / hour-of-day seasonal / residual — the EXPLAIN view of the
+    * family (`q_ts_holtwinters` forecasts with seasonal state; this
+    * DECOMPOSES the history so an analyst can see how much of the
+    * variance is rhythm vs drift vs noise): trend = the centered
+    * 25-hour moving average (full windows only — the boundary rows are
+    * dropped by declared contract, the classical MA-decomposition
+    * convention), seasonal = the per-(type, hour-of-day) mean of the
+    * detrended series, and `seasonal_strength` = η² of the hour-of-day
+    * factor (1 − SSW/SST over the detrended values — exactly the
+    * "strength of seasonality" statistic of the STL literature).
+    *
+    * Determinism: the trend is an exact rational (25-hour integer sum /
+    * 25); the detrended value is ONE shared tree, quantized to 1e-4
+    * units as an exact BIGINT before ANY aggregation (the
+    * `q_select_dsir` discipline) — seasonal means are exact-integer
+    * rationals and η² comes from pure-BIGINT within/total moments (unit
+    * scale chosen so squared sums stay < 2⁶³). Scale: one keyed count
+    * agg, one keyed 25-row window, one (type × 24)-cell agg — the
+    * corpus is touched once. */
+  def tsStl(s: SparkSession, d: String): DataFrame = {
+    val w25 = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(-12, 12)
+    val det = denseHourly(s, d)
+      .withColumn("wcnt", count(lit(1)).over(w25))
+      .withColumn("wsum", sum("n").over(w25))
+      .filter(col("wcnt") === 25)
+      .withColumn("trend", col("wsum").cast("double") / lit(25.0))
+      .withColumn("du",
+        round(lit(10000.0) * (col("n").cast("double") - col("trend")), 0)
+          .cast("long"))
+      .withColumn("hod",
+        expr("(hour_us % 86400000000) div 3600000000"))
+    val cells = det.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_obs"), sum("du").as("su"),
+        sum(col("du") * col("du")).as("sq"))
+    val wT = Window.partitionBy("event_type")
+    cells
+      .withColumn("c", sum("n_obs").over(wT))
+      .withColumn("s1", sum("su").over(wT))
+      .withColumn("s2", sum("sq").over(wT))
+      // SSW = Σ_cells (sq − su²/n_obs); SST = s2 − s1²/c; η² = 1 − SSW/SST.
+      // Per-cell within terms round to integer unit² BEFORE the
+      // cross-cell sum (order-independence; the ≤0.5/cell rounding is
+      // invisible next to unit²-scale sums).
+      .withColumn("ssw", sum(
+        round(col("sq").cast("double")
+          - col("su").cast("double") * col("su").cast("double")
+            / col("n_obs").cast("double"), 0).cast("long")).over(wT)
+        .cast("double"))
+      .select(col("event_type"), col("hod"), col("n_obs"),
+        round(col("su").cast("double")
+          / (col("n_obs").cast("double") * lit(10000.0)), 4)
+          .as("seasonal"),
+        // c·s2 > s1² ⟺ SST > 0 (exact BIGINT compare): a constant
+        // detrended series has no variance to explain — strength NULL
+        // by declared contract, and the divide stays unreachable.
+        when(col("c") * col("s2") > col("s1") * col("s1"),
+          round(lit(1.0) - col("ssw")
+            / (col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double")
+                / col("c").cast("double")), 4)).as("seasonal_strength"))
+      .orderBy("event_type", "hod")
   }
 
   /** Theil–Sen robust trend estimator on the daily revenue series: the

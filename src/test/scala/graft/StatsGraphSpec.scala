@@ -801,6 +801,52 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_ts_stl: decomposition invariants and eta-squared replay") {
+    val out = graft.operators.TimeSeriesQueries.tsStl(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(0))
+    for ((t, rows) <- byType) {
+      assert(rows.map(_.getAs[Long]("hod")).distinct.length ==
+        rows.length, s"one row per (type, hod) for $t")
+      // Exact replay of the quantized decomposition for this type.
+      val dense = {
+        val m = Tables.events(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("event_type") === t)
+          .selectExpr(
+            "unix_micros(ts) - unix_micros(ts) % 3600000000 AS h")
+          .groupBy("h").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (h0, h1) = (m.keys.min, m.keys.max)
+        (h0 to h1 by 3600000000L).map(h =>
+          h -> m.getOrElse(h, 0L)).toArray
+      }
+      val cells = scala.collection.mutable
+        .Map[Long, List[Long]]().withDefaultValue(Nil)
+      for (i <- 12 until (dense.length - 12)) {
+        val wsum = (i - 12 to i + 12).map(j => dense(j)._2).sum
+        val du = math.round(
+          10000.0 * (dense(i)._2.toDouble - wsum.toDouble / 25.0))
+        val hod = (dense(i)._1 % 86400000000L) / 3600000000L
+        cells(hod) = du :: cells(hod)
+      }
+      for (r <- rows) {
+        val hod = r.getAs[Long]("hod")
+        val du = cells(hod)
+        assert(r.getAs[Long]("n_obs") == du.length, s"($t,$hod)")
+        val expect = du.sum.toDouble / (du.length * 10000.0)
+        assert(math.abs(r.getAs[Double]("seasonal") - expect) < 1e-3,
+          s"seasonal($t,$hod)")
+      }
+      val strengths = rows.flatMap(r =>
+        Option(r.getAs[java.lang.Double]("seasonal_strength"))
+          .map(_.doubleValue())).distinct
+      assert(strengths.length == 1, s"one strength per type $t")
+      assert(strengths.head >= -1e-9 && strengths.head <= 1.0 + 1e-9,
+        s"eta-squared in [0,1] for $t: ${strengths.head}")
+    }
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
