@@ -69,7 +69,8 @@ object TextQueries {
     "q_text_nfc"         -> textNfc _,
     "q_text_span_mask"   -> textSpanMask _,
     "q_text_keyness"     -> textKeyness _,
-    "q_text_jsd"         -> textJsd _
+    "q_text_jsd"         -> textJsd _,
+    "q_eval_kappa"       -> evalKappa _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -333,6 +334,55 @@ object TextQueries {
         |JOIN act a ON c.actual = a.actual
         |JOIN pred p ON c.predicted = p.predicted
         |ORDER BY c.actual, c.predicted""".stripMargin,
+    // Same langid-predictor CTE as q_eval_confusion; agreement and the
+    // expected numerator pure BIGINT; kappa one shared rational tree,
+    // pe = 1 declared NULL via the exact integer compare.
+    "q_eval_kappa" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    (length(text) - length(replace(text, 'th', ''))) / 2 AS c_en,
+        |    (length(text) - length(replace(text, 'er', ''))) / 2 AS c_de,
+        |    (length(text) - length(replace(text, 'qu', ''))) / 2 AS c_fr,
+        |    (length(text) - length(replace(text, 'rt', ''))) / 2 AS c_es
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang AS actual,
+        |    CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+        |           THEN 'en'
+        |         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |         WHEN c_fr >= c_es THEN 'fr'
+        |         ELSE 'es' END AS predicted
+        |  FROM m),
+        |cells AS (
+        |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+        |  FROM scored GROUP BY 1, 2),
+        |act AS (SELECT actual AS k, CAST(sum(n) AS BIGINT) AS an
+        |        FROM cells GROUP BY 1),
+        |pred AS (SELECT predicted AS k, CAST(sum(n) AS BIGINT) AS pn
+        |         FROM cells GROUP BY 1),
+        |marg AS (
+        |  SELECT CAST(coalesce(sum(coalesce(an, 0) * coalesce(pn, 0)),
+        |    0) AS BIGINT) AS pe_num
+        |  FROM act FULL JOIN pred ON act.k = pred.k),
+        |diag AS (
+        |  SELECT CAST(sum(CASE WHEN actual = predicted THEN n
+        |    ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(sum(n) AS BIGINT) AS ntot
+        |  FROM cells)
+        |SELECT d.ntot AS n, d.agree,
+        |  round(CAST(d.agree AS DOUBLE) / CAST(d.ntot AS DOUBLE), 6)
+        |    AS po,
+        |  round(CAST(m2.pe_num AS DOUBLE)
+        |    / (CAST(d.ntot AS DOUBLE) * CAST(d.ntot AS DOUBLE)), 6)
+        |    AS pe,
+        |  CASE WHEN m2.pe_num < d.ntot * d.ntot THEN
+        |    round((CAST(d.agree AS DOUBLE) / CAST(d.ntot AS DOUBLE)
+        |      - CAST(m2.pe_num AS DOUBLE)
+        |        / (CAST(d.ntot AS DOUBLE) * CAST(d.ntot AS DOUBLE)))
+        |      / (1.0 - CAST(m2.pe_num AS DOUBLE)
+        |        / (CAST(d.ntot AS DOUBLE) * CAST(d.ntot AS DOUBLE))), 6)
+        |    END AS kappa
+        |FROM diag d, marg m2""".stripMargin,
     "q_text_tokcount" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -1193,6 +1243,45 @@ object TextQueries {
         round(col("n").cast("double")
           / col("predicted_n").cast("double"), 6).as("precision_share"))
       .orderBy("actual", "predicted")
+  }
+
+  /** Cohen's kappa between the langid predictor and ground truth — the
+    * chance-corrected agreement statistic (`q_eval_confusion` shows the
+    * full error matrix; kappa collapses it to the one number that
+    * answers "is this classifier better than its own marginal
+    * distribution guessing" — accuracy flatters any predictor on an
+    * imbalanced label mix, kappa does not, which is why annotation and
+    * weak-labeling pipelines gate on it).
+    *
+    * Exactness: observed agreement and the expected-agreement numerator
+    * Σ actualₖ·predictedₖ are pure BIGINT (marginals met in a full-outer
+    * key join, so a label one side never emits still counts); po, pe,
+    * and kappa are exact rationals in ONE shared tree, the degenerate
+    * pe = 1 case (all mass in one cell) declared NULL via the exact
+    * integer compare. Scale: corpus → confusion cells in one map-side
+    * keyed agg; everything after is label-cardinality frames. */
+  def evalKappa(s: SparkSession, d: String): DataFrame = {
+    val cells = textLangId(s, d)
+      .select(col("lang").as("actual"), col("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+    val act = cells.groupBy(col("actual").as("k")).agg(sum("n").as("an"))
+    val pred = cells.groupBy(col("predicted").as("k"))
+      .agg(sum("n").as("pn"))
+    val marg = act.join(pred, Seq("k"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("an"), lit(0L))
+        * coalesce(col("pn"), lit(0L))), lit(0L)).as("pe_num"))
+    val diag = cells.agg(
+      sum(when(col("actual") === col("predicted"), col("n"))
+        .otherwise(0L)).as("agree"),
+      sum("n").as("ntot"))
+    val po = col("agree").cast("double") / col("ntot").cast("double")
+    val pe = col("pe_num").cast("double") /
+      (col("ntot").cast("double") * col("ntot").cast("double"))
+    diag.crossJoin(broadcast(marg))
+      .select(col("ntot").as("n"), col("agree"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(col("pe_num") < col("ntot") * col("ntot"),
+          round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** Token counting: whitespace tokens + a compression-style estimate

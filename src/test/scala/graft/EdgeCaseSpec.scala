@@ -783,6 +783,29 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_eval_kappa agrees with a confusion-matrix replay") {
+    val cm = graft.operators.TextQueries.evalConfusion(spark, sfDir)
+      .select("actual", "predicted", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cm.values.sum
+    val agree = cm.collect { case ((a, p), c) if a == p => c }.sum
+    val acts = cm.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val preds = cm.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val peNum = (acts.keySet ++ preds.keySet).toSeq.map(k =>
+      acts.getOrElse(k, 0L) * preds.getOrElse(k, 0L)).sum
+    val r = graft.operators.TextQueries.evalKappa(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("agree") == agree)
+    val po = agree.toDouble / n
+    val pe = peNum.toDouble / (n.toDouble * n)
+    assert(math.abs(r.getAs[Double]("po") - po) < 1e-6)
+    assert(math.abs(r.getAs[Double]("pe") - pe) < 1e-6)
+    val kappa = r.getAs[Double]("kappa")
+    assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-5)
+    assert(kappa <= 1.0 + 1e-9)
+  }
+
   test("q_text_keyness matches a brute-force G2 replay") {
     val docs = Tables.documents(spark, sfDir)
       .select("lang", "text").collect()
