@@ -72,10 +72,69 @@ object StatsQueries {
     "q_agg_anova"       -> aggAnova _,
     "q_agg_kendall"     -> aggKendall _,
     "q_agg_theil_u"     -> aggTheilU _,
-    "q_survival_km"     -> survivalKm _
+    "q_survival_km"     -> survivalKm _,
+    "q_agg_effectsize"  -> aggEffectSize _
   )
 
   val oracle: Map[String, String] = Map(
+    // Both groups' moments exact BIGINT dollars from one conditional
+    // scan; pooled sd / d / g one shared IEEE tree; degenerate variance
+    // declared NULL via the exact integer compare.
+    "q_agg_effectsize" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS s1,
+        |    CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT)
+        |        * CAST(round(o_totalprice, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS q1,
+        |    CAST(count(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1
+        |      END) AS BIGINT) AS n2,
+        |    CAST(coalesce(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS s2,
+        |    CAST(coalesce(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT)
+        |        * CAST(round(o_totalprice, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS q2
+        |  FROM orders)
+        |SELECT n1, n2,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+        |    AS mean_urgent,
+        |  round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 4)
+        |    AS mean_other,
+        |  CASE WHEN n1 * q1 > s1 * s1 OR n2 * q2 > s2 * s2 THEN
+        |    round(sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |        * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 4)
+        |    END AS pooled_sd,
+        |  CASE WHEN n1 * q1 > s1 * s1 OR n2 * q2 > s2 * s2 THEN
+        |    round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |          * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6)
+        |    END AS cohens_d,
+        |  CASE WHEN n1 * q1 > s1 * s1 OR n2 * q2 > s2 * s2 THEN
+        |    round(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |          * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+        |      * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+        |        + CAST(n2 AS DOUBLE)) - 9.0)), 6)
+        |    END AS hedges_g
+        |FROM m""".stripMargin,
     // Risk sets and event counts are exact integers under the duration
     // total order; each hazard term ln((n-d)/n) is quantized to 1e-6-nat
     // BIGINT units BEFORE the cumulative sum (the q_select_dsir
@@ -2684,6 +2743,60 @@ object StatsQueries {
       round(col("hxy"), 6).as("h_x_given_y"),
       when(col("hx") > 0,
         round((col("hx") - col("hxy")) / col("hx"), 6)).as("theil_u"))
+  }
+
+  /** Standardized effect size (Cohen's d + Hedges' g) of order priority
+    * on order value: `q_agg_ttest` answers IS the urgent/non-urgent
+    * difference real (significance — which any difference passes at
+    * enough n); the effect size answers DOES IT MATTER (how many pooled
+    * standard deviations apart — the number meta-analyses and
+    * experiment dashboards actually compare across studies), with
+    * Hedges' small-sample bias correction g = d·(1 − 3/(4N − 9)).
+    *
+    * Exactness: both groups' count/sum/sum-of-squares are exact BIGINT
+    * cents from ONE conditional-aggregation scan (no join, no second
+    * pass); the pooled sd and both effect sizes are one shared IEEE
+    * tree over those integers (`sqrt` is correctly rounded on every
+    * engine), emitted rounded 6. Degenerate pooled variance (exact
+    * integer compare) declares NULL. */
+  def aggEffectSize(s: SparkSession, d: String): DataFrame = {
+    val urgent = col("o_orderpriority") === "1-URGENT"
+    // Whole DOLLARS, not cents: d and g are scale-invariant, and the
+    // dollar-scale sum of squares stays < 2^63 with two orders of
+    // magnitude of row-count headroom (cents overflow at ~1e5 rows of
+    // 5e5-dollar orders — measured).
+    val dollars = round(col("o_totalprice"), 0).cast("long")
+    val m = orders(s, d).select(urgent.as("u"), dollars.as("c"))
+      .agg(
+        count(when(col("u"), lit(1))).as("n1"),
+        coalesce(sum(when(col("u"), col("c"))), lit(0L)).as("s1"),
+        coalesce(sum(when(col("u"), col("c") * col("c"))), lit(0L))
+          .as("q1"),
+        count(when(!col("u"), lit(1))).as("n2"),
+        coalesce(sum(when(!col("u"), col("c"))), lit(0L)).as("s2"),
+        coalesce(sum(when(!col("u"), col("c") * col("c"))), lit(0L))
+          .as("q2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val m1 = col("s1").cast("double") / n1
+    val m2 = col("s2").cast("double") / n2
+    val ss1 = col("q1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n1
+    val ss2 = col("q2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double") / n2
+    val sp = sqrt((ss1 + ss2) / (n1 + n2 - lit(2.0)))
+    val dEff = (m1 - m2) / sp
+    val g = dEff * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (n1 + n2) - lit(9.0)))
+    // n·q > s² on at least one group ⟺ pooled variance > 0; exact
+    // BIGINT compare keeps the degenerate case out of the divide.
+    val varPos = (col("n1") * col("q1") > col("s1") * col("s1")) ||
+      (col("n2") * col("q2") > col("s2") * col("s2"))
+    m.select(col("n1"), col("n2"),
+      round(m1, 4).as("mean_urgent"),
+      round(m2, 4).as("mean_other"),
+      when(varPos, round(sp, 4)).as("pooled_sd"),
+      when(varPos, round(dEff, 6)).as("cohens_d"),
+      when(varPos, round(g, 6)).as("hedges_g"))
   }
 
   /** Kaplan-Meier survival over customer purchase lifetimes — the

@@ -847,6 +847,31 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_agg_effectsize matches a two-group moment replay") {
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0) == "1-URGENT",
+        math.round(r.getDouble(1)).toDouble))
+    val (g1, g2) = rows.partition(_._1)
+    val (x1, x2) = (g1.map(_._2), g2.map(_._2))
+    def ss(x: Array[Double]) =
+      x.map(v => v * v).sum - x.sum * x.sum / x.length
+    val sp = math.sqrt((ss(x1) + ss(x2)) / (x1.length + x2.length - 2.0))
+    val dEff = (x1.sum / x1.length - x2.sum / x2.length) / sp
+    val g = dEff *
+      (1.0 - 3.0 / (4.0 * (x1.length + x2.length) - 9.0))
+    val r = graft.operators.StatsQueries.aggEffectSize(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n1") == x1.length)
+    assert(r.getAs[Long]("n2") == x2.length)
+    assert(math.abs(r.getAs[Double]("pooled_sd") - sp) < 0.01)
+    assert(math.abs(r.getAs[Double]("cohens_d") - dEff) < 1e-5)
+    assert(math.abs(r.getAs[Double]("hedges_g") - g) < 1e-5)
+    assert(math.abs(r.getAs[Double]("hedges_g"))
+      <= math.abs(r.getAs[Double]("cohens_d")) + 1e-12,
+      "the bias correction shrinks |d|")
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
