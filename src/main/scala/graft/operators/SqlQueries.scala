@@ -152,6 +152,22 @@ object SqlQueries {
         |  prev_cents
         |FROM seq WHERE order_seq <= 3
         |ORDER BY o_custkey, order_seq""".stripMargin,
+    // ROLLUP + GROUPING() through the shared-text path: the subtotal
+    // lattice with the ANSI disambiguation function (a rollup NULL and
+    // a data NULL are different things; GROUPING() is how portable SQL
+    // tells them apart — the label build would be wrong without it).
+    // The DataFrame twin q_agg_rollup proves the API; THIS proves the
+    // dialect surface is portable verbatim.
+    "q_sql_rollup" ->
+      """SELECT CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  coalesce(o_orderstatus, '(all)') AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY g_pri, g_st, priority, status""".stripMargin,
     // Ordered-set aggregates (ANSI WITHIN GROUP): interpolated and
     // discrete percentiles through the shared-text path. Quantities are
     // whole numbers in doubles, so the interpolation a + f·(b−a) runs
