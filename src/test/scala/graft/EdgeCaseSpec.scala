@@ -783,6 +783,54 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_graph_linkpred: the deg<=32 middle cut suppresses hub wedges") {
+    // A planted 62-spoke star in 64 dims: center = e1, spokes
+    // s_i = 0.63*e1 + 0.7766*e_{i+1}, so cos(center, spoke) = 0.63
+    // (edge) while cos(spoke, spoke) = 0.63^2 = 0.3969 < 0.4 (no
+    // edge). Every spoke pair's ONLY common neighbor is the center,
+    // whose degree 62 exceeds the declared <=32 middle cut — a
+    // cutless implementation would emit all C(62,2) = 1891 spoke
+    // pairs; the declared operator must emit none of them. Two extra
+    // low-degree wedges prove the pipeline still works off-hub.
+    import org.apache.spark.sql.functions._
+    val dim = 80
+    val star = Seq.tabulate(63) { i =>
+      val v = Array.fill(dim)(0.0f)
+      if (i == 0) v(0) = 1.0f
+      else { v(0) = 0.63f; v(i) = 0.7766f }
+      (i.toLong, v.toSeq)
+    }
+    // An off-hub 3-path 100—101—102: cos(100,101) = 0.6,
+    // cos(101,102) = 0.8, cos(100,102) = 0 — middle 101 has degree 2.
+    val path = Seq(
+      (100L, Array.tabulate(dim)(j =>
+        if (j == 70) 1.0f else 0.0f).toSeq),
+      (101L, Array.tabulate(dim)(j =>
+        if (j == 70) 0.6f else if (j == 71) 0.8f else 0.0f).toSeq),
+      (102L, Array.tabulate(dim)(j =>
+        if (j == 71) 1.0f else 0.0f).toSeq))
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (star ++ path).map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val dir = "/tmp/graft-linkpred-star"
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.GraphQueries.graphLinkpred(spark, dir)
+      .collect()
+    val spokes = (1L to 62L).toSet
+    assert(!out.exists(r =>
+      spokes(r.getLong(0)) && spokes(r.getLong(1))),
+      "spoke pairs reachable only through the >32-degree hub must be cut")
+    // cos(100,101) = 0.6, cos(101,102) = 0.8, cos(100,102) = 0 — the
+    // off-hub wedge survives: (100,102) via middle 101 (degree 2).
+    assert(out.exists(r => r.getLong(0) == 100L && r.getLong(1) == 102L),
+      "the low-degree wedge must still be emitted")
+  }
+
   test("q_eval_kappa agrees with a confusion-matrix replay") {
     val cm = graft.operators.TextQueries.evalConfusion(spark, sfDir)
       .select("actual", "predicted", "n").collect()
