@@ -70,7 +70,8 @@ object TextQueries {
     "q_text_span_mask"   -> textSpanMask _,
     "q_text_keyness"     -> textKeyness _,
     "q_text_jsd"         -> textJsd _,
-    "q_eval_kappa"       -> evalKappa _
+    "q_eval_kappa"       -> evalKappa _,
+    "q_bpe_apply"        -> bpeApply _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -334,6 +335,50 @@ object TextQueries {
         |JOIN act a ON c.actual = a.actual
         |JOIN pred p ON c.predicted = p.predicted
         |ORDER BY c.actual, c.predicted""".stripMargin,
+    // The Spark fold replayed as four sequential recursive CTEs carrying
+    // the symbol LIST (w0 -> w4); the merge table is the same census
+    // top-4 met by one cross join; pure string/array ops throughout.
+    "q_bpe_apply" -> (
+      """WITH RECURSIVE wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 1 GROUP BY 1),
+        |census AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT freq, unnest(list_transform(
+        |      range(1, length(word)), i -> word[i:i+1])) AS pair
+        |    FROM wf WHERE length(word) >= 2)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT pair,
+        |    row_number() OVER (ORDER BY n DESC, pair) AS rk
+        |  FROM census),
+        |mrow AS (
+        |  SELECT
+        |    max(CASE WHEN rk = 1 THEN pair[1:1] END) AS a1,
+        |    max(CASE WHEN rk = 1 THEN pair[2:2] END) AS b1,
+        |    max(CASE WHEN rk = 2 THEN pair[1:1] END) AS a2,
+        |    max(CASE WHEN rk = 2 THEN pair[2:2] END) AS b2,
+        |    max(CASE WHEN rk = 3 THEN pair[1:1] END) AS a3,
+        |    max(CASE WHEN rk = 3 THEN pair[2:2] END) AS b3,
+        |    max(CASE WHEN rk = 4 THEN pair[1:1] END) AS a4,
+        |    max(CASE WHEN rk = 4 THEN pair[2:2] END) AS b4
+        |  FROM ranked WHERE rk <= 4),
+        |w0 AS (
+        |  SELECT word, CAST(length(word) AS BIGINT) AS n,
+        |    list_transform(range(1, length(word) + 1),
+        |      i -> word[i:i]) AS syms
+        |  FROM wf),""".stripMargin
+        + "\n" + (1 to 4).map(bpeRoundSql).mkString(",\n") + "\n"
+        + """SELECT f.word, f.freq,
+        |  CAST(length(f.word) AS BIGINT) AS n_chars,
+        |  w.n AS n_syms,
+        |  array_to_string(w.syms, '|') AS seg,
+        |  round(CAST(length(f.word) AS DOUBLE) / CAST(w.n AS DOUBLE), 4)
+        |    AS compression
+        |FROM w4 w JOIN wf f ON f.word = w.word
+        |ORDER BY f.word""".stripMargin),
     // Same langid-predictor CTE as q_eval_confusion; agreement and the
     // expected numerator pure BIGINT; kappa one shared rational tree,
     // pe = 1 declared NULL via the exact integer compare.
@@ -1122,6 +1167,106 @@ object TextQueries {
       .groupBy("pair").agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
+  }
+
+  /** One unrolled merge round of the q_bpe_apply oracle: the fold state
+    * (i, pending, out) walks each word's symbol list; merge rank r's
+    * pair comes from the shared `mrow` via a cross join. */
+  private def bpeRoundSql(r: Int): String =
+    s"""rec$r AS (
+       |  SELECT w.word, w.n, w.syms, CAST(1 AS BIGINT) AS i,
+       |    w.syms[1] AS pending, CAST([] AS VARCHAR[]) AS out
+       |  FROM w${r - 1} w
+       |  UNION ALL
+       |  SELECT x.word, x.n, x.syms, i + 1,
+       |    CASE WHEN pending = m.a$r AND x.syms[i + 1] = m.b$r
+       |         THEN pending || x.syms[i + 1] ELSE x.syms[i + 1] END,
+       |    CASE WHEN pending = m.a$r AND x.syms[i + 1] = m.b$r
+       |         THEN out ELSE list_append(out, pending) END
+       |  FROM rec$r x, mrow m WHERE i < x.n),
+       |w$r AS (
+       |  SELECT word, list_append(out, pending) AS syms,
+       |    CAST(len(out) + 1 AS BIGINT) AS n
+       |  FROM rec$r WHERE i = n)""".stripMargin
+
+  /** One left-to-right merge pass over a symbol array: adjacent (a, b)
+    * becomes the concatenated symbol, the merged symbol re-enters as
+    * `pending` (so it can chain only if it equals `a` again — the
+    * standard BPE apply semantics), everything else flushes. NULL merge
+    * slots (a census with < 4 pairs) compare to null and flush — a
+    * no-op round by construction. */
+  private def bpeMergePass(syms: Column, a: Column, b: Column): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      struct(element_at(syms, 1).as("pending"),
+        array().cast("array<string>").as("out")),
+      (acc, x) => {
+        val hit = acc.getField("pending") === a && x === b
+        struct(
+          when(hit, concat(acc.getField("pending"), x)).otherwise(x)
+            .as("pending"),
+          when(hit, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(acc.getField("pending")))).as("out"))
+      },
+      acc => concat(acc.getField("out"),
+        array(acc.getField("pending"))))
+
+  /** BPE tokenizer APPLY: segment the corpus vocabulary with the top-4
+    * learned merges — `q_bpe_pairs` is the LEARN census (which adjacent
+    * pairs earn a merge); this is the other half every tokenizer needs:
+    * run the rank-ordered merge table over words and emit the
+    * segmentation (and its compression ratio — the number a tokenizer
+    * bake-off actually compares). The merge table is the census's top 4
+    * by (count DESC, pair) — a DECLARED static ranking (true BPE
+    * re-counts after each merge; the static table is the apply-path
+    * contract here, documented as such).
+    *
+    * Scale design: the apply runs over the DISTINCT VOCABULARY, not the
+    * token stream — the classic tokenizer-server trick (segment each
+    * word once, join back by word if per-token output is needed), so
+    * the fold work is vocab-sized regardless of corpus size; the merge
+    * table reaches every word as ONE 1-row broadcast cross.
+    * Determinism: pure string/array operations — no floats anywhere
+    * except the final exact-rational compression ratio; the DuckDB twin
+    * replays the identical fold as four sequential recursive CTEs
+    * carrying the symbol LIST (prototyped equivalence; the
+    * `q_ts_holtwinters` vector-state pattern over strings). */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val wf = documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 1)
+    val census = wf.filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substr(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+    val ranked = census.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+    val mergeCols = (1 to 4).flatMap(r => Seq(
+      max(when(col("rk") === r, substring(col("pair"), 1, 1)))
+        .as(s"a$r"),
+      max(when(col("rk") === r, substring(col("pair"), 2, 1)))
+        .as(s"b$r")))
+    val mrow = ranked.filter(col("rk") <= 4)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    val seg = (1 to 4).foldLeft(chars) { (acc, r) =>
+      bpeMergePass(acc, col(s"a$r"), col(s"b$r"))
+    }
+    wf.crossJoin(broadcast(mrow))
+      .select(col("word"), col("freq"),
+        length(col("word")).cast("long").as("n_chars"),
+        seg.as("syms"))
+      .select(col("word"), col("freq"), col("n_chars"),
+        size(col("syms")).cast("long").as("n_syms"),
+        array_join(col("syms"), "|").as("seg"),
+        round(col("n_chars").cast("double")
+          / size(col("syms")).cast("double"), 4).as("compression"))
+      .orderBy("word")
   }
 
   /** Hashing-trick text vectorization: each document's token counts

@@ -854,6 +854,49 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(kappa <= 1.0 + 1e-9)
   }
 
+  test("q_bpe_apply matches a serial merge replay; segments rebuild words") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for (t <- docs; w <- t.split(" ", -1) if w.nonEmpty) wf(w) += 1
+    val census = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for ((w, f) <- wf if w.length >= 2; i <- 0 until (w.length - 1))
+      census(w.substring(i, i + 2)) += f
+    val merges = census.toSeq.sortBy { case (p, n) => (-n, p) }.take(4)
+      .map { case (p, _) => (p.substring(0, 1), p.substring(1, 2)) }
+    def applyMerge(syms: List[String], a: String, b: String) = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var pending = syms.head
+      for (x <- syms.tail) {
+        if (pending == a && x == b) pending = pending + x
+        else { out += pending; pending = x }
+      }
+      (out += pending).toList
+    }
+    def segment(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList) {
+        case (s2, (a, b)) => applyMerge(s2, a, b)
+      }
+    val out = graft.operators.TextQueries.bpeApply(spark, sfDir).collect()
+    assert(out.length == wf.size)
+    for (r <- out) {
+      val w = r.getAs[String]("word")
+      val seg = r.getAs[String]("seg")
+      assert(seg.replace("|", "") == w,
+        s"segments must rebuild '$w' (got '$seg')")
+      assert(seg == segment(w).mkString("|"), s"segmentation of '$w'")
+      assert(r.getAs[Long]("freq") == wf(w))
+      assert(r.getAs[Long]("n_syms") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Double]("compression") >= 1.0)
+    }
+    // The merge table did real work on this fixture.
+    assert(out.exists(r =>
+      r.getAs[Long]("n_syms") < r.getAs[Long]("n_chars")),
+      "at least one word must actually merge")
+  }
+
   test("q_text_keyness matches a brute-force G2 replay") {
     val docs = Tables.documents(spark, sfDir)
       .select("lang", "text").collect()
