@@ -48,10 +48,66 @@ object SimilarityQueries {
     "q_dedup_incremental_lsh" -> dedupIncrementalLsh _,
     "q_embed_knn"     -> embedKnn _,
     "q_eval_ndcg"     -> evalNdcg _,
-    "q_embed_kmeans"  -> embedKmeans _
+    "q_embed_kmeans"  -> embedKmeans _,
+    "q_embed_mmr"     -> embedMmr _
   )
 
+  /** Shared cosine-in-double list formula for the MMR oracle. */
+  private def cosListSql(a: String, b: String): String =
+    s"""round(
+       |      list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |      / (sqrt(list_sum(list_transform($a,
+       |            x -> x::DOUBLE * x::DOUBLE)))
+       |       * sqrt(list_sum(list_transform($b,
+       |            x -> x::DOUBLE * x::DOUBLE)))), 4)""".stripMargin
+
+  /** One unrolled MMR greedy round: redundancy = max pairwise sim to
+    * the already-chosen set, argmax of the shared score tree via
+    * min-struct with vec_id tiebreak. */
+  private def mmrRoundSql(r: Int): String =
+    s"""red$r AS (
+       |  SELECT c.vec_id AS v, c.cq AS q, max(p2.sim) AS red
+       |  FROM cand c
+       |  JOIN pairs p2 ON p2.i = c.vec_id
+       |  JOIN all${r - 1} ch ON ch.vec_id = p2.j
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM all${r - 1})
+       |  GROUP BY 1, 2),
+       |pick$r AS (
+       |  SELECT min(struct_pack(nm := -(0.7 * q - 0.3 * red),
+       |    v := v, q := q, red := red)) AS b
+       |  FROM red$r),
+       |ch$r AS (
+       |  SELECT (b).v AS vec_id, CAST($r AS BIGINT) AS rank,
+       |    (b).q AS cq, (b).red AS redundancy,
+       |    round(0.7 * (b).q - 0.3 * (b).red, 4) AS mmr_score
+       |  FROM pick$r WHERE (b).v IS NOT NULL),
+       |all$r AS (SELECT * FROM all${r - 1}
+       |          UNION ALL SELECT * FROM ch$r)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // The kcenter-style unrolled greedy: sims rounded 4 before any
+    // decision, min-struct argmax on the shared score tree.
+    "q_embed_mmr" -> (
+      s"""WITH p AS (SELECT embedding AS pv FROM embeddings
+        |  WHERE vec_id = 0),
+        |cq0 AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    ${cosListSql("e.embedding", "p.pv")} AS cq
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
+        |cand AS (SELECT * FROM cq0 ORDER BY cq DESC, vec_id LIMIT 16),
+        |pairs AS (
+        |  SELECT x.vec_id AS i, y.vec_id AS j,
+        |    ${cosListSql("x.embedding", "y.embedding")} AS sim
+        |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+        |ch1 AS (
+        |  SELECT vec_id, CAST(1 AS BIGINT) AS rank, cq,
+        |    0.0 AS redundancy, round(0.7 * cq, 4) AS mmr_score
+        |  FROM cand ORDER BY cq DESC, vec_id LIMIT 1),
+        |all1 AS (SELECT * FROM ch1),""".stripMargin
+        + "\n" + (2 to 5).map(mmrRoundSql).mkString(",\n") + "\n"
+        + """SELECT vec_id, rank, cq, redundancy, mmr_score
+        |FROM all5 ORDER BY rank""".stripMargin),
     // Explicit double-precision formula on both sides (NOT DuckDB's
     // list_cosine_similarity, which computes in float32): float inputs are
     // cast to double element-wise, summed sequentially, rounded to 4 dp.
@@ -1070,5 +1126,66 @@ object SimilarityQueries {
       .select(col("cid").cast("long").as("cluster_id"), col("n_vecs"),
         col("inertia"), col("centroid_norm"))
       .orderBy("cluster_id")
+  }
+
+  /** Maximal-marginal-relevance reranking (λ = 0.7, k = 5 over a top-16
+    * candidate pool): the diversity-aware serving step that closes the
+    * retrieval family — `q_sim_topk` returns the 5 MOST similar docs,
+    * which for a near-dup-riddled corpus means five copies of the same
+    * answer; MMR greedily picks argmax λ·sim(query) − (1−λ)·max
+    * sim(chosen), trading relevance against redundancy (the standard
+    * RAG-context and search-results diversifier).
+    *
+    * Scale design: the corpus is touched ONCE (the query-similarity
+    * scan + top-16 TakeOrdered); everything after — the 16×15 pairwise
+    * sim table and the 4 unrolled greedy rounds — runs on candidate-
+    * pool-sized frames (the candidate self-join is a deliberate tiny-
+    * frame nested loop on the PlanGuard allowlist). Determinism: all
+    * sims rounded 4 BEFORE any decision, the greedy argmax a min-struct
+    * on the shared score tree with vec_id tiebreak, round state
+    * checkpoint-cut (the kcenter discipline); fully oracled as unrolled
+    * CTE rounds. */
+  def embedMmr(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"))
+    val cand = e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cq"))
+      .orderBy(col("cq").desc, col("vec_id")).limit(16)
+      .localCheckpoint()
+    val pairs = cand.select(col("vec_id").as("i"),
+        col("embedding").as("ei"))
+      .join(cand.select(col("vec_id").as("j"),
+        col("embedding").as("ej")), col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(cosine(col("ei"), col("ej")), 4).as("sim"))
+      .localCheckpoint()
+    var chosen = cand
+      .orderBy(col("cq").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1L).as("rank"), col("cq"),
+        lit(0.0).as("redundancy"),
+        round(lit(0.7) * col("cq"), 4).as("mmr_score"))
+      .localCheckpoint()
+    for (r <- 2 to 5) {
+      val red = cand
+        .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(pairs, col("vec_id") === col("i"))
+        .join(chosen.select(col("vec_id").as("j")), Seq("j"))
+        .groupBy(col("vec_id").as("v"), col("cq").as("q"))
+        .agg(max("sim").as("red"))
+      val pick = red
+        .withColumn("nm", -(lit(0.7) * col("q") - lit(0.3) * col("red")))
+        .agg(min(struct(col("nm"), col("v"), col("q"), col("red")))
+          .as("b"))
+        .select(col("b.v").as("vec_id"), lit(r.toLong).as("rank"),
+          col("b.q").as("cq"), col("b.red").as("redundancy"),
+          round(lit(0.7) * col("b.q") - lit(0.3) * col("b.red"), 4)
+            .as("mmr_score"))
+        .filter(col("vec_id").isNotNull)
+      chosen = chosen.union(pick).localCheckpoint()
+    }
+    chosen.orderBy("rank")
   }
 }

