@@ -103,10 +103,12 @@ object StatsQueries {
         |      AS BIGINT) AS q2
         |  FROM orders)
         |SELECT n1, n2,
-        |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
-        |    AS mean_urgent,
-        |  round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 4)
-        |    AS mean_other,
+        |  CASE WHEN n1 > 0 THEN
+        |    round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+        |    END AS mean_urgent,
+        |  CASE WHEN n2 > 0 THEN
+        |    round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 4)
+        |    END AS mean_other,
         |  CASE WHEN n1 * q1 > s1 * s1 OR n2 * q2 > s2 * s2 THEN
         |    round(sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
         |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
@@ -2792,8 +2794,11 @@ object StatsQueries {
     val varPos = (col("n1") * col("q1") > col("s1") * col("s1")) ||
       (col("n2") * col("q2") > col("s2") * col("s2"))
     m.select(col("n1"), col("n2"),
-      round(m1, 4).as("mean_urgent"),
-      round(m2, 4).as("mean_other"),
+      // Empty groups (an empty corpus) leave the means undefined —
+      // declared NULL; the guards keep the divides unreachable under
+      // ANSI.
+      when(col("n1") > 0, round(m1, 4)).as("mean_urgent"),
+      when(col("n2") > 0, round(m2, 4)).as("mean_other"),
       when(varPos, round(sp, 4)).as("pooled_sd"),
       when(varPos, round(dEff, 6)).as("cohens_d"),
       when(varPos, round(g, 6)).as("hedges_g"))
