@@ -66,10 +66,75 @@ object CurateQueries {
     "q_dq_tcloseness"     -> dqTcloseness _,
     "q_filter_blocklist"  -> filterBlocklist _,
     "q_interleave_mix"    -> interleaveMix _,
-    "q_select_kcenter"    -> selectKcenter _
+    "q_select_kcenter"    -> selectKcenter _,
+    "q_select_maxcover"   -> selectMaxcover _
   )
 
+  /** One unrolled greedy max-coverage round of the q_select_maxcover
+    * oracle: exact-integer gains from a left-join conditional count
+    * (zero-gain candidates stay rankable), min-struct argmax, covered
+    * set accumulated by UNION. */
+  private def maxcoverRoundSql(r: Int): String =
+    s"""g$r AS (
+       |  SELECT p.doc_id, CAST(count(CASE WHEN c.tok IS NULL THEN 1 END)
+       |    AS BIGINT) AS gain
+       |  FROM ptoks p LEFT JOIN cov${r - 1} c ON c.tok = p.tok
+       |  WHERE p.doc_id NOT IN (SELECT doc_id FROM all${r - 1})
+       |  GROUP BY 1),
+       |p$r AS (
+       |  SELECT min(struct_pack(ng := -gain, doc_id := doc_id,
+       |    gain := gain)) AS b FROM g$r),
+       |ch$r AS (
+       |  SELECT (b).doc_id AS doc_id, CAST($r AS BIGINT) AS rank,
+       |    (b).gain AS gain
+       |  FROM p$r WHERE (b).doc_id IS NOT NULL),
+       |cov$r AS (
+       |  SELECT tok FROM cov${r - 1}
+       |  UNION
+       |  SELECT tok FROM ptoks
+       |  WHERE doc_id IN (SELECT doc_id FROM ch$r)),
+       |all$r AS (
+       |  SELECT * FROM all${r - 1}
+       |  UNION ALL
+       |  SELECT c.doc_id, c.rank, c.gain,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cov$r) AS covered_total
+       |  FROM ch$r c)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // The unrolled greedy with exact-integer gains throughout — no
+    // floats anywhere in this query.
+    "q_select_maxcover" -> (
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) >= 1),
+        |counts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM dt GROUP BY 1),
+        |pool AS (SELECT * FROM counts
+        |         ORDER BY n_tokens DESC, doc_id LIMIT 8),
+        |ptoks AS (SELECT dt.doc_id, dt.tok
+        |          FROM dt JOIN pool USING (doc_id)),
+        |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |       FROM ptoks GROUP BY 1),
+        |p1 AS (
+        |  SELECT min(struct_pack(ng := -gain, doc_id := doc_id,
+        |    gain := gain)) AS b FROM g1),
+        |ch1 AS (
+        |  SELECT (b).doc_id AS doc_id, CAST(1 AS BIGINT) AS rank,
+        |    (b).gain AS gain
+        |  FROM p1 WHERE (b).doc_id IS NOT NULL),
+        |cov1 AS (SELECT DISTINCT tok FROM ptoks
+        |         WHERE doc_id IN (SELECT doc_id FROM ch1)),
+        |all1 AS (
+        |  SELECT c.doc_id, c.rank, c.gain,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cov1) AS covered_total
+        |  FROM ch1 c),""".stripMargin
+        + "\n" + (2 to 4).map(maxcoverRoundSql).mkString(",\n") + "\n"
+        + """SELECT a.rank, a.doc_id, p.n_tokens, a.gain, a.covered_total
+        |FROM all4 a JOIN pool p USING (doc_id)
+        |ORDER BY a.rank""".stripMargin),
     // Same md5 hex-prefix arithmetic as q_sample_hash: the first hex
     // nibble partitions [0,f] into train (0-b, 12/16), val (c-d, 2/16),
     // test (e-f, 2/16) — disjoint and complete by construction.
@@ -1622,5 +1687,68 @@ object CurateQueries {
       .select(col("center_rank"), col("c_id"), col("n_points"),
         col("coverage_d2"))
       .orderBy("center_rank")
+  }
+
+  /** Greedy maximum-coverage selection (k = 4 over a top-8 candidate
+    * pool): pick the documents whose UNION of distinct tokens covers the
+    * most vocabulary — the submodular COVERAGE objective completing the
+    * selection family's objective space (`q_select_head` buys mass,
+    * `q_select_frontier` Pareto tradeoffs, `q_select_dsir` distribution
+    * match, `q_select_kcenter` geometric spread, `q_embed_mmr` query-
+    * relative diversity; max-coverage asks "which few docs TOUCH the
+    * most vocabulary" — the classic greedy (1−1/e)-approximation behind
+    * seed-set and eval-suite selection).
+    *
+    * Scale design: the corpus collapses to (doc, distinct-token) pairs
+    * in one shuffle; the candidate pool is a DECLARED top-8 cut by
+    * distinct-token count (the MMR pool discipline — production tunes
+    * the pool, the greedy is pool-local), so all four rounds run on
+    * pool-sized frames. Determinism: gains are EXACT INTEGERS (no
+    * floats anywhere), argmax a min-struct (−gain, doc_id), round state
+    * checkpoint-cut; zero-gain candidates stay rankable via the
+    * left-join conditional count (an anti-join would silently drop
+    * them). Fully oracled as unrolled CTE rounds. */
+  def selectMaxcover(s: SparkSession, d: String): DataFrame = {
+    val dt = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1).distinct()
+    val counts = dt.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val pool = counts.orderBy(col("n_tokens").desc, col("doc_id"))
+      .limit(8)
+    val ptoks = dt.join(broadcast(pool.select("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+    var chosen: DataFrame = null
+    var ctoks: DataFrame = null
+    for (r <- 1 to 4) {
+      val rem = if (r == 1) ptoks
+        else ptoks.join(chosen.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
+      val gains = (if (r == 1)
+          rem.withColumn("ctok", lit(null).cast("string"))
+        else rem.join(ctoks.withColumnRenamed("tok", "ctok"),
+          col("tok") === col("ctok"), "left"))
+        .groupBy(col("doc_id"))
+        .agg(count(when(col("ctok").isNull, lit(1))).as("gain"))
+      val pick = gains
+        .agg(min(struct((-col("gain")).as("ng"),
+          col("doc_id").as("doc_id"), col("gain").as("gain"))).as("b"))
+        .select(col("b.doc_id").as("doc_id"),
+          lit(r.toLong).as("rank"), col("b.gain").as("gain"))
+        .filter(col("doc_id").isNotNull)
+        .localCheckpoint()
+      val newToks = ptoks.join(pick.select("doc_id"), Seq("doc_id"))
+        .select("tok")
+      ctoks = (if (r == 1) newToks
+        else ctoks.union(newToks)).distinct().localCheckpoint()
+      val total = ctoks.agg(count(lit(1)).as("covered_total"))
+      val row = pick.crossJoin(broadcast(total))
+      chosen = if (r == 1) row.localCheckpoint()
+        else chosen.union(row).localCheckpoint()
+    }
+    chosen.join(broadcast(pool), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("n_tokens"), col("gain"),
+        col("covered_total"))
+      .orderBy("rank")
   }
 }

@@ -215,6 +215,40 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_select_maxcover matches a serial greedy replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)
+        .filter(_.nonEmpty).toSet)
+      .toMap
+    val pool = docs.toSeq.map { case (id, t) => (id, t.size) }
+      .sortBy { case (id, n) => (-n, id) }.take(8)
+    var covered = Set.empty[String]
+    var chosen = List.empty[(Long, Int, Int)]
+    for (r <- 1 to 4) {
+      val rem = pool.filterNot(p => chosen.exists(_._1 == p._1))
+      val (id, gain) = rem.map { case (pid, _) =>
+        (pid, (docs(pid) -- covered).size)
+      }.minBy { case (pid, g) => (-g, pid) }
+      covered = covered ++ docs(id)
+      chosen = chosen :+ ((id, gain, covered.size))
+    }
+    val out = graft.operators.CurateQueries.selectMaxcover(spark, sfDir)
+      .collect()
+    assert(out.length == 4)
+    for ((r, i) <- out.sortBy(_.getAs[Long]("rank")).zipWithIndex) {
+      val (id, gain, tot) = chosen(i)
+      assert(r.getAs[Long]("doc_id") == id, s"pick ${i + 1}")
+      assert(r.getAs[Long]("gain") == gain.toLong)
+      assert(r.getAs[Long]("covered_total") == tot.toLong)
+      assert(r.getAs[Long]("n_tokens") == docs(id).size.toLong)
+    }
+    // Submodularity: gains are non-increasing along the greedy path.
+    val gains = out.sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q_select_kcenter: greedy separation bound and census conservation") {
     val out = CurateQueries.selectKcenter(spark, sfDir).collect()
     assert(out.length === 4, "k=4 centers must all be chosen")
