@@ -73,10 +73,104 @@ object StatsQueries {
     "q_agg_kendall"     -> aggKendall _,
     "q_agg_theil_u"     -> aggTheilU _,
     "q_survival_km"     -> survivalKm _,
-    "q_agg_effectsize"  -> aggEffectSize _
+    "q_agg_effectsize"  -> aggEffectSize _,
+    "q_agg_ratio_delta" -> aggRatioDelta _
   )
 
   val oracle: Map[String, String] = Map(
+    // Per-customer dollar/count moments exact BIGINT; ratios/SEs/z one
+    // shared tree with the SAME branchless denominator floors as the
+    // Spark side; degenerate arms NULL via identical guards.
+    "q_agg_ratio_delta" ->
+      """WITH pc AS (
+        |  SELECT CASE WHEN substr(md5(o_custkey::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7')
+        |    THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+        |      AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN variant = 'A' THEN 1 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN x END), 0)
+        |      AS BIGINT) AS sx_a,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN y END), 0)
+        |      AS BIGINT) AS sy_a,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN x * x END), 0)
+        |      AS BIGINT) AS sxx_a,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN y * y END), 0)
+        |      AS BIGINT) AS syy_a,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN x * y END), 0)
+        |      AS BIGINT) AS sxy_a,
+        |    CAST(count(CASE WHEN variant = 'B' THEN 1 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN x END), 0)
+        |      AS BIGINT) AS sx_b,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN y END), 0)
+        |      AS BIGINT) AS sy_b,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN x * x END), 0)
+        |      AS BIGINT) AS sxx_b,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN y * y END), 0)
+        |      AS BIGINT) AS syy_b,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN x * y END), 0)
+        |      AS BIGINT) AS sxy_b
+        |  FROM pc),
+        |t AS (
+        |  SELECT *,
+        |    CAST(sx_a AS DOUBLE) / (CASE WHEN CAST(sy_a AS DOUBLE) > 0
+        |      THEN CAST(sy_a AS DOUBLE) ELSE 1.0 END) AS r_a,
+        |    CAST(sx_b AS DOUBLE) / (CASE WHEN CAST(sy_b AS DOUBLE) > 0
+        |      THEN CAST(sy_b AS DOUBLE) ELSE 1.0 END) AS r_b,
+        |    CASE WHEN n_a > 1 THEN CAST(n_a AS DOUBLE) ELSE 2.0 END
+        |      AS dn_a,
+        |    CASE WHEN n_b > 1 THEN CAST(n_b AS DOUBLE) ELSE 2.0 END
+        |      AS dn_b
+        |  FROM m),
+        |v AS (
+        |  SELECT *,
+        |    ((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE)
+        |        * CAST(sx_a AS DOUBLE) / dn_a)
+        |      - 2.0 * r_a * (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE)
+        |        * CAST(sy_a AS DOUBLE) / dn_a)
+        |      + r_a * r_a * (CAST(syy_a AS DOUBLE)
+        |        - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / dn_a))
+        |    / ((dn_a - 1.0) * dn_a * (CASE WHEN
+        |        (CAST(sy_a AS DOUBLE) / dn_a) * (CAST(sy_a AS DOUBLE)
+        |          / dn_a) > 0
+        |        THEN (CAST(sy_a AS DOUBLE) / dn_a)
+        |          * (CAST(sy_a AS DOUBLE) / dn_a) ELSE 1.0 END))
+        |      AS se2_a,
+        |    ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE)
+        |        * CAST(sx_b AS DOUBLE) / dn_b)
+        |      - 2.0 * r_b * (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE)
+        |        * CAST(sy_b AS DOUBLE) / dn_b)
+        |      + r_b * r_b * (CAST(syy_b AS DOUBLE)
+        |        - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / dn_b))
+        |    / ((dn_b - 1.0) * dn_b * (CASE WHEN
+        |        (CAST(sy_b AS DOUBLE) / dn_b) * (CAST(sy_b AS DOUBLE)
+        |          / dn_b) > 0
+        |        THEN (CAST(sy_b AS DOUBLE) / dn_b)
+        |          * (CAST(sy_b AS DOUBLE) / dn_b) ELSE 1.0 END))
+        |      AS se2_b
+        |  FROM t)
+        |SELECT n_a, n_b, sy_a AS orders_a, sy_b AS orders_b,
+        |  CASE WHEN n_a > 1 AND sy_a > 0 THEN round(r_a, 4) END
+        |    AS ratio_a,
+        |  CASE WHEN n_b > 1 AND sy_b > 0 THEN round(r_b, 4) END
+        |    AS ratio_b,
+        |  CASE WHEN n_a > 1 AND sy_a > 0 THEN round(sqrt(se2_a), 6) END
+        |    AS se_a,
+        |  CASE WHEN n_b > 1 AND sy_b > 0 THEN round(sqrt(se2_b), 6) END
+        |    AS se_b,
+        |  CASE WHEN n_a > 1 AND sy_a > 0 AND n_b > 1 AND sy_b > 0
+        |    THEN round(r_a - r_b, 4) END AS diff,
+        |  CASE WHEN n_a > 1 AND sy_a > 0 AND n_b > 1 AND sy_b > 0
+        |      AND se2_a + se2_b > 0
+        |    THEN round((r_a - r_b) / (CASE WHEN sqrt(se2_a + se2_b) > 0
+        |      THEN sqrt(se2_a + se2_b) ELSE 1.0 END), 4) END AS z
+        |FROM v""".stripMargin,
     // Both groups' moments exact BIGINT dollars from one conditional
     // scan; pooled sd / d / g one shared IEEE tree; degenerate variance
     // declared NULL via the exact integer compare.
@@ -2745,6 +2839,84 @@ object StatsQueries {
       round(col("hxy"), 6).as("h_x_given_y"),
       when(col("hx") > 0,
         round((col("hx") - col("hxy")) / col("hx"), 6)).as("theil_u"))
+  }
+
+  /** Delta-method inference for a RATIO metric (revenue per order,
+    * customer-clustered) across an md5-hash A/B split — the
+    * experimentation-platform staple `q_ab_test` cannot cover: a ratio
+    * of sums is NOT a mean of independent rows (orders cluster within
+    * customers, so naive per-order variance is anticonservative — the
+    * classic A/B false-positive factory); the delta method computes
+    * SE(X̄/Ȳ) from per-CUSTOMER moments, Var ≈ (Sxx − 2R·Sxy +
+    * R²·Syy)/((n−1)·n·ȳ²), which is the standard cure.
+    *
+    * Exactness: per-customer (x = whole-dollar revenue, y = order
+    * count) rolls up map-side; each arm's n/Σx/Σy/Σx²/Σy²/Σxy are
+    * exact BIGINT from ONE conditional-aggregation pass (dollar scale
+    * keeps Σx² < 2⁶³ at the fixture's order-of-magnitude — the
+    * `q_agg_effectsize` bound); ratios, SEs, and the z statistic are
+    * one shared IEEE tree over those integers. Degenerate arms (no
+    * orders / zero variance) declare NULL via exact integer guards. */
+  def aggRatioDelta(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+      .select(
+        when(substring(md5(col("o_custkey").cast("string")
+          .cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B").as("variant"),
+        col("x"), col("y"))
+    def arm(v: String, c: String) = Seq(
+      count(when(col("variant") === v, lit(1))).as(s"n_$c"),
+      coalesce(sum(when(col("variant") === v, col("x"))), lit(0L))
+        .as(s"sx_$c"),
+      coalesce(sum(when(col("variant") === v, col("y"))), lit(0L))
+        .as(s"sy_$c"),
+      coalesce(sum(when(col("variant") === v, col("x") * col("x"))),
+        lit(0L)).as(s"sxx_$c"),
+      coalesce(sum(when(col("variant") === v, col("y") * col("y"))),
+        lit(0L)).as(s"syy_$c"),
+      coalesce(sum(when(col("variant") === v, col("x") * col("y"))),
+        lit(0L)).as(s"sxy_$c"))
+    val cols = arm("A", "a") ++ arm("B", "b")
+    val m = perCust.agg(cols.head, cols.tail: _*)
+    // ANSI hoists divisions out of untaken `when` branches (the
+    // q_ab_test finding), so every denominator is branchlessly floored
+    // when its guard would fire — value-identical whenever the guard
+    // passes, and the guarded output is NULL otherwise.
+    def safeDen(c: org.apache.spark.sql.Column) =
+      when(c > 0, c).otherwise(lit(1.0))
+    def ratio(c: String) = col(s"sx_$c").cast("double") /
+      safeDen(col(s"sy_$c").cast("double"))
+    def se2(c: String) = {
+      val n = when(col(s"n_$c") > 1, col(s"n_$c").cast("double"))
+        .otherwise(lit(2.0))
+      val r = ratio(c)
+      val cxx = col(s"sxx_$c").cast("double") -
+        col(s"sx_$c").cast("double") * col(s"sx_$c").cast("double") / n
+      val cyy = col(s"syy_$c").cast("double") -
+        col(s"sy_$c").cast("double") * col(s"sy_$c").cast("double") / n
+      val cxy = col(s"sxy_$c").cast("double") -
+        col(s"sx_$c").cast("double") * col(s"sy_$c").cast("double") / n
+      val ybar = col(s"sy_$c").cast("double") / n
+      (cxx - lit(2.0) * r * cxy + r * r * cyy) /
+        ((n - lit(1.0)) * n * safeDen(ybar * ybar))
+    }
+    val ok = (c: String) => col(s"n_$c") > 1 && col(s"sy_$c") > 0
+    val okBoth = ok("a") && ok("b")
+    m.select(
+      col("n_a"), col("n_b"), col("sy_a").as("orders_a"),
+      col("sy_b").as("orders_b"),
+      when(ok("a"), round(ratio("a"), 4)).as("ratio_a"),
+      when(ok("b"), round(ratio("b"), 4)).as("ratio_b"),
+      when(ok("a"), round(sqrt(se2("a")), 6)).as("se_a"),
+      when(ok("b"), round(sqrt(se2("b")), 6)).as("se_b"),
+      when(okBoth, round(ratio("a") - ratio("b"), 4)).as("diff"),
+      when(okBoth && se2("a") + se2("b") > 0,
+        round((ratio("a") - ratio("b"))
+          / safeDen(sqrt(se2("a") + se2("b"))), 4)).as("z"))
   }
 
   /** Standardized effect size (Cohen's d + Hedges' g) of order priority

@@ -917,6 +917,47 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_agg_ratio_delta matches a per-customer moment replay") {
+    val pc = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        val x = rows.map(r => math.round(r.getDouble(1))).sum
+        val variant =
+          if ("01234567".contains(
+            org.apache.commons.codec.digest.DigestUtils
+              .md5Hex(k.toString).charAt(0))) "A" else "B"
+        (variant, x, rows.length.toLong)
+      }.toSeq
+    def stats(v: String) = {
+      val g = pc.filter(_._1 == v)
+      val n = g.size.toDouble
+      val sx = g.map(_._2).sum.toDouble; val sy = g.map(_._3).sum.toDouble
+      val r = sx / sy
+      val cxx = g.map(t => t._2.toDouble * t._2).sum - sx * sx / n
+      val cyy = g.map(t => t._3.toDouble * t._3).sum - sy * sy / n
+      val cxy = g.map(t => t._2.toDouble * t._3).sum - sx * sy / n
+      val ybar = sy / n
+      val se2 = (cxx - 2 * r * cxy + r * r * cyy) /
+        ((n - 1) * n * ybar * ybar)
+      (g.size, sy.toLong, r, math.sqrt(se2), se2)
+    }
+    val (na, oa, ra, sea, s2a) = stats("A")
+    val (nb, ob, rb, seb, s2b) = stats("B")
+    val r = graft.operators.StatsQueries.aggRatioDelta(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("orders_a") == oa)
+    assert(r.getAs[Long]("orders_b") == ob)
+    assert(math.abs(r.getAs[Double]("ratio_a") - ra) < 1e-3)
+    assert(math.abs(r.getAs[Double]("ratio_b") - rb) < 1e-3)
+    assert(math.abs(r.getAs[Double]("se_a") - sea) < 1e-4)
+    assert(math.abs(r.getAs[Double]("se_b") - seb) < 1e-4)
+    assert(math.abs(r.getAs[Double]("z") -
+      (ra - rb) / math.sqrt(s2a + s2b)) < 1e-2)
+    assert(r.getAs[Double]("se_a") > 0 && r.getAs[Double]("se_b") > 0)
+  }
+
   test("q_agg_theil_u: 0 <= U <= 1 and H(X|Y) <= H(X)") {
     val r = StatsQueries.aggTheilU(spark, sfDir).collect().head
     val (hx, hxy) = (r.getAs[Double]("h_x"), r.getAs[Double]("h_x_given_y"))
