@@ -595,4 +595,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans === 0,
       s"$scans parquet scans in the final round — lineage cut lost")
   }
+
+  test("q_agg_effectsize and q_agg_ratio_delta are single-scan " +
+      "conditional aggregations") {
+    // Both declare "no join, no second pass" — the two-group/two-arm
+    // moments must come from ONE pass over orders: exactly one parquet
+    // scan, zero Join nodes.
+    for (q <- Seq(
+        graft.operators.StatsQueries.aggEffectSize(spark, sfDir),
+        graft.operators.StatsQueries.aggRatioDelta(spark, sfDir))) {
+      val plan = finalPlanString(q)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans === 1, s"$scans scans — conditional agg regressed")
+      assert(!plan.contains("Join"), "a join crept into the one-pass agg")
+    }
+  }
+
+  test("q_survival_km: one fact scan; windows run on the duration frame") {
+    // The fact collapses to per-customer spans in one keyed agg and the
+    // corpus max arrives by broadcast — the orders parquet must be
+    // scanned at most twice (span agg + max), and no SortMergeJoin may
+    // appear (the only join is the 1-row broadcast cross).
+    val plan = finalPlanString(
+      graft.operators.StatsQueries.survivalKm(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"$scans parquet scans — span-agg shape regressed")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus-max must broadcast, not shuffle-join")
+  }
+
+  test("q_graph_kcore's settled round reads only checkpointed state") {
+    // Six h-index rounds, each checkpoint-cut: the final plan must not
+    // re-derive the pair pipeline from parquet (the label-prop lineage
+    // discipline).
+    val plan = finalPlanString(
+      graft.operators.GraphQueries.graphKcore(spark, sfDir))
+    assert(!plan.contains("embeddings.parquet"),
+      "k-core re-derived the edge feed from parquet")
+  }
 }
