@@ -30,10 +30,12 @@ object Bench {
     val spark = Harness.session()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      Harness.releaseTransient(spark)
     }
     // Warmup (2): one untimed sweep at the TARGET scale factor.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      Harness.releaseTransient(spark)
     }
     // Per-query successful times across passes. A crashed run must not
     // masquerade as a (misleadingly fast) timing — it is simply absent.
@@ -54,6 +56,10 @@ object Bench {
         } catch { case t: Throwable =>
           System.err.println(s"[bench] $name failed: ${t.getMessage}")
         }
+        // Outside the per-query timer: each invocation's dead
+        // localCheckpoint blocks must not become the NEXT query's
+        // memory pressure (the round-7 drift — see releaseTransient).
+        Harness.releaseTransient(spark)
       }
       (System.nanoTime() - t0) / 1e9
     }

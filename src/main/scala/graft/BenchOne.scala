@@ -21,6 +21,7 @@ object BenchOne {
       val rows = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[bench-one] $name run $i: $dt%.3f s ($rows rows)")
+      Harness.releaseTransient(spark) // full-bench hygiene, same here
       dt
     }
     println(f"[bench-one] $name median: ${Harness.median(times)}%.3f s")

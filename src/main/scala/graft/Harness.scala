@@ -26,6 +26,34 @@ object Harness {
     s
   }
 
+  /** Release per-invocation session residue between independent query
+    * runs. Two leak classes accumulate over a long single-session sweep
+    * (the round-7 drift: timed pass totals climbed 164 → 218 → 265 s
+    * across three sweeps of 294 queries):
+    *
+    *  1. `localCheckpoint` blocks — ~40 call sites materialize
+    *     intermediate frames; the blocks are freed only when the
+    *     ContextCleaner notices the RDD is unreachable (GC-driven), so a
+    *     fast sweep outruns the cleaner and every pass executes under
+    *     the previous passes' dead blocks' memory pressure.
+    *  2. memory-sink stream tables — handled at the source:
+    *     StreamQueries.runToTable drops its temp view once the caller's
+    *     DataFrame holds the materialized plan (not here — a catalog
+    *     listing per query is a driver-side Dataset build, too heavy for
+    *     a per-query hook).
+    *
+    * Safe ONLY between queries: every declared query builds its frames
+    * fresh per invocation (no RDD is shared across invocations, and the
+    * repo has no `.cache()`/`persist` in any query path — grep-pinned),
+    * but an unpersisted localCheckpoint CANNOT recompute (lineage is
+    * truncated), so callers must not hold live DataFrames across a
+    * release. Bench/Verify call it after each query's action completes;
+    * unpersist is non-blocking, so the cost is a handful of async
+    * messages, not a stop-the-world sweep. */
+  def releaseTransient(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+
   /** True median: midpoint average for even-length samples — the upper
     * order statistic would systematically overstate exactly the queries
     * that dropped a run. Callers guarantee non-empty. */

@@ -174,11 +174,14 @@ object FeatureQueries {
         |  FROM seg),
         |sc AS (
         |  SELECT segment, n_cust, pos, neg,
-        |    ln(((CAST(pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE))
-        |      / ((CAST(neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE)))
-        |      AS woe_raw,
-        |    CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)
-        |      - CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE) AS dshare
+        |    CASE WHEN tp > 0 AND tn > 0 THEN
+        |      ln(((CAST(pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE))
+        |        / ((CAST(neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE)))
+        |    END AS woe_raw,
+        |    CASE WHEN tp > 0 AND tn > 0 THEN
+        |      CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)
+        |        - CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE)
+        |    END AS dshare
         |  FROM t)
         |SELECT segment, n_cust, pos, neg,
         |  round(woe_raw, 6) AS woe,
@@ -339,7 +342,9 @@ object FeatureQueries {
     * shape: the label table is the distinct urgent customer set, joined
     * left so orderless customers count as negatives). Counts are exact
     * integers; WOE = ln(((pos+0.5)/POS)/((neg+0.5)/NEG)) — the +0.5
-    * Laplace half-count keeps empty cells finite — is ONE shared tree
+    * Laplace half-count keeps empty CELLS finite, and a single-CLASS
+    * corpus (POS=0 or NEG=0, where no evidence ratio exists) is declared
+    * NULL by the same CASE guard in both engines — is ONE shared tree
     * over exact operands; IV terms are quantized to 1e-6 units before
     * the cross-segment total (the `q_select_dsir` discipline), so
     * `iv_total` is order-independent. Scale: corpus collapses in one
@@ -360,12 +365,22 @@ object FeatureQueries {
     val t = seg
       .withColumn("tp", sum("pos").over(wAll))
       .withColumn("tn", sum("neg").over(wAll))
-    val woe = log(((col("pos").cast("double") + lit(0.5))
-        / col("tp").cast("double"))
+    // A single-class corpus (no positives anywhere, or no negatives) has
+    // no defined WOE: tp=0 would make dshare 0/0=NaN and woe ln(Inf),
+    // and the two engines disagree downstream (Spark's NaN→BIGINT cast
+    // yields 0, DuckDB's errors). Declare the degenerate case NULL on
+    // BOTH sides (the q_agg_effectsize empty-group discipline) and floor
+    // the denominators branchlessly so the divide is unreachable.
+    val ok = col("tp") > 0 && col("tn") > 0
+    def safeDen(c: org.apache.spark.sql.Column) =
+      when(c > 0, c.cast("double")).otherwise(lit(1.0))
+    val woe = when(ok, log(((col("pos").cast("double") + lit(0.5))
+        / safeDen(col("tp")))
       / ((col("neg").cast("double") + lit(0.5))
-        / col("tn").cast("double")))
-    val dshare = col("pos").cast("double") / col("tp").cast("double") -
-      col("neg").cast("double") / col("tn").cast("double")
+        / safeDen(col("tn")))))
+    val dshare = when(ok,
+      col("pos").cast("double") / safeDen(col("tp")) -
+        col("neg").cast("double") / safeDen(col("tn")))
     t.withColumn("woe_raw", woe).withColumn("dshare", dshare)
       .withColumn("iv_units",
         round(lit(1000000.0) * col("dshare") * col("woe_raw"), 0)

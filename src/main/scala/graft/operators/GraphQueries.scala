@@ -680,7 +680,14 @@ object GraphQueries {
     * the keyed sum (the `q_select_dsir` discipline: float work ends at
     * the degree table, the pair aggregation is pure BIGINT, so the sum
     * is order-independent and engine-exact); Jaccard is an exact
-    * rational from integer degrees. The edge feed is [[SimilarityQueries
+    * rational from integer operands, computed CUT-RESPECTING: its
+    * intersection is the same ≤32-degree-middle common-neighbor count
+    * `cn` the wedge join emits (a shared neighbor of degree > 32 counts
+    * in neither cn nor any score), while deg1/deg2 are full degrees —
+    * so the declared semantics are "Jaccard over the hub-cut wedge
+    * graph", not the uncut neighborhood Jaccard (identical in both
+    * engines; an uncut cn would need the unbounded wedge join the
+    * middle cut exists to avoid). The edge feed is [[SimilarityQueries
     * .embedPairs]] materialized ONCE (localCheckpoint — three consumers:
     * wedge gen via und, adjacency anti-join, degree table). */
   def graphLinkpred(s: SparkSession, d: String): DataFrame = {

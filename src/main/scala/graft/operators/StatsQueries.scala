@@ -2928,7 +2928,9 @@ object StatsQueries {
     * Hedges' small-sample bias correction g = d·(1 − 3/(4N − 9)).
     *
     * Exactness: both groups' count/sum/sum-of-squares are exact BIGINT
-    * cents from ONE conditional-aggregation scan (no join, no second
+    * whole DOLLARS (the rounding-scale choice and its overflow argument
+    * are the inline comment below — cents would overflow the squared
+    * sum) from ONE conditional-aggregation scan (no join, no second
     * pass); the pooled sd and both effect sizes are one shared IEEE
     * tree over those integers (`sqrt` is correctly rounded on every
     * engine), emitted rounded 6. Degenerate pooled variance (exact

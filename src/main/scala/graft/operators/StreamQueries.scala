@@ -337,7 +337,16 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       deleteRecursively(ckpt)
     }
-    df.sparkSession.table(name)
+    // `table` resolves the view to the sink's plan EAGERLY (Dataset
+    // construction analyzes), so the catalog entry can be dropped here:
+    // the returned DataFrame owns the materialized rows and releases
+    // them with its last reference. Without the drop, every invocation
+    // leaked one driver-held result table for the session's lifetime —
+    // 22 streaming queries × 5 bench sweeps ≈ 110 tables (up to 16 k
+    // rows each) by pass 3, the round-7 pass-over-pass drift.
+    val out = df.sparkSession.table(name)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** Best-effort recursive delete of a throwaway replay checkpoint (they
