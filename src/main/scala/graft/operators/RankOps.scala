@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking (SURVEY §2.5/§2.6): the two-phase rank
+  * that replaces single-partition `ORDER BY`-the-world windows.
+  *
+  * An unpartitioned window (`ntile`/`row_number` with no PARTITION BY)
+  * requires `AllTuples` — Spark moves EVERY row to one task and sorts
+  * there. Fine on a dimension-sized frame; a serial bottleneck the
+  * moment the input scales with the corpus (the round-7 verdict's three
+  * `ntile` flags). The classic distributed fix, as used by every
+  * external-sort engine:
+  *
+  *   1. range-repartition on the rank order (each partition holds a
+  *      contiguous key range, partitions ordered by id) and sort WITHIN
+  *      partitions — an all-to-all exchange, but P parallel sorts of
+  *      n/P rows instead of one sort of n;
+  *   2. count rows per partition (tiny frame, ≤
+  *      `spark.sql.shuffle.partitions` rows — bounded by config, not by
+  *      data) and prefix-sum those counts into per-partition rank
+  *      offsets;
+  *   3. broadcast the offsets back: global rank = partition offset +
+  *      local position + 1.
+  *
+  * Local positions ride `monotonically_increasing_id`'s bit layout
+  * (partition id in the upper 31 bits, intra-partition record index in
+  * the lower 33) — assigned ABOVE the within-partition sort, and the
+  * expression's nondeterminism marker keeps Catalyst from reordering it
+  * below. The result is exactly the rank the single-partition window
+  * would emit whenever the ordering is a TOTAL order (callers pass a
+  * unique tiebreak key — same contract the oracle SQL declares), so
+  * DuckDB twins keep their plain `ntile()/row_number()` and still
+  * hash-match: the two-phase plan changes the execution shape, not one
+  * output value. */
+object RankOps {
+
+  /** `a div b` for non-negative longs as a Catalyst `IntegralDivide` —
+    * exact integer division (a Column-API `/` would detour through
+    * IEEE doubles). */
+  private def idiv(a: Column, b: Column): Column =
+    call_function("div", a.cast("long"), b.cast("long"))
+
+  /** Appends `rankCol` (1-based global rank under `order`, which MUST
+    * be a total order) and `totalCol` (the global row count) via the
+    * two-phase rank above. One range exchange over the data plus one
+    * tiny counts aggregate; no single-partition stage anywhere. */
+  def withGlobalRank(df: DataFrame, rankCol: String, totalCol: String,
+      order: Column*): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt.max(1)
+    // Materialized ONCE (localCheckpoint): the counts aggregate and the
+    // main path must observe the SAME partitioning and the same mid
+    // assignment. Left lazy, the two consumers are separately
+    // column-pruned subtrees whose range exchanges no longer
+    // canonicalize equal — no reuse, two independent boundary samplings
+    // (RangePartitioner seeds by RDD id), and the offsets of one
+    // partitioning get applied to the other's partition ids (measured:
+    // 648/15000 wrong quartiles under Verify's coalesce(1) write).
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__g_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val pid = shiftright(col("__g_mid"), 33)
+    val localIdx = col("__g_mid").bitwiseAND(lit((1L << 33) - 1))
+    // Per-partition counts: ≤ `parts` rows by construction, so the
+    // prefix-sum window below is bounded-input (PlanShapeSpec's
+    // unpartitioned-window sweep verifies non-growth, not absence).
+    val offs = sorted.groupBy(pid.as("__g_pid"))
+      .agg(count(lit(1)).as("__g_cnt"))
+      .select(col("__g_pid"),
+        (sum("__g_cnt").over(Window.orderBy("__g_pid"))
+          - col("__g_cnt")).as("__g_off"),
+        sum("__g_cnt").over(Window.partitionBy()).as(totalCol))
+    // Range partitions are assigned ascending key ranges in ascending
+    // partition-id order, so offset(pid) counts exactly the rows
+    // ordered strictly before this partition.
+    sorted.withColumn("__g_pid", pid)
+      .join(broadcast(offs), Seq("__g_pid"))
+      .withColumn(rankCol, localIdx + col("__g_off") + lit(1L))
+      .drop("__g_pid", "__g_mid", "__g_off")
+  }
+
+  /** SQL-standard `ntile(k)` from a 1-based global rank and total count
+    * n, in pure integer arithmetic: the first n mod k buckets take
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — bit-identical to the window function
+    * on a total order in every engine. Returns BIGINT; callers cast to
+    * INT where the declared schema says so. */
+  def ntileFromRank(rank: Column, total: Column, k: Int): Column = {
+    val kL = lit(k.toLong)
+    val base = idiv(total, kL)          // ⌊n/k⌋
+    val rem = total % kL                // buckets that take base+1 rows
+    val bigSpan = rem * (base + lit(1L)) // rows living in the big buckets
+    // n < k ⇒ base = 0 and every rank sits in a big bucket — the small
+    // branch is untaken, but ANSI throws on its div-0 anyway
+    // (subexpression elimination hoists divisions out of CASE arms — the
+    // q_ab_test safeDen discipline), so floor the dead denominator to 1.
+    val baseSafe = greatest(base, lit(1L))
+    when(rank <= bigSpan, idiv(rank - 1, base + lit(1L)) + lit(1L))
+      .otherwise(rem + idiv(rank - lit(1L) - bigSpan, baseSafe) + lit(1L))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2007,17 +2007,24 @@ object StatsQueries {
     * staple.
     *
     * Scale shape: the orders fact is reduced to ONE row per customer in
-    * a single map-side-combined keyed shuffle FIRST; everything after —
-    * the max-day global window and the three `ntile(5)` sorts — runs on
-    * the customer-DIMENSION frame, never the fact table. (The global
-    * windows do single-partition that small frame; at 100 TB the fact
-    * side is what matters, and it is touched exactly once.)
+    * a single map-side-combined keyed shuffle FIRST; everything after
+    * runs on the customer-DIMENSION frame, never the fact table. That
+    * frame still scales with the corpus (customers grow with data), so
+    * no stage single-partitions it either: the max-day scalar is a
+    * 1-row aggregate attached by broadcast, and each quintile is the
+    * two-phase distributed global rank ([[RankOps.withGlobalRank]] —
+    * range-partitioned parallel sorts + broadcast prefix offsets) fed
+    * through integer [[RankOps.ntileFromRank]] arithmetic, replacing
+    * round 7's three single-partition `ntile(5)` window sorts.
     *
     * Cross-engine discipline: monetary is carried as exact BIGINT cents
-    * (`round(price*100)` — the testdata's totals are 2dp); quintiles are
-    * `ntile(5)` over the total order (metric, custkey), which both
-    * engines implement identically (SQL standard: first n mod 5 buckets
-    * get the extra row), so scores never hinge on a float comparison. */
+    * (`round(price*100)` — the testdata's totals are 2dp); quintiles
+    * reproduce SQL-standard `ntile(5)` over the total order (metric,
+    * custkey) exactly — the rank is the same total-order position the
+    * oracle's window computes and the bucket formula (first n mod 5
+    * buckets get the extra row) is pure integer arithmetic — so scores
+    * never hinge on a float comparison and the DuckDB twin keeps its
+    * plain `ntile`. */
   def rfm(s: SparkSession, d: String): DataFrame = {
     val per = orders(s, d)
       .groupBy(col("o_custkey").as("c_custkey"))
@@ -2026,15 +2033,21 @@ object StatsQueries {
           .as("last_day"),
         count(lit(1)).as("frequency"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val scored = per
-      .withColumn("recency_days",
-        max("last_day").over(Window.partitionBy()) - col("last_day"))
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("c_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency"), col("c_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("cents"), col("c_custkey"))))
+    def quintile(df: DataFrame, scoreCol: String, order: Column*) =
+      RankOps.withGlobalRank(df, "__rk", "__n", order: _*)
+        .withColumn(scoreCol,
+          RankOps.ntileFromRank(col("__rk"), col("__n"), 5).cast("int"))
+        .drop("__rk", "__n")
+    val withRec = per.crossJoin(
+        broadcast(per.agg(max("last_day").as("__max_day"))))
+      .withColumn("recency_days", col("__max_day") - col("last_day"))
+      .drop("__max_day")
+    val scored = quintile(
+      quintile(
+        quintile(withRec, "r_score",
+          col("recency_days").desc, col("c_custkey")),
+        "f_score", col("frequency"), col("c_custkey")),
+      "m_score", col("cents"), col("c_custkey"))
     scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
         round(col("cents").cast("double") / 100, 2).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
@@ -2646,17 +2659,21 @@ object StatsQueries {
     * site map (q_agg_gini emits the scalar; this emits the CURVE).
     *
     * Scale shape: one customer-keyed agg (exact BIGINT cents, so band
-    * totals are order-independent integers), the ntile window on the
-    * (revenue DESC, custkey) total order, and everything after runs on
-    * the 10-row band frame. */
+    * totals are order-independent integers), deciles via the two-phase
+    * distributed global rank ([[RankOps]] — the per-customer frame
+    * grows with the corpus, so it is never single-partition-sorted; the
+    * integer bucket arithmetic reproduces the oracle's `ntile(10)` over
+    * the (revenue DESC, custkey) total order exactly), and everything
+    * after runs on the 10-row band frame. */
   def revenueConcentration(s: SparkSession, d: String): DataFrame = {
     val rev = orders(s, d)
       .select(col("o_custkey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       .groupBy("o_custkey").agg(sum("cents").as("rev"))
-    val band = rev.select(col("rev"),
-      ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey")))
-        .as("decile"))
+    val band = RankOps.withGlobalRank(rev, "__rk", "__n",
+        col("rev").desc, col("o_custkey"))
+      .select(col("rev"),
+        RankOps.ntileFromRank(col("__rk"), col("__n"), 10).as("decile"))
     val wc = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wt = Window.partitionBy()

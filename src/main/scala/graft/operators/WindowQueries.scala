@@ -12,8 +12,10 @@ import graft.Tables._
   * Extension surface (the reference's Beam SDK carries windowing as a model
   * concept, /root/reference/main.py:8, but the pipeline itself never uses
   * it). All partitions here are keyed (customer / user / priority) so state
-  * distributes; the one global window (`ntile`) is documented as a
-  * single-partition operation you only run on pre-aggregated data at scale.
+  * distributes; global ranking (`ntile` over the whole table) runs as the
+  * two-phase distributed rank ([[RankOps]]) — no query in this module
+  * plans a single-partition window over corpus-sized input
+  * (PlanShapeSpec sweeps all declared queries for exactly that).
   */
 object WindowQueries {
 
@@ -292,17 +294,25 @@ object WindowQueries {
       .orderBy("o_orderkey")
   }
 
-  /** ntile quartiles (global — run on pre-aggregated data at scale) and a
-    * value-RANGE frame count per priority band. */
+  /** Global ntile quartiles over the full fact table — via the
+    * two-phase distributed rank ([[RankOps]]: range-partitioned
+    * parallel sorts + broadcast prefix offsets + integer bucket
+    * arithmetic), NOT an unpartitioned `ntile` window (round 7 shipped
+    * the single-partition sort this module's header warned about; the
+    * oracle's plain `ntile(4)` is reproduced exactly because the
+    * (price, orderkey) ordering is total) — plus a value-RANGE frame
+    * count per priority band. */
   def windowNtileRange(s: SparkSession, d: String): DataFrame = {
-    val wq = Window.orderBy("o_totalprice", "o_orderkey")
     val wr = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice"))
       .rangeBetween(-10000, Window.currentRow)
-    orders(s, d)
+    RankOps.withGlobalRank(
+        orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        "__rk", "__n", col("o_totalprice"), col("o_orderkey"))
       .select(
         col("o_orderkey"),
-        ntile(4).over(wq).cast("long").as("quartile"),
+        RankOps.ntileFromRank(col("__rk"), col("__n"), 4).as("quartile"),
         count(lit(1)).over(wr).as("n_in_band"))
       .orderBy("o_orderkey")
   }

@@ -633,4 +633,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("embeddings.parquet"),
       "k-core re-derived the edge feed from parquet")
   }
+
+  test("no declared query feeds an unpartitioned window corpus-scaled " +
+      "input") {
+    // An unpartitioned window (`ORDER BY`/frame with no PARTITION BY)
+    // requires AllTuples: every input row moves to ONE task. That is
+    // fine on a provably bounded frame (a decile table, a partition-
+    // count frame, a quantile grid) and a serial bottleneck on anything
+    // that scales with the corpus — the round-7 verdict's three `ntile`
+    // flags (q_rfm / q_window_ntile_range / q_revenue_concentration,
+    // since rebuilt on RankOps' two-phase rank). This sweep makes the
+    // property structural: for EVERY declared query, every unpartitioned
+    // logical Window's input is counted at sf0.001 and sf0.01 (10×
+    // corpus growth) and must grow strictly sub-linearly (≤ 7.5×, floor
+    // 64 rows). Bounded frames sit far below it (constant counts);
+    // axis-compressed frames — q_survival_km's duration axis, q_ts_*'s
+    // day grid, both calendar-bounded — measure ≤ 6×; a corpus-sized
+    // frame measures ~10× and fails (the pre-fix trio did).
+    // Streaming queries are skipped: their returned plan is the
+    // already-materialized replay table, so there is no window left to
+    // inspect (and building one executes the whole replay).
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+      Window => LWindow}
+    def gw(p: LogicalPlan): Seq[LogicalPlan] =
+      p.collect { case w: LWindow if w.partitionSpec.isEmpty => w.child }
+    val big = "/root/testdata/sf0.01"
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("q_stream_"))
+      .foreach { case (name, fn) =>
+        val s = gw(fn(spark, sfDir).queryExecution.optimizedPlan)
+        if (s.nonEmpty) {
+          val b = gw(fn(spark, big).queryExecution.optimizedPlan)
+          assert(b.size == s.size,
+            s"$name: window count differs across SFs (${s.size} vs " +
+              s"${b.size}) — sweep cannot pair inputs")
+          s.zip(b).zipWithIndex.foreach { case ((cs, cb), i) =>
+            val nS = org.apache.spark.sql.GraftPlanBridge
+              .ofRows(spark, cs).count()
+            val nB = org.apache.spark.sql.GraftPlanBridge
+              .ofRows(spark, cb).count()
+            if (nB > math.max(64L, (7.5 * nS).toLong))
+              offenders += s"$name window#$i: $nS -> $nB rows"
+          }
+        }
+        graft.Harness.releaseTransient(spark)
+      }
+    assert(offenders.isEmpty,
+      "corpus-scaled unpartitioned windows (single-partition sorts at " +
+        "scale):\n" + offenders.mkString("\n"))
+  }
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{DataFrame => CDataFrame, Dataset, SparkSession => CSparkSession}
+
+/** Test-only bridge into `private[sql]` plan construction: PlanShapeSpec's
+  * unpartitioned-window sweep needs to COUNT the input of a `Window` node
+  * it found inside an optimized plan, which means wrapping an arbitrary
+  * `LogicalPlan` back into a runnable DataFrame. */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): CDataFrame =
+    Dataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+}
