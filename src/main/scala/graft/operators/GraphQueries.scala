@@ -222,6 +222,34 @@ object GraphQueries {
         |  e.est AS coreness
         |FROM est6 e LEFT JOIN deg d ON d.node = e.node
         |ORDER BY vec_id""".stripMargin),
+    // Same cos >= 0.4 edge CTE; the ten integer-unit PageRank rounds
+    // UNROLLED (the q_graph_kcore discipline) — rank state is 1e-6-scaled
+    // BIGINT with truncating division only, so every round is
+    // engine-exact; singletons take the 0.15 no-inlink fixed point in
+    // the final left join.
+    "q_graph_pagerank" ->
+      ("""WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+        |und AS (SELECT v1, v2 FROM pairs
+        |        UNION ALL SELECT v2, v1 FROM pairs),
+        |deg AS (SELECT v1 AS node, CAST(count(*) AS BIGINT) AS degree
+        |        FROM und GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),"""
+        .stripMargin
+        + "\n" + (1 to 10).map(prRoundSql).mkString(",\n") + "\n"
+        + """SELECT e.vec_id,
+        |  round(CAST(coalesce(r.r, 150000) AS DOUBLE) / 1000000.0, 6)
+        |    AS "rank"
+        |FROM embeddings e LEFT JOIN r10 r ON r.node = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin),
     // Same cos >= 0.4 edge CTE; intra counts / degree sums / m exact
     // integers, Q terms one shared tree quantized to 1e-6 units before
     // the cross-label total; m = 0 declared zero terms.
@@ -289,6 +317,22 @@ object GraphQueries {
        |    AS est
        |  FROM est${r - 1} p LEFT JOIN h$r h ON h.node = p.node)"""
       .stripMargin
+
+  /** One unrolled PageRank round of the q_graph_pagerank oracle: each
+    * node's round-(r−1) rank units split by truncating division over its
+    * out-edges, summed over in-edges, damped in integer arithmetic —
+    * identical operations to the Spark loop, so every round is
+    * engine-exact. */
+  private def prRoundSql(r: Int): String =
+    s"""r$r AS (
+       |  SELECT d.node,
+       |    CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+       |  FROM deg d LEFT JOIN (
+       |    SELECT u.v2 AS node, sum(p.r // g.degree) AS m
+       |    FROM und u
+       |    JOIN r${r - 1} p ON p.node = u.v1
+       |    JOIN deg g ON g.node = u.v1
+       |    GROUP BY 1) s ON s.node = d.node)""".stripMargin
 
   /** One unrolled label-propagation round of the q_graph_label_prop
     * oracle: neighbor-label counts over round r−1's frontier, the
@@ -416,52 +460,62 @@ object GraphQueries {
   }
 
   /** Link-analysis ranking over the near-dup graph: 10 synchronous
-    * PageRank iterations (reset 0.15) on the same ≥0.9-Jaccard LSH edge
-    * set as [[dedupCcLsh]], every document labeled with its rank.
+    * PageRank rounds (reset 0.15) on the same exact cos ≥ 0.4 edge set
+    * as the rest of the graph family ([[graphKcore]] / [[graphTriangles]]
+    * / [[graphLinkpred]]), every vector labeled with its rank.
     *
-    * Why a dedup pipeline wants this: connected components says WHICH
-    * docs are duplicates; rank says WHICH COPY to keep — the
-    * best-connected member of a near-dup cluster is the most
-    * "canonical" version (partial copies and mutilated variants sit on
-    * the cluster's rim with fewer strong links), the same
+    * Why a dedup/curation pipeline wants this: connected components says
+    * WHICH vectors cluster; rank says which member is most "canonical" —
+    * the best-connected node of a near-dup neighborhood (partial copies
+    * and mutilated variants sit on the rim with fewer links), the same
     * centrality-as-quality idea behind Common Crawl's published harmonic
     * centrality rankings. Undirected graph → each pair feeds both
     * directions of the directed walk.
     *
-    * Scale design mirrors [[ccOverPairs]]: edge feed materialized once,
-    * partitions right-sized by edge count, only edge ENDPOINTS enter the
-    * iterative stage (rim of the corpus at dedup thresholds); each
-    * superstep is one indexed VertexRDD join — rank state is O(1) per
-    * vertex and the driver sees no rank data. Singletons never enter the
-    * graph and take the no-inlink fixed point 0.15 in the final join.
-    * Rows-only by §2 design (iterative float accumulation has no SQL
-    * twin); StatsGraphSpec replays the identical synchronous iteration
-    * in plain Scala and pins every vertex's rank to 1e-6. */
+    * Exactness (round 8 — this was the graph family's last rows-only
+    * member): rank state is EXACT 1e-6-scaled BIGINT units, not floats —
+    * r₀ = 10⁶, each round r' = 150000 + (85·Σ_{u→v} (r(u) div deg(u)))
+    * div 100, pure integer truncating division throughout, so every
+    * round is engine-exact by construction and the DuckDB twin simply
+    * unrolls the same 10 rounds (the `q_graph_kcore` discipline; GraphX
+    * `staticPageRank`'s double accumulation — the round-7 shape — had no
+    * SQL twin). The floor-division mass leak (< 1 unit per in-edge per
+    * round, i.e. < 1e-6 of rank) is the DECLARED semantics: determinism
+    * outranks the last unit of normalization here.
+    *
+    * Scale design: only edge ENDPOINTS enter the iterative stage (the
+    * rim of the corpus at near-dup thresholds); per-round state is O(1)
+    * integers per vertex, each round one keyed join + map-side-combined
+    * sum, lineage cut per round (localCheckpoint, the k-means
+    * discipline). Singletons never enter the iteration and take the
+    * no-inlink fixed point 0.15 in the final broadcast-right join. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val pairs = SimilarityQueries.simPairsLsh(s, d)
-      .filter(col("jaccard") >= 0.9).select("d1", "d2")
-      .toDF("src", "dst").localCheckpoint()
-    val nEdges = pairs.count()
-    val parts = math.max(1L, (2 * nEdges + EdgesPerPartition - 1) /
-      EdgesPerPartition).toInt
-    val edgeRdd = pairs.rdd.coalesce(parts).flatMap { r =>
-      Iterator(Edge(r.getLong(0), r.getLong(1), ()),
-        Edge(r.getLong(1), r.getLong(0), ()))
+    val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
+      .localCheckpoint()
+    val und = pairs.union(pairs.select(col("v2"), col("v1")))
+      .localCheckpoint()
+    val deg = und.groupBy(col("v1").as("node"))
+      .agg(count(lit(1)).as("degree")).localCheckpoint()
+    var rank = deg.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 10) {
+      // Outbox: each node's per-edge contribution (exact truncating
+      // division); inbox: map-side-combined integer sum over in-edges.
+      val out = rank.join(deg, Seq("node"))
+        .select(col("node").as("v1"), expr("r div degree").as("c"))
+      val inbox = und.join(out, Seq("v1"))
+        .groupBy(col("v2").as("node")).agg(sum("c").as("m"))
+      rank = deg.select("node").join(inbox, Seq("node"), "left")
+        .select(col("node"), (lit(150000L) +
+          expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint()
     }
-    val graph = Graph.fromEdges(edgeRdd, (),
-      edgeStorageLevel = StorageLevel.MEMORY_ONLY,
-      vertexStorageLevel = StorageLevel.MEMORY_ONLY)
-    val pr = graph.staticPageRank(numIter = 10, resetProb = 0.15)
-    val ranks = pr.vertices.toDF("doc_id", "rank").localCheckpoint()
-    pr.unpersist(blocking = false)
-    graph.unpersist(blocking = false)
-    documents(s, d).select("doc_id")
-      .join(ranks, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(coalesce(col("rank"), lit(0.15)), 6).as("rank"))
-      .orderBy("doc_id")
+    embeddings(s, d).select("vec_id")
+      .join(rank.withColumnRenamed("node", "vec_id"), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"),
+        round(coalesce(col("r"), lit(150000L)).cast("double")
+          / 1000000.0, 6).as("rank"))
+      .orderBy("vec_id")
   }
 
   /** Local clustering structure of the near-dup graph: per-vector degree,

@@ -138,30 +138,34 @@ class StatsGraphSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("pagerank matches a plain-Scala replay of the synchronous iteration") {
-    // Replicate GraphX staticPageRank's exact algorithm (init 1.0, then
-    // rank = 0.15 + 0.85 · Σ inbound rank/outDeg for 10 synchronous
-    // rounds) over the same ≥0.9 LSH edge set, in driver-side Scala.
-    val edges = SimilarityQueries.simPairsLsh(spark, sfDir)
-      .filter(col("jaccard") >= 0.9).select("d1", "d2").collect()
+    // Replicate the declared integer fixed point (init 10⁶ units, then
+    // r' = 150000 + (85 · Σ inbound r div outDeg) div 100 for 10
+    // synchronous rounds) over the same exact cos ≥ 0.4 edge set, in
+    // driver-side Scala Long arithmetic — EXACT equality expected, the
+    // semantics carry no float accumulation anywhere.
+    val edges = SimilarityQueries.dedupEmbed(spark, sfDir)
+      .select("v1", "v2").collect()
       .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
         r.getLong(1) -> r.getLong(0)))
-    assert(edges.nonEmpty, "fixture has no >=0.9 pairs — test is vacuous")
+    assert(edges.nonEmpty, "fixture has no >=0.4 pairs — test is vacuous")
     val outDeg = edges.groupBy(_._1).map { case (v, es) => v -> es.length }
     val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    var rank = verts.map(_ -> 1.0).toMap
+    var rank = verts.map(_ -> 1000000L).toMap
     for (_ <- 1 to 10) {
-      val msg = scala.collection.mutable.Map[Long, Double]()
-        .withDefaultValue(0.0)
+      val msg = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
       edges.foreach { case (src, dst) =>
         msg(dst) += rank(src) / outDeg(src)
       }
-      rank = verts.map(v => v -> (0.15 + 0.85 * msg(v))).toMap
+      rank = verts.map(v => v -> (150000L + (85L * msg(v)) / 100L)).toMap
     }
     val got = GraphQueries.graphPagerank(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    rank.foreach { case (v, expected) =>
-      assert(math.abs(got(v) - expected) < 1e-6,
-        s"vertex $v: got ${got(v)}, replica $expected")
+    rank.foreach { case (v, units) =>
+      val expected = BigDecimal(units.toDouble / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(v) === expected,
+        s"vertex $v: got ${got(v)}, replica $expected ($units units)")
     }
     // Everything outside the edge set sits at the no-inlink fixed point.
     val connected = verts.toSet
