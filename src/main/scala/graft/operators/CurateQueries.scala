@@ -788,17 +788,19 @@ object CurateQueries {
   /** Bloom-gated incremental dedup — `q_dedup_incremental`'s exact
     * fingerprint join with the 100 TB prefilter in front: a Bloom filter
     * built over the BASE corpus fingerprints (KB-scale whatever the
-    * corpus, `spark.util.sketch.BloomFilter` via `stat.bloomFilter`)
-    * rides to every executor as a broadcast, and each delta row probes
-    * it row-locally. Bloom misses are DEFINITELY new (no false
-    * negatives, by construction) and skip the join entirely; only the
-    * hits — the true dups plus an fpp-bounded sliver — reach the exact
-    * confirm join, so the join's probe side shrinks from |delta| to
-    * ≈|dups|. The report carries the pruning accounting per language:
-    * delta size, bloom-pruned, candidates, confirmed dups, and measured
-    * false positives.
+    * corpus, Spark's codegen'd `BloomFilterAggregate` exposed as
+    * `graft_bloom_agg`) rides to every executor as a plan literal, and
+    * each delta row probes it row-locally through `graft_might_contain`
+    * — the probe stays inside whole-stage codegen, no typed boundary.
+    * Bloom misses are DEFINITELY new (no false negatives, by
+    * construction) and skip the join entirely; only the hits — the true
+    * dups plus an fpp-bounded sliver — reach the exact confirm join, so
+    * the join's probe side shrinks from |delta| to ≈|dups|. The report
+    * carries the pruning accounting per language: delta size,
+    * bloom-pruned, candidates, confirmed dups, and measured false
+    * positives.
     *
-    * Deterministic: the sketch BloomFilter hashes with fixed seeds and
+    * Deterministic: keys enter as fixed-seed `xxhash64` longs and
     * bit-OR insertion is order-independent, so hits — and therefore
     * every count — are run-stable. Declared rows-only (the bloom has no
     * SQL twin); the no-false-negative and reconciliation invariants are
@@ -815,33 +817,37 @@ object CurateQueries {
     // silently degrades the 3% fpp design point once the corpus outgrows
     // it — at sf0.1 the base was already 3750/8192. The count is one
     // extra pass over a 2-column projection of the base (pushdown prunes
-    // the scan) and `stat.bloomFilter` itself is already an action, so
+    // the scan) and the sketch aggregate itself is already an action, so
     // construction stays O(2 scans); the bits stay KB-scale (~1.2 B/item
-    // at 3%). The broadcast is NOT destroyed here: the returned DataFrame
-    // is lazy and the caller executes it later — executors drop the
-    // KB-scale block with the plan's last reference (ContextCleaner).
+    // at 3%).
     val nBaseRows = base.count()
-    // An EMPTY base cannot build a bloom filter (stat.bloomFilter's
-    // zero-row sketch broadcast NPEs on deserialize) and doesn't need
-    // one: with nothing in the base, every delta row is definitely new
-    // — the bloom's no-false-negative contract degenerates to
-    // all-misses (EmptyInputSpec).
+    // An EMPTY base needs no bloom filter: with nothing in the base,
+    // every delta row is definitely new — the no-false-negative contract
+    // degenerates to all-misses (EmptyInputSpec).
     val probed =
       if (nBaseRows == 0)
         delta.withColumn("bloom_hit", lit(false))
       else {
         val nBase = (nBaseRows * 2).max(8192L)
-        val bloomBc = s.sparkContext.broadcast(
-          base.stat.bloomFilter("fp", nBase, 0.03))
-        delta.select("doc_id", "lang", "fp")
-          .as[(Long, String, String)]
-          .mapPartitions { it =>
-            val bf = bloomBc.value
-            it.map { case (id, lang, f) =>
-              (id, lang, f, bf.mightContain(f))
-            }
-          }
-          .toDF("doc_id", "lang", "fp", "bloom_hit")
+        val nBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(nBase, 0.03)
+        // Sketch built by the codegen'd BloomFilterAggregate (Spark's
+        // runtime-row-filter expression, exposed as graft_bloom_agg —
+        // fixed-seed xxhash64 keys, bit-OR merge, so the bytes are
+        // order-independent and run-stable) and pulled to the driver as
+        // ONE KB-scale binary — the same driver hop `stat.bloomFilter`
+        // made, not a data collect. Embedded as a plan literal it ships
+        // to executors with the task closure, and the probe is
+        // graft_might_contain — evaluated INSIDE whole-stage codegen
+        // (round 7 probed through a typed mapPartitions boundary, which
+        // forced DeserializeToObject around the hot path).
+        val sketch = base
+          .select(call_function("graft_bloom_agg", xxhash64(col("fp")),
+            lit(nBase), lit(nBits)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        delta.select(col("doc_id"), col("lang"), col("fp"),
+          call_function("graft_might_contain",
+            lit(sketch), xxhash64(col("fp"))).as("bloom_hit"))
       }
     val exact = base.select("fp").distinct().withColumn("dup", lit(true))
     val cand = probed.filter(col("bloom_hit"))

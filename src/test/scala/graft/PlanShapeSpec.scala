@@ -634,6 +634,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "k-core re-derived the edge feed from parquet")
   }
 
+  test("q_dedup_bloom probes inside codegen — no typed boundary") {
+    // The sketch probe is graft_might_contain (Spark's codegen'd
+    // BloomFilterMightContain) on a plan-literal sketch; a
+    // DeserializeToObject in the plan means the round-7 typed
+    // mapPartitions probe crept back around the hot path.
+    val plan = finalPlanString(
+      graft.operators.CurateQueries.dedupBloom(spark, sfDir))
+    assert(!plan.contains("DeserializeToObject"),
+      "bloom probe left whole-stage codegen (typed boundary reappeared)")
+  }
+
   test("no declared query feeds an unpartitioned window corpus-scaled " +
       "input") {
     // An unpartitioned window (`ORDER BY`/frame with no PARTITION BY)
