@@ -894,20 +894,48 @@ object StreamQueries {
     * matches emit). Cross-batch match + state-eviction semantics are
     * exercised in StreamingSpec's two-MemoryStream script. */
   /** The two watermarked interval-join streams shared by the inner and
-    * left-outer declared queries. */
+    * left-outer declared queries, each read from a STAGED pre-split
+    * parquet (fingerprint-guarded, the shingle-layout discipline): built
+    * inline, each invocation re-scanned and re-filtered the full events
+    * file once per side — four full scans across the query pair, the
+    * bench's #1 cost (6.2 s median for the left join alone). The split
+    * is an ingest-time artifact of the event-time data alone, so it is
+    * staged once per corpus — exactly what a production deployment does
+    * when it routes one firehose into per-type topics — and each replay
+    * reads only its own slice. One file per side keeps the documented
+    * single-micro-batch replay semantics. */
   private def intervalStreams(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val clicks = EventStreams.fileStream(s, d)
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "30 minutes")
-    val purchases = EventStreams.fileStream(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "30 minutes")
-    (clicks, purchases)
+    import graft.sources.{SourceQueries, Staging}
+    import org.apache.spark.sql.types._
+    val root = SourceQueries.scratch(d, "interval_streams")
+    val spec = "v1|" + Staging.fingerprint(s, Seq(s"$d/events.parquet"))
+    if (!Staging.readMarker(s, root).contains(spec)) {
+      val ev = graft.Tables.events(s, d)
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/clicks")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/purchases")
+      Staging.markStaged(s, root, spec)
+    }
+    // The staged files were written from the ALREADY-normalized events
+    // frame (Tables.events resolved the footer variance at stage time),
+    // so both stream schemas are plain micro-precision timestamps.
+    def side(sub: String, idCol: String, userCol: String,
+        tsCol: String): DataFrame =
+      s.readStream
+        .schema(StructType(Seq(StructField(idCol, LongType),
+          StructField(userCol, LongType),
+          StructField(tsCol, TimestampType))))
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$root/$sub")
+        .withWatermark(tsCol, "30 minutes")
+    (side("clicks", "c_id", "user_id", "c_ts"),
+      side("purchases", "p_id", "p_user", "p_ts"))
   }
 
   private val intervalCond =

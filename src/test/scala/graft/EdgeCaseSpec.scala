@@ -938,4 +938,57 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     }
     assert(out.length == expected.size)
   }
+
+  test("q_dedup_simhash: hamming-band clustering end to end") {
+    import spark.implicits._
+    // graft_simhash64 itself is equivalence-pinned (VecExprSpec); this
+    // plants documents at KNOWN signature distances and asserts the
+    // QUERY's hamming-band grouping end to end: a mutated near-dup at
+    // hamming 1..3 must pair with its original through the 4×16-bit
+    // pigeonhole join, and an unrelated doc (hamming ≫ 3) must pair
+    // with nothing. The near-dup is SELECTED by signature: candidate
+    // variants mutate k seeded token positions and the first variant
+    // landing in [1, 3] becomes the fixture — deterministic (fixed
+    // seed), and verified below rather than assumed.
+    val rng = new scala.util.Random(7)
+    val baseToks = IndexedSeq.fill(200)("tok" + rng.nextInt(400))
+    val posns = rng.shuffle(baseToks.indices.toList)
+    val variants = (1 to 40).map { k =>
+      val repl = posns.take(k).toSet
+      (k, baseToks.zipWithIndex.map { case (t, i) =>
+        if (repl(i)) s"mut${i}z" else t }.mkString(" "))
+    }
+    val unrelated = IndexedSeq.fill(200)("far" + rng.nextInt(400))
+      .mkString(" ")
+    val baseText = baseToks.mkString(" ")
+    def sigs(texts: Seq[(Long, String)]): Map[Long, Long] =
+      texts.toDF("id", "text")
+        .select(col("id"), call_function("graft_simhash64",
+          transform(split(col("text"), " "), t => xxhash64(t)))
+          .as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vs = sigs((0L, baseText) +: (1000L, unrelated) +:
+      variants.map { case (k, t) => (k.toLong, t) })
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = variants.find { case (k, _) =>
+      val h = ham(vs(0L), vs(k.toLong)); h >= 1 && h <= 3 }
+    assert(near.nonEmpty, "no mutation landed in hamming [1,3] — " +
+      "fixture construction broke (tokenizer or hash changed?)")
+    val (kSel, nearText) = near.get
+    val hNear = ham(vs(0L), vs(kSel.toLong))
+    assert(ham(vs(0L), vs(1000L)) > 3,
+      "unrelated doc landed within the band — fixture invalid")
+    val docs = Seq(
+      (1L, baseText, "en", "s", baseText.length.toLong),
+      (2L, nearText, "en", "s", nearText.length.toLong),
+      (3L, unrelated, "en", "s", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("simhash")("documents" -> docs)
+    val pairs = graft.operators.SimilarityQueries
+      .dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, hNear.toLong)),
+      s"expected exactly the planted pair at hamming $hNear, " +
+        s"got ${pairs.mkString(", ")}")
+  }
 }
