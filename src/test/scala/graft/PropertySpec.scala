@@ -504,4 +504,39 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         s"selection density out of winnowing bounds: grams=$g sel=$sel")
     }
   }
+
+  test("two-phase global rank ≡ single-partition window (scalacheck)") {
+    // RankOps is the machinery behind every global ntile/rank in the
+    // repo — its contract is EXACT equivalence with the unpartitioned
+    // window it replaces, for any row count (including n < k, n = 0,
+    // n ≪ partitions) and any bucket count. Randomized sizes + values
+    // with duplicates on the value column (the unique id is the
+    // tiebreak, as every call site declares).
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.oneOf(0, 1, 2, 3, 5, 17, 101, 1000)
+      k <- Gen.oneOf(2, 4, 5, 7, 10)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (n, k, seed)
+    Gen.listOfN(12, gen).apply(Gen.Parameters.default, Seed(7L)).get
+      .foreach { case (n, k, seed) =>
+        val rng = new scala.util.Random(seed)
+        val df = (0 until n).map(i => (i.toLong, rng.nextInt(20).toLong))
+          .toDF("id", "v")
+        val got = graft.operators.RankOps
+          .withGlobalRank(df, "rk", "n", col("v").desc, col("id"))
+          .withColumn("nt", graft.operators.RankOps
+            .ntileFromRank(col("rk"), col("n"), k))
+          .select("id", "rk", "nt").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val w = Window.orderBy(col("v").desc, col("id"))
+        val exp = df.select(col("id"),
+            row_number().over(w).cast("long").as("rk"),
+            ntile(k).over(w).cast("long").as("nt")).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(got === exp, s"n=$n k=$k seed=$seed: two-phase rank " +
+          "diverged from the window definition")
+      }
+  }
 }
