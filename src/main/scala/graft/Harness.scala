@@ -50,24 +50,40 @@ object Harness {
     * release. Bench/Verify call it after each query's action completes;
     * unpersist is non-blocking, so the cost is a handful of async
     * messages, not a stop-the-world sweep. */
-  def releaseTransient(s: SparkSession): Unit = {
-    quietCheckpointNoise()
-    s.sparkContext.getPersistentRDDs.valuesIterator
-      .foreach(_.unpersist(blocking = false))
-  }
+  def releaseTransient(s: SparkSession): Unit =
+    quietCheckpointNoise {
+      s.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
 
   /** Unpersisting a localCheckpoint'd RDD logs one WARN per RDD
     * ("lineage has been truncated and cannot be recomputed") — correct
     * and intended here: the blocks belong to finished queries and are
     * never recomputed. Across 294 queries × 5 sweeps that is thousands
-    * of lines drowning the signal WARNs, so the one emitting logger
-    * drops to ERROR (idempotent; scoped to the RDD class, not the
-    * spark.rdd package). */
-  private def quietCheckpointNoise(): Unit =
+    * of lines drowning the signal WARNs, so the emitting logger drops
+    * to ERROR FOR THE DURATION OF THE UNPERSIST LOOP ONLY (the WARN is
+    * emitted synchronously inside `RDD.unpersist`, so the scope
+    * suffices) and the previous effective level is restored on exit —
+    * a permanently-raised level would also hide genuine
+    * checkpoint-recompute warnings elsewhere in the session (the
+    * round-8 advice). Scoped to the RDD class, not the spark.rdd
+    * package. */
+  private def quietCheckpointNoise(body: => Unit): Unit = {
+    val logger = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prev =
+      try Some(org.apache.logging.log4j.LogManager.getLogger(logger)
+        .getLevel)
+      catch { case _: Throwable => None }
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+      logger, org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
+    try body
+    finally prev.foreach { lv =>
+      try org.apache.logging.log4j.core.config.Configurator
+        .setLevel(logger, lv)
+      catch { case _: Throwable => () }
+    }
+  }
 
   /** True median: midpoint average for even-length samples — the upper
     * order statistic would systematically overstate exactly the queries

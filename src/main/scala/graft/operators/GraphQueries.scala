@@ -479,9 +479,13 @@ object GraphQueries {
     * round is engine-exact by construction and the DuckDB twin simply
     * unrolls the same 10 rounds (the `q_graph_kcore` discipline; GraphX
     * `staticPageRank`'s double accumulation — the round-7 shape — had no
-    * SQL twin). The floor-division mass leak (< 1 unit per in-edge per
-    * round, i.e. < 1e-6 of rank) is the DECLARED semantics: determinism
-    * outranks the last unit of normalization here.
+    * SQL twin). The floor-division mass leak — up to 1 unit (1e-6 of
+    * rank) per IN-EDGE per round, so a node of in-degree d can run up
+    * to d×1e-6 below true PageRank per round and a high-degree hub
+    * accumulates the most drift — is the DECLARED semantics:
+    * determinism outranks the last units of normalization here, and
+    * engine-exactness is unaffected (both engines truncate
+    * identically).
     *
     * Scale design: only edge ENDPOINTS enter the iterative stage (the
     * rim of the corpus at near-dup thresholds); per-round state is O(1)

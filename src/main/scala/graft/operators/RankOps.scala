@@ -49,6 +49,16 @@ object RankOps {
     * tiny counts aggregate; no single-partition stage anywhere. */
   def withGlobalRank(df: DataFrame, rankCol: String, totalCol: String,
       order: Column*): DataFrame = {
+    // Fail fast on name collisions: the working columns are injected
+    // into the caller's frame, and a pre-existing __g_* / rankCol /
+    // totalCol would resolve ambiguously or silently shadow — a wrong
+    // rank, not an error, without this guard.
+    val taken = Seq("__g_mid", "__g_pid", "__g_off", rankCol, totalCol)
+    val clash = df.columns.intersect(taken)
+    require(clash.isEmpty && rankCol != totalCol,
+      s"withGlobalRank: column name collision on ${clash.mkString(",")}" +
+        s" (input may not contain ${taken.mkString("/")}, and " +
+        "rankCol must differ from totalCol)")
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt.max(1)
     // Materialized ONCE (localCheckpoint): the counts aggregate and the

@@ -655,37 +655,86 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // flags (q_rfm / q_window_ntile_range / q_revenue_concentration,
     // since rebuilt on RankOps' two-phase rank). This sweep makes the
     // property structural: for EVERY declared query, every unpartitioned
-    // logical Window's input is counted at sf0.001 and sf0.01 (10×
-    // corpus growth) and must grow strictly sub-linearly (≤ 7.5×, floor
-    // 64 rows). Bounded frames sit far below it (constant counts);
+    // logical Window's input is counted at THREE scale factors and each
+    // adjacent step must grow strictly sub-linearly in the window's own
+    // SOURCE tables. Two steps because the fixture growth differs by
+    // table: the fact tables grow 10× at every step, but documents /
+    // embeddings are FLAT between sf0.001 and sf0.01 (500 → 500) and
+    // only grow on the sf0.01 → sf0.1 step (500 → 5000 / 500 → 2000) —
+    // the round-8 blind spot that let q_text_editdist's and
+    // q_search_rrf's corpus-sized global windows pass vacuously (both
+    // since rebuilt: editdist as a dense-id equi-join, rrf on RankOps).
+    //
+    // The cap is growth-aware per window: the window child's parquet
+    // leaves name their source tables, the biggest per-table row growth
+    // between the two SFs bounds what "linear" would measure, and the
+    // assert is input-growth ≤ max(64 rows, 0.75 × that) — with a 1.5×
+    // floor so a window over a FLAT table (growth 1×) is not required
+    // to shrink. Leaves with no recognizable source (staged scratch
+    // layouts, checkpoint-cut LogicalRDDs — all bounded frames today)
+    // default to the max raw growth 10×, i.e. the historical 7.5× cap.
+    // Bounded frames sit far below every cap (constant counts);
     // axis-compressed frames — q_survival_km's duration axis, q_ts_*'s
     // day grid, both calendar-bounded — measure ≤ 6×; a corpus-sized
-    // frame measures ~10× and fails (the pre-fix trio did).
+    // frame measures at its table's growth and fails.
     // Streaming queries are skipped: their returned plan is the
     // already-materialized replay table, so there is no window left to
     // inspect (and building one executes the whole replay).
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
       Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
     def gw(p: LogicalPlan): Seq[LogicalPlan] =
       p.collect { case w: LWindow if w.partitionSpec.isEmpty => w.child }
-    val big = "/root/testdata/sf0.01"
+    val tables = Seq("documents", "embeddings", "lineitem", "orders",
+      "customer", "supplier", "part", "events", "nation", "region")
+    val rowsOf = scala.collection.mutable.Map[String, Long]()
+    def rows(sf: String, t: String): Long =
+      rowsOf.getOrElseUpdate(s"$sf/$t",
+        spark.read.parquet(s"$sf/$t.parquet").count())
+    // Source tables feeding this window input, by parquet-leaf path.
+    def leafTables(child: LogicalPlan): Seq[String] = child.collect {
+      case r: LogicalRelation => r.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten.flatMap(p => tables.find(t => p.contains(t)))
+    def cap(child: LogicalPlan, nLo: Long, lo: String,
+        hi: String): Long = {
+      val growth = leafTables(child) match {
+        case ts if ts.nonEmpty =>
+          ts.map(t => rows(hi, t).toDouble / rows(lo, t)).max
+        case _ => 10.0 // unrecognized leaves: max raw fixture growth
+      }
+      math.max(64L, (nLo * math.max(1.5, 0.75 * growth)).toLong)
+    }
+    val sfs = Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val offenders = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("q_stream_"))
       .foreach { case (name, fn) =>
-        val s = gw(fn(spark, sfDir).queryExecution.optimizedPlan)
-        if (s.nonEmpty) {
-          val b = gw(fn(spark, big).queryExecution.optimizedPlan)
-          assert(b.size == s.size,
-            s"$name: window count differs across SFs (${s.size} vs " +
-              s"${b.size}) — sweep cannot pair inputs")
-          s.zip(b).zipWithIndex.foreach { case ((cs, cb), i) =>
-            val nS = org.apache.spark.sql.GraftPlanBridge
-              .ofRows(spark, cs).count()
-            val nB = org.apache.spark.sql.GraftPlanBridge
-              .ofRows(spark, cb).count()
-            if (nB > math.max(64L, (7.5 * nS).toLong))
-              offenders += s"$name window#$i: $nS -> $nB rows"
+        val w0 = gw(fn(spark, sfs.head).queryExecution.optimizedPlan)
+        if (w0.nonEmpty) {
+          val legs = sfs.sliding(2).toSeq
+          legs.foreach { case Seq(lo, hi) =>
+            val wl =
+              if (lo == sfs.head) w0
+              else gw(fn(spark, lo).queryExecution.optimizedPlan)
+            val wh = gw(fn(spark, hi).queryExecution.optimizedPlan)
+            assert(wh.size == wl.size,
+              s"$name: window count differs across SFs (${wl.size} vs " +
+                s"${wh.size}) — sweep cannot pair inputs")
+            wl.zip(wh).zipWithIndex.foreach { case ((cl, ch), i) =>
+              val nLo = org.apache.spark.sql.GraftPlanBridge
+                .ofRows(spark, cl).count()
+              val nHi = org.apache.spark.sql.GraftPlanBridge
+                .ofRows(spark, ch).count()
+              if (nHi > cap(cl, nLo, lo, hi))
+                offenders +=
+                  s"$name window#$i [$lo -> $hi]: $nLo -> $nHi rows"
+            }
+            graft.Harness.releaseTransient(spark)
           }
         }
         graft.Harness.releaseTransient(spark)
