@@ -70,18 +70,37 @@ object Harness {
     * package. */
   private def quietCheckpointNoise(body: => Unit): Unit = {
     val logger = "org.apache.spark.rdd.MapPartitionsRDD"
-    val prev =
-      try Some(org.apache.logging.log4j.LogManager.getLogger(logger)
-        .getLevel)
-      catch { case _: Throwable => None }
+    // Capture the CONFIG state, not the effective level: the effective
+    // level is usually root-inherited, and restoring it as an explicit
+    // per-logger level would pin this logger forever after the first
+    // call — it would stop tracking later root changes (sc.setLogLevel).
+    // If no explicit LoggerConfig existed for this exact name, the
+    // restore REMOVES the one Configurator.setLevel created, returning
+    // the logger to inheritance (round-9 advice).
+    val hadExplicit =
+      try {
+        val cfg = org.apache.logging.log4j.core.LoggerContext
+          .getContext(false).getConfiguration
+        Option(cfg.getLoggerConfig(logger))
+          .filter(_.getName == logger).map(_.getLevel)
+      } catch { case _: Throwable => None }
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
       logger, org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
     try body
-    finally prev.foreach { lv =>
-      try org.apache.logging.log4j.core.config.Configurator
-        .setLevel(logger, lv)
-      catch { case _: Throwable => () }
+    finally {
+      try {
+        hadExplicit match {
+          case Some(lv) =>
+            org.apache.logging.log4j.core.config.Configurator
+              .setLevel(logger, lv)
+          case None =>
+            val ctx = org.apache.logging.log4j.core.LoggerContext
+              .getContext(false)
+            ctx.getConfiguration.removeLogger(logger)
+            ctx.updateLoggers()
+        }
+      } catch { case _: Throwable => () }
     }
   }
 

@@ -699,7 +699,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
           f.location.rootPaths.map(_.toString)
         case _ => Seq.empty[String]
       }
-    }.flatten.flatMap(p => tables.find(t => p.contains(t)))
+    }.flatten.flatMap { p =>
+      // Anchor on the path basename: a bare substring match would
+      // misattribute a table whose name is a substring of another
+      // table or path component (round-9 advice).
+      val base = p.stripSuffix("/").split('/').last
+      tables.find(t => base == s"$t.parquet")
+    }
     def cap(child: LogicalPlan, nLo: Long, lo: String,
         hi: String): Long = {
       val growth = leafTables(child) match {
