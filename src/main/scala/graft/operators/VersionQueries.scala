@@ -408,9 +408,12 @@ object VersionQueries {
     * from SORTED (i,j,a) structs and every matvec / norm / Rayleigh /
     * trace reduction is a defined-order `aggregate` fold (the q_ts_ewma
     * rule), so the result is identical run to run and layout to
-    * layout. rows-only by contract
-    * (no SQL twin for the iteration); StatsGraphSpec replays
-    * ‖Av − λv‖ ≤ 1e-6·λ, unit norm, and λ ≥ max per-dim variance. */
+    * layout — and the same defined order is what makes the DuckDB twin
+    * possible: its 24 unrolled list-CTE rounds fold with in-order
+    * `list_sum`, replaying this arithmetic bit for bit (hash-matched;
+    * round-10 conversion from rows-only). StatsGraphSpec additionally
+    * replays ‖Av − λv‖ ≤ 1e-6·λ, unit norm, and λ ≥ max per-dim
+    * variance. */
   def embedPcaPower(s: SparkSession, d: String): DataFrame = {
     val dim = 64
     // Materialize the upper triangle once: the union below references
@@ -538,6 +541,21 @@ object VersionQueries {
   // ---------------------------------------------------------------------
   // Oracle twins
   // ---------------------------------------------------------------------
+
+  /** One unrolled power-iteration round of the q_embed_pca_power oracle:
+    * w = A·v (row-major matvec, inner sum folded left-to-right), then
+    * L2-normalize — the identical operation sequence to
+    * [[graft.functions.VecExprs.powerIter]]'s while-loops, so every
+    * round's doubles are bit-identical across engines. */
+  private def pcaRoundSql(r: Int): String =
+    s"""v$r AS (
+       |  SELECT list_transform(w, x -> x / sqrt(ss)) AS v FROM (
+       |    SELECT w, list_sum(list_transform(w, x -> x * x)) AS ss FROM (
+       |      SELECT list_transform(range(1, 65), i ->
+       |        list_sum(list_transform(range(1, 65), j ->
+       |          am[CAST((i - 1) * 64 + j AS BIGINT)]
+       |            * v[CAST(j AS BIGINT)]))) AS w
+       |      FROM v${r - 1}, mat)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_corpus_diff" ->
@@ -714,6 +732,66 @@ object VersionQueries {
         |       THEN round(c.cq / sqrt(di.vk * dj.vk), 6) END AS corr
         |FROM covd c JOIN diag di ON c.i = di.dk JOIN diag dj ON c.j = dj.dk
         |ORDER BY c.i, c.j""".stripMargin,
+
+    // Same exact-integer cov cells as q_embed_cov, then the 24 power
+    // rounds UNROLLED (the q_graph_pagerank discipline) as list CTEs.
+    // Engine-exact despite float iteration: DuckDB's
+    // list_sum(list_transform(...)) folds the list LEFT-TO-RIGHT (the
+    // same in-order guarantee every cosine edge twin already rests on),
+    // so each matvec/norm/Rayleigh/trace reduction replays
+    // VecExprs.powerIter's while-loops operation for operation —
+    // bit-identical doubles, verified at three SFs. v0 = 1/√64 = 0.125
+    // is IEEE-exact.
+    "q_embed_pca_power" ->
+      ("""WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv[i] * qv[j]) AS BIGINT) AS sqq
+        |  FROM q, generate_series(1, 64) s(i), generate_series(1, 64) t(j)
+        |  WHERE j >= i GROUP BY i, j),
+        |sums AS (
+        |  SELECT i, CAST(sum(qv[i]) AS BIGINT) AS si
+        |  FROM q, generate_series(1, 64) s(i) GROUP BY i),
+        |covd AS (
+        |  SELECT c.i, c.j,
+        |    CAST(c.n * c.sqq - a.si * b.si AS DOUBLE)
+        |      / CAST(c.n * (c.n - 1) AS DOUBLE) / 1e8 AS a
+        |  FROM cells c JOIN sums a ON c.i = a.i JOIN sums b ON c.j = b.i
+        |  WHERE c.n > 1),
+        |full_c AS (
+        |  SELECT i, j, a FROM covd
+        |  UNION ALL SELECT j AS i, i AS j, a FROM covd WHERE i <> j),
+        |mat AS (
+        |  SELECT list(a ORDER BY i, j) AS am FROM full_c
+        |  HAVING len(list(a ORDER BY i, j)) = 4096),
+        |v0 AS (
+        |  SELECT list_transform(range(1, 65),
+        |    i -> CAST(0.125 AS DOUBLE)) AS v),""".stripMargin
+        + "\n" + (1 to 24).map(pcaRoundSql).mkString(",\n") + ",\n"
+        + """fin AS (
+        |  SELECT v,
+        |    list_transform(range(1, 65), i ->
+        |      list_sum(list_transform(range(1, 65), j ->
+        |        am[CAST((i - 1) * 64 + j AS BIGINT)]
+        |          * v[CAST(j AS BIGINT)]))) AS av,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      am[CAST((i - 1) * 64 + i AS BIGINT)])) AS trace
+        |  FROM v24, mat),
+        |fl AS (
+        |  SELECT v, trace,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      v[CAST(i AS BIGINT)] * av[CAST(i AS BIGINT)])) AS lambda
+        |  FROM fin)
+        |SELECT CAST(u.i AS BIGINT) AS dim_idx,
+        |  round(v[CAST(u.i AS BIGINT)], 6) AS loading,
+        |  round(lambda, 8) AS lambda,
+        |  round(lambda / trace, 6) AS explained_frac
+        |FROM fl, generate_series(1, 64) u(i)
+        |ORDER BY dim_idx""".stripMargin),
 
     "q_ts_ohlc" ->
       """WITH ev AS (
