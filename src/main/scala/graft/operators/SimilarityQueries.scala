@@ -86,6 +86,47 @@ object SimilarityQueries {
        |          UNION ALL SELECT * FROM ch$r)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Round-10 conversion from rows-only: XxHashSql replays Spark's
+    // seed-42 xxhash64 in HUGEINT arithmetic (fixture tokens are short
+    // ASCII — the declared scope), then the same ±1-per-occurrence bit
+    // vote, 16-bit pigeonhole block join, and hamming ≤ 3 cut.
+    "q_dedup_simhash" -> (
+      s"""WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |d AS (SELECT DISTINCT tok FROM occ),
+        |${XxHashSql.hashCtes},
+        |ntok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+        |  FROM occ GROUP BY 1),
+        |bitsum AS (
+        |  SELECT o.doc_id, g.b,
+        |    CAST(sum((f.h // (1::HUGEINT << CAST(g.b AS INT))) % 2)
+        |      AS BIGINT) AS c1
+        |  FROM occ o JOIN f3 f USING (tok), generate_series(0, 63) g(b)
+        |  GROUP BY o.doc_id, g.b),
+        |sig AS (
+        |  SELECT s.doc_id,
+        |    sum(CASE WHEN 2 * s.c1 > n.nt
+        |        THEN (1::HUGEINT << CAST(s.b AS INT))
+        |        ELSE 0::HUGEINT END) AS us
+        |  FROM bitsum s JOIN ntok n USING (doc_id)
+        |  GROUP BY s.doc_id),
+        |ssig AS (
+        |  SELECT doc_id, ${XxHashSql.toSigned("us")} AS simhash
+        |  FROM sig),
+        |blocks AS (
+        |  SELECT doc_id, simhash, g.blk,
+        |    CAST((${XxHashSql.toUnsigned("simhash")}
+        |      // (1::HUGEINT << CAST(g.blk * 16 AS INT))) % 65536
+        |      AS BIGINT) AS blkval
+        |  FROM ssig, generate_series(0, 3) g(blk))
+        |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM blocks x JOIN blocks y
+        |  ON x.blk = y.blk AND x.blkval = y.blkval
+        |    AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY d1, d2""".stripMargin),
     // The kcenter-style unrolled greedy: sims rounded 4 before any
     // decision, min-struct argmax on the shared score tree.
     "q_embed_mmr" -> (
@@ -776,7 +817,9 @@ object SimilarityQueries {
     * majority vote per bit of xxhash64(token)), then hamming-≤3 pairs via
     * the 4×16-bit pigeonhole block join (any pair within hamming 3 must
     * agree on at least one of 4 blocks — exact recall, no enumeration of
-    * the pair space). */
+    * the pair space). Hash-matched oracle since round 10: the twin
+    * replays seed-42 xxhash64 via [[XxHashSql]] and the identical vote /
+    * block / hamming arithmetic. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // The signature is a row-local single-pass expression (SimHash64 over
     // the token-hash array): no exploded rows, no aggregation state, no

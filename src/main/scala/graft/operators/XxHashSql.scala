@@ -1,0 +1,146 @@
+package graft.operators
+
+/** DuckDB-SQL generator for Spark's `xxhash64` (seed 42) over SHORT
+  * ASCII strings — the missing primitive that kept the MinHash/SimHash
+  * dedup family rows-only for nine rounds.
+  *
+  * Spark's `xxhash64(string)` is XXH64 over the UTF-8 bytes. DuckDB has
+  * no xxHash builtin, but every step of XXH64 is integer arithmetic a
+  * single SQL statement can express once 64-bit WRAPPING ops are encoded
+  * in HUGEINT: state lives as an unsigned 0 ≤ h < 2⁶⁴ HUGEINT; x·P mod
+  * 2⁶⁴ splits x into 32-bit halves so no intermediate exceeds ~2⁹⁷
+  * (HUGEINT max is 2¹²⁷−1); rotations are one multiply + one floor-div;
+  * XOR is DuckDB's `xor`, bit-exact on non-negative HUGEINTs.
+  *
+  * Scope (declared preconditions, both pinned by the fixture and
+  * checked empirically round 10 against PySpark byte-for-byte):
+  *   - input < 32 bytes — the XXH64 stripe phase never runs, so the
+  *     chain is: h = seed+P5+len → ≤3 8-byte word rounds → optional
+  *     4-byte round → ≤3 tail-byte rounds → avalanche. Fixture tokens
+  *     are ≤8 bytes and 3-token shingles ≤26 bytes (FIXTURES.md).
+  *   - ASCII input — bytes are read as `ord(substr(tok, i, 1))`, which
+  *     is the code point; DuckDB 1.0 cannot index BLOB bytes, so
+  *     multi-byte UTF-8 would diverge. The fixture corpus is pure
+  *     ASCII (`documents.text` ~ [a-z0-9 ]).
+  *
+  * The generated chain is a sequence of CTEs mapping a relation
+  * `d(tok)` to `f3(tok, …, h)` with h = unsigned xxhash64. Each XXH64
+  * step sits in its OWN CTE: the wrap/rot helpers reference their
+  * operand 2–4×, so a fully nested expression would grow ~4^steps; the
+  * staged form keeps every expression a few hundred chars. */
+object XxHashSql {
+
+  private val M64 = "18446744073709551616" // 2^64
+  private val M32 = "4294967296" // 2^32
+  private val P1 = "11400714785074694791" // 0x9E3779B185EBCA87
+  private val P2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+  private val P3 = "1609587929392839161" // 0x165667B19E3779F9
+  private val P4 = "9650029242287828579" // 0x85EBCA77C2B2AE63
+  private val P5 = "2870177450012600261" // 0x27D4EB2F165667C5
+
+  /** (x * p) mod 2⁶⁴, x unsigned HUGEINT < 2⁶⁴, p decimal-literal
+    * constant < 2⁶⁴: split x into 32-bit halves so every intermediate
+    * fits signed HUGEINT. */
+  private def mul(x: String, p: String): String =
+    s"((($x) % $M32) * $p::HUGEINT" +
+      s" + ((($x) // $M32) * $p::HUGEINT % $M32) * $M32) % $M64"
+
+  /** rotl64(x, r): the shifted-out high bits land in the (zeroed) low
+    * bits, so the two parts are disjoint and + is |. */
+  private def rotl(x: String, r: Int): String = {
+    val hi = 1L << r
+    val lo = BigInt(1) << (64 - r)
+    s"((($x) * $hi::HUGEINT + ($x) // $lo::HUGEINT) % $M64)"
+  }
+
+  private def xor(a: String, b: String): String =
+    s"xor(($a)::HUGEINT, ($b)::HUGEINT)"
+
+  private def shr(x: String, n: Int): String =
+    s"(($x) // ${BigInt(1) << n}::HUGEINT)"
+
+  private def add(a: String, b: String): String =
+    s"((($a) + ($b)) % $M64)"
+
+  /** One 8-byte-word XXH64 round: h ← rotl(h ⊕ rotl(w·P2,31)·P1, 27)·P1 + P4. */
+  private def wordStep(h: String, w: String): String =
+    add(mul(rotl(xor(h, mul(rotl(mul(w, P2), 31), P1)), 27), P1), P4)
+
+  /** CTE chain `d(tok)` → `f3(tok, n, …, h)`; `h` is the UNSIGNED
+    * xxhash64(tok, seed = 42) as HUGEINT. Verified byte-for-byte against
+    * Spark on every fixture token and shingle (round 10). */
+  def hashCtes: String = {
+    val maxWords = 3
+    val wcols = (0 until maxWords).map { k =>
+      val terms = (0 until 8)
+        .map(i => s"bs[${8 * k + i + 1}] * ${1L << (8 * i)}::HUGEINT")
+        .mkString(" + ")
+      s"CASE WHEN n >= ${8 * (k + 1)} THEN ($terms) ELSE 0::HUGEINT END AS w$k"
+    }
+    val fterms = (0 until 4)
+      .map(i => s"bs[(n // 8) * 8 + ${i + 1}] * ${1L << (8 * i)}::HUGEINT")
+      .mkString(" + ")
+    val f4col =
+      s"CASE WHEN n % 8 >= 4 THEN ($fterms) ELSE 0::HUGEINT END AS w4"
+    // Tail bytes past the words and the optional 4-byte chunk; the tail
+    // length is n%8−4 when a 4-byte chunk ran, n%8 otherwise — which is
+    // n%4 in both regimes.
+    val tcols = (0 until 3).map { i =>
+      s"CASE WHEN n % 4 >= ${i + 1} THEN bs[(n // 8) * 8 + " +
+        s"(CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END) + ${i + 1}] " +
+        s"ELSE 0::HUGEINT END AS t$i"
+    }
+    val sb = new StringBuilder
+    sb ++= s"""b AS (
+      |  SELECT tok, n, ${(wcols :+ f4col).mkString(",\n    ")},
+      |    ${tcols.mkString(",\n    ")}
+      |  FROM (
+      |    SELECT tok, octet_length(encode(tok)) AS n,
+      |      list_transform(range(1, octet_length(encode(tok)) + 1),
+      |        i -> ord(substr(tok, CAST(i AS INT), 1))::HUGEINT) AS bs
+      |    FROM d)),
+      |h0 AS (SELECT *, (42::HUGEINT + $P5 + n::HUGEINT) % $M64 AS h
+      |  FROM b)""".stripMargin
+    var prev = "h0"
+    (0 until maxWords).foreach { k =>
+      sb ++= s""",
+        |hw$k AS (SELECT * REPLACE(
+        |  CASE WHEN n >= ${8 * (k + 1)} THEN ${wordStep("h", s"w$k")}
+        |  ELSE h END AS h) FROM $prev)""".stripMargin
+      prev = s"hw$k"
+    }
+    val e4 = add(mul(rotl(xor("h", mul("w4", P1)), 23), P2), P3)
+    sb ++= s""",
+      |h4 AS (SELECT * REPLACE(
+      |  CASE WHEN n % 8 >= 4 THEN $e4 ELSE h END AS h) FROM $prev)"""
+      .stripMargin
+    prev = "h4"
+    (0 until 3).foreach { i =>
+      val eb = mul(rotl(xor("h", mul(s"t$i", P5)), 11), P1)
+      sb ++= s""",
+        |hb$i AS (SELECT * REPLACE(
+        |  CASE WHEN n % 4 >= ${i + 1} THEN $eb ELSE h END AS h)
+        |  FROM $prev)""".stripMargin
+      prev = s"hb$i"
+    }
+    sb ++= s""",
+      |f1 AS (SELECT * REPLACE(${mul(xor("h", shr("h", 33)), P2)} AS h)
+      |  FROM $prev),
+      |f2 AS (SELECT * REPLACE(${mul(xor("h", shr("h", 29)), P3)} AS h)
+      |  FROM f1),
+      |f3 AS (SELECT * REPLACE(${xor("h", shr("h", 32))} AS h) FROM f2)"""
+      .stripMargin
+    sb.toString
+  }
+
+  /** Unsigned-HUGEINT → signed-BIGINT reinterpretation (two's
+    * complement), for comparing against Spark's signed longs. */
+  def toSigned(u: String): String =
+    s"CAST(CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+      s"THEN ($u) - $M64::HUGEINT ELSE ($u) END AS BIGINT)"
+
+  /** Signed-BIGINT → unsigned-HUGEINT. */
+  def toUnsigned(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $M64::HUGEINT " +
+      s"ELSE ($x)::HUGEINT END)"
+}
