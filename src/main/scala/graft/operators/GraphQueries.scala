@@ -222,6 +222,41 @@ object GraphQueries {
         |  e.est AS coreness
         |FROM est6 e LEFT JOIN deg d ON d.node = e.node
         |ORDER BY vec_id""".stripMargin),
+    // Round-10 conversion from rows-only: LshSql replays the banded
+    // MinHash pipeline exactly (fixed hash constants → deterministic),
+    // the ≥0.9 rounded-Jaccard edge cut, then 10 unrolled min-label
+    // propagation rounds — GraphX connectedComponents' min-reachable-id
+    // label contract (fixpoint measured at round 3 on sf0.1).
+    "q_dedup_cc_lsh" -> (
+      s"""WITH ${LshSql.prefix},
+        |${LshSql.scoredCtes},
+        |${LshSql.ccCtes(10)}
+        |SELECT doc_id, lbl AS component, doc_id = lbl AS keep
+        |FROM l10 ORDER BY doc_id""".stripMargin),
+    // Round-10 conversion: the same CC labels reduced to one keeper per
+    // multi-member component by (quality, −doc_id) struct-max — the
+    // q_text_quality composite replayed inline.
+    "q_dedup_keep" -> (
+      s"""WITH ${LshSql.prefix},
+        |${LshSql.scoredCtes},
+        |${LshSql.ccCtes(10)},
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (1 - CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('a', 'the'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |g AS (
+        |  SELECT l.lbl AS component, CAST(count(*) AS BIGINT) AS n_members,
+        |    max(struct_pack(q := q.quality, nid := -l.doc_id)) AS m
+        |  FROM l10 l JOIN q ON q.doc_id = l.doc_id
+        |  GROUP BY l.lbl)
+        |SELECT component, n_members,
+        |  CAST(-((m).nid) AS BIGINT) AS keeper_doc_id,
+        |  (m).q AS keeper_quality,
+        |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+        |FROM g WHERE n_members > 1 ORDER BY component""".stripMargin),
     // Same cos >= 0.4 edge CTE; the ten integer-unit PageRank rounds
     // UNROLLED (the q_graph_kcore discipline) — rank state is 1e-6-scaled
     // BIGINT with truncating division only, so every round is
@@ -413,9 +448,11 @@ object GraphQueries {
     * of the residual miss: a dropped edge inside a ≥3-doc cluster still
     * lands same-component through its neighbors. The Pregel stage
     * ([[ccOverPairs]]) is shared with q_dedup_cc verbatim; only the edge
-    * feed differs. Rows-only by §2 design (banding recall probabilistic);
-    * PropertySpec asserts every exact-Jaccard ≥0.9 pair of the fixture
-    * lands in one component. */
+    * feed differs. Hash-matched oracle since round 10: the [[LshSql]]
+    * twin replays the band pipeline and closes components with unrolled
+    * min-label propagation (GraphX's min-reachable-id contract);
+    * PropertySpec additionally asserts every exact-Jaccard ≥0.9 pair of
+    * the fixture lands in one component. */
   def dedupCcLsh(s: SparkSession, d: String): DataFrame = {
     // The ≥0.9 cut applies to simPairsLsh's exact-verified Jaccard
     // (rounded 4dp — a true 0.89996 rounds in; declared semantics), so the
@@ -439,9 +476,9 @@ object GraphQueries {
     * component over the members (the q_agg_argmax discipline — never a
     * per-cluster window sort), then the singleton clusters drop: the
     * output is the dedup WORK LIST (keeper + how many copies it
-    * absorbs). Rows-only by §2 design (the GraphX CC feed);
+    * absorbs).
     * StatsGraphSpec pins one keeper per cluster and keeper quality =
-    * the cluster max. */
+    * the cluster max; hash-matched oracle since round 10. */
   def dedupKeep(s: SparkSession, d: String): DataFrame = {
     val comp = dedupCcLsh(s, d).select("doc_id", "component")
     val quality = TextQueries.textQuality(s, d)

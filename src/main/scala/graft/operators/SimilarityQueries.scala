@@ -86,6 +86,47 @@ object SimilarityQueries {
        |          UNION ALL SELECT * FROM ch$r)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Round-10 conversion from rows-only: LshSql replays the full
+    // shingle → xxhash64 → minhash → band-signature pipeline in exact
+    // integer arithmetic (the hash family is FIXED constants — the
+    // pipeline is deterministic even though its recall is
+    // probabilistic), then the same band self-join + exact-Jaccard
+    // verify.
+    "q_sim_pairs_lsh" -> (
+      s"""WITH ${LshSql.prefix},
+        |${LshSql.scoredCtes}
+        |SELECT d1, d2, round(jac, 4) AS jaccard
+        |FROM scored WHERE jac >= 0.5
+        |ORDER BY d1, d2""".stripMargin),
+    // Round-10 conversion: delta (doc_id % 4 = 0) band rows probed
+    // against the base partition's — candidates only on a band
+    // collision, exact-Jaccard verified, rounded ≥ 0.9, best match by
+    // (jaccard, −base_id) struct-max, all delta docs left-joined back.
+    "q_dedup_incremental_lsh" -> (
+      s"""WITH ${LshSql.prefix},
+        |candi AS (
+        |  SELECT DISTINCT x.doc_id AS did, y.doc_id AS bid
+        |  FROM sigs x JOIN sigs y ON x.sig = y.sig
+        |  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0),
+        |scoredi AS (
+        |  SELECT c.did, c.bid,
+        |    round(CAST(len(list_intersect(a.sarr, b2.sarr)) AS DOUBLE)
+        |      / (len(a.sarr) + len(b2.sarr)
+        |         - len(list_intersect(a.sarr, b2.sarr))), 4) AS j
+        |  FROM candi c
+        |  JOIN sarrs a ON a.doc_id = c.did
+        |  JOIN sarrs b2 ON b2.doc_id = c.bid),
+        |best AS (
+        |  SELECT did AS doc_id, CAST(count(*) AS BIGINT) AS n_dup_base,
+        |    max(struct_pack(j := j, nb := -bid)) AS m
+        |  FROM scoredi WHERE j >= 0.9 GROUP BY did)
+        |SELECT d.doc_id,
+        |  coalesce(b.n_dup_base, 0) AS n_dup_base,
+        |  CAST(-((b.m).nb) AS BIGINT) AS best_base,
+        |  (b.m).j AS best_jaccard,
+        |  b.n_dup_base IS NOT NULL AS is_dup
+        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+        |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin),
     // Round-10 conversion from rows-only: XxHashSql replays Spark's
     // seed-42 xxhash64 in HUGEINT arithmetic (fixture tokens are short
     // ASCII — the declared scope), then the same ±1-per-occurrence bit
@@ -724,9 +765,11 @@ object SimilarityQueries {
     *
     * The shuffle key is the band signature: pairs only materialize on a
     * collision, which is what lets this run where the O(n²) join cannot.
-    * Probabilistic recall (1-(1-s⁴)⁴) is why this query has no SQL oracle;
-    * the property test instead checks every exact-Jaccard-≥0.8 pair from
-    * q_dedup_ngram is recovered. */
+    * Recall is probabilistic (1-(1-s⁴)⁴) but the pipeline itself is a
+    * deterministic function of its fixed hash constants, so since round
+    * 10 the [[LshSql]] twin replays it engine-exactly (hash-matched
+    * oracle); the property test additionally checks every
+    * exact-Jaccard-≥0.8 pair from q_dedup_ngram is recovered. */
   def simPairsLsh(s: SparkSession, d: String): DataFrame = {
     // Candidate mining runs entirely on the staged band table: the
     // self-join reads the same bucketed-by-sig layout on both sides (no
@@ -773,9 +816,10 @@ object SimilarityQueries {
     * `sig` ([[lshLayout]] — the staged signature store), so the daily
     * join reads co-located band buckets. Exact-Jaccard verify on each collision
     * keeps precision 1 (declared ≥0.9 matches are true full-set values);
-    * recall is the 4×4 banding family's 1−(1−j⁴)⁴ ≥ 0.986 at j = 0.9 —
-    * rows-only by §2 design, with PropertySpec checking the output
-    * against brute-force delta×base Jaccard on the fixture.
+    * recall is the 4×4 banding family's 1−(1−j⁴)⁴ ≥ 0.986 at j = 0.9.
+    * Hash-matched oracle since round 10 (the [[LshSql]] delta×base
+    * twin); PropertySpec additionally checks the output against
+    * brute-force delta×base Jaccard on the fixture.
     *
     * Output: one row per delta doc — how many ≥0.9 base near-dups, the
     * best match (max Jaccard, min base id on ties) and its score, and

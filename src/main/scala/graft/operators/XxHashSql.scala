@@ -143,4 +143,144 @@ object XxHashSql {
   def toUnsigned(x: String): String =
     s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $M64::HUGEINT " +
       s"ELSE ($x)::HUGEINT END)"
+
+  /** XXH64 of a fixed sequence of fields from seed 42 — Spark's
+    * multi-argument `xxhash64(lit(b), mh…)` chains the running hash as
+    * the next field's seed, each field hashed with its width-specific
+    * single-shot kernel (hashInt for a 4-byte int, hashLong for an
+    * 8-byte long), avalanche included per field. Emitted as CTE stages
+    * mapping a frame with state column `h` through one field each.
+    *
+    * `fields`: (columnExpr, isLong). Returns (ctes, lastCteName); the
+    * input frame must be named by `prev` and carry all field columns
+    * (stages propagate them with `* REPLACE`). */
+  def chainCtes(tag: String, prev0: String,
+      fields: Seq[(String, Boolean)]): (String, String) = {
+    val sb = new scala.collection.mutable.ListBuffer[String]
+    sb += s"${tag}s0 AS (SELECT *, 42::HUGEINT AS h FROM $prev0)"
+    var prev = s"${tag}s0"
+    fields.zipWithIndex.foreach { case ((field, isLong), idx) =>
+      val t = s"$tag$idx"
+      val e =
+        if (isLong) {
+          val k = mul(rotl(mul(s"($field)::HUGEINT", P2), 31), P1)
+          add(mul(rotl(xor(add(add("h", P5), "8"), k), 27), P1), P4)
+        } else
+          add(mul(rotl(xor(add(add("h", P5), "4"),
+            mul(s"($field)::HUGEINT", P1)), 23), P2), P3)
+      sb += s"${t}a AS (SELECT * REPLACE($e AS h) FROM $prev)"
+      sb += s"${t}f1 AS (SELECT * REPLACE(" +
+        s"${mul(xor("h", shr("h", 33)), P2)} AS h) FROM ${t}a)"
+      sb += s"${t}f2 AS (SELECT * REPLACE(" +
+        s"${mul(xor("h", shr("h", 29)), P3)} AS h) FROM ${t}f1)"
+      sb += s"${t}f3 AS (SELECT * REPLACE(" +
+        s"${xor("h", shr("h", 32))} AS h) FROM ${t}f2)"
+      prev = s"${t}f3"
+    }
+    (sb.mkString(",\n"), prev)
+  }
+}
+
+/** DuckDB-SQL generator for the banded-MinHash pipeline's oracle twins —
+  * the 3-token-shingle → xxhash64 → 16 permutation-minima → 4-band
+  * signature chain of [[SimilarityQueries]]'s `bandRowsOf`, replayed in
+  * exact integer arithmetic so the LSH dedup family hash-matches
+  * (round 10; it was "rows-only by §2 design" for nine rounds, but the
+  * pipeline is a DETERMINISTIC function of its fixed hash constants —
+  * probabilistic RECALL is a property of the algorithm, not a barrier to
+  * engine-exact replay).
+  *
+  * Heavy or multiply-referenced CTEs are declared MATERIALIZED: DuckDB
+  * inlines plain CTEs per reference, which turns the label-propagation
+  * rounds (two references to round k−1 each) into 2^k copies of the
+  * whole pipeline — measured as a hang at sf0.01; materialization makes
+  * the rounds linear. */
+object LshSql {
+  import XxHashSql.{hashCtes, toSigned, chainCtes}
+
+  private val Prime = 2147483647L
+
+  /** Shared CTE chain (no leading WITH): documents → `sarrs(doc_id,
+    * sarr)` (distinct 3-shingle lists, ≥3-token docs) and
+    * `sigs(doc_id, sig)` (4 band rows per doc, signed band signature) —
+    * the exact frames Spark's staged LSH layout serves. */
+  def prefix: String = {
+    val (sigCtes, sigLast) = chainCtes("bs", "bandrows",
+      ("band", false) +: (1 to 4).map(r => (s"m$r", true)))
+    s"""docs0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sarrs AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sarr
+      |  FROM docs0),
+      |exp AS (SELECT doc_id, unnest(sarr) AS tok FROM sarrs),
+      |d AS (SELECT DISTINCT tok FROM exp),
+      |$hashCtes,
+      |dochash AS (
+      |  SELECT e.doc_id,
+      |    ((${toSigned("f.h")} % $Prime) + $Prime) % $Prime AS hs
+      |  FROM exp e JOIN f3 f USING (tok)),
+      |mh AS (
+      |  SELECT doc_id, g.i,
+      |    min((hs * (2 * g.i + 1001) + (7919 * g.i + 131)) % $Prime) AS m
+      |  FROM dochash, generate_series(0, 15) g(i)
+      |  GROUP BY doc_id, g.i),
+      |bandrows AS (
+      |  SELECT doc_id, CAST(b.band AS INT) AS band,
+      |    max(CASE WHEN i = b.band * 4 + 0 THEN m END) AS m1,
+      |    max(CASE WHEN i = b.band * 4 + 1 THEN m END) AS m2,
+      |    max(CASE WHEN i = b.band * 4 + 2 THEN m END) AS m3,
+      |    max(CASE WHEN i = b.band * 4 + 3 THEN m END) AS m4
+      |  FROM mh, generate_series(0, 3) b(band)
+      |  WHERE i // 4 = b.band
+      |  GROUP BY doc_id, b.band),
+      |$sigCtes,
+      |sigs AS MATERIALIZED (
+      |  SELECT doc_id, ${toSigned("h")} AS sig FROM $sigLast)"""
+      .stripMargin
+  }
+
+  /** Band-collision candidates verified by exact Jaccard (raw ≥ 0.5) —
+    * `scored(d1, d2, common, jac)`, d1 < d2. */
+  def scoredCtes: String =
+    """cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM sigs x JOIN sigs y ON x.sig = y.sig AND x.doc_id < y.doc_id),
+      |scored AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(len(list_intersect(a.sarr, b2.sarr)) AS BIGINT) AS common,
+      |    CAST(len(list_intersect(a.sarr, b2.sarr)) AS DOUBLE)
+      |      / (len(a.sarr) + len(b2.sarr)
+      |         - len(list_intersect(a.sarr, b2.sarr))) AS jac
+      |  FROM cand c
+      |  JOIN sarrs a ON a.doc_id = c.d1
+      |  JOIN sarrs b2 ON b2.doc_id = c.d2)""".stripMargin
+
+  /** The ≥0.9 near-dup edge set (simPairsLsh's raw-0.5 prefilter + the
+    * rounded 0.9 cut) plus `rounds` unrolled min-label-propagation
+    * rounds over it: `l<rounds>(doc_id, lbl)` with lbl = min reachable
+    * doc_id — GraphX connectedComponents' label contract. Convergence
+    * needs rounds ≥ the min-id node's eccentricity per component; at the
+    * 0.9-Jaccard regime components are near-cliques (measured: fixpoint
+    * by round 3 at sf0.1), so 10 rounds is a wide margin. */
+  def ccCtes(rounds: Int): String = {
+    val sb = new scala.collection.mutable.ListBuffer[String]
+    sb += """edges AS (SELECT d1, d2 FROM scored
+      |  WHERE jac >= 0.5 AND round(jac, 4) >= 0.9)""".stripMargin
+    sb += """und AS MATERIALIZED (
+      |  SELECT d1 AS a, d2 AS b FROM edges
+      |  UNION ALL SELECT d2, d1 FROM edges)""".stripMargin
+    sb += "l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents)"
+    (1 to rounds).foreach { k =>
+      sb += s"""l$k AS MATERIALIZED (
+        |  SELECT l.doc_id, least(l.lbl, coalesce(m.mn, l.lbl)) AS lbl
+        |  FROM l${k - 1} l LEFT JOIN (
+        |    SELECT u.a AS doc_id, min(p.lbl) AS mn
+        |    FROM und u JOIN l${k - 1} p ON p.doc_id = u.b
+        |    GROUP BY u.a) m ON m.doc_id = l.doc_id)""".stripMargin
+    }
+    sb.mkString(",\n")
+  }
 }
