@@ -655,8 +655,13 @@ object GraphQueries {
     * @param pairs    two LongType columns, one row per undirected edge
     * @param vertices one LongType id column, the full universe to label
     * @param idCol    the vertex id column name (also the output key) */
-  private[operators] def ccOverPairs(s: SparkSession, pairs: DataFrame,
-      vertices: DataFrame, idCol: String): DataFrame = {
+  /** The Pregel CC stage alone: (idCol, component) labels for the edge
+    * ENDPOINT nodes only (a few percent of the corpus at dedup
+    * thresholds), checkpointed. Factored out of [[ccOverPairs]] so
+    * consumers that don't need the full vertex universe
+    * ([[graphCompSizes]]) can skip the corpus-wide left join. */
+  private[operators] def ccLabels(s: SparkSession, pairs: DataFrame,
+      idCol: String): DataFrame = {
     // Edge pipeline MATERIALIZED once: GraphX evaluates its input RDD
     // several times (vertex derivation + Pregel), and without the
     // checkpoint each evaluation re-runs the upstream candidate join.
@@ -680,6 +685,12 @@ object GraphQueries {
     val labels = cc.vertices.toDF(idCol, "component").localCheckpoint()
     cc.unpersist(blocking = false)
     graph.unpersist(blocking = false)
+    labels
+  }
+
+  private[operators] def ccOverPairs(s: SparkSession, pairs: DataFrame,
+      vertices: DataFrame, idCol: String): DataFrame = {
+    val labels = ccLabels(s, pairs, idCol)
     vertices
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),
@@ -696,18 +707,41 @@ object GraphQueries {
     * not the data, is wrong).
     *
     * Linear on top of the component labels: two KB-sized aggregations
-    * and a window over the ≤distinct-sizes frame. The cost is inherited
-    * from the declared-exact CC feed; the production path reads
-    * [[dedupCcLsh]]'s labels with the identical two aggs. */
+    * over the ≤distinct-sizes frame. The cost is inherited from the
+    * declared-exact CC feed; the production path reads
+    * [[dedupCcLsh]]'s labels with the identical two aggs.
+    *
+    * Round-10 trim: the histogram is computed from the Pregel LABELS
+    * alone ([[ccLabels]] — edge endpoints only) plus singleton
+    * arithmetic, instead of re-joining the full vertex universe the way
+    * `q_dedup_cc`'s per-node output must. Every labeled component has
+    * size ≥ 2 (edges have v1 < v2, so every GraphX vertex carries an
+    * edge), so the singletons are exactly the nVec − nLabeled vectors
+    * the graph never saw — one histogram row, computed from two scalar
+    * counts (both free: a parquet metadata count and a count over the
+    * checkpointed labels), never a corpus-wide join + aggregation. The
+    * share denominator is the same nVec the window sum used to
+    * recompute. Hash-identical to the r9 formulation (verified at three
+    * SFs). */
   def graphCompSizes(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    dedupCc(s, d)
+    val labels = ccLabels(s,
+      SimilarityQueries.embedPairs(s, d).select("v1", "v2"), "vec_id")
+    val nVec = embeddings(s, d).select("vec_id").count()
+    val nLabeled = labels.count() // free on the checkpointed blocks
+    val hist = labels
       .groupBy("component").agg(count(lit(1)).as("comp_size"))
       .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+    val withSingles =
+      if (nVec > nLabeled)
+        hist.unionByName(labels.sparkSession.range(1)
+          .select(lit(1L).as("comp_size"),
+            lit(nVec - nLabeled).as("n_components")))
+      else hist
+    withSingles
       .withColumn("n_vectors", col("comp_size") * col("n_components"))
       .withColumn("share",
         round(col("n_vectors").cast("double")
-          / sum("n_vectors").over(Window.partitionBy()).cast("double"), 6))
+          / lit(nVec).cast("double"), 6))
       .orderBy("comp_size")
   }
 
@@ -857,15 +891,21 @@ object GraphQueries {
   def graphKcore(s: SparkSession, d: String): DataFrame = {
     val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
       .localCheckpoint()
+    // Pre-partitioned ONCE on the per-round join key (v2, the neighbor
+    // whose estimate flows in): the checkpointed LogicalRDD carries its
+    // partitioning, and est is node-partitioned by construction after
+    // round 1, so the six neighbor joins add no exchange on either side
+    // — each round's only exchange is the unavoidable v1 re-key for the
+    // h-index aggregation (the q_graph_pagerank round-9 template).
     val und = pairs.union(pairs.select(col("v2"), col("v1")))
-      .localCheckpoint()
+      .repartition(col("v2")).localCheckpoint()
     val deg = und.groupBy(col("v1").as("node"))
       .agg(count(lit(1)).as("degree"))
     var est = embeddings(s, d).select(col("vec_id").as("node"))
       .join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("degree"), lit(0L)).as("est"))
       .localCheckpoint()
-    for (_ <- 1 to 6) {
+    for (round <- 1 to 6) {
       val h = und.join(est.withColumnRenamed("node", "v2")
           .withColumnRenamed("est", "nest"), Seq("v2"))
         .select(col("v1"), col("nest"),
@@ -877,7 +917,10 @@ object GraphQueries {
       est = est.join(h, Seq("node"), "left")
         .select(col("node"),
           least(col("est"), coalesce(col("h"), lit(0L))).as("est"))
-        .localCheckpoint()
+      // Lineage cut every SECOND round (the pagerank cadence): one
+      // materialization amortizes two rounds of plan; the uncut half
+      // stays a bounded two-round tree, never a growing lineage.
+      if (round % 2 == 0) est = est.localCheckpoint()
     }
     est.join(deg, Seq("node"), "left")
       .select(col("node").as("vec_id"),

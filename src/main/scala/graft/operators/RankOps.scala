@@ -93,6 +93,56 @@ object RankOps {
       .drop("__g_pid", "__g_mid", "__g_off")
   }
 
+  /** Two-phase rank WITHIN each value of a small key column — N
+    * independent global rankings for the price of ONE range exchange +
+    * ONE checkpoint + ONE counts pass (q_search_rrf's round-10 trim:
+    * its two corpus-scaled rank lists each paid the full
+    * [[withGlobalRank]] materialization; unioned under a `src` tag they
+    * pay it once).
+    *
+    * Identical phase structure: range-repartition on (key, order…) —
+    * each partition holds a contiguous slice of the composite order, so
+    * a key's rows span a contiguous partition run — then per-(partition,
+    * key) counts/min-local-index (≤ parts × |keys| rows, bounded),
+    * per-key prefix-sum offsets, broadcast back. Rank of a row = rows of
+    * its key strictly before its partition + its position within the
+    * key's run inside the partition. Equals the per-key window
+    * `row_number` whenever (order…) is a total order within each key —
+    * PropertySpec pins the law. */
+  def withKeyedRank(df: DataFrame, keyCol: String, rankCol: String,
+      order: Column*): DataFrame = {
+    val taken = Seq("__g_mid", "__g_pid", "__g_off", "__g_min", rankCol)
+    val clash = df.columns.intersect(taken)
+    require(clash.isEmpty,
+      s"withKeyedRank: column name collision on ${clash.mkString(",")}" +
+        s" (input may not contain ${taken.mkString("/")})")
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt.max(1)
+    val sorted = df
+      .repartitionByRange(parts, col(keyCol) +: order: _*)
+      .sortWithinPartitions(col(keyCol) +: order: _*)
+      .withColumn("__g_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val pid = shiftright(col("__g_mid"), 33)
+    val localIdx = col("__g_mid").bitwiseAND(lit((1L << 33) - 1))
+    // Per-(partition, key): row count and the key-run's first local
+    // index. Offsets: rows of the same key in strictly-earlier
+    // partitions (range partitions are assigned ascending (key, order)
+    // slices in ascending pid order).
+    val offs = sorted
+      .groupBy(pid.as("__g_pid"), col(keyCol))
+      .agg(count(lit(1)).as("__g_cnt"), min(localIdx).as("__g_min"))
+      .select(col("__g_pid"), col(keyCol),
+        (sum("__g_cnt").over(Window.partitionBy(keyCol)
+          .orderBy("__g_pid")) - col("__g_cnt")).as("__g_off"),
+        col("__g_min"))
+    sorted.withColumn("__g_pid", pid)
+      .join(broadcast(offs), Seq("__g_pid", keyCol))
+      .withColumn(rankCol,
+        localIdx - col("__g_min") + col("__g_off") + lit(1L))
+      .drop("__g_pid", "__g_mid", "__g_off", "__g_min")
+  }
+
   /** SQL-standard `ntile(k)` from a 1-based global rank and total count
     * n, in pure integer arithmetic: the first n mod k buckets take
     * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — bit-identical to the window function

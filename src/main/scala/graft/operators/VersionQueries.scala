@@ -275,22 +275,26 @@ object VersionQueries {
     * single-partition sort anywhere (the round-8 verdict's finding:
     * the previous global windows were corpus-serial at scale). */
   def searchRrf(s: SparkSession, d: String): DataFrame = {
+    // Round-10 trim: the two rank lists used to pay withGlobalRank's
+    // localCheckpoint + counts pass EACH (2.19 s at sf0.1). Unioned
+    // under a scorer tag they share ONE range exchange, ONE
+    // materialization, and ONE counts pass (RankOps.withKeyedRank), and
+    // the full-outer rank join collapses to a doc_id group-by over the
+    // single ranked frame. Rank values are unchanged: each scorer's
+    // (score DESC, doc_id) is the same total order ranked before.
     val bm = TextQueries.bm25Scores(s, d)
-    val ra = RankOps.withGlobalRank(
-        bm.select(col("doc_id"), col("score")), "rank_bm25", "__rrf_n",
-        col("score").desc, col("doc_id"))
-      .select(col("doc_id"), col("rank_bm25"))
+      .select(col("doc_id"), lit("bm").as("src"), col("score"))
     val e = embeddings(s, d)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("pv"))
     val cs = e.crossJoin(broadcast(probe))
-      .select(col("vec_id").as("doc_id"),
-        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
-    val rc = RankOps.withGlobalRank(
-        cs, "rank_cos", "__rrf_m",
-        col("cos_sim").desc, col("doc_id"))
-      .select(col("doc_id"), col("rank_cos"))
-    ra.join(rc, Seq("doc_id"), "full_outer")
+      .select(col("vec_id").as("doc_id"), lit("cos").as("src"),
+        round(cosine(col("embedding"), col("pv")), 4).as("score"))
+    val ranked = RankOps.withKeyedRank(bm.unionByName(cs), "src",
+      "rnk", col("score").desc, col("doc_id"))
+    ranked.groupBy("doc_id")
+      .agg(max(when(col("src") === "bm", col("rnk"))).as("rank_bm25"),
+        max(when(col("src") === "cos", col("rnk"))).as("rank_cos"))
       .select(col("doc_id"), col("rank_bm25"), col("rank_cos"),
         round(
           coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +

@@ -539,4 +539,36 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
           "diverged from the window definition")
       }
   }
+
+  test("keyed two-phase rank ≡ per-key window row_number (scalacheck)") {
+    // withKeyedRank (q_search_rrf's single-pass double ranking) must
+    // equal the PARTITION BY key window for any key skew — including
+    // keys whose runs straddle range-partition boundaries, absent keys,
+    // and n = 0 (the same exactness contract as the global law above).
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.oneOf(0, 1, 3, 17, 101, 1000)
+      nKeys <- Gen.oneOf(1, 2, 3, 5)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (n, nKeys, seed)
+    Gen.listOfN(10, gen).apply(Gen.Parameters.default, Seed(11L)).get
+      .foreach { case (n, nKeys, seed) =>
+        val rng = new scala.util.Random(seed)
+        val df = (0 until n).map(i => (i.toLong,
+            s"k${rng.nextInt(nKeys)}", rng.nextInt(20).toLong))
+          .toDF("id", "src", "v")
+        val got = graft.operators.RankOps
+          .withKeyedRank(df, "src", "rk", col("v").desc, col("id"))
+          .select("id", "rk").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val w = Window.partitionBy("src")
+          .orderBy(col("v").desc, col("id"))
+        val exp = df.select(col("id"),
+            row_number().over(w).cast("long").as("rk")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === exp, s"n=$n keys=$nKeys seed=$seed: keyed " +
+          "two-phase rank diverged from the per-key window definition")
+      }
+  }
 }
