@@ -324,6 +324,11 @@ object GraftFunctions {
         "graft_power_iter"),
       (args: Seq[Expression]) => PowerIterTop(args(0),
         foldedLong(args(1)).toInt, foldedLong(args(2)).toInt)),
+    (FunctionIdentifier("graft_maxcover_greedy"),
+      new ExpressionInfo(classOf[MaxCoverGreedy].getName,
+        "graft_maxcover_greedy"),
+      (args: Seq[Expression]) => MaxCoverGreedy(args(0),
+        foldedLong(args(1)).toInt)),
     // Spark ships codegen'd bloom expressions (the runtime-row-filter
     // machinery: BloomFilterAggregate builds the sketch as a typed
     // imperative aggregate, BloomFilterMightContain probes it inside

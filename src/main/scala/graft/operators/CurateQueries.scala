@@ -1722,39 +1722,28 @@ object CurateQueries {
     val counts = dt.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
     val pool = counts.orderBy(col("n_tokens").desc, col("doc_id"))
       .limit(8)
-    val ptoks = dt.join(broadcast(pool.select("doc_id")), Seq("doc_id"))
-      .localCheckpoint()
-    var chosen: DataFrame = null
-    var ctoks: DataFrame = null
-    for (r <- 1 to 4) {
-      val rem = if (r == 1) ptoks
-        else ptoks.join(chosen.select(col("doc_id")), Seq("doc_id"),
-          "left_anti")
-      val gains = (if (r == 1)
-          rem.withColumn("ctok", lit(null).cast("string"))
-        else rem.join(ctoks.withColumnRenamed("tok", "ctok"),
-          col("tok") === col("ctok"), "left"))
-        .groupBy(col("doc_id"))
-        .agg(count(when(col("ctok").isNull, lit(1))).as("gain"))
-      val pick = gains
-        .agg(min(struct((-col("gain")).as("ng"),
-          col("doc_id").as("doc_id"), col("gain").as("gain"))).as("b"))
-        .select(col("b.doc_id").as("doc_id"),
-          lit(r.toLong).as("rank"), col("b.gain").as("gain"))
-        .filter(col("doc_id").isNotNull)
-        .localCheckpoint()
-      val newToks = ptoks.join(pick.select("doc_id"), Seq("doc_id"))
-        .select("tok")
-      ctoks = (if (r == 1) newToks
-        else ctoks.union(newToks)).distinct().localCheckpoint()
-      val total = ctoks.agg(count(lit(1)).as("covered_total"))
-      val row = pick.crossJoin(broadcast(total))
-      chosen = if (r == 1) row.localCheckpoint()
-        else chosen.union(row).localCheckpoint()
-    }
-    chosen.join(broadcast(pool), Seq("doc_id"))
-      .select(col("rank"), col("doc_id"), col("n_tokens"), col("gain"),
-        col("covered_total"))
+    // Round-10 shape: once the pool cut has reduced the problem to ≤8
+    // candidates (a DECLARED bound, like the pca_power cov reduction),
+    // the four greedy rounds run INSIDE one compiled expression
+    // (MaxCoverGreedy) over a single collected candidate row — the
+    // previous round-by-round DataFrame loop paid 13 localCheckpoint
+    // materializations of KB-sized frames (measured 2.3 s at sf0.1,
+    // virtually all scheduling). Decisions identical: exact integer
+    // gains, (gain DESC, doc_id ASC) argmax, union'd covered set —
+    // hash-match unchanged. sort_array normalizes collect_list's
+    // partition-order nondeterminism (doc_id leads the struct, a total
+    // order); the kernel's argmax makes candidate order irrelevant
+    // anyway.
+    val cands = dt.join(broadcast(pool), Seq("doc_id"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(collect_list(col("tok")).as("toks"))
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        col("n_tokens"), col("toks")))).as("cands"))
+    cands
+      .select(explode(call_function("graft_maxcover_greedy",
+        col("cands"), lit(4))).as("p"))
+      .select(col("p.rank"), col("p.doc_id"), col("p.n_tokens"),
+        col("p.gain"), col("p.covered_total"))
       .orderBy("rank")
   }
 }

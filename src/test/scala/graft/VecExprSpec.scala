@@ -254,4 +254,32 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.toLowerCase.contains("string")
       || ex.getMessage != null)
   }
+
+  test("graft_maxcover_greedy: greedy decisions, ties, early exhaustion") {
+    import spark.implicits._
+    // Candidates: doc 1 covers {a,b,c}, doc 2 {a,b} (subset — gain 0
+    // after 1), doc 3 {d,e}, doc 5 {d,e} (tie with 3 → smaller id wins
+    // round 2 only via gain; after 3 is taken, 5 gains 0).
+    def run(rows: Seq[(Long, Long, Seq[String])], k: Int) = {
+      val df = rows.toDF("doc_id", "n_tokens", "toks")
+        .agg(sort_array(collect_list(struct(col("doc_id"),
+          col("n_tokens"), col("toks")))).as("cands"))
+        .select(explode(call_function("graft_maxcover_greedy",
+          col("cands"), lit(k))).as("p"))
+        .select("p.rank", "p.doc_id", "p.gain", "p.covered_total")
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    }
+    val picks = run(Seq(
+      (1L, 3L, Seq("a", "b", "c")), (2L, 2L, Seq("a", "b")),
+      (3L, 2L, Seq("d", "e")), (5L, 2L, Seq("d", "e"))), 4)
+    assert(picks === Seq((1L, 1L, 3L, 3L), (2L, 3L, 2L, 5L),
+      (3L, 2L, 0L, 5L), (4L, 5L, 0L, 5L)),
+      s"greedy trace diverged: $picks")
+    // Fewer candidates than k: selection ends when the pool runs dry.
+    val short = run(Seq((7L, 1L, Seq("x"))), 4)
+    assert(short === Seq((1L, 7L, 1L, 1L)))
+    // Empty candidate array: no picks, no rows.
+    assert(run(Seq.empty, 4).isEmpty)
+  }
 }
