@@ -141,7 +141,115 @@ object MediaQueries {
     "q_multimodal_pairs"    -> multimodalPairs _
   )
 
+  /** Twin-SQL generator for the FAKE DECODE KERNEL: `fakeDecodeFrame`'s
+    * rolling hash h ← 31·h + bᵢ (mod 2⁶⁴) is linear, so with 31 odd —
+    * hence invertible mod 2⁶⁴ — the whole byte stream has the closed
+    * form hᵢ = 31^{i+1}·h₀ + 31^i·Σ_{j≤i} 31^{−j}·bⱼ, and the inner sum
+    * is ONE window cumsum over the exploded payload bytes instead of an
+    * O(len²) term expansion (round 10; what flipped features/ann from
+    * rows-only). Constants 31^t, 31^{−t}, and 31^{t+1}·h₀ ship as
+    * HUGEINT literal lists sized [[MaxLen]] (≥ any fixture payload —
+    * an overflow reads NULL and fails the hash compare loudly rather
+    * than silently). ASCII payloads only, like [[XxHashSql]].
+    * `q_multimodal_frames` remains genuinely rows-only: its output is
+    * `md5(binary frame)` and DuckDB 1.0's md5 accepts VARCHAR only —
+    * arbitrary frame bytes cannot round-trip through a UTF-8 string. */
+  private object MediaSql {
+    private val M = BigInt(1) << 64
+    private val H0 = BigInt(1125899906842597L)
+    private val MaxLen = 704
+    private def lst(xs: Seq[BigInt]): String =
+      xs.map(x => s"$x::HUGEINT").mkString("[", ",", "]")
+    private val pow31 = (0 to MaxLen).map(BigInt(31).modPow(_, M))
+    private val inv31p = {
+      val inv = BigInt(31).modInverse(M)
+      (0 to MaxLen).map(inv.modPow(_, M))
+    }
+    private val hp = (0 until MaxLen).map(i =>
+      (BigInt(31).modPow(i + 1, M) * H0).mod(M))
+
+    /** (x·y) mod 2⁶⁴ for unsigned HUGEINTs < 2⁶⁴ (the XxHashSql split,
+      * generalized to a variable second operand). */
+    private def mul(x: String, y: String): String =
+      s"((($x) % 4294967296) * ($y)" +
+        s" + ((($x) // 4294967296) * ($y) % 4294967296) * 4294967296)" +
+        " % 18446744073709551616"
+
+    /** CTE chain documents → `feats(media_id, kind, f <16 FLOAT bins>)`
+      * — the decoded-byte histogram features of `extractFeatures`
+      * (frameIdx 0, frameLen = payload length), float-exact: counts are
+      * exact ints, the single count/len float division replayed as
+      * FLOAT on both engines. */
+    def featPrefix: String =
+      s"""consts AS (
+        |  SELECT ${lst(pow31)} AS p31,
+        |    ${lst(inv31p)} AS i31,
+        |    ${lst(hp)} AS hp),
+        |chars AS (
+        |  SELECT doc_id, length(text) AS plen, i,
+        |    ord(substr(text, CAST(i + 1 AS INT), 1))::HUGEINT AS b
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i
+        |        FROM documents) u(doc_id, text, i)),
+        |csum AS (
+        |  SELECT doc_id, plen, i,
+        |    sum(b * (SELECT i31 FROM consts)[CAST(i + 1 AS INT)])
+        |      OVER (PARTITION BY doc_id ORDER BY i)
+        |      % 18446744073709551616 AS s
+        |  FROM chars),
+        |dec AS (
+        |  SELECT doc_id, plen, i,
+        |    ((((SELECT hp FROM consts)[CAST(i + 1 AS INT)]
+        |       + ${mul("s", "(SELECT p31 FROM consts)[CAST(i + 1 AS INT)]")})
+        |      % 18446744073709551616) // 16777216) % 256 AS byte
+        |  FROM csum),
+        |bc AS (
+        |  SELECT doc_id, plen, CAST(byte // 16 AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dec GROUP BY 1, 2, 3),
+        |farr AS (
+        |  SELECT d.doc_id, d.plen,
+        |    list(coalesce(bc.cnt, 0) ORDER BY g.b) AS cnts
+        |  FROM (SELECT DISTINCT doc_id, plen FROM bc) d
+        |  CROSS JOIN generate_series(0, 15) g(b)
+        |  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.bin = g.b
+        |  GROUP BY d.doc_id, d.plen),
+        |feats AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |      AS kind,
+        |    list_transform(cnts, c ->
+        |      CAST(CAST(c AS FLOAT) / CAST(plen AS FLOAT) AS FLOAT)) AS f
+        |  FROM farr)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // Round-10 conversion from rows-only: the fake decode kernel's
+    // rolling hash replayed in closed form (MediaSql) — f0/f_sum are the
+    // same float-division histogram values, summed in bin order.
+    "q_multimodal_features" -> (
+      s"""WITH ${MediaSql.featPrefix}
+        |SELECT media_id, kind,
+        |  round(CAST(f[1] AS DOUBLE), 4) AS f0,
+        |  round(list_sum(list_transform(f, x -> CAST(x AS DOUBLE))), 4)
+        |    AS f_sum
+        |FROM feats ORDER BY media_id""".stripMargin),
+    // Round-10 conversion: the same feature frame, FloatVecCosine's
+    // in-order double accumulation replayed by list_sum, probe media 0.
+    "q_multimodal_ann" -> (
+      s"""WITH ${MediaSql.featPrefix},
+        |probe AS (SELECT f AS pf FROM feats WHERE media_id = 0)
+        |SELECT media_id, kind,
+        |  round(
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CAST(f[i] AS DOUBLE) * CAST(pf[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(f,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(pf,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+        |    AS cos_sim
+        |FROM feats, probe WHERE media_id <> 0
+        |ORDER BY cos_sim DESC, media_id LIMIT 10""".stripMargin),
     // Payload stays opaque: byte length + md5 fingerprint + metadata
     // predicate, never decoded. DuckDB twin operates on the same bytes.
     "q_multimodal_meta" ->
@@ -217,8 +325,10 @@ object MediaQueries {
       .orderBy("media_id")
 
   /** Deterministic fake-decode feature extraction through the full typed
-    * mapPartitions pipeline; rows-only driver check (the fake kernel has
-    * no SQL twin), invariants property-tested in MultimodalSpec. */
+    * mapPartitions pipeline. Hash-matched oracle since round 10: the
+    * kernel's rolling hash is linear, so [[MediaQueries.MediaSql]]
+    * replays it in closed form; invariants additionally
+    * property-tested in MultimodalSpec. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = MediaOps.mediaTable(s, d).as[MediaRow]
@@ -236,8 +346,10 @@ object MediaQueries {
     * mapPartitions decode stage: the full video-preprocessing shape
     * (filter on metadata upstream, decode only sampled frames). Emits one
     * row per sampled frame with its md5 — payload-derived but
-    * deterministic (fake kernel), so rows-only driver check;
-    * MultimodalSpec owns the invariants. */
+    * deterministic (fake kernel). Rows-only by necessity, not design:
+    * the output is md5 over arbitrary frame BYTES and DuckDB 1.0's md5
+    * accepts VARCHAR only (no BLOB overload), so no twin can express
+    * it; MultimodalSpec owns the invariants. */
   def multimodalFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = MediaOps.resize(MediaOps.mediaTable(s, d), 224, 224)
@@ -257,9 +369,10 @@ object MediaQueries {
     * Same serving shape as `q_sim_topk`: 1-row probe broadcast, the
     * codegen'd `graft_vec_cosine` in the scan stage, TakeOrdered — the
     * feature table is scanned once and never shuffled. Rounded score +
-    * id tiebreak keeps ordering deterministic. Rows-only driver check
-    * (features come from the fake decode kernel); MultimodalSpec
-    * recomputes the top-k independently and pins it. */
+    * id tiebreak keeps ordering deterministic. Hash-matched oracle since
+    * round 10 (the closed-form kernel replay + FloatVecCosine's
+    * in-order accumulation); MultimodalSpec additionally recomputes the
+    * top-k independently and pins it. */
   def multimodalAnn(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val feats = MediaOps.extractFeatures(
