@@ -85,7 +85,88 @@ object SimilarityQueries {
        |all$r AS (SELECT * FROM all${r - 1}
        |          UNION ALL SELECT * FROM ch$r)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** The fixed RP hyperplanes as a DuckDB list-of-lists literal — the
+    * index definition's constants shipped into the twin the same way
+    * the Spark plan ships them as `typedlit`s. Doubles printed via
+    * Java's round-trip `toString`, so DuckDB parses the bit-identical
+    * value FloatVecDot's (double)float cast produces. */
+  private def planesLit(ps: Seq[Seq[Float]]): String =
+    ps.map(_.map(_.toDouble.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** In-order dot of an embedding against plane `idxExpr` (1-based into
+    * the `pl` literal) — FloatVecDot's exact accumulation. */
+  private def rpDotSql(vec: String, idxExpr: String): String =
+    s"list_sum(list_transform(range(1, 65), " +
+      s"i -> ($vec)[i]::DOUBLE * pl[CAST($idxExpr AS INT)][i]))"
+
+  /** Sign-bit signature Σ 2^b over `bits` planes starting at plane
+    * `base` (SQL expr, 0-based). */
+  private def rpSigSql(vec: String, base: String, bits: Int): String =
+    (0 until bits).map { b =>
+      s"CASE WHEN ${rpDotSql(vec, s"($base) + ${b + 1}")} >= 0 " +
+        s"THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  // lazy: entries reference the hyperplane/band constants declared
+  // later in the object body; a strict val would read them before init.
+  lazy val oracle: Map[String, String] = Map(
+    // Round-10 conversion from rows-only: the sign-hash clustering is a
+    // deterministic function of the fixed hyperplane constants (shipped
+    // as literals), and the >= 0 / >= 0.4 comparisons run on doubles
+    // both engines compute identically (in-order accumulation).
+    "q_dedup_semantic" -> (
+      s"""WITH consts AS (
+        |  SELECT ${planesLit(rpPlanes.take(SemBits).map(_.toSeq))} AS pl),
+        |cl AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(${rpSigSql("embedding", "0", SemBits)} AS BIGINT)
+        |      AS cluster
+        |  FROM embeddings, consts),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM cl a JOIN cl b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |          x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |          x -> x::DOUBLE * x::DOUBLE)))) >= $SemTau)
+        |SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS keep
+        |FROM cl c LEFT JOIN dup d ON d.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin),
+    // Round-10 conversion: all 4 × 8 sign bits from the same literal
+    // plane table; candidates = any-table signature collision, exact
+    // rounded cosine ranks them per probe.
+    "q_ann_rp" -> (
+      s"""WITH consts AS (
+        |  SELECT ${planesLit(rpPlanes.map(_.toSeq))} AS pl),
+        |sigs AS (
+        |  SELECT vec_id, t.t,
+        |    CAST(${rpSigSql("embedding", "t.t * 8", RpBits)} AS BIGINT)
+        |      AS sig
+        |  FROM embeddings, consts,
+        |    (SELECT unnest(range(0, ${RpTables})) AS t) t),
+        |pairs AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, s.vec_id
+        |  FROM sigs p JOIN sigs s
+        |    ON p.t = s.t AND p.sig = s.sig AND s.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5),
+        |scored AS (
+        |  SELECT pr.probe_id, pr.vec_id,
+        |    ${cosListSql("a.embedding", "b.embedding")} AS cos_sim
+        |  FROM pairs pr
+        |  JOIN embeddings a ON a.vec_id = pr.probe_id
+        |  JOIN embeddings b ON b.vec_id = pr.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cos_sim, rnk
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin),
     // Round-10 conversion from rows-only: LshSql replays the full
     // shingle → xxhash64 → minhash → band-signature pipeline in exact
     // integer arithmetic (the hash family is FIXED constants — the
@@ -1013,7 +1094,8 @@ object SimilarityQueries {
     * per bit is 1−θ/π, so similar vectors collide with high
     * probability while the expected bucket fraction is ~2^-bits per
     * table). Recall/candidate-fraction invariants: PropertySpec-adjacent
-    * coverage in StatsGraphSpec; no SQL oracle (hash-family-specific). */
+    * coverage in StatsGraphSpec; hash-matched oracle since round 10
+    * (the planes are literals in the twin — deterministic replay). */
   /** Sign bits for [[dedupSemantic]]'s clustering (first [[SemBits]] of
     * the rpPlanes family): 4 bits → 16 clusters. The bit count is the
     * cluster-size dial — pair work is Σ nc², so more bits = smaller
@@ -1036,9 +1118,10 @@ object SimilarityQueries {
     * blocked): this trades cross-cluster recall for cluster-local cost —
     * the production default at 100 TB.
     *
-    * Rows-only by §2 design (hash-family-specific clustering); CurateSpec
-    * recomputes the discard set via an independent max-cosine formulation
-    * and checks both directions of the keep contract. */
+    * Hash-matched oracle since round 10 (literal-plane sign clustering,
+    * unrounded in-order cosine cut); CurateSpec additionally recomputes
+    * the discard set via an independent max-cosine formulation and
+    * checks both directions of the keep contract. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val sig = (0 until SemBits).map { b =>
       when(dot(col("embedding"), typedlit(rpPlanes(b))) >= 0,
