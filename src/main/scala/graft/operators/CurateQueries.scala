@@ -100,7 +100,79 @@ object CurateQueries {
        |    (SELECT CAST(count(*) AS BIGINT) FROM cov$r) AS covered_total
        |  FROM ch$r c)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** q_dedup_bloom twin (round-10 conversion from rows-only): the bloom
+    * is fully deterministic — fixed-seed xxhash64 keys (32-byte md5-hex
+    * strings → the XXH64 STRIPE path), BloomFilterImplV2's
+    * Murmur3-scattered bit positions (model verified against the real
+    * filter's bit array via reflection), order-independent bit-OR — so
+    * the twin reproduces every position: a delta fp "hits" iff all k of
+    * its positions land in the base position set. The filter geometry
+    * (numBits, k, word-rounded bitSize) is computed HERE through the
+    * same Spark sketch API the query calls, then embedded as integer
+    * literals — valid while the runtime nBase stays at the 8192 floor
+    * (true at every fixture SF: base ≤ 3750 docs); the guard CTE NULLs
+    * n_delta loudly if a bigger corpus ever outgrows it. */
+  private lazy val bloomTwinSql: String = {
+    val nBase = 8192L
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nBase, 0.03)
+    val k = math.max(1L, math.round(numBits.toDouble / nBase * math.log(2)))
+    val bitSize = ((numBits + 63) / 64) * 64
+    val (mm1, mm1Last) = Murmur3Sql.hashLongCtes("ma", "items", "0", "h1u")
+    val (mm2, mm2Last) = Murmur3Sql.hashLongCtes("mb", mm1Last,
+      Murmur3Sql.toS32("h1u"), "h2u")
+    val h1s = Murmur3Sql.toS32("h1u")
+    val h2s = Murmur3Sql.toS32("h2u")
+    s"""WITH fpt AS (
+      |  SELECT doc_id, lang,
+      |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |base AS (SELECT * FROM fpt WHERE doc_id % 4 <> 0),
+      |delta AS (SELECT * FROM fpt WHERE doc_id % 4 = 0),
+      |guard AS (
+      |  SELECT CASE WHEN (SELECT count(*) * 2 FROM base) > $nBase
+      |    THEN NULL ELSE 1 END AS ok),
+      |dfp AS (SELECT DISTINCT fp FROM fpt),
+      |${XxHashSql.hash32ByteCtes},
+      |items AS (
+      |  SELECT fp,
+      |    CAST(h % 4294967296 AS BIGINT) AS lo,
+      |    CAST(h // 4294967296 AS BIGINT) AS hi
+      |  FROM xf3),
+      |$mm1,
+      |$mm2,
+      |pos AS (
+      |  SELECT fp, g.i,
+      |    CASE WHEN $h1s * 2147483647 + g.i * $h2s < 0
+      |      THEN -($h1s * 2147483647 + g.i * $h2s) - 1
+      |      ELSE $h1s * 2147483647 + g.i * $h2s END % $bitSize AS p
+      |  FROM $mm2Last, generate_series(1, $k) g(i)),
+      |basebits AS (
+      |  SELECT DISTINCT p.p FROM pos p JOIN base b ON b.fp = p.fp),
+      |hits AS (
+      |  SELECT d.doc_id, d.lang, d.fp,
+      |    (SELECT count(*) FROM pos p JOIN basebits bb ON bb.p = p.p
+      |     WHERE p.fp = d.fp) = $k AS bloom_hit
+      |  FROM delta d),
+      |exact AS (SELECT DISTINCT fp FROM base),
+      |cand AS (
+      |  SELECT h.lang, CAST(count(*) AS BIGINT) AS n_candidates,
+      |    CAST(count(e.fp) AS BIGINT) AS n_dup
+      |  FROM hits h LEFT JOIN exact e ON e.fp = h.fp
+      |  WHERE h.bloom_hit GROUP BY h.lang)
+      |SELECT h.lang,
+      |  CAST(count(*) AS BIGINT) * (SELECT ok FROM guard) AS n_delta,
+      |  CAST(count(*) FILTER (NOT h.bloom_hit) AS BIGINT) AS n_pruned,
+      |  coalesce(any_value(c.n_candidates), 0) AS n_candidates,
+      |  coalesce(any_value(c.n_dup), 0) AS n_dup,
+      |  coalesce(any_value(c.n_candidates), 0)
+      |    - coalesce(any_value(c.n_dup), 0) AS n_false_pos
+      |FROM hits h LEFT JOIN cand c ON c.lang = h.lang
+      |GROUP BY h.lang ORDER BY h.lang""".stripMargin
+  }
+
+  lazy val oracle: Map[String, String] = Map(
+    "q_dedup_bloom" -> bloomTwinSql,
     // The unrolled greedy with exact-integer gains throughout — no
     // floats anywhere in this query.
     "q_select_maxcover" -> (
@@ -802,9 +874,11 @@ object CurateQueries {
     *
     * Deterministic: keys enter as fixed-seed `xxhash64` longs and
     * bit-OR insertion is order-independent, so hits — and therefore
-    * every count — are run-stable. Declared rows-only (the bloom has no
-    * SQL twin); the no-false-negative and reconciliation invariants are
-    * pinned in EdgeCaseSpec on a planted-dup mini corpus. */
+    * every count — are run-stable. That determinism is also why the
+    * round-10 twin exists: [[bloomTwinSql]] reproduces every bit
+    * position in SQL (hash-matched oracle); the no-false-negative and
+    * reconciliation invariants stay pinned in EdgeCaseSpec on a
+    * planted-dup mini corpus. */
   def dedupBloom(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fp = documents(s, d).select(

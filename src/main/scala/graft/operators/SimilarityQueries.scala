@@ -136,6 +136,45 @@ object SimilarityQueries {
         |SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS keep
         |FROM cl c LEFT JOIN dup d ON d.vec_id = c.vec_id
         |ORDER BY c.vec_id""".stripMargin),
+    // Round-10 conversion from rows-only: the IVF probe is
+    // deterministic end-to-end — centroids are per-(label, dim) double
+    // means, cluster choice ranks the ROUNDED centroid cosine with a
+    // label tiebreak, and the within-cluster scores use the raw float
+    // vectors (in-order accumulation). The only cross-engine float
+    // caveat is avg's summation order in the centroid; it sits behind a
+    // 4dp round, the same exposure every rounded-avg oracle carries.
+    "q_ann_ivf" -> (
+      s"""WITH dims AS (
+        |  SELECT label, i AS pos, embedding[CAST(i AS INT)]::DOUBLE AS v
+        |  FROM (SELECT label, embedding, unnest(range(1, 65)) AS i
+        |        FROM embeddings)),
+        |centroids AS (
+        |  SELECT label AS cl, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(v) AS avg_v FROM dims
+        |        GROUP BY 1, 2)
+        |  GROUP BY label),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+        |  WHERE vec_id < 5),
+        |pc AS (
+        |  SELECT probe_id, pv, cl,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY ${cosListSql("pv", "centroid")} DESC, cl) AS crnk
+        |  FROM probes, centroids),
+        |probeclusters AS (
+        |  SELECT probe_id, pv, cl FROM pc WHERE crnk <= $IvfNprobe),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    ${cosListSql("p.pv", "e.embedding")} AS cos_sim
+        |  FROM probeclusters p JOIN embeddings e
+        |    ON e.label = p.cl AND e.vec_id <> p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cos_sim, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin),
     // Round-10 conversion: all 4 × 8 sign bits from the same literal
     // plane table; candidates = any-table signature collision, exact
     // rounded cosine ranks them per probe.

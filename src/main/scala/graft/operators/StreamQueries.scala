@@ -68,7 +68,37 @@ object StreamQueries {
     "q_stream_enrich"   -> streamEnrich _
   )
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
+    // Round-10 conversion: the stream's declared semantics ARE the
+    // batch result — every delta doc's verdict depends only on that doc
+    // and the BASE, so the streamed output is batch-boundary-independent
+    // (ScaleOpsSpec pins stream ≡ batch row-for-row) and the
+    // q_dedup_incremental_lsh twin applies verbatim, one source of
+    // truth.
+    "q_stream_lsh_ingest" ->
+      SimilarityQueries.oracle("q_dedup_incremental_lsh"),
+    // Round-10 conversion: the three-batch late-drop replay is a PURE
+    // FUNCTION of the data (batch order pinned by modtimes), so the
+    // declared result has a closed form — hour windows of the
+    // newer-than-midpoint half whose end does not exceed the final
+    // watermark (max event time, ms granularity, minus the 30-minute
+    // delay); every older-half row arrives below the watermark and is
+    // dropped at ingestion, exactly the behavior under test.
+    "q_stream_late" ->
+      """WITH r AS (
+        |  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+        |  FROM events),
+        |b1 AS (
+        |  SELECT e.event_type, epoch_us(e.ts) AS tus
+        |  FROM events e, r WHERE epoch_us(e.ts) >= (r.lo + r.hi) // 2),
+        |w AS (
+        |  SELECT (tus // 3600000000) * 3600000000 AS ws, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM b1 GROUP BY 1, 2),
+        |wmv AS (SELECT ((hi - 1800000000) // 1000) * 1000 AS wm_us FROM r)
+        |SELECT ws AS window_start_us, event_type, n
+        |FROM w, wmv WHERE ws + 3600000000 <= wm_us
+        |ORDER BY window_start_us, event_type""".stripMargin,
     // Batch twin of the enriched streaming aggregate: the stream-static
     // join resolves each event against the same dimension snapshot the
     // batch join reads, and the keyed counts are batch-boundary-free.
@@ -596,8 +626,8 @@ object StreamQueries {
     * in one shot; since every delta doc's verdict depends only on that
     * doc and the BASE (never on other delta docs), the streamed result
     * is batch-boundary-independent — ScaleOpsSpec pins stream ≡ batch
-    * row-for-row. Rows-only by §2 design (banding recall, like its
-    * batch twin).
+    * row-for-row, which is also why the batch twin's oracle applies
+    * verbatim (hash-matched since round 10).
     *
     * Scale: per micro-batch cost is delta-bands × colliding base
     * buckets + verify joins keyed by doc_id — the daily-crawl ingest
@@ -994,9 +1024,8 @@ object StreamQueries {
       .orderBy("window_start_us", "event_type")
   }
 
-  /** Watermark late-drop made driver-visible (rows-only check; the drop
-    * counts depend on batch boundaries, so there is no SQL twin — the
-    * assertion lives in StreamingSpec): the events table is replayed as
+  /** Watermark late-drop made driver-visible: the events table is
+    * replayed as
     * THREE micro-batches — the newer half, an empty flush batch, then the
     * older half arriving late.
     *
@@ -1014,7 +1043,10 @@ object StreamQueries {
     * windows of the newer half only — is a pure function of the data
     * (batch order pinned by file modification times +
     * maxFilesPerTrigger=1), and intentionally NOT the batch answer: the
-    * missing late rows are the behavior under test. */
+    * missing late rows are the behavior under test. Because the batch
+    * order is pinned, the result has a CLOSED FORM and a hash-matched
+    * oracle since round 10 (newer-half hour windows under the final
+    * watermark); StreamingSpec keeps the mechanism-level assertions. */
   def streamLate(s: SparkSession, d: String): DataFrame = {
     val base = graft.sources.SourceQueries.scratch(d, "late_stream")
     val ev = graft.Tables.events(s, d)

@@ -144,6 +144,52 @@ object XxHashSql {
     s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $M64::HUGEINT " +
       s"ELSE ($x)::HUGEINT END)"
 
+  /** XXH64 of an EXACTLY-32-byte ASCII string (the md5-hex fingerprint
+    * case, q_dedup_bloom): len = 32 triggers the STRIPE phase — one
+    * 32-byte stripe through the four accumulators, merge, += 32,
+    * avalanche; no tail. CTE chain `dfp(fp)` → `xf3(fp, h)`,
+    * h unsigned. */
+  def hash32ByteCtes: String = {
+    val wcols = (0 until 4).map { k =>
+      val terms = (0 until 8)
+        .map(i => s"bs[${8 * k + i + 1}] * ${1L << (8 * i)}::HUGEINT")
+        .mkString(" + ")
+      s"($terms) AS w$k"
+    }
+    val inits = Seq(
+      s"((42::HUGEINT + $P1 + $P2) % $M64)",
+      s"((42::HUGEINT + $P2) % $M64)",
+      "42::HUGEINT",
+      s"((42::HUGEINT - $P1 + $M64) % $M64)")
+    def vround(v: String, w: String) = mul(rotl(add(v, mul(w, P2)), 31), P1)
+    val vcols = (0 until 4)
+      .map(i => s"${vround(inits(i), s"w$i")} AS v$i").mkString(", ")
+    val merged = add(add(add(rotl("v0", 1), rotl("v1", 7)),
+      rotl("v2", 12)), rotl("v3", 18))
+    val sb = new scala.collection.mutable.ListBuffer[String]
+    sb += s"""xb AS (
+      |  SELECT fp, ${wcols.mkString(",\n    ")} FROM (
+      |    SELECT fp, list_transform(range(1, 33),
+      |      i -> ord(substr(fp, CAST(i AS INT), 1))::HUGEINT) AS bs
+      |    FROM dfp))""".stripMargin
+    sb += s"xv AS (SELECT fp, $vcols FROM xb)"
+    sb += s"xm0 AS (SELECT *, $merged AS h FROM xv)"
+    var prev = "xm0"
+    (0 until 4).foreach { i =>
+      val k = mul(rotl(mul(s"v$i", P2), 31), P1)
+      sb += s"xm${i + 1} AS (SELECT * REPLACE(" +
+        s"${add(mul(xor("h", k), P1), P4)} AS h) FROM $prev)"
+      prev = s"xm${i + 1}"
+    }
+    sb += s"xl AS (SELECT * REPLACE(${add("h", "32")} AS h) FROM $prev)"
+    sb += s"xf1 AS (SELECT * REPLACE(" +
+      s"${mul(xor("h", shr("h", 33)), P2)} AS h) FROM xl)"
+    sb += s"xf2 AS (SELECT * REPLACE(" +
+      s"${mul(xor("h", shr("h", 29)), P3)} AS h) FROM xf1)"
+    sb += s"xf3 AS (SELECT fp, ${xor("h", shr("h", 32))} AS h FROM xf2)"
+    sb.mkString(",\n")
+  }
+
   /** XXH64 of a fixed sequence of fields from seed 42 — Spark's
     * multi-argument `xxhash64(lit(b), mh…)` chains the running hash as
     * the next field's seed, each field hashed with its width-specific
@@ -282,5 +328,73 @@ object LshSql {
         |    GROUP BY u.a) m ON m.doc_id = l.doc_id)""".stripMargin
     }
     sb.mkString(",\n")
+  }
+}
+
+/** Murmur3_x86_32 `hashLong` in DuckDB SQL — the hash behind Spark's
+  * BloomFilterImplV2 bit scattering (q_dedup_bloom's twin, round 10).
+  * All state is 32-bit wrapping: values carried as UNSIGNED 0..2³²−1
+  * BIGINTs, multiplies through HUGEINT then mod 2³², rotations one
+  * multiply + floor-div, XOR on BIGINT (sign-safe: operands < 2³²).
+  * Position model verified against the real BloomFilterImplV2 via
+  * reflection on its bit array (round 10): h1 = mm3(item, 0),
+  * h2 = mm3(item, h1 signed), positions = (h1·(2³¹−1) + i·h2 flipped
+  * non-negative) mod bitSize for i = 1..k — LONG arithmetic, bitSize
+  * rounded up to a 64-bit word multiple. */
+object Murmur3Sql {
+  private val M32 = "4294967296"
+  private val C1 = "3432918353" // 0xcc9e2d51
+  private val C2 = "461845907" // 0x1b873593
+  private val FA = "2246822507" // 0x85ebca6b
+  private val FB = "3266489909" // 0xc2b2ae35
+  private val AD = "3864292196" // 0xe6546b64
+
+  private def m32(x: String, c: String): String =
+    s"((($x)::HUGEINT * $c::HUGEINT) % $M32)"
+  private def r32(x: String, r: Int): String =
+    s"((($x) * ${1L << r} + ($x) // ${1L << (32 - r)}) % $M32)"
+  private def x32(a: String, b: String): String =
+    s"xor(CAST($a AS BIGINT), CAST($b AS BIGINT))"
+  private def nn(x: String): String = s"((($x) % $M32 + $M32) % $M32)"
+
+  /** Signed-int reinterpretation of an unsigned 32-bit BIGINT. */
+  def toS32(u: String): String =
+    s"(CASE WHEN ($u) >= 2147483648 THEN ($u) - $M32 ELSE ($u) END)"
+
+  /** One `Murmur3_x86_32.hashLong(item, seed)` as staged CTEs over a
+    * frame carrying `lo`/`hi` (the item's unsigned 32-bit halves).
+    * `seedExpr` is the SIGNED seed; result lands unsigned in
+    * `outCol`. */
+  def hashLongCtes(tag: String, prev: String, seedExpr: String,
+      outCol: String): (String, String) = {
+    val o = new scala.collection.mutable.ListBuffer[String]
+    o += s"${tag}a AS (SELECT *, CAST(" +
+      s"${m32(r32(m32("lo", C1), 15), C2)} AS BIGINT) AS ${tag}k1 " +
+      s"FROM $prev)"
+    o += s"${tag}b AS (SELECT *, CAST(" +
+      s"${r32(nn(x32(seedExpr, s"${tag}k1")), 13)} AS BIGINT) " +
+      s"AS ${tag}hr FROM ${tag}a)"
+    o += s"${tag}c AS (SELECT *, CAST(((${tag}hr * 5 + $AD) % $M32) " +
+      s"AS BIGINT) AS ${tag}h1 FROM ${tag}b)"
+    o += s"${tag}d AS (SELECT *, CAST(" +
+      s"${m32(r32(m32("hi", C1), 15), C2)} AS BIGINT) AS ${tag}k2 " +
+      s"FROM ${tag}c)"
+    o += s"${tag}e AS (SELECT *, CAST(" +
+      s"${r32(nn(x32(s"${tag}h1", s"${tag}k2")), 13)} AS BIGINT) " +
+      s"AS ${tag}hr2 FROM ${tag}d)"
+    o += s"${tag}f AS (SELECT *, CAST(((${tag}hr2 * 5 + $AD) % $M32) " +
+      s"AS BIGINT) AS ${tag}hm FROM ${tag}e)"
+    o += s"${tag}g AS (SELECT *, CAST(${nn(x32(s"${tag}hm", "8"))} " +
+      s"AS BIGINT) AS ${tag}f0 FROM ${tag}f)"
+    o += s"${tag}h AS (SELECT *, CAST(" +
+      s"${m32(nn(x32(s"${tag}f0", s"${tag}f0 // 65536")), FA)} " +
+      s"AS BIGINT) AS ${tag}fa FROM ${tag}g)"
+    o += s"${tag}i AS (SELECT *, CAST(" +
+      s"${m32(nn(x32(s"${tag}fa", s"${tag}fa // 8192")), FB)} " +
+      s"AS BIGINT) AS ${tag}fb FROM ${tag}h)"
+    o += s"${tag}j AS (SELECT *, CAST(" +
+      s"${nn(x32(s"${tag}fb", s"${tag}fb // 65536"))} AS BIGINT) " +
+      s"AS $outCol FROM ${tag}i)"
+    (o.mkString(",\n"), s"${tag}j")
   }
 }
