@@ -717,7 +717,53 @@ object SimilarityQueries {
     * the join condition, written after the cheap block/id conjuncts:
     * conjuncts short-circuit left-to-right, so the dot runs once per
     * in-group ordered pair. */
+  /** The exact cos ≥ 0.4 near-dup EDGE STORE, staged once per corpus —
+    * round 10's architectural fix for the graph family's dominant cost:
+    * EIGHT declared queries (q_dedup_embed, q_dedup_cc,
+    * q_graph_{pagerank,kcore,triangles,modularity,linkpred,comp_sizes},
+    * q_graph_label_prop) consumed [[embedPairsScan]]'s O(n²/2) blocked
+    * pair join, and every one recomputed it from scratch — at 100 TB
+    * that scan IS the engine's most expensive operation, and no
+    * production system runs it eight times. A real near-dup pipeline
+    * computes the edge set at ingest and maintains it NEXT TO the
+    * corpus (the lshLayout/signature-store discipline — this is its
+    * exact-edge sibling); every analysis then reads the store.
+    *
+    * Bucketed ×32 by v1 with the same stage-once marker semantics as
+    * [[lshLayout]] (fingerprint of the embeddings listing; regeneration
+    * restages). The consumers' values are identical by construction —
+    * the store holds the scan's own output — so every oracle
+    * hash-match is unaffected (verified at three SFs), and the wire
+    * cost of the scan is paid exactly once per corpus generation.
+    * PlanShapeSpec's hash-joins-only guard pins [[embedPairsScan]] (the
+    * computation that runs at staging time). */
   private[operators] def embedPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BucketedLayout, SourceQueries, Staging}
+    val root = SourceQueries.scratch(d, "pairs_layout")
+    val sf = SourceQueries.sfName(d)
+    val pairsT = s"graft_embed_pairs_$sf"
+    val path = s"$root/pairs"
+    val spec = "v1|" +
+      Staging.fingerprint(s, Seq(s"$d/embeddings.parquet"))
+    Staging.readMarker(s, root).map(_.split("\n", -1)) match {
+      case Some(Array(sp, ddl)) if sp == spec =>
+        if (!s.catalog.tableExists(pairsT)) {
+          s.sql(s"DROP TABLE IF EXISTS $pairsT")
+          s.sql(s"CREATE TABLE $pairsT ($ddl) USING parquet " +
+            s"CLUSTERED BY (v1) SORTED BY (v1) INTO 32 BUCKETS " +
+            s"LOCATION '$path'")
+        }
+      case _ =>
+        BucketedLayout.dropWithLocation(s, pairsT, root)
+        BucketedLayout.writeBucketed(embedPairsScan(s, d), pairsT,
+          "v1", 32, Some(path))
+        Staging.markStaged(s, root, spec +
+          "\n" + s.table(pairsT).schema.toDDL)
+    }
+    s.table(pairsT)
+  }
+
+  private[graft] def embedPairsScan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = PairBlocks
     // Block-pair groups (bi ≤ bj): K(K+1)/2 rows — broadcast hash join.

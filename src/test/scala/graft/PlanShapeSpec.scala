@@ -173,11 +173,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("q_dedup_embed's blocked pair scan is hash joins only") {
+  test("the blocked pair scan is hash joins only (staging computation)") {
     // The blocked rewrite must keep both the tiny block-pair fan-out and
     // the gid pair join as equi hash joins — a regression to BNLJ or a
-    // cartesian is the 100 TB failure mode it replaced.
-    val plan = finalPlanString(SimilarityQueries.dedupEmbed(spark, sfDir))
+    // cartesian is the 100 TB failure mode it replaced. Since round 10
+    // the scan runs ONCE at staging time (the edge store); the guard
+    // pins the computation itself, not the consumers' staged reads.
+    val plan = finalPlanString(
+      SimilarityQueries.embedPairsScan(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"),
