@@ -461,24 +461,21 @@ object StreamQueries {
     * (q_join_bucketed's layout) so only the delta shuffles. Versioned
     * dirs stand in for a table format's transactional commit. */
   def streamMergeSink(s: SparkSession, d: String): DataFrame = {
-    val base = graft.sources.SourceQueries.scratch(d, "merge_stream")
     val tbl = graft.sources.SourceQueries.scratch(d, "merge_table")
     val ev = graft.Tables.events(s, d)
+    val base = stagedReplaySlices(s, d, "merge_stream",
+      Seq(s"$d/events.parquet")) { root =>
+      val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi")).head()
+      val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
+      ev.filter(col("ts") < split).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b1")
+      ev.filter(col("ts") >= split).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b2")
+    }
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
-    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
-      unix_micros(max(col("ts"))).as("hi")).head()
-    val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
-    ev.filter(col("ts") < split).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b1")
-    ev.filter(col("ts") >= split).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b2")
-    val now = System.currentTimeMillis()
-    for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
-         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
-           if st.getPath.getName.endsWith(".parquet"))
-      fs.setTimes(st.getPath, now - age, -1)
     val stream = s.readStream.schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -549,24 +546,21 @@ object StreamQueries {
     * layout), and the versioned dirs stand in for a table format's
     * transactional commit. */
   def streamCdcApply(s: SparkSession, d: String): DataFrame = {
-    val base = graft.sources.SourceQueries.scratch(d, "cdc_stream")
     val tbl = graft.sources.SourceQueries.scratch(d, "cdc_table")
     val ev = graft.Tables.events(s, d)
+    val base = stagedReplaySlices(s, d, "cdc_stream",
+      Seq(s"$d/events.parquet")) { root =>
+      val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi")).head()
+      val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
+      ev.filter(col("ts") < split).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b1")
+      ev.filter(col("ts") >= split).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b2")
+    }
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
-    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
-      unix_micros(max(col("ts"))).as("hi")).head()
-    val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
-    ev.filter(col("ts") < split).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b1")
-    ev.filter(col("ts") >= split).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b2")
-    val now = System.currentTimeMillis()
-    for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
-         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
-           if st.getPath.getName.endsWith(".parquet"))
-      fs.setTimes(st.getPath, now - age, -1)
     val stream = s.readStream.schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -634,27 +628,24 @@ object StreamQueries {
     * gate at 100 TB, where the base tables are the write-once bucketed
     * layout and only the delta ever shuffles. */
   def streamLshIngest(s: SparkSession, d: String): DataFrame = {
-    val base = graft.sources.SourceQueries.scratch(d, "lsh_ingest_stream")
     val outDir = graft.sources.SourceQueries.scratch(d, "lsh_ingest_out")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
     val delta = graft.Tables.documents(s, d)
       .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
     // Two micro-batches split at the median delta id, modtime-ordered
     // (the q_stream_merge_sink replay convention).
-    val mid = delta.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
-      .head().getDouble(0)
-    delta.filter(col("doc_id") <= mid).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b1")
-    delta.filter(col("doc_id") > mid).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b2")
-    val now = System.currentTimeMillis()
-    for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
-         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
-           if st.getPath.getName.endsWith(".parquet"))
-      fs.setTimes(st.getPath, now - age, -1)
+    val base = stagedReplaySlices(s, d, "lsh_ingest_stream",
+      Seq(s"$d/documents.parquet")) { root =>
+      val mid = delta.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .head().getDouble(0)
+      delta.filter(col("doc_id") <= mid).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b1")
+      delta.filter(col("doc_id") > mid).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b2")
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
     val stream = s.readStream.schema(delta.schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -923,6 +914,35 @@ object StreamQueries {
     * join (the watermark affects only state retention, never which INNER
     * matches emit). Cross-batch match + state-eviction semantics are
     * exercised in StreamingSpec's two-MemoryStream script. */
+  /** Stage a two-micro-batch replay source ONCE per corpus (the
+    * [[intervalStreams]] discipline, round 10 extended to the b1/b2
+    * replays): the slices are a deterministic ingest-time artifact of
+    * the input table alone, so re-deriving them on every invocation
+    * re-paid one driver action plus two write jobs per query. `build`
+    * writes `$root/b1` and `$root/b2`; modtimes are then pinned b1
+    * older than b2 so the file source's oldest-first listing replays
+    * b1 → b2 stably on every later read, and the input-listing
+    * fingerprint marker is written LAST (a stage killed mid-write is
+    * restaged, never reused). */
+  private def stagedReplaySlices(s: SparkSession, d: String, tag: String,
+      inputs: Seq[String])(build: String => Unit): String = {
+    import graft.sources.{SourceQueries, Staging}
+    val root = SourceQueries.scratch(d, tag)
+    val spec = "v1|" + Staging.fingerprint(s, inputs)
+    if (!Staging.readMarker(s, root).contains(spec)) {
+      build(root)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
+           st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+             if st.getPath.getName.endsWith(".parquet"))
+        fs.setTimes(st.getPath, now - age, -1)
+      Staging.markStaged(s, root, spec)
+    }
+    root
+  }
+
   /** The two watermarked interval-join streams shared by the inner and
     * left-outer declared queries, each read from a STAGED pre-split
     * parquet (fingerprint-guarded, the shingle-layout discipline): built
