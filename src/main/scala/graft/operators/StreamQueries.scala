@@ -925,7 +925,8 @@ object StreamQueries {
     * fingerprint marker is written LAST (a stage killed mid-write is
     * restaged, never reused). */
   private def stagedReplaySlices(s: SparkSession, d: String, tag: String,
-      inputs: Seq[String])(build: String => Unit): String = {
+      inputs: Seq[String], slices: Seq[String] = Seq("b1", "b2"))
+      (build: String => Unit): String = {
     import graft.sources.{SourceQueries, Staging}
     val root = SourceQueries.scratch(d, tag)
     val spec = "v1|" + Staging.fingerprint(s, inputs)
@@ -934,10 +935,10 @@ object StreamQueries {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val now = System.currentTimeMillis()
-      for ((sub, age) <- Seq("b1" -> 120000L, "b2" -> 60000L);
+      for ((sub, i) <- slices.zipWithIndex;
            st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub"))
              if st.getPath.getName.endsWith(".parquet"))
-        fs.setTimes(st.getPath, now - age, -1)
+        fs.setTimes(st.getPath, now - (slices.size - i) * 60000L, -1)
       Staging.markStaged(s, root, spec)
     }
     root
@@ -1068,33 +1069,23 @@ object StreamQueries {
     * oracle since round 10 (newer-half hour windows under the final
     * watermark); StreamingSpec keeps the mechanism-level assertions. */
   def streamLate(s: SparkSession, d: String): DataFrame = {
-    val base = graft.sources.SourceQueries.scratch(d, "late_stream")
     val ev = graft.Tables.events(s, d)
     // Split at the midpoint of the event-time range; each slice lands in
     // one file (coalesce(1)) so maxFilesPerTrigger=1 gives exactly three
-    // micro-batches. Harness-side setup cost, not the operator's plan.
-    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
-      unix_micros(max(col("ts"))).as("hi")).head()
-    val splitUs = (r.getLong(0) + r.getLong(1)) / 2
-    val split = timestamp_micros(lit(splitUs))
-    ev.filter(col("ts") >= split).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b1")
-    ev.filter(lit(false)).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b2")
-    ev.filter(col("ts") < split).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/b3")
-    // Pin processing order: the file source picks oldest-modtime first.
-    // Re-stamping goes through the Hadoop FileSystem for the path's own
-    // scheme (java.io.File is local-only — listFiles returns null on any
-    // non-local URI).
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val now = System.currentTimeMillis()
-    for ((sub, age) <- Seq("b1" -> 180000L, "b2" -> 120000L,
-           "b3" -> 60000L);
-         st <- fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$sub"))
-           if st.getPath.getName.endsWith(".parquet"))
-      fs.setTimes(st.getPath, now - age, -1)
+    // micro-batches, staged once per corpus (stagedReplaySlices pins the
+    // b1 < b2 < b3 modtime order). Harness-side setup, not the plan.
+    val base = stagedReplaySlices(s, d, "late_stream",
+      Seq(s"$d/events.parquet"), Seq("b1", "b2", "b3")) { root =>
+      val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi")).head()
+      val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
+      ev.filter(col("ts") >= split).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b1")
+      ev.filter(lit(false)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b2")
+      ev.filter(col("ts") < split).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/b3")
+    }
     val stream = s.readStream
       .schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
