@@ -20,6 +20,16 @@ object Harness {
       // re-asserts it only when unset, for driver-owned sessions).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // ObjectHashAggregate (the execution home of graft_topk_by and
+      // every TypedImperativeAggregate) falls back to SORT-based
+      // aggregation once a partition's hash map passes this many keys —
+      // the 128 default predates cheap RAM and would demote the knn
+      // family's ~corpus-sized key space to a per-partition sort whose
+      // avoidance is the aggregate's whole point. Buffers here are O(k)
+      // primitive arrays, so 64k keys is still MBs per partition.
+      .config(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

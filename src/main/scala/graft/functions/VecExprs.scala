@@ -329,6 +329,10 @@ object GraftFunctions {
         "graft_maxcover_greedy"),
       (args: Seq[Expression]) => MaxCoverGreedy(args(0),
         foldedLong(args(1)).toInt)),
+    (FunctionIdentifier("graft_topk_by"),
+      new ExpressionInfo(classOf[TopKByAgg].getName, "graft_topk_by"),
+      (args: Seq[Expression]) => TopKByAgg(args(0), args(1),
+        foldedLong(args(2)).toInt)),
     // Spark ships codegen'd bloom expressions (the runtime-row-filter
     // machinery: BloomFilterAggregate builds the sketch as a typed
     // imperative aggregate, BloomFilterMightContain probes it inside

@@ -1031,9 +1031,10 @@ object CurateQueries {
     * vector's squared distance is one scan-stage HOF fold over
     * `zip_with(embedding, centroid)` — the corpus is read once and
     * never shuffled with its vectors. The per-label top-3 reduces
-    * through the bounded-heap [[TopKSims]] aggregator (map-side
-    * partials, O(k) state), ranking on the ROUNDED distance with the
-    * id tiebreak so both engines cut the same set. */
+    * through the native bounded-heap `graft_topk_by` aggregate
+    * (map-side partials, O(k) primitive-array state, no typed-row
+    * boundary), ranking on the ROUNDED distance with the id tiebreak
+    * so both engines cut the same set. */
   def embedOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d)
@@ -1054,13 +1055,13 @@ object CurateQueries {
           zip_with(col("embedding"), col("centroid"),
             (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
           lit(0.0d), (a, v) => a + v), 4).as("cos_sim"))
-    d2.as[ProbeSim]
-      .groupByKey(_.probe_id)
-      .agg(new TopKSims(3).toColumn.name("top"))
-      .toDF("label", "top")
-      .select(col("label"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("label"), col("t.vec_id").as("vec_id"),
-        col("t.cos_sim").as("dist2"),
+    d2.groupBy("probe_id")
+      .agg(call_function("graft_topk_by",
+        col("cos_sim"), col("vec_id"), lit(3)).as("top"))
+      .select(col("probe_id").as("label"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("label"), col("t.id").as("vec_id"),
+        col("t.score").as("dist2"),
         (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("label", "rnk")
   }

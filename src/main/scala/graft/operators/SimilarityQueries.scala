@@ -594,8 +594,9 @@ object SimilarityQueries {
     * The scale question this answers is per-probe top-k WITHOUT a
     * per-probe sort: `row_number().over(partitionBy(probe))` would hash
     * all n·k scored rows into k reducer partitions and SORT each — k
-    * serial n-row sorts at 100 TB. Instead the [[TopKSims]] bounded-heap
-    * Aggregator keeps O(5) state per probe per map task and merges
+    * serial n-row sorts at 100 TB. Instead the native `graft_topk_by`
+    * bounded-heap aggregate (graft.functions.TopKByAgg) keeps O(5)
+    * primitive-array state per probe per map task and merges
     * partials, so the shuffle carries ≤ 5·P rows per probe (P = map
     * partitions), never the n·k score matrix. Probes broadcast (a query
     * batch is KBs); the corpus is scanned once, scores never
@@ -611,13 +612,12 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
-      .as[ProbeSim]
-      .groupByKey(_.probe_id)
-      .agg(new TopKSims(5).toColumn.name("top"))
-      .toDF("probe_id", "top")
+      .groupBy("probe_id")
+      .agg(call_function("graft_topk_by",
+        col("cos_sim"), col("vec_id"), lit(5)).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("probe_id"), col("t.vec_id").as("vec_id"),
-        col("t.cos_sim").as("cos_sim"),
+      .select(col("probe_id"), col("t.id").as("vec_id"),
+        col("t.score").as("cos_sim"),
         (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("probe_id", "rnk")
   }
@@ -638,10 +638,13 @@ object SimilarityQueries {
     * space confined to K(K+1)/2 evenly-hashed groups, no threshold — a
     * kNN graph needs every pair scored once), then each unordered pair
     * feeds BOTH endpoints and the per-vector top-3 reduces through the
-    * bounded-heap [[TopKSims]] aggregator — heap partials merge
-    * map-side, so the wire carries O(n·k) rows, never the O(n²) score
-    * matrix. Ranking is on the ROUNDED 4-dp score with the neighbor-id
-    * tiebreak, so both engines cut the same top-3. */
+    * native `graft_topk_by` bounded-heap aggregate — heap partials
+    * merge map-side, so the wire carries O(n·k) rows, never the O(n²)
+    * score matrix, and the 2·C(n,2) feed rows never cross a typed-row
+    * boundary (the former typed Aggregator's per-row decode was ~2 s
+    * of this query's 3 s at sf0.1). Ranking is on the ROUNDED 4-dp
+    * score with the neighbor-id tiebreak, so both engines cut the same
+    * top-3. */
   def embedKnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = PairBlocks
@@ -672,13 +675,14 @@ object SimilarityQueries {
         col("cos_sim"))
       .unionByName(scored.select(col("v2").as("probe_id"),
         col("v1").as("vec_id"), col("cos_sim")))
-    both.as[ProbeSim]
-      .groupByKey(_.probe_id)
-      .agg(new TopKSims(3).toColumn.name("top"))
-      .toDF("vec_id", "top")
-      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("vec_id"), col("t.vec_id").as("neighbor_id"),
-        col("t.cos_sim").as("cos_sim"),
+    both
+      .groupBy("probe_id")
+      .agg(call_function("graft_topk_by",
+        col("cos_sim"), col("vec_id"), lit(3)).as("top"))
+      .select(col("probe_id").as("vec_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos_sim"),
         (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("vec_id", "rnk")
   }
@@ -1272,8 +1276,9 @@ object SimilarityQueries {
     * codegen'd cosine runs per (probe, doc), and only scalar scores
     * reach the per-probe rank windows — vectors never shuffle. The rank
     * window sorts the corpus per probe; at serving scale the in-repo
-    * swap is the bounded-heap TopKSims Aggregator (q_sim_batch_topk),
-    * since NDCG@10 only consumes the top-10 rows of each ranking. */
+    * swap is the `graft_topk_by` bounded-heap aggregate
+    * (q_sim_batch_topk), since NDCG@10 only consumes the top-10 rows
+    * of each ranking. */
   def evalNdcg(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val probes = e.filter(col("vec_id") < 4)

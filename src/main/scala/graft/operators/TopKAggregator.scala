@@ -83,33 +83,9 @@ object TopKQueries {
   }
 }
 
-/** One scored (probe, candidate) pair in the batch-ANN pipeline. */
-case class ProbeSim(probe_id: Long, vec_id: Long, cos_sim: Double)
-
-/** Bounded top-k per probe for the batch-ANN serving query
-  * ([[SimilarityQueries.simBatchTopK]]): same O(k)-state design as
-  * [[TopKOrders]] (map-side partials, only k rows per probe per
-  * partition cross the wire), ordered on (cos_sim DESC, vec_id ASC) — a
-  * total order over pre-ROUNDED scores, so merge order cannot change the
-  * result and the window-function oracle breaks ties identically. */
-class TopKSims(k: Int)
-    extends Aggregator[ProbeSim, Seq[ProbeSim], Seq[ProbeSim]] {
-
-  private def lt(a: ProbeSim, b: ProbeSim): Boolean =
-    a.cos_sim > b.cos_sim ||
-      (a.cos_sim == b.cos_sim && a.vec_id < b.vec_id)
-
-  private def top(s: Seq[ProbeSim]): Seq[ProbeSim] =
-    s.sortWith(lt).take(k)
-
-  override def zero: Seq[ProbeSim] = Vector.empty
-  override def reduce(buf: Seq[ProbeSim], o: ProbeSim): Seq[ProbeSim] =
-    top(buf :+ o)
-  override def merge(a: Seq[ProbeSim], b: Seq[ProbeSim]): Seq[ProbeSim] =
-    top(a ++ b)
-  override def finish(r: Seq[ProbeSim]): Seq[ProbeSim] = r
-  override def bufferEncoder: Encoder[Seq[ProbeSim]] =
-    ExpressionEncoder[Seq[ProbeSim]]()
-  override def outputEncoder: Encoder[Seq[ProbeSim]] =
-    ExpressionEncoder[Seq[ProbeSim]]()
-}
+// The batch-ANN bounded top-k (formerly a typed `TopKSims` Aggregator
+// here) moved down the §2.10 ladder to the native Catalyst aggregate
+// `graft_topk_by` (graft.functions.TopKByAgg): at q_embed_knn's pair-
+// feed volume the typed path's per-row case-class decode dominated the
+// query. TopKOrders above stays as the documented typed-Aggregator
+// tier — its input is dimension-scale, where the ergonomics win.

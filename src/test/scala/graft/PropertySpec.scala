@@ -253,19 +253,24 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("bounded-heap top-k is merge-order-independent (scalacheck)") {
-    // The 100 TB contract for TopKSims: any partitioning of the input
-    // into map-side partials, merged in any order, equals the global
-    // sort's top-k. Ties included deliberately (cos_sim rounded to 4dp
-    // upstream makes ties common) — the (score DESC, id ASC) total
-    // order must resolve them identically everywhere.
-    import graft.operators.{ProbeSim, TopKSims}
-    val agg = new TopKSims(5)
+    // The 100 TB contract for graft_topk_by's buffer: any partitioning
+    // of the input into map-side partials, merged in any order (with a
+    // serialize/deserialize round-trip on one side — the shuffle path),
+    // equals the global sort's top-k. Ties included deliberately
+    // (cos_sim rounded to 4dp upstream makes ties common) — the
+    // (score DESC, id ASC) total order must resolve them identically
+    // everywhere.
+    import graft.functions.{TopKByAgg, TopKByBuf}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = TopKByAgg(BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, LongType, nullable = false), 5)
     val gen = for {
       n <- Gen.chooseNum(0, 40)
       rows <- Gen.listOfN(n, for {
         id <- Gen.chooseNum(0L, 99L)
         s <- Gen.chooseNum(0, 20)
-      } yield ProbeSim(0L, id, s / 20.0))
+      } yield (id, s / 20.0))
       cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(n, 1)))
     } yield (rows.distinct, cuts)
     val seed0 = Seed(42L)
@@ -274,16 +279,23 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         seed.next
       val (rows, cuts) = params
       val expected = rows
-        .sortBy(r => (-r.cos_sim, r.vec_id)).take(5)
+        .sortBy { case (id, s) => (-s, id) }.take(5)
       // split at the generated cut points into up to 4 partials
       val pts = (cuts :+ 0 :+ rows.length).distinct.sorted
       val partials = pts.zip(pts.tail).map { case (a, b) =>
-        rows.slice(a, b).foldLeft(agg.zero)(agg.reduce)
+        val buf = agg.createAggregationBuffer()
+        rows.slice(a, b).foreach { case (id, s) => buf.insert(s, id) }
+        buf
       }
-      val merged = partials.foldLeft(agg.zero)(agg.merge)
-      val mergedRev = partials.reverse.foldLeft(agg.zero)(agg.merge)
-      assert(agg.finish(merged) === expected)
-      assert(agg.finish(mergedRev) === expected)
+      def drain(bufs: Seq[TopKByBuf]): Seq[(Long, Double)] = {
+        // round-trip every partial through the wire format, as the
+        // shuffle does, before merging
+        val m = bufs.map(b => agg.deserialize(agg.serialize(b)))
+          .foldLeft(agg.createAggregationBuffer())(agg.merge)
+        (0 until m.n).map(j => (m.ids(j), m.scores(j)))
+      }
+      assert(drain(partials) === expected)
+      assert(drain(partials.reverse) === expected)
       next
     }
   }
