@@ -2281,28 +2281,39 @@ object StatsQueries {
   /** Market-basket co-occurrence: within-order item pairs with support
     * and lift — the association-rule-mining first stage.
     *
-    * Scale shape: pair GENERATION is basket-local — the self-join's
-    * equi-key is the basket id, so each task pairs only its own baskets'
-    * items (≤ k² per basket, k = items/basket, bounded by order size;
-    * never corpus²). The distinct (basket, item) frame is materialized
-    * once (`localCheckpoint`) and feeds all three consumers — pair join
-    * (twice), item counts, basket total — instead of re-running the
-    * distinct's exchange three times. Item counts are a dimension-sized
-    * frame broadcast back onto the pair aggregate; the basket-count
-    * scalar rides the house 1-row broadcast cross join (PlanGuard
-    * allowlisted). The `pair_cnt >= 2` cut bounds the emitted rule set
-    * the standard way (a pair seen once is noise, and at corpus scale
-    * the singleton tail dominates the pair space). */
+    * Scale shape: pair GENERATION is basket-local AND map-side — ONE
+    * keyed shuffle builds each basket's distinct item set (`collect_set`
+    * dedups in the agg buffer; the array is bounded by order width, so
+    * bytes per basket), and the ≤ k² pair rows explode from each
+    * basket's own array with no join at all: item `a` against the
+    * higher items of the same array (a < b once per unordered pair,
+    * whatever set order the buffer produced). The pair aggregate is the
+    * ONLY other corpus-scale exchange — the former distinct + self-join
+    * formulation paid four (the distinct, BOTH join re-shuffles on the
+    * basket key, the pair agg). Local wall-clock is join-vs-agg
+    * neutral at sf0.1 (~2.2 s either way — the pair agg dominates);
+    * the halved corpus shuffle count is the 100 TB argument. The
+    * basket frame is materialized once (`localCheckpoint`) and feeds
+    * all three consumers — pairs, item counts (one explode, dimension-
+    * sized out), basket total. Item counts broadcast back onto the pair
+    * aggregate; the basket-count scalar rides the house 1-row broadcast
+    * cross join (PlanGuard allowlisted). The `pair_cnt >= 2` cut bounds
+    * the emitted rule set the standard way (a pair seen once is noise,
+    * and at corpus scale the singleton tail dominates the pair
+    * space). */
   def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val items = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().localCheckpoint()
-    val n = items.agg(countDistinct("ok").as("n_baskets"))
-    val cnt = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("item_a"), col("b.pk").as("item_b"))
+    val baskets = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .localCheckpoint()
+    val n = baskets.agg(count(lit(1)).as("n_baskets"))
+    val cnt = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"),
+        explode(filter(col("ps"), x => x > col("a"))).as("b"))
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= 2)
     pairs
