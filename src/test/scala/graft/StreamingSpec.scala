@@ -487,6 +487,49 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "merged counts must cover every event exactly once")
   }
 
+  test("staged replay slices: reused unchanged, restaged when the " +
+      "input regenerates") {
+    // The stagedReplaySlices contract (q_stream_late/merge_sink/
+    // cdc_apply/lsh_ingest): the b* slice stage is built ONCE per input
+    // fingerprint — a second run reuses it byte-for-byte (marker
+    // payload unchanged, same answer) — and a REGENERATED input
+    // invalidates the marker so the slices are rebuilt, never served
+    // stale. Runs on a copied corpus because the real one is read-only.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-replay-stage").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val root = graft.sources.SourceQueries.scratch(dir, "late_stream")
+    val r1 = graft.operators.StreamQueries.streamLate(spark, dir).collect()
+    val m1 = graft.sources.Staging.readMarker(spark, root)
+    assert(m1.isDefined, "no stage marker after the first run")
+    val r2 = graft.operators.StreamQueries.streamLate(spark, dir).collect()
+    assert(graft.sources.Staging.readMarker(spark, root) === m1,
+      "marker rewritten although the input was unchanged")
+    assert(r2.toSeq === r1.toSeq)
+    // Regenerate the input (drop the oldest quarter of events) — the
+    // listing fingerprint changes, so the stage must rebuild and the
+    // replay must answer for the NEW corpus.
+    val keep = Tables.events(spark, dir)
+    val cut = keep.agg(percentile_approx(unix_micros(col("ts")),
+      lit(0.25), lit(1000))).head().getLong(0)
+    val trimmed = keep.filter(unix_micros(col("ts")) > cut).collect()
+    val evPath = Paths.get(s"$dir/events.parquet")
+    Files.delete(evPath)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(trimmed.toIndexedSeq, 1),
+        keep.schema)
+      .coalesce(1).write.mode("overwrite").parquet(evPath.toString)
+    val r3 = graft.operators.StreamQueries.streamLate(spark, dir).collect()
+    assert(graft.sources.Staging.readMarker(spark, root) !== m1,
+      "stale marker survived an input regeneration")
+    assert(r3.nonEmpty)
+    assert(r3.map(_.getAs[Long]("n")).sum <
+      r1.map(_.getAs[Long]("n")).sum,
+      "restaged replay still answers for the old corpus")
+  }
+
   test("streaming tumbling counts equal the batch answer (equivalence)") {
     val streamed = graft.operators.StreamQueries
       .streamTumbling(spark, sfDir).collect()
