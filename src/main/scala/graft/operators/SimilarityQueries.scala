@@ -733,37 +733,23 @@ object SimilarityQueries {
     * corpus (the lshLayout/signature-store discipline — this is its
     * exact-edge sibling); every analysis then reads the store.
     *
-    * Bucketed ×32 by v1 with the same stage-once marker semantics as
-    * [[lshLayout]] (fingerprint of the embeddings listing; regeneration
-    * restages). The consumers' values are identical by construction —
-    * the store holds the scan's own output — so every oracle
-    * hash-match is unaffected (verified at three SFs), and the wire
-    * cost of the scan is paid exactly once per corpus generation.
+    * Bucketed ×32 by v1 through the shared stage-once protocol
+    * ([[graft.sources.BucketedLayout.ensureBucketed]]: listing
+    * fingerprint + bucket spec recorded, marker written LAST, DDL-only
+    * re-register when a later JVM finds the layout staged; any corpus
+    * regeneration restages). The consumers' values are identical by
+    * construction — the store holds the scan's own output — so every
+    * oracle hash-match is unaffected (verified at three SFs), and the
+    * wire cost of the scan is paid exactly once per corpus generation.
     * PlanShapeSpec's hash-joins-only guard pins [[embedPairsScan]] (the
     * computation that runs at staging time). */
   private[operators] def embedPairs(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.{BucketedLayout, SourceQueries, Staging}
-    val root = SourceQueries.scratch(d, "pairs_layout")
-    val sf = SourceQueries.sfName(d)
-    val pairsT = s"graft_embed_pairs_$sf"
-    val path = s"$root/pairs"
-    val spec = "v1|" +
-      Staging.fingerprint(s, Seq(s"$d/embeddings.parquet"))
-    Staging.readMarker(s, root).map(_.split("\n", -1)) match {
-      case Some(Array(sp, ddl)) if sp == spec =>
-        if (!s.catalog.tableExists(pairsT)) {
-          s.sql(s"DROP TABLE IF EXISTS $pairsT")
-          s.sql(s"CREATE TABLE $pairsT ($ddl) USING parquet " +
-            s"CLUSTERED BY (v1) SORTED BY (v1) INTO 32 BUCKETS " +
-            s"LOCATION '$path'")
-        }
-      case _ =>
-        BucketedLayout.dropWithLocation(s, pairsT, root)
-        BucketedLayout.writeBucketed(embedPairsScan(s, d), pairsT,
-          "v1", 32, Some(path))
-        Staging.markStaged(s, root, spec +
-          "\n" + s.table(pairsT).schema.toDDL)
-    }
+    import graft.sources.{BucketedLayout, SourceQueries}
+    val pairsT = s"graft_embed_pairs_${SourceQueries.sfName(d)}"
+    BucketedLayout.ensureBucketed(s, embedPairsScan(s, d), pairsT, "v1",
+      buckets = 32,
+      path = s"${SourceQueries.scratch(d, "pairs_layout")}/pairs",
+      sources = Seq(s"$d/embeddings.parquet"))
     s.table(pairsT)
   }
 

@@ -464,15 +464,7 @@ object StreamQueries {
     val tbl = graft.sources.SourceQueries.scratch(d, "merge_table")
     val ev = graft.Tables.events(s, d)
     val base = stagedReplaySlices(s, d, "merge_stream",
-      Seq(s"$d/events.parquet")) { root =>
-      val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
-        unix_micros(max(col("ts"))).as("hi")).head()
-      val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
-      ev.filter(col("ts") < split).coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/b1")
-      ev.filter(col("ts") >= split).coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/b2")
-    }
+      Seq(s"$d/events.parquet"))(eventsMidpointSlices(ev))
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
@@ -549,15 +541,7 @@ object StreamQueries {
     val tbl = graft.sources.SourceQueries.scratch(d, "cdc_table")
     val ev = graft.Tables.events(s, d)
     val base = stagedReplaySlices(s, d, "cdc_stream",
-      Seq(s"$d/events.parquet")) { root =>
-      val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
-        unix_micros(max(col("ts"))).as("hi")).head()
-      val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
-      ev.filter(col("ts") < split).coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/b1")
-      ev.filter(col("ts") >= split).coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/b2")
-    }
+      Seq(s"$d/events.parquet"))(eventsMidpointSlices(ev))
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
@@ -924,6 +908,20 @@ object StreamQueries {
     * b1 → b2 stably on every later read, and the input-listing
     * fingerprint marker is written LAST (a stage killed mid-write is
     * restaged, never reused). */
+  /** The shared b1/b2 builder for the event-table replays (merge sink
+    * and CDC apply stage the SAME slices under different tags): split
+    * at the midpoint of the event-time range, one file per slice so
+    * `maxFilesPerTrigger=1` gives exactly two micro-batches. */
+  private def eventsMidpointSlices(ev: DataFrame)(root: String): Unit = {
+    val r = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+      unix_micros(max(col("ts"))).as("hi")).head()
+    val split = timestamp_micros(lit((r.getLong(0) + r.getLong(1)) / 2))
+    ev.filter(col("ts") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/b1")
+    ev.filter(col("ts") >= split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/b2")
+  }
+
   private def stagedReplaySlices(s: SparkSession, d: String, tag: String,
       inputs: Seq[String], slices: Seq[String] = Seq("b1", "b2"))
       (build: String => Unit): String = {

@@ -18,6 +18,32 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
 
+  test("documents.text honors the XxHashSql twin preconditions at " +
+      "every SF (ASCII, shingles under the 32-byte stripe bound)") {
+    // XxHashSql (the DuckDB twin generator behind the whole MinHash/
+    // SimHash oracle family) declares two fixture preconditions: input
+    // is ASCII (the twin reads bytes as ord(substr(...)) — the code
+    // point, which equals the byte ONLY below 128), and every hashed
+    // token/shingle is < 32 bytes (the XXH64 stripe phase is not
+    // generated). A regenerated fixture breaking either would surface
+    // as an unattributed oracle hash mismatch; this names it instead.
+    sfDirs.foreach { d =>
+      val r = spark.read.parquet(s"$d/documents.parquet")
+        .agg(
+          sum(when(length(col("text")) =!= octet_length(col("text")),
+            1L).otherwise(0L)).as("non_ascii_docs"),
+          max(array_max(transform(split(col("text"), " "),
+            t => octet_length(t)))).as("max_tok_bytes"))
+        .collect().head
+      assert(r.getLong(0) === 0L,
+        s"$d: non-ASCII text — the twin's ord-as-byte read diverges")
+      val maxTok = r.getInt(1)
+      assert(3 * maxTok + 2 < 32,
+        s"$d: max token $maxTok bytes — a 3-token shingle can reach " +
+          s"${3 * maxTok + 2} bytes, into the ungenerated stripe phase")
+    }
+  }
+
   test("documents.doc_id is dense 0..n-1 at every SF") {
     sfDirs.foreach { d =>
       val r = spark.read.parquet(s"$d/documents.parquet")
