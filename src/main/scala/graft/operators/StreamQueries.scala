@@ -337,12 +337,15 @@ object StreamQueries {
   }
 
   /** State fan-out for the bounded replay. State-store commit cost is
-    * per-partition per-batch (provider init + delta file + fsync), so the
-    * short replay wants few partitions; a production cluster sizes
+    * per-partition per-batch (provider init + delta file + fsync ×4
+    * stores for a stream-stream join), so the short replay wants few
+    * partitions — measured on the interval join at sf0.1: 32 parts
+    * 6.7 s, 8 parts 2.8 s, 4 parts 2.2 s, 2 parts 2.25 s (the floor is
+    * fixed per-batch cost, not state work). A production cluster sizes
     * `spark.sql.shuffle.partitions` to its core count instead — state
     * keyed by (window, event_type) / user_id partitions the same way at
     * any fan-out. */
-  private val replayStateParts = "8"
+  private val replayStateParts = "4"
 
   /** Run an unbounded frame to completion: AvailableNow trigger → memory
     * sink → return the materialized table. Temp checkpoint, self
