@@ -255,6 +255,30 @@ class VecExprSpec extends AnyFunSuite with SparkFixture {
       || ex.getMessage != null)
   }
 
+  test("graft_topk_by: SQL-path registration, order, ties, k-bound, " +
+      "type check") {
+    import spark.implicits._
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.5),
+        (1L, 13L, 0.95), (2L, 20L, 0.1))
+      .toDF("g", "id", "score").createOrReplaceTempView("topk_in")
+    // (score DESC, id ASC): the 0.9 tie resolves 10 before 11; k=2
+    // cuts 12; group 2 keeps its single row.
+    val out = spark.sql(
+      """SELECT g, graft_topk_by(score, id, 2) AS top
+        |FROM topk_in GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getLong(0), t.getDouble(1)))))
+    assert(out.toSeq === Seq(
+      (1L, Seq((13L, 0.95), (10L, 0.9))),
+      (2L, Seq((20L, 0.1)))), s"got ${out.toSeq}")
+    // Wrong input types fail analysis, not execution.
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_topk_by(CAST(1 AS INT), 2, 3)").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("graft_maxcover_greedy: greedy decisions, ties, early exhaustion") {
     import spark.implicits._
     // Candidates: doc 1 covers {a,b,c}, doc 2 {a,b} (subset — gain 0
