@@ -78,10 +78,23 @@ object Bench {
       .map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = names.flatMap(k =>
       if (times(k).nonEmpty) Some(Harness.median(times(k))) else None).sum
+    // Drift verdict (round-10 ask 2): BASELINE.md's rule says pass
+    // totals spreading >2 % mean a noisy box whose medians should not
+    // be trusted as a baseline — BENCH_r10's official artifact spread
+    // 15 % and needed the builder's clean runs cross-referenced to
+    // read. Stamp the verdict INTO the artifact so a bad box is
+    // self-evident: spread = (max − min)/min over pass totals.
+    val spreadPct =
+      if (passTotals.size < 2 || passTotals.min <= 0) 0.0
+      else math.rint(
+        (passTotals.max - passTotals.min) / passTotals.min * 1000) / 10
+    val drift = if (spreadPct < 2.0) "ok" else "noisy_box"
+    val driftJson = s""""pass_spread_pct":$spreadPct,"drift":"$drift""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""passes":$passes,"runs":$runs,""" +
         s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
+        s"""$driftJson,""" +
         s""""errors":$errors,"flaky":$flaky,"sf":"$sfDir"}"""
     // The per-query maps make the full line long enough that a tail-only
     // stdout capture can cut off its head (where the headline total
@@ -96,7 +109,7 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: java.io.IOException => () }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","abridged":true,"passes":$passes,"n_queries":${names.size},"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","abridged":true,"passes":$passes,"n_queries":${names.size},$driftJson,"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,8 +25,19 @@ object Harness {
       // aggregation once a partition's hash map passes this many keys —
       // the 128 default predates cheap RAM and would demote the knn
       // family's ~corpus-sized key space to a per-partition sort whose
-      // avoidance is the aggregate's whole point. Buffers here are O(k)
-      // primitive arrays, so 64k keys is still MBs per partition.
+      // avoidance is the aggregate's whole point. graft_topk_by buffers
+      // are O(k) primitive arrays, so 64k keys is still MBs per
+      // partition. KNOWN EXPOSURE (round-10 advice): the setting is
+      // session-global, so it also lifts the sort fallback for
+      // VARIABLE-width TypedImperativeAggregate buffers — collect_list/
+      // collect_set in q_basket_pairs and q_select_maxcover today, and
+      // any future aggregate — where per-partition memory is
+      // 64k × buffer size, not O(k). Today's variable-width buffers are
+      // bounded (a basket holds ≤7 lineitems by TPC-H construction;
+      // maxcover's set column is the ≤32-shingle doc fingerprint), so
+      // 64k keys is still ≤~100 MB/partition; an UNBOUNDED per-key list
+      // aggregate must not ride this session default — scope it with
+      // withSQLConf or cap the buffer instead.
       .config(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")

@@ -2295,9 +2295,14 @@ object StatsQueries {
     * the halved corpus shuffle count is the 100 TB argument. The
     * basket frame is materialized once (`localCheckpoint`) and feeds
     * all three consumers — pairs, item counts (one explode, dimension-
-    * sized out), basket total. Item counts broadcast back onto the pair
-    * aggregate; the basket-count scalar rides the house 1-row broadcast
-    * cross join (PlanGuard allowlisted). The `pair_cnt >= 2` cut bounds
+    * sized out), basket total. The item-count frame scales with the
+    * ITEM dimension — catalog-sized, not corpus-sized, but open (the
+    * round-10 verdict's `weak` flag) — so it joins back onto the pair
+    * aggregate UNHINTED on the item key: AQE broadcasts it at fixture
+    * scale from measured size, and a 100 TB catalog degrades to a
+    * shuffle join instead of an executor OOM. Only the basket-count
+    * scalar rides the house 1-row broadcast cross join (PlanGuard
+    * allowlisted). The `pair_cnt >= 2` cut bounds
     * the emitted rule set the standard way (a pair seen once is noise,
     * and at corpus scale the singleton tail dominates the pair
     * space). */
@@ -2318,10 +2323,10 @@ object StatsQueries {
       .filter(col("pair_cnt") >= 2)
     pairs
       .crossJoin(broadcast(n))
-      .join(broadcast(cnt.select(col("pk").as("item_a"),
-        col("cnt").as("cnt_a"))), Seq("item_a"))
-      .join(broadcast(cnt.select(col("pk").as("item_b"),
-        col("cnt").as("cnt_b"))), Seq("item_b"))
+      .join(cnt.select(col("pk").as("item_a"),
+        col("cnt").as("cnt_a")), Seq("item_a"))
+      .join(cnt.select(col("pk").as("item_b"),
+        col("cnt").as("cnt_b")), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("pair_cnt"),
         col("cnt_a"), col("cnt_b"),
         round(col("pair_cnt").cast("double")
@@ -2707,9 +2712,12 @@ object StatsQueries {
     * inequality; this is the concentration scalar regulators quote.
     *
     * Scale shape: one fact-table keyed agg (exact BIGINT cents) to the
-    * suppliers frame, broadcast nation dim join, nation totals by one
-    * window over that already-reduced frame — the fact table is touched
-    * exactly once. Shares are exact-operand divisions; HHI is rounded 4
+    * suppliers frame, then an UNHINTED equi-join to the supplier dim —
+    * the dim scales with the corpus (the round-10 `weak` class), so AQE
+    * decides broadcast-vs-shuffle from its measured size — and nation
+    * totals by one window over that already-reduced frame; the fact
+    * table is touched exactly once. Shares are exact-operand divisions;
+    * HHI is rounded 4
     * (cross-row share² sum) and the verdict bands read the ROUNDED
     * value, so both engines band identically. */
   def aggHhi(s: SparkSession, d: String): DataFrame = {
@@ -2718,8 +2726,8 @@ object StatsQueries {
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
       .groupBy("l_suppkey").agg(sum("cents").as("sc"))
     val bySupp = rev.join(
-      broadcast(supplier(s, d)
-        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+      supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
       Seq("l_suppkey"))
     val wNat = Window.partitionBy("s_nationkey")
     val shares = bySupp.select(col("s_nationkey"),
@@ -2789,7 +2797,10 @@ object StatsQueries {
     * the three, standard for small-n agreement studies).
     *
     * Scale: the fact table reduces to ONE exact-BIGINT row per supplier
-    * (the only corpus-scale shuffle); the τ pair self-join then runs
+    * (the only corpus-scale shuffle); the supplier→region dim attach is
+    * an UNHINTED equi-join (the supplier dim scales with the corpus —
+    * only the 25-row nation leg keeps its broadcast hint; AQE
+    * size-measures the rest); the τ pair self-join then runs
     * REGION-LOCAL on that reduced frame — pairs are bounded by
     * per-region supplier count², never corpus². Concordant / discordant
     * / tie counts are exact integers; τ-b is one closed-form sqrt/divide
@@ -2801,12 +2812,12 @@ object StatsQueries {
         round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
         col("l_quantity").cast("long").as("q"))
       .groupBy("l_suppkey").agg(sum("c").as("sc"), sum("q").as("sq"))
-    val dim = broadcast(supplier(s, d)
+    val dim = supplier(s, d)
       .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
       .join(broadcast(nation(s, d)
         .select(col("n_nationkey").as("s_nationkey"), col("n_regionkey"))),
         Seq("s_nationkey"))
-      .select(col("l_suppkey"), col("n_regionkey")))
+      .select(col("l_suppkey"), col("n_regionkey"))
     val sn = supp.join(dim, Seq("l_suppkey"))
     val a = sn.select(col("n_regionkey"), col("l_suppkey").as("ka"),
       col("sc").as("sca"), col("sq").as("sqa"))

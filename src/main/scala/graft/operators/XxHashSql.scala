@@ -310,8 +310,19 @@ object LshSql {
     * doc_id — GraphX connectedComponents' label contract. Convergence
     * needs rounds ≥ the min-id node's eccentricity per component; at the
     * 0.9-Jaccard regime components are near-cliques (measured: fixpoint
-    * by round 3 at sf0.1), so 10 rounds is a wide margin. */
+    * by round 3 at sf0.1), so 10 rounds is a wide margin.
+    *
+    * Convergence GUARD (round-10 advice): the unroll count is a
+    * measured-fixpoint bet, and an unconverged run would otherwise
+    * surface as an unattributed hash mismatch in whichever consumer
+    * reads `l<rounds>`. So the consumer-facing `l<rounds>` CTE is a
+    * guard over the raw final round: if ANY label still changed between
+    * rounds `rounds−1` and `rounds` (i.e. the fixpoint was NOT reached
+    * inside the unroll budget), every lbl is NULLed — the failure shows
+    * up loudly as an all-NULL component column named by this guard, the
+    * same fail-loud discipline as bloomTwinSql's NULL guard. */
   def ccCtes(rounds: Int): String = {
+    require(rounds >= 1, s"ccCtes needs >= 1 round, got $rounds")
     val sb = new scala.collection.mutable.ListBuffer[String]
     sb += """edges AS (SELECT d1, d2 FROM scored
       |  WHERE jac >= 0.5 AND round(jac, 4) >= 0.9)""".stripMargin
@@ -320,13 +331,21 @@ object LshSql {
       |  UNION ALL SELECT d2, d1 FROM edges)""".stripMargin
     sb += "l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents)"
     (1 to rounds).foreach { k =>
-      sb += s"""l$k AS MATERIALIZED (
+      val name = if (k == rounds) s"lraw$k" else s"l$k"
+      sb += s"""$name AS MATERIALIZED (
         |  SELECT l.doc_id, least(l.lbl, coalesce(m.mn, l.lbl)) AS lbl
         |  FROM l${k - 1} l LEFT JOIN (
         |    SELECT u.a AS doc_id, min(p.lbl) AS mn
         |    FROM und u JOIN l${k - 1} p ON p.doc_id = u.b
         |    GROUP BY u.a) m ON m.doc_id = l.doc_id)""".stripMargin
     }
+    sb += s"""l$rounds AS (
+      |  SELECT l.doc_id,
+      |    CASE WHEN chg.n > 0 THEN NULL ELSE l.lbl END AS lbl
+      |  FROM lraw$rounds l CROSS JOIN (
+      |    SELECT count(*) AS n
+      |    FROM lraw$rounds a JOIN l${rounds - 1} b ON a.doc_id = b.doc_id
+      |    WHERE a.lbl <> b.lbl) chg)""".stripMargin
     sb.mkString(",\n")
   }
 }

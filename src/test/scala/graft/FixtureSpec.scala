@@ -25,15 +25,24 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
     // is ASCII (the twin reads bytes as ord(substr(...)) — the code
     // point, which equals the byte ONLY below 128), and every hashed
     // token/shingle is < 32 bytes (the XXH64 stripe phase is not
-    // generated). A regenerated fixture breaking either would surface
-    // as an unattributed oracle hash mismatch; this names it instead.
+    // generated). A third precondition belongs to the MediaSql twin
+    // (round-10 advice): text must be NON-EMPTY — MediaOps
+    // .extractFeatures emits a feature row even for an empty payload
+    // (frameLen = max(1, payload.length) decodes one byte from h0)
+    // while the twin's range(0, length(text)) yields no chars rows for
+    // an empty doc, dropping it entirely — a regenerated fixture with
+    // one empty doc would surface as an unattributed
+    // q_multimodal_features/ann hash mismatch. A regenerated fixture
+    // breaking any of these would otherwise be unattributed; this
+    // names them instead.
     sfDirs.foreach { d =>
       val r = spark.read.parquet(s"$d/documents.parquet")
         .agg(
           sum(when(length(col("text")) =!= octet_length(col("text")),
             1L).otherwise(0L)).as("non_ascii_docs"),
           max(array_max(transform(split(col("text"), " "),
-            t => octet_length(t)))).as("max_tok_bytes"))
+            t => octet_length(t)))).as("max_tok_bytes"),
+          min(octet_length(col("text"))).as("min_text_bytes"))
         .collect().head
       assert(r.getLong(0) === 0L,
         s"$d: non-ASCII text — the twin's ord-as-byte read diverges")
@@ -41,6 +50,9 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
       assert(3 * maxTok + 2 < 32,
         s"$d: max token $maxTok bytes — a 3-token shingle can reach " +
           s"${3 * maxTok + 2} bytes, into the ungenerated stripe phase")
+      assert(r.getInt(2) >= 1,
+        s"$d: empty documents.text — MediaSql's range(0, length(text)) " +
+          "twin drops empty docs that extractFeatures keeps")
     }
   }
 

@@ -15,6 +15,57 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   private def executed(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan
 
+  // ---- shared growth-sweep plumbing (unpartitioned-window sweep, r9;
+  // broadcast-input sweep, r11) ----------------------------------------
+  // Both sweeps ask the same structural question of a logical subplan:
+  // "does this frame grow ~linearly with its own source tables across
+  // scale factors?" — so they share the table-attribution and cap logic.
+
+  private val growthTables = Seq("documents", "embeddings", "lineitem",
+    "orders", "customer", "supplier", "part", "events", "nation", "region")
+
+  private val growthRowsOf = scala.collection.mutable.Map[String, Long]()
+
+  private def growthRows(sf: String, t: String): Long =
+    growthRowsOf.getOrElseUpdate(s"$sf/$t",
+      spark.read.parquet(s"$sf/$t.parquet").count())
+
+  /** Source tables feeding this subplan, by parquet-leaf path. */
+  private def growthLeafTables(
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    child.collect {
+      case r: LogicalRelation => r.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten.flatMap { p =>
+      // Anchor on the path basename: a bare substring match would
+      // misattribute a table whose name is a substring of another
+      // table or path component (round-9 advice).
+      val base = p.stripSuffix("/").split('/').last
+      growthTables.find(t => base == s"$t.parquet")
+    }
+  }
+
+  /** Max admissible row count at `hi` for a frame that measured `nLo`
+    * rows at `lo`: sub-linear in the subplan's own source tables, with
+    * a 1.5× floor so a frame over a FLAT table (growth 1×) is not
+    * required to shrink, and a 64-row absolute floor for tiny frames. */
+  private def growthCap(
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      nLo: Long, lo: String, hi: String): Long = {
+    val growth = growthLeafTables(child) match {
+      case ts if ts.nonEmpty =>
+        ts.map(t => growthRows(hi, t).toDouble / growthRows(lo, t)).max
+      case _ => 10.0 // unrecognized leaves: max raw fixture growth
+    }
+    math.max(64L, (nLo * math.max(1.5, 0.75 * growth)).toLong)
+  }
+
   private def finalPlanString(df: DataFrame): String = {
     df.collect() // run so AQE settles on the final plan
     executed(df) match {
@@ -685,39 +736,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // inspect (and building one executes the whole replay).
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
       Window => LWindow}
-    import org.apache.spark.sql.execution.datasources.{
-      HadoopFsRelation, LogicalRelation}
     def gw(p: LogicalPlan): Seq[LogicalPlan] =
       p.collect { case w: LWindow if w.partitionSpec.isEmpty => w.child }
-    val tables = Seq("documents", "embeddings", "lineitem", "orders",
-      "customer", "supplier", "part", "events", "nation", "region")
-    val rowsOf = scala.collection.mutable.Map[String, Long]()
-    def rows(sf: String, t: String): Long =
-      rowsOf.getOrElseUpdate(s"$sf/$t",
-        spark.read.parquet(s"$sf/$t.parquet").count())
-    // Source tables feeding this window input, by parquet-leaf path.
-    def leafTables(child: LogicalPlan): Seq[String] = child.collect {
-      case r: LogicalRelation => r.relation match {
-        case f: HadoopFsRelation =>
-          f.location.rootPaths.map(_.toString)
-        case _ => Seq.empty[String]
-      }
-    }.flatten.flatMap { p =>
-      // Anchor on the path basename: a bare substring match would
-      // misattribute a table whose name is a substring of another
-      // table or path component (round-9 advice).
-      val base = p.stripSuffix("/").split('/').last
-      tables.find(t => base == s"$t.parquet")
-    }
-    def cap(child: LogicalPlan, nLo: Long, lo: String,
-        hi: String): Long = {
-      val growth = leafTables(child) match {
-        case ts if ts.nonEmpty =>
-          ts.map(t => rows(hi, t).toDouble / rows(lo, t)).max
-        case _ => 10.0 // unrecognized leaves: max raw fixture growth
-      }
-      math.max(64L, (nLo * math.max(1.5, 0.75 * growth)).toLong)
-    }
     val sfs = Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val offenders = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -739,7 +759,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
                 .ofRows(spark, cl).count()
               val nHi = org.apache.spark.sql.GraftPlanBridge
                 .ofRows(spark, ch).count()
-              if (nHi > cap(cl, nLo, lo, hi))
+              if (nHi > growthCap(cl, nLo, lo, hi))
                 offenders +=
                   s"$name window#$i [$lo -> $hi]: $nLo -> $nHi rows"
             }
@@ -751,5 +771,121 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty,
       "corpus-scaled unpartitioned windows (single-partition sorts at " +
         "scale):\n" + offenders.mkString("\n"))
+  }
+
+  test("knn family keeps partial_graft_topk_by under ObjectHashAggregate") {
+    // TopKByAgg's whole point is the ObjectHashAggregate fast path with
+    // map-side partials: partial_graft_topk_by means the bounded heap
+    // merges BEFORE the exchange (wire stays O(groups·k)), and
+    // ObjectHashAggregate (vs SortAggregate) means no per-partition
+    // sort of the 2·C(n,2) pair feed — the two properties the
+    // round-10 rewrite (and Harness's 65536 fallback threshold) bought.
+    // The scaladoc has claimed this pin since r10; this test makes the
+    // claim true (round-10 advice). A silent regression to sort-based
+    // or complete-mode aggregation would otherwise only show up as
+    // bench noise.
+    for ((nm, df) <- Seq(
+        "q_sim_batch_topk" ->
+          SimilarityQueries.simBatchTopK(spark, sfDir),
+        "q_embed_knn" -> SimilarityQueries.embedKnn(spark, sfDir))) {
+      val plan = finalPlanString(df)
+      val partial = plan.linesIterator.find(l =>
+        l.contains("ObjectHashAggregate") &&
+          l.contains("partial_graft_topk_by"))
+      assert(partial.isDefined,
+        s"$nm: no ObjectHashAggregate line with partial_graft_topk_by " +
+          s"— partial aggregation demoted; plan head:\n${plan.take(800)}")
+      assert(!plan.contains("SortAggregate"),
+        s"$nm: SortAggregate in plan — ObjectHashAggregate fell back " +
+          "to sort-based aggregation")
+    }
+  }
+
+  test("no declared query force-broadcasts a corpus-scaled frame") {
+    // `broadcast(df)` is a FORCE: Spark ships the frame whole to every
+    // executor regardless of its measured size, so a hinted frame must
+    // be bounded BY CONSTRUCTION — a frame that is merely small at
+    // fixture scale but grows with its source table is an executor OOM
+    // at 100 TB. That was the round-10 verdict's `weak` class: q_tfidf
+    // broadcast the open corpus vocabulary, q_basket_pairs the
+    // catalog-scaled item counts (both since unhinted — AQE broadcasts
+    // them at fixture scale from measured size and degrades to a
+    // shuffle join at 100 TB). This sweep makes the property structural,
+    // mirroring the unpartitioned-window recipe above: for EVERY
+    // declared query, every ResolvedHint(BROADCAST) child in the
+    // ANALYZED plan (the analyzed plan is where user hints still live
+    // as nodes — the optimizer folds them into the Join's JoinHint) is
+    // counted at three SFs, and each adjacent step must grow strictly
+    // sub-linearly in the hint child's own source tables (same
+    // growth-aware cap: 0.75× the child's max source-table growth, 1.5×
+    // floor for FLAT-table legs, 64-row absolute floor). AQE-chosen
+    // broadcasts are out of scope by construction — they are
+    // size-measured at runtime, which is the graceful-degradation shape
+    // the hint removals bought. 1-row scalar frames and k-row
+    // centroid/probe tables measure constant and pass every cap.
+    // Streaming queries are skipped as in the window sweep: their
+    // returned frame is the already-materialized replay table.
+    //
+    // Allowlist — frames that grow in the FIXTURE but are bounded by a
+    // production contract, each with the rationale at the query site:
+    //   q_contamination: the fixture fakes the benchmark set as a 1/97
+    //     corpus sample, so it scales with the fixture corpus; a real
+    //     eval set is FIXED by the evaluation contract (O(10⁵-10⁶)
+    //     shingles, corpus-independent) — see TextQueries.contamination
+    //     scaladoc for the full argument.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, ResolvedHint}
+    val allow = Map(
+      "q_contamination" -> ("fixture pseudo-benchmark is a 1/97 corpus " +
+        "sample; production eval sets are contract-fixed"))
+    def hints(p: LogicalPlan): Seq[LogicalPlan] =
+      p.collect {
+        case h: ResolvedHint
+            if h.hints.strategy.exists(_.toString.toLowerCase
+              .contains("broadcast")) =>
+          h.child
+      }
+    val sfs = Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val swept = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("q_stream_"))
+      .filterNot(q => allow.contains(q._1))
+      .foreach { case (name, fn) =>
+        val h0 = hints(fn(spark, sfs.head).queryExecution.analyzed)
+        if (h0.nonEmpty) {
+          swept += name
+          sfs.sliding(2).toSeq.foreach { case Seq(lo, hi) =>
+            val hl =
+              if (lo == sfs.head) h0
+              else hints(fn(spark, lo).queryExecution.analyzed)
+            val hh = hints(fn(spark, hi).queryExecution.analyzed)
+            assert(hh.size == hl.size,
+              s"$name: broadcast-hint count differs across SFs " +
+                s"(${hl.size} vs ${hh.size}) — sweep cannot pair inputs")
+            hl.zip(hh).zipWithIndex.foreach { case ((cl, ch), i) =>
+              val nLo = org.apache.spark.sql.GraftPlanBridge
+                .ofRows(spark, cl).count()
+              val nHi = org.apache.spark.sql.GraftPlanBridge
+                .ofRows(spark, ch).count()
+              if (nHi > growthCap(cl, nLo, lo, hi))
+                offenders +=
+                  s"$name broadcast#$i [$lo -> $hi]: $nLo -> $nHi rows"
+            }
+            graft.Harness.releaseTransient(spark)
+          }
+        }
+        graft.Harness.releaseTransient(spark)
+      }
+    // The sweep must actually see the hint population: if the collector
+    // went blind (a Spark upgrade moving hints out of the analyzed
+    // plan), every query would pass vacuously — pin a known-hinted
+    // query as the canary.
+    assert(swept.contains("q_sim_topk"),
+      s"hint collector found no broadcast in q_sim_topk — sweep is " +
+        s"blind (swept: ${swept.size} queries)")
+    assert(offenders.isEmpty,
+      "corpus-scaled FORCED broadcasts (executor OOM at 100 TB):\n" +
+        offenders.mkString("\n"))
   }
 }
