@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming-replay cost profiler: runs named `q_stream_*` queries with a
+  * StreamingQueryListener attached and prints the per-micro-batch
+  * `durationMs` breakdown (triggerExecution / addBatch / getBatch /
+  * queryPlanning / walCommit / commitOffsets) plus per-state-operator
+  * commit times — the attribution the round-10 verdict asked for on the
+  * bench's streaming tail (interval joins ~2.2-2.5 s, session ~2.0 s):
+  * is the residual cost state-store open/commit, sink materialization,
+  * or fixed micro-batch machinery?
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.StreamProf [query…]
+  * (defaults to the three tail queries). Three timed invocations per
+  * query after one warmup; wall-clock printed beside the listener
+  * numbers so unattributed time (plan analysis, memory-sink readback,
+  * staging fingerprint checks) is visible as the difference. */
+object StreamProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_stream_interval_join", "q_stream_interval_left",
+        "q_stream_session")
+    val spark = Harness.session()
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progress.add(e.progress.json)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count() // warmup: staging + codegen
+      Harness.releaseTransient(spark)
+      for (pass <- 1 to 3) {
+        progress.clear()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // Progress events are delivered on the listener bus thread —
+        // give the final batch's event a moment to land.
+        Thread.sleep(300)
+        println(f"[prof] $name pass $pass wall=$wall%.3f s")
+        progress.forEach(j => println(s"[prof]   $j"))
+        Harness.releaseTransient(spark)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -350,13 +350,32 @@ object StreamQueries {
   /** Run an unbounded frame to completion: AvailableNow trigger → memory
     * sink → return the materialized table. Temp checkpoint, self
     * terminating — the streaming analogue of an action. */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+  /** @param finalNoDataBatch whether the trailing NO-DATA micro-batch
+    *   (the one AvailableNow runs after the last data batch so stateful
+    *   operators can act on the advanced watermark) runs. Keep the
+    *   default for any query whose OUTPUT depends on that batch — the
+    *   left-outer interval join emits its null-extended rows there, the
+    *   Append-mode session/window aggregates emit EVERYTHING there.
+    *   Pass false only when every output row is emitted on arrival and
+    *   the final batch would merely evict state into a checkpoint this
+    *   harness deletes on the next line — profiled on the INNER
+    *   interval join (round 11, StreamProf): the no-data batch is
+    *   ~0.7 s of a 2.4 s replay (state-store commit ×4 stores ×4
+    *   partitions + plan re-execution) spent evicting state nobody
+    *   will ever read. A production continuous deployment keeps
+    *   no-data batches ON — eviction is what bounds its state; this
+    *   knob is strictly a bounded-replay-harness economy. */
+  private def runToTable(df: DataFrame, mode: OutputMode,
+      finalNoDataBatch: Boolean = true): DataFrame = {
     val s = df.sparkSession
     val name = s"graft_stream_${seq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(ckptRoot), "graft-ckpt-")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = s.conf.get(noDataKey)
     s.conf.set("spark.sql.shuffle.partitions", replayStateParts)
+    s.conf.set(noDataKey, finalNoDataBatch.toString)
     try {
       val q = df.writeStream
         .format("memory")
@@ -368,6 +387,7 @@ object StreamQueries {
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(noDataKey, prevNoData)
       deleteRecursively(ckpt)
     }
     // `table` resolves the view to the sink's plan EAGERLY (Dataset
@@ -740,7 +760,11 @@ object StreamQueries {
     val kept = base.unionByName(redelivered)
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
-    runToTable(kept, OutputMode.Append())
+    // Dedup emits every kept row ON ARRIVAL in the data batch; the
+    // trailing no-data batch can only EVICT expired keys (it cannot
+    // emit — profiled sink=0), so the throwaway replay skips it (see
+    // runToTable's scaladoc; q_stream_interval_join precedent).
+    runToTable(kept, OutputMode.Append(), finalNoDataBatch = false)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique"))
       .orderBy("event_type")
@@ -998,7 +1022,11 @@ object StreamQueries {
   def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val (clicks, purchases) = intervalStreams(s, d)
     val joined = clicks.join(purchases, intervalCond)
-    runToTable(joined, OutputMode.Append())
+    // INNER join: every output row emits on match in the data batch;
+    // the trailing no-data batch only evicts throwaway state — skipped
+    // (see runToTable's scaladoc; the LEFT variant keeps it, its
+    // null-extensions emit there).
+    runToTable(joined, OutputMode.Append(), finalNoDataBatch = false)
       .select(col("c_id"), col("p_id"), col("user_id"),
         unix_micros(col("c_ts")).as("c_ts_us"),
         unix_micros(col("p_ts")).as("p_ts_us"))
