@@ -801,6 +801,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("unhinted former-broadcast joins still broadcast under AQE at " +
+      "fixture scale") {
+    // Round 11 dropped the FORCED broadcast() hints on four corpus-
+    // scaled frames (q_tfidf's vocabulary df, q_basket_pairs' item
+    // counts, q_agg_hhi/q_agg_kendall's supplier dim) — the 100 TB
+    // argument is graceful degradation to a shuffle join. The fixture-
+    // scale half of that argument is that NOTHING degrades at small
+    // size: AQE must still plan these equi-joins as broadcasts from
+    // measured size. If this pin breaks without a Spark upgrade, a
+    // conf regression (autoBroadcastJoinThreshold, AQE disabled) has
+    // silently put shuffle joins in the hot path of every small-dim
+    // join in the engine.
+    for ((nm, df) <- Seq(
+        "q_tfidf" -> TextQueries.tfidf(spark, sfDir),
+        "q_basket_pairs" -> StatsQueries.basketPairs(spark, sfDir),
+        "q_agg_hhi" -> StatsQueries.aggHhi(spark, sfDir),
+        "q_agg_kendall" -> StatsQueries.aggKendall(spark, sfDir))) {
+      val plan = finalPlanString(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$nm: no BroadcastHashJoin in the AQE final plan — the " +
+          s"unhinted small frame stopped broadcasting at fixture scale")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$nm: SortMergeJoin at fixture scale — AQE did not localize " +
+          s"the join")
+    }
+  }
+
   test("no declared query force-broadcasts a corpus-scaled frame") {
     // `broadcast(df)` is a FORCE: Spark ships the frame whole to every
     // executor regardless of its measured size, so a hinted frame must
