@@ -730,13 +730,17 @@ object CurateQueries {
         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
         |FROM documents d LEFT JOIN block b ON d.source = b.source
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-    // Same md5 rank as q_domain_cap; the (rnd, lang, doc_id) order is
-    // total, so both engines number identical rows.
+    // Same 52-bit md5-prefix rank as q_domain_cap (what the Spark side
+    // feeds graft_topk_by as a double, doc_id tiebreak); the
+    // (rnd, lang, doc_id) order is total, so both engines number
+    // identical rows.
     "q_interleave_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang,
         |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rnd
+        |      ORDER BY CAST(concat('0x',
+        |          substr(md5(doc_id::VARCHAR), 1, 13)) AS BIGINT),
+        |        doc_id) AS BIGINT) AS rnd
         |  FROM documents),
         |ordered AS (
         |  SELECT doc_id, lang, rnd,
@@ -1291,11 +1295,16 @@ object CurateQueries {
     * head iff the mass BEFORE it is under half, so the crossing row is
     * included and no float threshold sits near the decision.
     *
-    * Scale shape: one per-lang window sort (partition key = language;
-    * with a skewed language mix the production variant pre-aggregates a
-    * quality histogram per lang — ≤10⁴ levels by the 4dp codomain — and
-    * cuts at the level granularity, the `q_select_frontier` trick; the
-    * per-doc sort here keeps the boundary exact for the oracle). */
+    * Scale shape (r11): the cumulative mass rides
+    * [[RankOps.withKeyedPrefixSum]] — a range-partitioned two-phase
+    * prefix sum in the (lang, quality DESC, doc_id) total order, so a
+    * language's slice is P parallel sorts of n/P plus a bounded
+    * per-(partition, lang) census, never ONE task holding the whole
+    * language (the former `PARTITION BY lang` window serialized
+    * exactly that; the ≤10⁴-level histogram cut SURVEY describes
+    * remains the approximation when even a range exchange is too
+    * dear — this shape keeps the boundary EXACT for the same
+    * oracle). */
   def selectHead(s: SparkSession, d: String): DataFrame = {
     val t = split(col("text"), " ")
     val nTok = size(t)
@@ -1305,13 +1314,8 @@ object CurateQueries {
       col("doc_id"), col("lang"), col("n_chars"),
       round(least(lit(1.0), nTok / lit(100.0)) * (lit(1) - stopRatio), 4)
         .as("quality"))
-    val head = Window.partitionBy("lang")
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("cum_chars", sum("n_chars").over(head))
-      .withColumn("lang_chars",
-        sum("n_chars").over(Window.partitionBy("lang")))
+    RankOps.withKeyedPrefixSum(scored, "lang", "n_chars",
+        "cum_chars", "lang_chars", col("quality").desc, col("doc_id"))
       .filter(lit(2) * (col("cum_chars") - col("n_chars"))
         < col("lang_chars"))
       .select(col("doc_id"), col("lang"), col("quality"), col("n_chars"),
@@ -1710,22 +1714,31 @@ object CurateQueries {
     * destabilize training; round-robin interleave is the standard fix.
     * Audit output: the first 64 global positions.
     *
-    * Scale shape: the per-lang rank is a within-partition sort under a
-    * lang-partitioned layout; the GLOBAL order window runs only on the
-    * prefiltered frame (rnd ≤ 64 ⇒ at most 64·L rows — position p
-    * requires rnd ≤ p, so the prefilter is lossless for the first 64
-    * positions), never on the corpus. A full-epoch schedule at scale is
-    * a sortWithinPartitions by (rnd, lang) under a range partitioner on
-    * rnd — same total order, no single-partition window. */
+    * Scale shape (r11, the q_domain_cap swap): only per-lang ranks ≤ 64
+    * can reach the first 64 positions, so the per-lang rank IS a
+    * per-lang top-64 — the native bounded-heap `graft_topk_by`
+    * aggregate over the 52-bit md5 prefix (exactly double-representable;
+    * the oracle ranks by the same prefix, so the keep order is
+    * engine-identical at any scale). A language holding half the corpus
+    * costs one 64-slot heap, never a window sort of its partition. The
+    * GLOBAL order window then runs on the ≤ 64·L heap output (L =
+    * language count — bounded, not corpus-scaled), never on the corpus.
+    * A full-epoch schedule at scale is a sortWithinPartitions by
+    * (rnd, lang) under a range partitioner on rnd — same total order,
+    * no single-partition window. */
   def interleaveMix(s: SparkSession, d: String): DataFrame = {
-    val perLang = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string").cast("binary")),
-        col("doc_id"))
+    val pfx = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
     val global = Window.orderBy(col("rnd"), col("lang"), col("doc_id"))
     documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        row_number().over(perLang).cast("long").as("rnd"))
-      .filter(col("rnd") <= 64)
+      .select(col("lang"), col("doc_id"), pfx.as("pfx"))
+      .groupBy("lang")
+      .agg(call_function("graft_topk_by",
+        -col("pfx").cast("double"), col("doc_id"), lit(64)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("t.id").as("doc_id"), col("lang"),
+        (col("p") + 1).cast("long").as("rnd"))
       .select(col("doc_id"), col("lang"), col("rnd"),
         row_number().over(global).cast("long").as("position"))
       .filter(col("position") <= 64)

@@ -111,14 +111,16 @@ object FeatureQueries {
         |  round(abs(CAST(sum_bp AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
         |    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
         |FROM b ORDER BY bin""".stripMargin,
-    // Same stage thresholds, md5 shuffle, stage-local rank + offset
-    // arithmetic; the (stage, md5, doc_id) order is total.
+    // Same stage thresholds; the shuffle key is the 52-bit md5 prefix
+    // (what the Spark side feeds graft_topk_by as a double, doc_id
+    // tiebreak) — the (stage, prefix, doc_id) order is total.
     "q_curriculum_order" ->
       """WITH staged AS (
         |  SELECT doc_id, n_chars,
         |    CASE WHEN n_chars < 150 THEN 1
         |         WHEN n_chars < 300 THEN 2 ELSE 3 END AS stage,
-        |    md5(doc_id::VARCHAR) AS h
+        |    CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 13))
+        |      AS BIGINT) AS h
         |  FROM documents),
         |ranked AS (
         |  SELECT doc_id, n_chars, stage,
@@ -489,26 +491,40 @@ object FeatureQueries {
     * The consumption-ORDER twin of `q_interleave_mix` (languages
     * round-robin there; difficulty stages sequenced here).
     *
-    * Scale: ranks are STAGE-LOCAL windows (never one global sort of
-    * the corpus); the offsets that globalize them come from the 3-row
-    * stage-count frame. Stage-partitioned windows concentrate a stage
-    * per partition — the `q_interleave_mix` class; range-partitioned
-    * sort-within is the 100 TB refinement. */
+    * Scale (r11, the q_domain_cap swap): the audit keeps pos ≤ 100 and
+    * pos = rk + off with off ≥ 0, so only STAGE-LOCAL ranks ≤ 100 can
+    * surface — the rank is a per-stage top-100, computed by the native
+    * bounded-heap `graft_topk_by` aggregate over the 52-bit md5 prefix
+    * (the oracle ranks by the same prefix, doc_id tiebreak — engine-
+    * identical at any scale). A stage holding the whole corpus costs
+    * one 100-slot heap, never a stage-partition window sort. The
+    * offsets that globalize the ranks come from the 3-row TOTAL
+    * stage-count frame (a separate keyed agg — the heap output must
+    * not be the census); n_chars rides a join of the ≤ 300-row kept
+    * set back onto the corpus scan (AQE broadcasts the kept side from
+    * measured size). */
   def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val pfx = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
     val staged = documents(s, d).select(
       col("doc_id"), col("n_chars"),
       when(col("n_chars") < 150, 1)
         .when(col("n_chars") < 300, 2).otherwise(3).as("stage"),
-      md5(col("doc_id").cast("string").cast("binary")).as("h"))
-    val ranked = staged.withColumn("rk",
-      row_number().over(Window.partitionBy("stage")
-        .orderBy("h", "doc_id")).cast("long"))
-    val offs = ranked.groupBy("stage").agg(count(lit(1)).as("cnt"))
+      pfx.as("pfx"))
+    val kept = staged.groupBy("stage")
+      .agg(call_function("graft_topk_by",
+        -col("pfx").cast("double"), col("doc_id"), lit(100)).as("top"))
+      .select(col("stage"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("stage"), col("t.id").as("doc_id"),
+        (col("p") + 1).cast("long").as("rk"))
+    val offs = staged.groupBy("stage").agg(count(lit(1)).as("cnt"))
       .withColumn("off",
         coalesce(sum("cnt").over(Window.orderBy("stage")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("stage"), col("off"))
-    ranked.join(broadcast(offs), Seq("stage"))
+    kept.join(broadcast(offs), Seq("stage"))
+      .join(staged.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .select((col("rk") + col("off")).as("pos"), col("doc_id"),
         col("stage"), col("n_chars"))
       .filter(col("pos") <= 100)

@@ -143,6 +143,64 @@ object RankOps {
       .drop("__g_pid", "__g_mid", "__g_off", "__g_min")
   }
 
+  /** Two-phase per-key PREFIX SUM: appends `cumCol` (running total of
+    * `valCol` in the (key, order…) total order, inclusive of the
+    * current row, within each key) and `totalCol` (the key's grand
+    * total) — the VOLUME analogue of [[withKeyedRank]], built for
+    * q_select_head's round-11 swap: its per-lang cumulative-mass window
+    * concentrated each language's entire corpus slice in ONE task (at
+    * 100 TB a language is terabytes; `PARTITION BY lang` serializes
+    * it).
+    *
+    * Phases: range-repartition on (key, order…) + sort within — P
+    * parallel sorts of n/P rows, a key's rows spanning a contiguous
+    * partition run; per-(partition, key) sums (≤ parts × |keys| rows,
+    * bounded by config, not data) prefix-summed into per-key partition
+    * offsets and key totals; the intra-partition running sum rides a
+    * window partitioned by (partition, key) — its biggest partition is
+    * capped at one range partition (~n/P rows; the composite order is
+    * total, so the range partitioner splits freely), never a key's full
+    * slice. cum = partition offset + intra-partition running sum.
+    * Equals the per-key running-sum window whenever (order…) is a total
+    * order within each key — PropertySpec pins the law; exact for
+    * integral `valCol` (the sums never leave BIGINT). */
+  def withKeyedPrefixSum(df: DataFrame, keyCol: String, valCol: String,
+      cumCol: String, totalCol: String, order: Column*): DataFrame = {
+    val taken = Seq("__g_mid", "__g_pid", "__g_off", "__g_run",
+      cumCol, totalCol)
+    val clash = df.columns.intersect(taken)
+    require(clash.isEmpty && cumCol != totalCol,
+      s"withKeyedPrefixSum: column name collision on " +
+        s"${clash.mkString(",")} (input may not contain " +
+        s"${taken.mkString("/")}, and cumCol must differ from totalCol)")
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt.max(1)
+    val sorted = df
+      .repartitionByRange(parts, col(keyCol) +: order: _*)
+      .sortWithinPartitions(col(keyCol) +: order: _*)
+      .withColumn("__g_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val pid = shiftright(col("__g_mid"), 33)
+    // Per-(partition, key) sums — the bounded census both the offsets
+    // and the key totals derive from.
+    val psums = sorted.groupBy(pid.as("__g_pid"), col(keyCol))
+      .agg(sum(col(valCol)).as("__g_s"))
+    val offs = psums.select(col("__g_pid"), col(keyCol),
+      (sum("__g_s").over(Window.partitionBy(keyCol).orderBy("__g_pid"))
+        - col("__g_s")).as("__g_off"),
+      sum("__g_s").over(Window.partitionBy(keyCol)).as(totalCol))
+    // Intra-partition running sum: ordered by the sort-time record
+    // index, partition-capped by the range exchange above.
+    val run = Window.partitionBy(col("__g_pid"), col(keyCol))
+      .orderBy(col("__g_mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.withColumn("__g_pid", pid)
+      .withColumn("__g_run", sum(col(valCol)).over(run))
+      .join(broadcast(offs), Seq("__g_pid", keyCol))
+      .withColumn(cumCol, col("__g_run") + col("__g_off"))
+      .drop("__g_pid", "__g_mid", "__g_off", "__g_run")
+  }
+
   /** SQL-standard `ntile(k)` from a 1-based global rank and total count
     * n, in pure integer arithmetic: the first n mod k buckets take
     * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — bit-identical to the window function

@@ -566,13 +566,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("Join"), plan)
   }
 
-  test("q_select_head shares one lang partitioning across both windows") {
-    // Cumulative and total windows both partition by lang: Catalyst must
-    // plan them over a single exchange of the scored frame, not one per
-    // window (plus the final presentation sort's range exchange).
-    val plan = finalPlanString(CurateQueries.selectHead(spark, sfDir))
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx <= 1, s"$hashEx lang exchanges — window reuse lost:\n$plan")
+  test("q_select_head holds no language in one task: range-partitioned " +
+      "prefix sum, no per-lang window") {
+    // Round 11 replaced the two PARTITION BY lang windows (cumulative
+    // mass + lang total) with RankOps.withKeyedPrefixSum: a lang's
+    // slice is spread over P range partitions and the only windows left
+    // run over (a) the bounded per-(partition, lang) census and (b)
+    // (partition, lang) groups capped at one range partition each. A
+    // Window whose partitionSpec is exactly [lang] means the
+    // mega-language serialization crept back.
+    // Legit [lang]-partitioned windows DO remain: the census offsets
+    // (lang totals / per-partition offsets) window over the
+    // per-(partition, lang) AGGREGATE — bounded at parts × |langs|
+    // rows. What must not exist is a [lang]-only window straight over
+    // per-document rows, i.e. one with NO Aggregate beneath it.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Window => LWindow}
+    val df = CurateQueries.selectHead(spark, sfDir)
+    val offenders = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.size == 1 &&
+          w.partitionSpec.head.references.map(_.name).toSeq ==
+            Seq("lang") &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        w
+    }
+    assert(offenders.isEmpty,
+      "a per-document PARTITION BY lang window is back — one task per " +
+        "language again")
   }
 
   test("q_growth_accounting: lag and lead share one per-user sort") {

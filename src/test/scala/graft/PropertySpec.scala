@@ -583,4 +583,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
           "two-phase rank diverged from the per-key window definition")
       }
   }
+
+  test("keyed two-phase prefix sum ≡ per-key running-sum window " +
+      "(scalacheck)") {
+    // withKeyedPrefixSum (q_select_head's round-11 swap) must equal the
+    // PARTITION BY key running-sum window — same exactness contract as
+    // the keyed rank law above, over the same adversarial shapes (key
+    // runs straddling range-partition boundaries, single-key skew,
+    // n = 0), for both the running total and the key grand total.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.oneOf(0, 1, 3, 17, 101, 1000)
+      nKeys <- Gen.oneOf(1, 2, 3, 5)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (n, nKeys, seed)
+    Gen.listOfN(10, gen).apply(Gen.Parameters.default, Seed(13L)).get
+      .foreach { case (n, nKeys, seed) =>
+        val rng = new scala.util.Random(seed)
+        val df = (0 until n).map(i => (i.toLong,
+            s"k${rng.nextInt(nKeys)}", rng.nextInt(20).toLong,
+            rng.nextInt(500).toLong))
+          .toDF("id", "src", "v", "chars")
+        val got = graft.operators.RankOps
+          .withKeyedPrefixSum(df, "src", "chars", "cum", "tot",
+            col("v").desc, col("id"))
+          .select("id", "cum", "tot").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        val w = Window.partitionBy("src")
+          .orderBy(col("v").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val exp = df.select(col("id"),
+            sum("chars").over(w).as("cum"),
+            sum("chars").over(Window.partitionBy("src")).as("tot"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        assert(got === exp, s"n=$n keys=$nKeys seed=$seed: keyed " +
+          "two-phase prefix sum diverged from the window definition")
+      }
+  }
 }
