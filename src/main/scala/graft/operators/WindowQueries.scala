@@ -282,15 +282,34 @@ object WindowQueries {
   }
 
   /** Relative-position analytics per priority band: percent_rank and
-    * cume_dist over a total ordering. */
+    * cume_dist over a total ordering.
+    *
+    * Scale shape (r11): `PARTITION BY o_orderpriority` holds a fifth of
+    * the fact table per task (the priority domain is 5 values whatever
+    * the corpus — the mega-group class PlanShapeSpec's group-size sweep
+    * pins), so the rank rides [[RankOps.withKeyedRank]] instead —
+    * range-partitioned parallel sorts, a band never serializes. On the
+    * (price, orderkey) TOTAL order every row is its own peer group, so
+    * percent_rank = (rn−1)/(n−1) and cume_dist = rn/n — the exact
+    * arithmetic both engines' window functions compute internally
+    * (single-row peers), reproduced on the two-phase rank with the
+    * 5-row band-count frame broadcast back. n = 1 folds percent_rank
+    * to 0 by the same CASE both engines apply. */
   def windowPct(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy("o_totalprice", "o_orderkey")
-    orders(s, d)
+    val ranked = RankOps.withKeyedRank(
+      orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      "o_orderpriority", "__rk", col("o_totalprice"), col("o_orderkey"))
+    val bandN = orders(s, d).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(bandN), Seq("o_orderpriority"))
       .select(
         col("o_orderkey"), col("o_orderpriority"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        round(when(col("__n") === 1, 0.0)
+          .otherwise((col("__rk") - 1).cast("double")
+            / (col("__n") - 1).cast("double")), 6).as("pct_rank"),
+        round(col("__rk").cast("double") / col("__n").cast("double"), 6)
+          .as("cume"))
       .orderBy("o_orderkey")
   }
 

@@ -821,6 +821,103 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("no declared query feeds a partitioned window a corpus-scaled " +
+      "group") {
+    // A PARTITION BY window is only scale-safe if its GROUPS stay
+    // bounded: the window sorts/streams each group in ONE task, so a
+    // bounded-cardinality key (lang, stage, returnflag) over a
+    // corpus-scaled input serializes 1/|keys| of the corpus per task —
+    // invisible to the unpartitioned-window sweep above, and exactly
+    // the class round 11 closed for q_domain_cap / q_interleave_mix /
+    // q_curriculum_order / q_select_head (bounded heap or two-phase
+    // prefix sum). This sweep pins the property repo-wide: for every
+    // declared query, every partitioned logical Window's MAX GROUP SIZE
+    // is measured on the sf0.01 → sf0.1 leg (every source table grows
+    // on that leg — the round-8 flat-leg lesson applies to the OTHER
+    // leg) and must grow strictly sub-linearly in the window's own
+    // source tables (same growth-aware cap as the sibling sweeps).
+    //
+    // Two exemption tiers. STRUCTURAL: windows whose partitionSpec
+    // references a RankOps `__g_*` working column are partition-capped
+    // by construction — their group is (range partition × key), at most
+    // n/P rows with P sized to the cluster, which is the FIX for this
+    // class, not an instance of it (the sweep would otherwise read the
+    // fixed local P=32 as linear growth). ALLOWLISTED by name, each
+    // with the reason the group is either semantics or bounded:
+    //   q_agg_gini, q_agg_spearman — exact order statistics per
+    //     statistical group (SURVEY's aggGini cost class: a total order
+    //     per flag is the price of exact ranks; the group IS the
+    //     population the statistic is defined over);
+    //   q_eval_auc, q_eval_ndcg — rank-metric definitions over the
+    //     EVAL population (AUC is a rank-sum; NDCG reads the ranked
+    //     list): the fixture fakes that population from the corpus, a
+    //     production eval set is contract-bounded (the q_contamination
+    //     argument);
+    //   q_text_pack — groups are (lang, shard = doc_id div 4096):
+    //     bounded at 4096 docs FOREVER by the shard arithmetic; the
+    //     sweep leg sits below the saturation point (218 → 1679 < 4096)
+    //     and reads the ramp as growth;
+    //   q_window_ntile_range — the remaining flagged window is the
+    //     declared §2.5 value-RANGE frame demo (count over
+    //     [price−10 k, price] per band); a boundary-overlap range
+    //     exchange is the production shape, kept as the documented demo
+    //     semantics here.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Window => LWindow}
+    val allow: Map[String, String] = Map(
+      "q_agg_gini" -> "exact order statistics per group (aggGini class)",
+      "q_agg_spearman" ->
+        "exact tie-averaged ranks per group (aggGini class)",
+      "q_eval_auc" -> "rank-sum over the contract-bounded eval set",
+      "q_eval_ndcg" -> "ranked-list metric over the bounded eval set",
+      "q_text_pack" -> "groups shard-bounded at 4096 docs by arithmetic",
+      "q_window_ntile_range" ->
+        "declared value-range frame demo per band")
+    def gw(p: LogicalPlan): Seq[LWindow] =
+      p.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+            !w.partitionSpec.exists(_.references
+              .exists(_.name.startsWith("__g_"))) =>
+          w
+      }
+    def maxGroup(w: LWindow): Long = {
+      import org.apache.spark.sql.functions.{count, lit, max}
+      val cols = w.partitionSpec
+        .map(org.apache.spark.sql.GraftPlanBridge.columnOf)
+      val r = org.apache.spark.sql.GraftPlanBridge
+        .ofRows(spark, w.child)
+        .groupBy(cols: _*).agg(count(lit(1)).as("__n"))
+        .agg(max("__n")).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val (lo, hi) = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("q_stream_"))
+      .filterNot(q => allow.contains(q._1))
+      .foreach { case (name, fn) =>
+        val wLo = gw(fn(spark, lo).queryExecution.optimizedPlan)
+        if (wLo.nonEmpty) {
+          val wHi = gw(fn(spark, hi).queryExecution.optimizedPlan)
+          assert(wHi.size == wLo.size,
+            s"$name: partitioned-window count differs across SFs " +
+              s"(${wLo.size} vs ${wHi.size}) — sweep cannot pair")
+          wLo.zip(wHi).zipWithIndex.foreach { case ((cl, ch), i) =>
+            val gLo = maxGroup(cl)
+            val gHi = maxGroup(ch)
+            if (gHi > growthCap(cl.child, gLo, lo, hi))
+              offenders +=
+                s"$name pwindow#$i [$lo -> $hi]: max group $gLo -> $gHi"
+          }
+          graft.Harness.releaseTransient(spark)
+        }
+        graft.Harness.releaseTransient(spark)
+      }
+    assert(offenders.isEmpty,
+      "corpus-scaled window GROUPS (one serialized task per group at " +
+        "scale):\n" + offenders.mkString("\n"))
+  }
+
   test("unhinted former-broadcast joins still broadcast under AQE at " +
       "fixture scale") {
     // Round 11 dropped the FORCED broadcast() hints on four corpus-

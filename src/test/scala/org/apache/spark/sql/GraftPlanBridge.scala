@@ -10,4 +10,10 @@ import org.apache.spark.sql.classic.{DataFrame => CDataFrame, Dataset, SparkSess
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): CDataFrame =
     Dataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Wrap a catalyst `Expression` from a collected plan node back into a
+    * user-facing `Column` (the partitioned-window group-size sweep
+    * groups a window's input BY the window's own partitionSpec). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = classic.ExpressionUtils.column(e)
 }
