@@ -84,11 +84,14 @@ object Bench {
     // 15 % and needed the builder's clean runs cross-referenced to
     // read. Stamp the verdict INTO the artifact so a bad box is
     // self-evident: spread = (max − min)/min over pass totals.
-    val spreadPct =
+    // Verdict from the UNROUNDED spread (rounding first misclassified
+    // the [1.95, 2.0)% band — round-11 review), strict-> per the rule's
+    // wording ("spread >2% means noisy"); round only for display.
+    val spreadRaw =
       if (passTotals.size < 2 || passTotals.min <= 0) 0.0
-      else math.rint(
-        (passTotals.max - passTotals.min) / passTotals.min * 1000) / 10
-    val drift = if (spreadPct < 2.0) "ok" else "noisy_box"
+      else (passTotals.max - passTotals.min) / passTotals.min * 100
+    val spreadPct = math.rint(spreadRaw * 10) / 10
+    val drift = if (spreadRaw <= 2.0) "ok" else "noisy_box"
     val driftJson = s""""pass_spread_pct":$spreadPct,"drift":"$drift""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

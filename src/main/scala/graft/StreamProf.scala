@@ -40,13 +40,27 @@ object StreamProf {
       fn(spark, sfDir).count() // warmup: staging + codegen
       Harness.releaseTransient(spark)
       for (pass <- 1 to 3) {
-        progress.clear()
+        // Progress events arrive asynchronously on the listener bus: a
+        // fixed sleep can print pass N without its final batch (and
+        // leak it into pass N+1 — round-11 review). Quiesce instead:
+        // drain only once the queue has been stable for two consecutive
+        // checks, then snapshot-and-clear atomically enough for a
+        // single-writer bus.
+        def quiesce(): Unit = {
+          var last = -1
+          var stable = 0
+          var waited = 0
+          while (stable < 2 && waited < 5000) {
+            Thread.sleep(200); waited += 200
+            val n = progress.size
+            if (n == last) stable += 1 else { stable = 0; last = n }
+          }
+        }
+        quiesce(); progress.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        // Progress events are delivered on the listener bus thread —
-        // give the final batch's event a moment to land.
-        Thread.sleep(300)
+        quiesce()
         println(f"[prof] $name pass $pass wall=$wall%.3f s")
         progress.forEach(j => println(s"[prof]   $j"))
         Harness.releaseTransient(spark)

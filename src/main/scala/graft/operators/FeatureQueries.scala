@@ -498,11 +498,12 @@ object FeatureQueries {
     * (the oracle ranks by the same prefix, doc_id tiebreak — engine-
     * identical at any scale). A stage holding the whole corpus costs
     * one 100-slot heap, never a stage-partition window sort. The
-    * offsets that globalize the ranks come from the 3-row TOTAL
-    * stage-count frame (a separate keyed agg — the heap output must
-    * not be the census); n_chars rides a join of the ≤ 300-row kept
-    * set back onto the corpus scan (AQE broadcasts the kept side from
-    * measured size). */
+    * offsets that globalize the ranks come from the TOTAL stage counts,
+    * computed as a second aggregate EXPRESSION in the same grouped pass
+    * as the heap (one corpus scan; the 3-row result is checkpointed so
+    * its two consumers don't re-run the pass); n_chars rides a join of
+    * the ≤ 300-row kept set back onto the corpus scan (AQE broadcasts
+    * the kept side from measured size). */
   def curriculumOrder(s: SparkSession, d: String): DataFrame = {
     val pfx = conv(substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
@@ -512,13 +513,21 @@ object FeatureQueries {
       when(col("n_chars") < 150, 1)
         .when(col("n_chars") < 300, 2).otherwise(3).as("stage"),
       pfx.as("pfx"))
-    val kept = staged.groupBy("stage")
+    // Heap AND total census in ONE grouped pass (ObjectHashAggregate
+    // mixes the typed-imperative heap with declarative count — the
+    // former separate count agg re-scanned the corpus; round-11
+    // review). The census is its own aggregate EXPRESSION, never the
+    // heap output: the heap keeps 100, the offsets need all.
+    val perStage = staged.groupBy("stage")
       .agg(call_function("graft_topk_by",
-        -col("pfx").cast("double"), col("doc_id"), lit(100)).as("top"))
+          -col("pfx").cast("double"), col("doc_id"), lit(100)).as("top"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val kept = perStage
       .select(col("stage"), posexplode(col("top")).as(Seq("p", "t")))
       .select(col("stage"), col("t.id").as("doc_id"),
         (col("p") + 1).cast("long").as("rk"))
-    val offs = staged.groupBy("stage").agg(count(lit(1)).as("cnt"))
+    val offs = perStage.select(col("stage"), col("cnt"))
       .withColumn("off",
         coalesce(sum("cnt").over(Window.orderBy("stage")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -43,38 +43,53 @@ object RankOps {
   private def idiv(a: Column, b: Column): Column =
     call_function("div", a.cast("long"), b.cast("long"))
 
+  /** Shared phase-1 prologue of every two-phase operator here: fail
+    * fast on working-column collisions, range-repartition on the total
+    * order, sort within partitions, stamp `__g_mid`
+    * (`monotonically_increasing_id`: partition id in the upper 31 bits,
+    * intra-partition record index in the lower 33 — assigned ABOVE the
+    * within-partition sort; the expression's nondeterminism marker
+    * keeps Catalyst from reordering it below), and materialize ONCE.
+    *
+    * The localCheckpoint is load-bearing, not a cache hint: the counts/
+    * sums census and the main path must observe the SAME partitioning
+    * and the same mid assignment. Left lazy, the two consumers are
+    * separately column-pruned subtrees whose range exchanges no longer
+    * canonicalize equal — no reuse, two independent boundary samplings
+    * (RangePartitioner seeds by RDD id), and the offsets of one
+    * partitioning get applied to the other's partition ids (measured:
+    * 648/15000 wrong quartiles under Verify's coalesce(1) write).
+    *
+    * Returns the materialized frame plus the (pid, localIdx) column
+    * pair derived from `__g_mid`. */
+  private def rangeSortedWithMid(df: DataFrame, caller: String,
+      outCols: Seq[String], sortCols: Seq[Column])
+      : (DataFrame, Column, Column) = {
+    val taken = Seq("__g_mid", "__g_pid", "__g_off", "__g_min",
+      "__g_run") ++ outCols
+    val clash = df.columns.intersect(taken)
+    require(clash.isEmpty && outCols.distinct.size == outCols.size,
+      s"$caller: column name collision on ${clash.mkString(",")} " +
+        s"(input may not contain ${taken.mkString("/")}, and output " +
+        "column names must be distinct)")
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt.max(1)
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__g_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    (sorted, shiftright(col("__g_mid"), 33),
+      col("__g_mid").bitwiseAND(lit((1L << 33) - 1)))
+  }
+
   /** Appends `rankCol` (1-based global rank under `order`, which MUST
     * be a total order) and `totalCol` (the global row count) via the
     * two-phase rank above. One range exchange over the data plus one
     * tiny counts aggregate; no single-partition stage anywhere. */
   def withGlobalRank(df: DataFrame, rankCol: String, totalCol: String,
       order: Column*): DataFrame = {
-    // Fail fast on name collisions: the working columns are injected
-    // into the caller's frame, and a pre-existing __g_* / rankCol /
-    // totalCol would resolve ambiguously or silently shadow — a wrong
-    // rank, not an error, without this guard.
-    val taken = Seq("__g_mid", "__g_pid", "__g_off", rankCol, totalCol)
-    val clash = df.columns.intersect(taken)
-    require(clash.isEmpty && rankCol != totalCol,
-      s"withGlobalRank: column name collision on ${clash.mkString(",")}" +
-        s" (input may not contain ${taken.mkString("/")}, and " +
-        "rankCol must differ from totalCol)")
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt.max(1)
-    // Materialized ONCE (localCheckpoint): the counts aggregate and the
-    // main path must observe the SAME partitioning and the same mid
-    // assignment. Left lazy, the two consumers are separately
-    // column-pruned subtrees whose range exchanges no longer
-    // canonicalize equal — no reuse, two independent boundary samplings
-    // (RangePartitioner seeds by RDD id), and the offsets of one
-    // partitioning get applied to the other's partition ids (measured:
-    // 648/15000 wrong quartiles under Verify's coalesce(1) write).
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__g_mid", monotonically_increasing_id())
-      .localCheckpoint()
-    val pid = shiftright(col("__g_mid"), 33)
-    val localIdx = col("__g_mid").bitwiseAND(lit((1L << 33) - 1))
+    val (sorted, pid, localIdx) = rangeSortedWithMid(df,
+      "withGlobalRank", Seq(rankCol, totalCol), order)
     // Per-partition counts: ≤ `parts` rows by construction, so the
     // prefix-sum window below is bounded-input (PlanShapeSpec's
     // unpartitioned-window sweep verifies non-growth, not absence).
@@ -111,20 +126,8 @@ object RankOps {
     * PropertySpec pins the law. */
   def withKeyedRank(df: DataFrame, keyCol: String, rankCol: String,
       order: Column*): DataFrame = {
-    val taken = Seq("__g_mid", "__g_pid", "__g_off", "__g_min", rankCol)
-    val clash = df.columns.intersect(taken)
-    require(clash.isEmpty,
-      s"withKeyedRank: column name collision on ${clash.mkString(",")}" +
-        s" (input may not contain ${taken.mkString("/")})")
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt.max(1)
-    val sorted = df
-      .repartitionByRange(parts, col(keyCol) +: order: _*)
-      .sortWithinPartitions(col(keyCol) +: order: _*)
-      .withColumn("__g_mid", monotonically_increasing_id())
-      .localCheckpoint()
-    val pid = shiftright(col("__g_mid"), 33)
-    val localIdx = col("__g_mid").bitwiseAND(lit((1L << 33) - 1))
+    val (sorted, pid, localIdx) = rangeSortedWithMid(df,
+      "withKeyedRank", Seq(rankCol), col(keyCol) +: order)
     // Per-(partition, key): row count and the key-run's first local
     // index. Offsets: rows of the same key in strictly-earlier
     // partitions (range partitions are assigned ascending (key, order)
@@ -163,24 +166,19 @@ object RankOps {
     * slice. cum = partition offset + intra-partition running sum.
     * Equals the per-key running-sum window whenever (order…) is a total
     * order within each key — PropertySpec pins the law; exact for
-    * integral `valCol` (the sums never leave BIGINT). */
+    * integral `valCol` (the sums never leave BIGINT).
+    *
+    * PRECONDITION: `valCol` must be non-null on every row. SQL `sum`
+    * skips NULLs, but a key run whose leading rows in some partition
+    * are all NULL makes the intra-partition running sum NULL where the
+    * reference window would carry the prior partitions' total forward —
+    * the equivalence law above silently breaks (round-11 review
+    * finding). Callers today feed non-null counts/lengths; a nullable
+    * caller must pre-coalesce with whatever zero means for it. */
   def withKeyedPrefixSum(df: DataFrame, keyCol: String, valCol: String,
       cumCol: String, totalCol: String, order: Column*): DataFrame = {
-    val taken = Seq("__g_mid", "__g_pid", "__g_off", "__g_run",
-      cumCol, totalCol)
-    val clash = df.columns.intersect(taken)
-    require(clash.isEmpty && cumCol != totalCol,
-      s"withKeyedPrefixSum: column name collision on " +
-        s"${clash.mkString(",")} (input may not contain " +
-        s"${taken.mkString("/")}, and cumCol must differ from totalCol)")
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt.max(1)
-    val sorted = df
-      .repartitionByRange(parts, col(keyCol) +: order: _*)
-      .sortWithinPartitions(col(keyCol) +: order: _*)
-      .withColumn("__g_mid", monotonically_increasing_id())
-      .localCheckpoint()
-    val pid = shiftright(col("__g_mid"), 33)
+    val (sorted, pid, _) = rangeSortedWithMid(df,
+      "withKeyedPrefixSum", Seq(cumCol, totalCol), col(keyCol) +: order)
     // Per-(partition, key) sums — the bounded census both the offsets
     // and the key totals derive from.
     val psums = sorted.groupBy(pid.as("__g_pid"), col(keyCol))

@@ -300,8 +300,12 @@ object WindowQueries {
       orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_totalprice"),
       "o_orderpriority", "__rk", col("o_totalprice"), col("o_orderkey"))
-    val bandN = orders(s, d).groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("__n"))
+    // Band counts off the ALREADY-materialized ranked frame (the keyed
+    // rank localCheckpoints it): rank is dense 1..n per band on a total
+    // order, so max rank == band count — no second orders scan
+    // (round-11 review).
+    val bandN = ranked.groupBy("o_orderpriority")
+      .agg(max("__rk").as("__n"))
     ranked.join(broadcast(bandN), Seq("o_orderpriority"))
       .select(
         col("o_orderkey"), col("o_orderpriority"),

@@ -864,15 +864,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     //     semantics here.
     import org.apache.spark.sql.catalyst.plans.logical.{
       LogicalPlan, Window => LWindow}
-    val allow: Map[String, String] = Map(
-      "q_agg_gini" -> "exact order statistics per group (aggGini class)",
-      "q_agg_spearman" ->
-        "exact tie-averaged ranks per group (aggGini class)",
-      "q_eval_auc" -> "rank-sum over the contract-bounded eval set",
-      "q_eval_ndcg" -> "ranked-list metric over the bounded eval set",
-      "q_text_pack" -> "groups shard-bounded at 4096 docs by arithmetic",
-      "q_window_ntile_range" ->
-        "declared value-range frame demo per band")
+    // Exemptions are PER WINDOW INDEX, not per query (round-11 review):
+    // a query gaining a SECOND, genuinely corpus-scaled window must
+    // still fail by name — e.g. q_agg_spearman's window #0 stays swept.
+    val allow: Map[String, Set[Int]] = Map(
+      "q_agg_gini" -> Set(0, 1, 2), // exact order stats (aggGini class)
+      "q_agg_spearman" -> Set(1, 2, 3), // exact tie-averaged ranks
+      "q_eval_auc" -> Set(1), // rank-sum over bounded eval set
+      "q_eval_ndcg" -> Set(0, 1), // ranked-list metric, bounded eval
+      "q_text_pack" -> Set(0), // shard-bounded at 4096 by arithmetic
+      "q_window_ntile_range" -> Set(0)) // declared range-frame demo
     def gw(p: LogicalPlan): Seq[LWindow] =
       p.collect {
         case w: LWindow if w.partitionSpec.nonEmpty &&
@@ -894,7 +895,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val offenders = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("q_stream_"))
-      .filterNot(q => allow.contains(q._1))
       .foreach { case (name, fn) =>
         val wLo = gw(fn(spark, lo).queryExecution.optimizedPlan)
         if (wLo.nonEmpty) {
@@ -902,13 +902,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
           assert(wHi.size == wLo.size,
             s"$name: partitioned-window count differs across SFs " +
               s"(${wLo.size} vs ${wHi.size}) — sweep cannot pair")
-          wLo.zip(wHi).zipWithIndex.foreach { case ((cl, ch), i) =>
-            val gLo = maxGroup(cl)
-            val gHi = maxGroup(ch)
-            if (gHi > growthCap(cl.child, gLo, lo, hi))
-              offenders +=
-                s"$name pwindow#$i [$lo -> $hi]: max group $gLo -> $gHi"
-          }
+          wLo.zip(wHi).zipWithIndex
+            .filterNot { case (_, i) =>
+              allow.getOrElse(name, Set.empty).contains(i)
+            }
+            .foreach { case ((cl, ch), i) =>
+              val gLo = maxGroup(cl)
+              val gHi = maxGroup(ch)
+              if (gHi > growthCap(cl.child, gLo, lo, hi))
+                offenders +=
+                  s"$name pwindow#$i [$lo -> $hi]: max group $gLo -> $gHi"
+            }
           graft.Harness.releaseTransient(spark)
         }
         graft.Harness.releaseTransient(spark)
@@ -979,9 +983,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     //     scaladoc for the full argument.
     import org.apache.spark.sql.catalyst.plans.logical.{
       LogicalPlan, ResolvedHint}
-    val allow = Map(
-      "q_contamination" -> ("fixture pseudo-benchmark is a 1/97 corpus " +
-        "sample; production eval sets are contract-fixed"))
+    // Exemptions are PER HINT INDEX, not per query (round-11 review):
+    // if q_contamination ever gains a SECOND forced broadcast, it must
+    // still fail by name — only the eval-set frame (hint #0) is exempt.
+    val allow: Map[String, Set[Int]] = Map(
+      // fixture pseudo-benchmark is a 1/97 corpus sample; production
+      // eval sets are contract-fixed
+      "q_contamination" -> Set(0))
     def hints(p: LogicalPlan): Seq[LogicalPlan] =
       p.collect {
         case h: ResolvedHint
@@ -994,7 +1002,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val swept = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("q_stream_"))
-      .filterNot(q => allow.contains(q._1))
       .foreach { case (name, fn) =>
         val h0 = hints(fn(spark, sfs.head).queryExecution.analyzed)
         if (h0.nonEmpty) {
@@ -1007,15 +1014,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
             assert(hh.size == hl.size,
               s"$name: broadcast-hint count differs across SFs " +
                 s"(${hl.size} vs ${hh.size}) — sweep cannot pair inputs")
-            hl.zip(hh).zipWithIndex.foreach { case ((cl, ch), i) =>
-              val nLo = org.apache.spark.sql.GraftPlanBridge
-                .ofRows(spark, cl).count()
-              val nHi = org.apache.spark.sql.GraftPlanBridge
-                .ofRows(spark, ch).count()
-              if (nHi > growthCap(cl, nLo, lo, hi))
-                offenders +=
-                  s"$name broadcast#$i [$lo -> $hi]: $nLo -> $nHi rows"
-            }
+            hl.zip(hh).zipWithIndex
+              .filterNot { case (_, i) =>
+                allow.getOrElse(name, Set.empty).contains(i)
+              }
+              .foreach { case ((cl, ch), i) =>
+                val nLo = org.apache.spark.sql.GraftPlanBridge
+                  .ofRows(spark, cl).count()
+                val nHi = org.apache.spark.sql.GraftPlanBridge
+                  .ofRows(spark, ch).count()
+                if (nHi > growthCap(cl, nLo, lo, hi))
+                  offenders +=
+                    s"$name broadcast#$i [$lo -> $hi]: $nLo -> $nHi rows"
+              }
             graft.Harness.releaseTransient(spark)
           }
         }
