@@ -66,7 +66,7 @@ object RankOps {
       outCols: Seq[String], sortCols: Seq[Column])
       : (DataFrame, Column, Column) = {
     val taken = Seq("__g_mid", "__g_pid", "__g_off", "__g_min",
-      "__g_run") ++ outCols
+      "__g_run", "__g_l") ++ outCols
     val clash = df.columns.intersect(taken)
     require(clash.isEmpty && outCols.distinct.size == outCols.size,
       s"$caller: column name collision on ${clash.mkString(",")} " +

@@ -324,19 +324,52 @@ object WindowQueries {
     * the single-partition sort this module's header warned about; the
     * oracle's plain `ntile(4)` is reproduced exactly because the
     * (price, orderkey) ordering is total) — plus a value-RANGE frame
-    * count per priority band. */
+    * count per priority band.
+    *
+    * The range frame [p−10 k, p] is NOT a per-band window either
+    * (r11 — a priority band is corpus/5, the mega-group class): every
+    * row at the same (band, price) shares the same frame count, so the
+    * count resolves at the LEVEL grain as n_in_band(p) = cumLE(p) −
+    * cumLT(p−10 k), and BOTH cumulative lookups come out of ONE
+    * [[RankOps.withKeyedPrefixSum]] pass over the level table unioned
+    * with zero-count PROBE rows at key p−10 k: a probe sorts BEFORE
+    * any carrier at an equal key (price = p−10 k is INSIDE the frame,
+    * so the strict-below sum must exclude it — the tag column pins
+    * that), contributes nothing to the sum, and its own running total
+    * IS cumLT(p−10 k). Exact DECIMAL key arithmetic, value-identical
+    * to the window definition, no band ever serializes. */
   def windowNtileRange(s: SparkSession, d: String): DataFrame = {
-    val wr = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"))
-      .rangeBetween(-10000, Window.currentRow)
-    RankOps.withGlobalRank(
-        orders(s, d)
-          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
-        "__rk", "__n", col("o_totalprice"), col("o_orderkey"))
+    val base = orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val ranked = RankOps.withGlobalRank(base, "__rk", "__n",
+      col("o_totalprice"), col("o_orderkey"))
+    val levels = base.groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("__c"))
+    val carriers = levels.select(col("o_orderpriority"),
+      col("o_totalprice").as("__key"), lit(1).as("__tag"),
+      col("__c"), col("o_totalprice").as("__lvl"))
+    val probes = levels.select(col("o_orderpriority"),
+      (col("o_totalprice") - 10000).as("__key"), lit(0).as("__tag"),
+      lit(0L).as("__c"), col("o_totalprice").as("__lvl"))
+    val merged = RankOps.withKeyedPrefixSum(
+      carriers.unionByName(probes), "o_orderpriority", "__c",
+      "__cum", "__tot", col("__key"), col("__tag"), col("__lvl"))
+    // Each (band, level) owns exactly two merged rows — its carrier
+    // (cumLE) and its probe (cumLT) — so the difference pivots out of
+    // ONE keyed aggregation; a filter-split + self-join would consume
+    // `merged` twice and re-execute everything past its checkpoint per
+    // leg.
+    val levelAns = merged
+      .groupBy(col("o_orderpriority"), col("__lvl"))
+      .agg((max(when(col("__tag") === 1, col("__cum")))
+        - max(when(col("__tag") === 0, col("__cum")))).as("n_in_band"))
+      .select(col("o_orderpriority"),
+        col("__lvl").as("o_totalprice"), col("n_in_band"))
+    ranked.join(levelAns, Seq("o_orderpriority", "o_totalprice"))
       .select(
         col("o_orderkey"),
         RankOps.ntileFromRank(col("__rk"), col("__n"), 4).as("quartile"),
-        count(lit(1)).over(wr).as("n_in_band"))
+        col("n_in_band"))
       .orderBy("o_orderkey")
   }
 

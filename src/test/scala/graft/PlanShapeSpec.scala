@@ -856,12 +856,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     //   q_text_pack — groups are (lang, shard = doc_id div 4096):
     //     bounded at 4096 docs FOREVER by the shard arithmetic; the
     //     sweep leg sits below the saturation point (218 → 1679 < 4096)
-    //     and reads the ramp as growth;
-    //   q_window_ntile_range — the remaining flagged window is the
-    //     declared §2.5 value-RANGE frame demo (count over
-    //     [price−10 k, price] per band); a boundary-overlap range
-    //     exchange is the production shape, kept as the documented demo
-    //     semantics here.
+    //     and reads the ramp as growth.
     import org.apache.spark.sql.catalyst.plans.logical.{
       LogicalPlan, Window => LWindow}
     // Exemptions are PER WINDOW INDEX, not per query (round-11 review):
@@ -872,8 +867,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q_agg_spearman" -> Set(1, 2, 3), // exact tie-averaged ranks
       "q_eval_auc" -> Set(1), // rank-sum over bounded eval set
       "q_eval_ndcg" -> Set(0, 1), // ranked-list metric, bounded eval
-      "q_text_pack" -> Set(0), // shard-bounded at 4096 by arithmetic
-      "q_window_ntile_range" -> Set(0)) // declared range-frame demo
+      "q_text_pack" -> Set(0)) // shard-bounded at 4096 by arithmetic
+    // (q_window_ntile_range left this list in round 11: its range frame
+    // now resolves at the level grain via withKeyedPrefixSum +
+    // withKeyedPrefixLast — no per-band window remains to exempt.)
     def gw(p: LogicalPlan): Seq[LWindow] =
       p.collect {
         case w: LWindow if w.partitionSpec.nonEmpty &&

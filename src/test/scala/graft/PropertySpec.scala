@@ -624,4 +624,5 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
           "two-phase prefix sum diverged from the window definition")
       }
   }
+
 }
