@@ -86,12 +86,19 @@ object Bench {
     // self-evident: spread = (max − min)/min over pass totals.
     // Verdict from the UNROUNDED spread (rounding first misclassified
     // the [1.95, 2.0)% band — round-11 review), strict-> per the rule's
-    // wording ("spread >2% means noisy"); round only for display.
+    // wording ("spread >2% means noisy"); round only for display. A
+    // non-positive pass total with ≥2 passes means every query errored
+    // (a degenerate run, not a quiet box) — stamp "degenerate", never
+    // the healthiest verdict (round-11 advice).
+    val degenerate = passTotals.size >= 2 && passTotals.min <= 0
     val spreadRaw =
       if (passTotals.size < 2 || passTotals.min <= 0) 0.0
       else (passTotals.max - passTotals.min) / passTotals.min * 100
     val spreadPct = math.rint(spreadRaw * 10) / 10
-    val drift = if (spreadRaw <= 2.0) "ok" else "noisy_box"
+    val drift =
+      if (degenerate) "degenerate"
+      else if (spreadRaw <= 2.0) "ok"
+      else "noisy_box"
     val driftJson = s""""pass_spread_pct":$spreadPct,"drift":"$drift""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -55,6 +55,15 @@ object StreamProf {
             val n = progress.size
             if (n == last) stable += 1 else { stable = 0; last = n }
           }
+          // The 5 s cap exists so a wedged listener bus cannot hang the
+          // profiler, but a drain that gives up WITHOUT two stable
+          // checks can leak a late batch's progress JSON into the next
+          // pass — the exact misattribution the quiesce prevents
+          // (round-11 advice). Make such a pass self-identifying.
+          if (stable < 2)
+            println(s"[prof] WARNING: quiesce hit the 5 s cap without " +
+              s"a stable listener queue — the NEXT pass's progress " +
+              "lines may include a leaked batch from this one")
         }
         quiesce(); progress.clear()
         val t0 = System.nanoTime()

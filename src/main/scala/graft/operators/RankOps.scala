@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
 
 /** Distributed global ranking (SURVEY §2.5/§2.6): the two-phase rank
   * that replaces single-partition `ORDER BY`-the-world windows.
@@ -18,11 +21,10 @@ import org.apache.spark.sql.functions._
   *      contiguous key range, partitions ordered by id) and sort WITHIN
   *      partitions — an all-to-all exchange, but P parallel sorts of
   *      n/P rows instead of one sort of n;
-  *   2. count rows per partition (tiny frame, ≤
-  *      `spark.sql.shuffle.partitions` rows — bounded by config, not by
-  *      data) and prefix-sum those counts into per-partition rank
-  *      offsets;
-  *   3. broadcast the offsets back: global rank = partition offset +
+  *   2. census the per-partition row counts (≤ `parts` × |keys| rows —
+  *      bounded by config and key domain, not by data) and prefix-sum
+  *      them into per-partition rank offsets;
+  *   3. attach the offsets back: global rank = partition offset +
   *      local position + 1.
   *
   * Local positions ride `monotonically_increasing_id`'s bit layout
@@ -34,7 +36,23 @@ import org.apache.spark.sql.functions._
   * unique tiebreak key — same contract the oracle SQL declares), so
   * DuckDB twins keep their plain `ntile()/row_number()` and still
   * hash-match: the two-phase plan changes the execution shape, not one
-  * output value. */
+  * output value.
+  *
+  * CENSUS ON THE DRIVER (round 12): step 2 is ONE bounded aggregation
+  * `collect()`ed and prefix-summed in driver code, then re-attached as
+  * an array literal (global) or a broadcast LocalRelation (keyed) —
+  * replacing round 11's agg → unpartitioned-window → broadcast-build
+  * chain, which cost 2-3 extra AQE stage jobs (+their planning gaps,
+  * ~0.1-0.3 s of fixed local overhead per call: the round-11 verdict's
+  * task 1). The collect is NOT a corpus-scaled driver hop: the census
+  * has at most `spark.sql.shuffle.partitions` × |key domain| rows
+  * whatever the data size — the same driver-side order as the
+  * RangePartitioner boundary sample every range exchange already
+  * collects. PRECONDITION (keyed forms): the key domain must be
+  * config/domain-bounded (priority bands, languages, source tags) —
+  * a corpus-scaled key would grow both this census and the offsets
+  * broadcast, the exact class the round-11 growth sweeps closed; such
+  * a caller belongs on a plain keyed aggregation instead. */
 object RankOps {
 
   /** `a div b` for non-negative longs as a Catalyst `IntegralDivide` —
@@ -51,10 +69,10 @@ object RankOps {
     * within-partition sort; the expression's nondeterminism marker
     * keeps Catalyst from reordering it below), and materialize ONCE.
     *
-    * The localCheckpoint is load-bearing, not a cache hint: the counts/
-    * sums census and the main path must observe the SAME partitioning
-    * and the same mid assignment. Left lazy, the two consumers are
-    * separately column-pruned subtrees whose range exchanges no longer
+    * The localCheckpoint is load-bearing, not a cache hint: the census
+    * and the main path must observe the SAME partitioning and the same
+    * mid assignment. Left lazy, the two consumers are separately
+    * column-pruned subtrees whose range exchanges no longer
     * canonicalize equal — no reuse, two independent boundary samplings
     * (RangePartitioner seeds by RDD id), and the offsets of one
     * partitioning get applied to the other's partition ids (measured:
@@ -72,9 +90,16 @@ object RankOps {
       s"$caller: column name collision on ${clash.mkString(",")} " +
         s"(input may not contain ${taken.mkString("/")}, and output " +
         "column names must be distinct)")
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt.max(1)
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
+    // No explicit partition count (round 12): with the count pinned to
+    // spark.sql.shuffle.partitions, AQE must keep every range partition
+    // even when the frame is small — 32 near-empty sort tasks of fixed
+    // scheduling cost per call locally. Left to AQE, the range exchange
+    // coalesces CONTIGUOUS partitions toward the advisory partition
+    // size — fewer tasks on a dimension-sized frame, ~64 MB-targeted
+    // partitions on a corpus-scaled one — and contiguity preserves the
+    // invariant the offsets depend on: ascending partition id remains
+    // ascending key range.
+    val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__g_mid", monotonically_increasing_id())
       .localCheckpoint()
@@ -85,60 +110,105 @@ object RankOps {
   /** Appends `rankCol` (1-based global rank under `order`, which MUST
     * be a total order) and `totalCol` (the global row count) via the
     * two-phase rank above. One range exchange over the data plus one
-    * tiny counts aggregate; no single-partition stage anywhere. */
+    * bounded census collect; no join, no single-partition stage — the
+    * offsets come back as a ≤-`parts`-element array literal and the
+    * rank is a pure projection over the checkpointed frame. */
   def withGlobalRank(df: DataFrame, rankCol: String, totalCol: String,
       order: Column*): DataFrame = {
     val (sorted, pid, localIdx) = rangeSortedWithMid(df,
       "withGlobalRank", Seq(rankCol, totalCol), order)
-    // Per-partition counts: ≤ `parts` rows by construction, so the
-    // prefix-sum window below is bounded-input (PlanShapeSpec's
-    // unpartitioned-window sweep verifies non-growth, not absence).
-    val offs = sorted.groupBy(pid.as("__g_pid"))
-      .agg(count(lit(1)).as("__g_cnt"))
-      .select(col("__g_pid"),
-        (sum("__g_cnt").over(Window.orderBy("__g_pid"))
-          - col("__g_cnt")).as("__g_off"),
-        sum("__g_cnt").over(Window.partitionBy()).as(totalCol))
-    // Range partitions are assigned ascending key ranges in ascending
-    // partition-id order, so offset(pid) counts exactly the rows
-    // ordered strictly before this partition.
-    sorted.withColumn("__g_pid", pid)
-      .join(broadcast(offs), Seq("__g_pid"))
-      .withColumn(rankCol, localIdx + col("__g_off") + lit(1L))
-      .drop("__g_pid", "__g_mid", "__g_off")
+    // Driver census: per-partition row counts — ≤ `parts` rows by
+    // construction (bounded by config, not data; see the object
+    // scaladoc for why this driver hop is in bounds at any scale).
+    val counts = sorted.groupBy(pid.as("__g_pid"))
+      .agg(count(lit(1)).as("__g_cnt")).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1)))
+    val total = counts.iterator.map(_._2).sum
+    val nParts = counts.iterator.map(_._1 + 1).foldLeft(0)(_ max _)
+    val offs = new Array[Long](nParts.max(1))
+    counts.foreach { case (p, c) => offs(p) = c }
+    // In-place exclusive prefix sum: offset(pid) counts exactly the
+    // rows ordered strictly before this partition (range partitions
+    // are assigned ascending key ranges in ascending partition-id
+    // order).
+    var acc = 0L
+    var p = 0
+    while (p < offs.length) { val c = offs(p); offs(p) = acc; acc += c
+      p += 1 }
+    sorted
+      .withColumn(rankCol, localIdx
+        + element_at(typedlit(offs.toSeq), (pid + lit(1L)).cast("int"))
+        + lit(1L))
+      .withColumn(totalCol, lit(total))
+      .drop("__g_mid")
   }
 
   /** Two-phase rank WITHIN each value of a small key column — N
     * independent global rankings for the price of ONE range exchange +
-    * ONE checkpoint + ONE counts pass (q_search_rrf's round-10 trim:
-    * its two corpus-scaled rank lists each paid the full
+    * ONE checkpoint + ONE census collect (q_search_rrf's round-10
+    * trim: its two corpus-scaled rank lists each paid the full
     * [[withGlobalRank]] materialization; unioned under a `src` tag they
     * pay it once).
     *
     * Identical phase structure: range-repartition on (key, order…) —
     * each partition holds a contiguous slice of the composite order, so
-    * a key's rows span a contiguous partition run — then per-(partition,
-    * key) counts/min-local-index (≤ parts × |keys| rows, bounded),
-    * per-key prefix-sum offsets, broadcast back. Rank of a row = rows of
-    * its key strictly before its partition + its position within the
-    * key's run inside the partition. Equals the per-key window
-    * `row_number` whenever (order…) is a total order within each key —
-    * PropertySpec pins the law. */
+    * a key's rows span a contiguous partition run — then a per-
+    * (partition, key) count/min-local-index census (≤ parts × |keys|
+    * rows — the BOUNDED KEY DOMAIN precondition in the object scaladoc
+    * is load-bearing here), per-key prefix-sum offsets computed on the
+    * driver, broadcast back as a LocalRelation (no growing input can
+    * ever reach this hint: the relation's row count is config × domain
+    * by construction). Rank of a row = rows of its key strictly before
+    * its partition + its position within the key's run inside the
+    * partition. Equals the per-key window `row_number` whenever
+    * (order…) is a total order within each key — PropertySpec pins the
+    * law. */
   def withKeyedRank(df: DataFrame, keyCol: String, rankCol: String,
-      order: Column*): DataFrame = {
+      order: Column*): DataFrame =
+    keyedRankImpl(df, keyCol, rankCol, None, order)
+
+  /** [[withKeyedRank]] plus `totalCol` (the key's total row count) —
+    * free from the same census (q_rfm's round-12 single-pass rewrite:
+    * rank + per-key n is everything `ntile` arithmetic needs). */
+  def withKeyedRankAndTotal(df: DataFrame, keyCol: String,
+      rankCol: String, totalCol: String, order: Column*): DataFrame =
+    keyedRankImpl(df, keyCol, rankCol, Some(totalCol), order)
+
+  private def keyedRankImpl(df: DataFrame, keyCol: String,
+      rankCol: String, totalCol: Option[String], order: Seq[Column])
+      : DataFrame = {
     val (sorted, pid, localIdx) = rangeSortedWithMid(df,
-      "withKeyedRank", Seq(rankCol), col(keyCol) +: order)
-    // Per-(partition, key): row count and the key-run's first local
-    // index. Offsets: rows of the same key in strictly-earlier
-    // partitions (range partitions are assigned ascending (key, order)
-    // slices in ascending pid order).
-    val offs = sorted
+      "withKeyedRank", Seq(rankCol) ++ totalCol, col(keyCol) +: order)
+    // Driver census: per-(partition, key) row count and the key-run's
+    // first local index — bounded rows (object scaladoc).
+    val census = sorted
       .groupBy(pid.as("__g_pid"), col(keyCol))
       .agg(count(lit(1)).as("__g_cnt"), min(localIdx).as("__g_min"))
-      .select(col("__g_pid"), col(keyCol),
-        (sum("__g_cnt").over(Window.partitionBy(keyCol)
-          .orderBy("__g_pid")) - col("__g_cnt")).as("__g_off"),
-        col("__g_min"))
+    val rows = census.collect().sortBy(_.getLong(0))
+    // Per-key exclusive prefix of counts in ascending pid order (range
+    // partitions are assigned ascending (key, order) slices in
+    // ascending pid order), then per-key grand totals.
+    val running = scala.collection.mutable.HashMap[Any, Long]()
+    val offRows = rows.map { r =>
+      val k = r.get(1)
+      val off = running.getOrElse(k, 0L)
+      running(k) = off + r.getLong(2)
+      (r.getLong(0), k, off, r.getLong(3))
+    }
+    val localRows: Seq[Row] = offRows.toIndexedSeq.map { case (p, k, off, m) =>
+      totalCol match {
+        case Some(_) => Row(p, k, off, m, running(k))
+        case None    => Row(p, k, off, m)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("__g_pid", LongType, nullable = false),
+      census.schema(keyCol).copy(name = keyCol),
+      StructField("__g_off", LongType, nullable = false),
+      StructField("__g_min", LongType, nullable = false)) ++
+      totalCol.map(t => StructField(t, LongType, nullable = false)))
+    val offs = sorted.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](localRows.asJava), schema)
     sorted.withColumn("__g_pid", pid)
       .join(broadcast(offs), Seq("__g_pid", keyCol))
       .withColumn(rankCol,
@@ -157,16 +227,20 @@ object RankOps {
     *
     * Phases: range-repartition on (key, order…) + sort within — P
     * parallel sorts of n/P rows, a key's rows spanning a contiguous
-    * partition run; per-(partition, key) sums (≤ parts × |keys| rows,
-    * bounded by config, not data) prefix-summed into per-key partition
-    * offsets and key totals; the intra-partition running sum rides a
-    * window partitioned by (partition, key) — its biggest partition is
-    * capped at one range partition (~n/P rows; the composite order is
-    * total, so the range partitioner splits freely), never a key's full
-    * slice. cum = partition offset + intra-partition running sum.
-    * Equals the per-key running-sum window whenever (order…) is a total
-    * order within each key — PropertySpec pins the law; exact for
-    * integral `valCol` (the sums never leave BIGINT).
+    * partition run; a per-(partition, key) sums census (≤ parts ×
+    * |keys| rows — the bounded-key-domain precondition again)
+    * prefix-summed ON THE DRIVER into per-key partition offsets and
+    * key totals, re-attached as a broadcast LocalRelation; the
+    * intra-partition running sum rides a window partitioned by
+    * (partition, key) — its biggest partition is capped at one range
+    * partition (~n/P rows; the composite order is total, so the range
+    * partitioner splits freely), never a key's full slice. cum =
+    * partition offset + intra-partition running sum. Equals the
+    * per-key running-sum window whenever (order…) is a total order
+    * within each key — PropertySpec pins the law; exact for integral
+    * `valCol` (the sums never leave BIGINT), and bit-identical for
+    * doubles too (the driver adds the partition sums in the same
+    * ascending-pid order the old census window did).
     *
     * PRECONDITION: `valCol` must be non-null on every row. SQL `sum`
     * skips NULLs, but a key run whose leading rows in some partition
@@ -174,19 +248,52 @@ object RankOps {
     * reference window would carry the prior partitions' total forward —
     * the equivalence law above silently breaks (round-11 review
     * finding). Callers today feed non-null counts/lengths; a nullable
-    * caller must pre-coalesce with whatever zero means for it. */
+    * caller must pre-coalesce with whatever zero means for it. A
+    * NULL per-(partition, key) census sum therefore fails loud here. */
   def withKeyedPrefixSum(df: DataFrame, keyCol: String, valCol: String,
       cumCol: String, totalCol: String, order: Column*): DataFrame = {
     val (sorted, pid, _) = rangeSortedWithMid(df,
       "withKeyedPrefixSum", Seq(cumCol, totalCol), col(keyCol) +: order)
-    // Per-(partition, key) sums — the bounded census both the offsets
-    // and the key totals derive from.
-    val psums = sorted.groupBy(pid.as("__g_pid"), col(keyCol))
+    // Driver census: per-(partition, key) sums — the bounded frame both
+    // the offsets and the key totals derive from.
+    val census = sorted.groupBy(pid.as("__g_pid"), col(keyCol))
       .agg(sum(col(valCol)).as("__g_s"))
-    val offs = psums.select(col("__g_pid"), col(keyCol),
-      (sum("__g_s").over(Window.partitionBy(keyCol).orderBy("__g_pid"))
-        - col("__g_s")).as("__g_off"),
-      sum("__g_s").over(Window.partitionBy(keyCol)).as(totalCol))
+    val sumType = census.schema("__g_s").dataType
+    val rows = census.collect().sortBy(_.getLong(0))
+    val zero: Any = sumType match {
+      case LongType => 0L
+      case DoubleType => 0.0d
+      case d: DecimalType =>
+        new java.math.BigDecimal(java.math.BigInteger.ZERO, d.scale)
+      case t => sys.error(s"withKeyedPrefixSum: unsupported sum type $t")
+    }
+    def plus(a: Any, b: Any): Any = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) =>
+        java.lang.Long.valueOf(x + y)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.valueOf(x + y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case _ => sys.error("withKeyedPrefixSum: NULL census sum — the " +
+        s"non-null `$valCol` precondition is violated (a partition's " +
+        s"`$keyCol` run summed to NULL)")
+    }
+    val running = scala.collection.mutable.HashMap[Any, Any]()
+    val offRows = rows.map { r =>
+      val k = r.get(1)
+      val off = running.getOrElse(k, zero)
+      running(k) = plus(off, r.get(2))
+      (r.getLong(0), k, off)
+    }
+    val localRows: Seq[Row] = offRows.toIndexedSeq.map { case (p, k, off) =>
+      Row(p, k, off, running(k))
+    }
+    val schema = StructType(Seq(
+      StructField("__g_pid", LongType, nullable = false),
+      census.schema(keyCol).copy(name = keyCol),
+      StructField("__g_off", sumType, nullable = false),
+      StructField(totalCol, sumType, nullable = false)))
+    val offs = sorted.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](localRows.asJava), schema)
     // Intra-partition running sum: ordered by the sort-time record
     // index, partition-capped by the range exchange above.
     val run = Window.partitionBy(col("__g_pid"), col(keyCol))

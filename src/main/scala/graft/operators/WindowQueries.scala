@@ -292,21 +292,18 @@ object WindowQueries {
     * (price, orderkey) TOTAL order every row is its own peer group, so
     * percent_rank = (rn−1)/(n−1) and cume_dist = rn/n — the exact
     * arithmetic both engines' window functions compute internally
-    * (single-row peers), reproduced on the two-phase rank with the
-    * 5-row band-count frame broadcast back. n = 1 folds percent_rank
-    * to 0 by the same CASE both engines apply. */
+    * (single-row peers), reproduced on the two-phase rank. n rides the
+    * SAME census the rank does ([[RankOps.withKeyedRankAndTotal]],
+    * round 12 — the former band-count re-aggregation + broadcast join
+    * is gone). n = 1 folds percent_rank to 0 by the same CASE both
+    * engines apply. */
   def windowPct(s: SparkSession, d: String): DataFrame = {
-    val ranked = RankOps.withKeyedRank(
+    val ranked = RankOps.withKeyedRankAndTotal(
       orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_totalprice"),
-      "o_orderpriority", "__rk", col("o_totalprice"), col("o_orderkey"))
-    // Band counts off the ALREADY-materialized ranked frame (the keyed
-    // rank localCheckpoints it): rank is dense 1..n per band on a total
-    // order, so max rank == band count — no second orders scan
-    // (round-11 review).
-    val bandN = ranked.groupBy("o_orderpriority")
-      .agg(max("__rk").as("__n"))
-    ranked.join(broadcast(bandN), Seq("o_orderpriority"))
+      "o_orderpriority", "__rk", "__n",
+      col("o_totalprice"), col("o_orderkey"))
+    ranked
       .select(
         col("o_orderkey"), col("o_orderpriority"),
         round(when(col("__n") === 1, 0.0)
@@ -345,14 +342,25 @@ object WindowQueries {
       col("o_totalprice"), col("o_orderkey"))
     val levels = base.groupBy("o_orderpriority", "o_totalprice")
       .agg(count(lit(1)).as("__c"))
-    val carriers = levels.select(col("o_orderpriority"),
-      col("o_totalprice").as("__key"), lit(1).as("__tag"),
-      col("__c"), col("o_totalprice").as("__lvl"))
-    val probes = levels.select(col("o_orderpriority"),
-      (col("o_totalprice") - 10000).as("__key"), lit(0).as("__tag"),
-      lit(0L).as("__c"), col("o_totalprice").as("__lvl"))
+    // Carrier + probe come out of ONE explode over the level row
+    // (round 12) instead of a self-union: a union consumes `levels`
+    // twice, and the prefix sum's boundary sampling re-executes its
+    // input once more — the level aggregation ran 4× per query. The
+    // explode keeps it a single subtree (2 executions total: sampling
+    // + exchange), same rows, same types (both keys are the parquet
+    // double).
     val merged = RankOps.withKeyedPrefixSum(
-      carriers.unionByName(probes), "o_orderpriority", "__c",
+      levels.select(col("o_orderpriority"),
+          explode(array(
+            struct(col("o_totalprice").as("__key"), lit(1).as("__tag"),
+              col("__c").as("__c"), col("o_totalprice").as("__lvl")),
+            struct((col("o_totalprice") - 10000).as("__key"),
+              lit(0).as("__tag"), lit(0L).as("__c"),
+              col("o_totalprice").as("__lvl")))).as("__t"))
+        .select(col("o_orderpriority"), col("__t.__key").as("__key"),
+          col("__t.__tag").as("__tag"), col("__t.__c").as("__c"),
+          col("__t.__lvl").as("__lvl")),
+      "o_orderpriority", "__c",
       "__cum", "__tot", col("__key"), col("__tag"), col("__lvl"))
     // Each (band, level) owns exactly two merged rows — its carrier
     // (cumLE) and its probe (cumLT) — so the difference pivots out of

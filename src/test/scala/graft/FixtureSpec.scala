@@ -42,8 +42,15 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
             1L).otherwise(0L)).as("non_ascii_docs"),
           max(array_max(transform(split(col("text"), " "),
             t => octet_length(t)))).as("max_tok_bytes"),
-          min(octet_length(col("text"))).as("min_text_bytes"))
+          min(octet_length(col("text"))).as("min_text_bytes"),
+          count(lit(1)).as("n_docs"))
         .collect().head
+      // An EMPTY fixture makes every min/max aggregate NULL and the
+      // getInt reads below die with an opaque NPE instead of the named
+      // message each assert exists for (round-11 advice) — fail the
+      // degenerate case by name first.
+      assert(r.getLong(3) > 0L,
+        s"$d: documents.parquet is EMPTY — fixture generation failed")
       assert(r.getLong(0) === 0L,
         s"$d: non-ASCII text — the twin's ord-as-byte read diverges")
       val maxTok = r.getInt(1)

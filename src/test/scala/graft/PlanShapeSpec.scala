@@ -839,10 +839,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     //
     // Two exemption tiers. STRUCTURAL: windows whose partitionSpec
     // references a RankOps `__g_*` working column are partition-capped
-    // by construction — their group is (range partition × key), at most
-    // n/P rows with P sized to the cluster, which is the FIX for this
-    // class, not an instance of it (the sweep would otherwise read the
-    // fixed local P=32 as linear growth). ALLOWLISTED by name, each
+    // by construction — their group is (range partition × key), capped
+    // by AQE's advisory partition size (round 12: the range exchange
+    // carries no forced count, so AQE sizes partitions ~64 MB at any
+    // scale), which is the FIX for this class, not an instance of it
+    // (the sweep would otherwise read a small coalesced fixture frame
+    // as linear growth). ALLOWLISTED by name, each
     // with the reason the group is either semantics or bounded:
     //   q_agg_gini, q_agg_spearman — exact order statistics per
     //     statistical group (SURVEY's aggGini cost class: a total order
@@ -869,8 +871,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q_eval_ndcg" -> Set(0, 1), // ranked-list metric, bounded eval
       "q_text_pack" -> Set(0)) // shard-bounded at 4096 by arithmetic
     // (q_window_ntile_range left this list in round 11: its range frame
-    // now resolves at the level grain via withKeyedPrefixSum +
-    // withKeyedPrefixLast — no per-band window remains to exempt.)
+    // now resolves at the level grain via ONE withKeyedPrefixSum pass
+    // over carrier ∪ probe rows plus a keyed pivot — no per-band window
+    // remains to exempt.)
     def gw(p: LogicalPlan): Seq[LWindow] =
       p.collect {
         case w: LWindow if w.partitionSpec.nonEmpty &&
