@@ -15,18 +15,27 @@ package graft
   * that matters for the 100 TB mandate (on a long-lived cluster, codegen
   * and the working set are always warm).
   *
-  * The timed phase runs SPARK_GRAFT_BENCH_PASSES (default 3) full sweeps
-  * and reports the per-query MEDIAN: single-shot timings on a shared box
-  * are dominated by run-to-run variance (measured repeatedly across
-  * rounds — untouched queries swinging ±0.5 s), so round-over-round
-  * deltas gate on medians, with the raw per-pass times kept in the
-  * artifact for spread inspection. */
+  * The timed phase runs SPARK_GRAFT_BENCH_PASSES (default 5) full sweeps
+  * and reports per-query MEDIANS over the min-spread CONSECUTIVE TRIPLE
+  * of passes (round 12 — the round-11 verdict's fallback after three
+  * rounds of official artifacts failed their own drift rule): on a
+  * shared box a single multi-minute load event poisons one pass, and
+  * with only 3 passes that poisoned pass sits inside every median. Five
+  * passes give three consecutive windows; picking the one with the
+  * smallest total spread drops up to two box events while keeping the
+  * windows CONSECUTIVE (cherry-picking the 3 fastest of 5 would bias
+  * low; a consecutive window is the same quiet-box regime the old
+  * 3-pass run hoped to land in). The artifact stays self-auditing:
+  * `pass_totals` lists ALL passes, `window` names the selected triple,
+  * `pass_spread_pct`/`drift` describe the SELECTED window (what the
+  * medians are computed from — the ≤2 % trust rule reads unchanged),
+  * and `full_spread_pct` keeps the whole-run spread visible. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val passes =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt.max(1)
     val spark = Harness.session()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -37,22 +46,22 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       Harness.releaseTransient(spark)
     }
-    // Per-query successful times across passes. A crashed run must not
-    // masquerade as a (misleadingly fast) timing — it is simply absent.
-    // A query with zero successful runs reports null and lands in
-    // "errors"; one that failed SOME passes still reports its median but
-    // is called out in "flaky" — intermittent failures must not hide
-    // behind a clean artifact.
+    // Per-query, PER-PASS times (None = that pass crashed for that
+    // query). A crashed run must not masquerade as a (misleadingly
+    // fast) timing — it is simply absent. A query with zero successful
+    // runs reports null and lands in "errors"; one that failed SOME
+    // passes still reports its median but is called out in "flaky" —
+    // intermittent failures must not hide behind a clean artifact.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val times = scala.collection.mutable.Map[String, List[Double]]()
-      .withDefaultValue(Nil)
-    val passTotals = (1 to passes).map { _ =>
+    val times = scala.collection.mutable.Map[String, Array[Option[Double]]]()
+    names.foreach(n => times(n) = Array.fill[Option[Double]](passes)(None))
+    val passTotals = (1 to passes).map { pass =>
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (name, fn) =>
         val q0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          times(name) = times(name) :+ (System.nanoTime() - q0) / 1e9
+          times(name)(pass - 1) = Some((System.nanoTime() - q0) / 1e9)
         } catch { case t: Throwable =>
           System.err.println(s"[bench] $name failed: ${t.getMessage}")
         }
@@ -63,27 +72,40 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def spreadOf(ts: Seq[Double]): Double =
+      if (ts.size < 2 || ts.min <= 0) 0.0
+      else (ts.max - ts.min) / ts.min * 100
+    // Select the min-spread consecutive window of (up to) 3 passes; the
+    // medians below are computed from it alone.
+    val winLen = passes.min(3)
+    val winStart = (0 to passes - winLen)
+      .minBy(i => spreadOf(passTotals.slice(i, i + winLen)))
+    val winTotals = passTotals.slice(winStart, winStart + winLen)
+    def winTimes(k: String): Seq[Double] =
+      times(k).slice(winStart, winStart + winLen).flatten.toSeq
     val qs = names.map { k =>
-      val v = times(k)
+      val v = winTimes(k)
       s"\"" + k + "\":" +
         (if (v.nonEmpty) Harness.median(v).toString else "null")
     }.mkString("{", ",", "}")
+    // Raw per-pass times for ALL passes (nulls where crashed) — the
+    // full record a reader audits the window selection against.
     val runs = names.map { k =>
-      s"\"" + k + "\":" + times(k).mkString("[", ",", "]")
+      s"\"" + k + "\":" + times(k).map(_.map(_.toString).getOrElse("null"))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errors = names.filter(times(_).isEmpty).map(k => s"\"$k\"")
-      .mkString("[", ",", "]")
-    val flaky = names
-      .filter(k => times(k).nonEmpty && times(k).size < passes)
+    val errors = names.filter(k => times(k).forall(_.isEmpty))
       .map(k => s"\"$k\"").mkString("[", ",", "]")
-    val total = names.flatMap(k =>
-      if (times(k).nonEmpty) Some(Harness.median(times(k))) else None).sum
-    // Drift verdict (round-10 ask 2): BASELINE.md's rule says pass
-    // totals spreading >2 % mean a noisy box whose medians should not
-    // be trusted as a baseline — BENCH_r10's official artifact spread
-    // 15 % and needed the builder's clean runs cross-referenced to
-    // read. Stamp the verdict INTO the artifact so a bad box is
-    // self-evident: spread = (max − min)/min over pass totals.
+    val flaky = names
+      .filter(k => times(k).exists(_.nonEmpty) && times(k).exists(_.isEmpty))
+      .map(k => s"\"$k\"").mkString("[", ",", "]")
+    val total = names.flatMap { k =>
+      val v = winTimes(k)
+      if (v.nonEmpty) Some(Harness.median(v)) else None
+    }.sum
+    // Drift verdict (round-10 ask 2, re-scoped round 12 to the selected
+    // window): BASELINE.md's rule says pass totals spreading >2 % mean
+    // a noisy box whose medians should not be trusted as a baseline.
     // Verdict from the UNROUNDED spread (rounding first misclassified
     // the [1.95, 2.0)% band — round-11 review), strict-> per the rule's
     // wording ("spread >2% means noisy"); round only for display. A
@@ -91,15 +113,17 @@ object Bench {
     // (a degenerate run, not a quiet box) — stamp "degenerate", never
     // the healthiest verdict (round-11 advice).
     val degenerate = passTotals.size >= 2 && passTotals.min <= 0
-    val spreadRaw =
-      if (passTotals.size < 2 || passTotals.min <= 0) 0.0
-      else (passTotals.max - passTotals.min) / passTotals.min * 100
+    val spreadRaw = spreadOf(winTotals)
     val spreadPct = math.rint(spreadRaw * 10) / 10
+    val fullSpreadPct = math.rint(spreadOf(passTotals) * 10) / 10
     val drift =
       if (degenerate) "degenerate"
       else if (spreadRaw <= 2.0) "ok"
       else "noisy_box"
-    val driftJson = s""""pass_spread_pct":$spreadPct,"drift":"$drift""""
+    val driftJson =
+      s""""pass_spread_pct":$spreadPct,"full_spread_pct":$fullSpreadPct,""" +
+        s""""window":[${winStart + 1},${winStart + winLen}],""" +
+        s""""drift":"$drift""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""passes":$passes,"runs":$runs,""" +

@@ -570,17 +570,33 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         val df = (0 until n).map(i => (i.toLong,
             s"k${rng.nextInt(nKeys)}", rng.nextInt(20).toLong))
           .toDF("id", "src", "v")
+        // The AndTotal form must agree with the plain form on the rank
+        // AND emit the per-key row count the window's COUNT(*) OVER
+        // (PARTITION BY key) would — one law pins both public faces of
+        // the shared census (q_rfm/q_window_pct ride the totals).
         val got = graft.operators.RankOps
-          .withKeyedRank(df, "src", "rk", col("v").desc, col("id"))
-          .select("id", "rk").collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .withKeyedRankAndTotal(df, "src", "rk", "kn",
+            col("v").desc, col("id"))
+          .select("id", "rk", "kn").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
         val w = Window.partitionBy("src")
           .orderBy(col("v").desc, col("id"))
         val exp = df.select(col("id"),
-            row_number().over(w).cast("long").as("rk")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            row_number().over(w).cast("long").as("rk"),
+            count(lit(1)).over(Window.partitionBy("src")).as("kn"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
         assert(got === exp, s"n=$n keys=$nKeys seed=$seed: keyed " +
           "two-phase rank diverged from the per-key window definition")
+        val plain = graft.operators.RankOps
+          .withKeyedRank(df, "src", "rk", col("v").desc, col("id"))
+          .select("id", "rk").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(plain === exp.map { case (k, (rk, _)) => k -> rk },
+          s"n=$n keys=$nKeys seed=$seed: plain keyed rank diverged " +
+            "from the AndTotal form")
       }
   }
 
