@@ -94,10 +94,17 @@ object Bench {
       s"\"" + k + "\":" + times(k).map(_.map(_.toString).getOrElse("null"))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errors = names.filter(k => times(k).forall(_.isEmpty))
-      .map(k => s"\"$k\"").mkString("[", ",", "]")
+    // "errors" is window-scoped like the medians: a query with NO
+    // successful run inside the selected window reports a null median
+    // and silently vanishes from the headline total — it must land in
+    // "errors" even if some pass OUTSIDE the window succeeded
+    // (round-12 review: the old all-passes test let such a query read
+    // as a performance improvement). "flaky" = measured in the window
+    // but failed at least one pass somewhere — disjoint from errors.
+    val errorNames = names.filter(k => winTimes(k).isEmpty)
+    val errors = errorNames.map(k => s"\"$k\"").mkString("[", ",", "]")
     val flaky = names
-      .filter(k => times(k).exists(_.nonEmpty) && times(k).exists(_.isEmpty))
+      .filter(k => winTimes(k).nonEmpty && times(k).exists(_.isEmpty))
       .map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = names.flatMap { k =>
       val v = winTimes(k)
@@ -109,10 +116,12 @@ object Bench {
     // Verdict from the UNROUNDED spread (rounding first misclassified
     // the [1.95, 2.0)% band — round-11 review), strict-> per the rule's
     // wording ("spread >2% means noisy"); round only for display. A
-    // non-positive pass total with ≥2 passes means every query errored
-    // (a degenerate run, not a quiet box) — stamp "degenerate", never
-    // the healthiest verdict (round-11 advice).
-    val degenerate = passTotals.size >= 2 && passTotals.min <= 0
+    // run where EVERY query errored out of the window is degenerate —
+    // stamp "degenerate", never the healthiest verdict (round-11
+    // advice; round-12 review: the old pass-total<=0 test was
+    // unreachable — failing queries still burn positive wall time, so
+    // the check must read the measurements, not the clock).
+    val degenerate = names.nonEmpty && errorNames.size == names.size
     val spreadRaw = spreadOf(winTotals)
     val spreadPct = math.rint(spreadRaw * 10) / 10
     val fullSpreadPct = math.rint(spreadOf(passTotals) * 10) / 10

@@ -1,17 +1,27 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Attribution profiler for RankOps' fixed two-phase overhead (the
-  * round-11 verdict's task 1): times each stage of the
-  * `rangeSortedWithMid` pipeline in isolation — scan, range exchange +
-  * sort, eager localCheckpoint vs persist+count materialization, census
-  * pass, downstream join — so the ~0.5-0.9 s/call can be pinned to
-  * boundary sampling, checkpoint materialization, or the census before
-  * any rewrite is attempted. `runMain graft.RankProf` on
-  * SPARK_GRAFT_SF_DIR; prints per-stage medians (2 warmups + 3 timed). */
+  * round-11 verdict's task 1; rewritten round 12 to profile the SHAPES
+  * THAT SHIPPED): times each stage of the current `rangeSortedWithMid`
+  * pipeline in isolation — scan, AQE-coalesced range exchange + sort,
+  * eager localCheckpoint, driver-census collect, downstream broadcast
+  * join — so a fixed-overhead regression pins to a specific stage
+  * before any rewrite is attempted, then prints a per-JOB wall-time
+  * attribution for the four RankOps-heavy queries. `runMain
+  * graft.RankProf` on SPARK_GRAFT_SF_DIR; per-stage medians are 2
+  * warmups + 3 timed.
+  *
+  * (A persist(MEMORY_AND_DISK)+count materialization variant was
+  * measured here in round 12 and removed: its readings were confounded
+  * by CacheManager entry reuse across timed runs, and a persist call in
+  * src/main would break HarnessSpec's no-persist sweep —
+  * releaseTransient unpersists EVERY persistent RDD between queries,
+  * which is only safe while localCheckpoint is the sole persistence in
+  * any main-path code. BASELINE.md records the attribution outcome:
+  * the pre-round-12 census chain cost 2-3 AQE stage jobs per call.) */
 object RankProf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,41 +43,27 @@ object RankProf {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
     val sortCols =
       Seq(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    // Mirrors RankOps.rangeSortedWithMid as shipped: NO explicit
+    // partition count (AQE coalesces the range exchange), mid stamped
+    // above the within-partition sort.
     def sortedMid(): DataFrame = base()
-      .repartitionByRange(32, sortCols: _*)
+      .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__g_mid", monotonically_increasing_id())
     def pid = shiftright(col("__g_mid"), 33)
 
-    def census(df: DataFrame): Long = {
-      val offs = df.groupBy(pid.as("__g_pid"), col("o_orderpriority"))
+    // Mirrors the shipped driver census: one bounded aggregation
+    // collected; the prefix fold itself is driver-side arithmetic with
+    // no job to time.
+    def census(df: DataFrame): Int =
+      df.groupBy(pid.as("__g_pid"), col("o_orderpriority"))
         .agg(count(lit(1)).as("__g_cnt"), min(col("__g_mid")).as("__g_min"))
-        .select(col("__g_pid"), col("o_orderpriority"),
-          (sum("__g_cnt").over(Window.partitionBy("o_orderpriority")
-            .orderBy("__g_pid")) - col("__g_cnt")).as("__g_off"),
-          col("__g_min"))
-      offs.count()
-    }
+        .collect().length
 
-    // (A persist(MEMORY_AND_DISK)+count materialization variant was
-    // measured here in round 12 and removed: its readings were
-    // confounded by CacheManager entry reuse across timed runs, and a
-    // persist call in src/main would break HarnessSpec's no-persist
-    // sweep — releaseTransient unpersists EVERY persistent RDD between
-    // queries, which is only safe while localCheckpoint is the sole
-    // persistence in any main-path code. BASELINE.md records the
-    // attribution outcome.)
     time("scan+count") { base().count() }
     time("exchange+sort+mid+count (no materialize)") { sortedMid().count() }
     time("localCheckpoint (eager) only") { sortedMid().localCheckpoint() }
-    time("ckpt + census") { census(sortedMid().localCheckpoint()) }
-    time("ckpt + census + downstream join + count") {
-      val df = sortedMid().localCheckpoint()
-      val offs = df.groupBy(pid.as("__g_pid"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("__g_cnt"), min(col("__g_mid")).as("__g_min"))
-      df.withColumn("__g_pid", pid)
-        .join(broadcast(offs), Seq("__g_pid", "o_orderpriority")).count()
-    }
+    time("ckpt + census collect") { census(sortedMid().localCheckpoint()) }
     time("full q_window_pct (current)") {
       SparkEntry.queries("q_window_pct")(spark, sfDir).count()
     }
@@ -82,13 +78,13 @@ object RankProf {
     }
 
     // Per-JOB attribution: one warm run of each query under a job-end
-    // listener — prints every Spark job's wall time and stage summary, so
-    // the fixed overhead pins to a specific job (boundary sampling,
-    // checkpoint materialization, census, final count).
+    // listener — prints every Spark job's wall time, so the fixed
+    // overhead pins to a specific job (boundary sampling, checkpoint
+    // materialization, census collect, final count).
     import org.apache.spark.scheduler.{SparkListener,
-      SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+      SparkListenerJobEnd, SparkListenerJobStart}
     val jobStart = scala.collection.concurrent.TrieMap[Int, (Long, String)]()
-    val stages = scala.collection.concurrent.TrieMap[Int, List[String]]()
+    val jobLines = scala.collection.concurrent.TrieMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobStart(e.jobId) = (System.nanoTime(),
@@ -96,27 +92,38 @@ object RankProf {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
             .getOrElse(""))
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobStart.remove(e.jobId).foreach { case (t0, desc) =>
           val dt = (System.nanoTime() - t0) / 1e9
-          stages(e.jobId) = List(f"    job ${e.jobId}%4d  $dt%6.3f s  " +
-            desc.replaceAll("\\s+", " ").take(110))
+          jobLines(e.jobId) = f"    job ${e.jobId}%4d  $dt%6.3f s  " +
+            desc.replaceAll("\\s+", " ").take(110)
         }
     }
     for (q <- Seq("q_window_pct", "q_window_ntile_range", "q_select_head",
         "q_rfm")) {
       SparkEntry.queries(q)(spark, sfDir).count() // warm
       Harness.releaseTransient(spark)
-      stages.clear(); jobStart.clear()
+      jobLines.clear(); jobStart.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      // The listener bus is ASYNCHRONOUS: count() returns when the
+      // DAGScheduler finishes, but the final JobEnd event may still be
+      // queued — detaching immediately would nondeterministically drop
+      // the last (often largest) job from the attribution (round-12
+      // review). Wait for the in-flight starts to drain, capped.
+      var waited = 0
+      while (jobStart.nonEmpty && waited < 2000) {
+        Thread.sleep(50); waited += 50
+      }
       spark.sparkContext.removeSparkListener(listener)
       Harness.releaseTransient(spark)
-      println(f"[rankprof] $q jobs (total $dt%.3f s):")
-      stages.toSeq.sortBy(_._1).foreach { case (_, l) => l.foreach(println) }
+      val missed = if (jobStart.isEmpty) ""
+        else s"  [WARNING: ${jobStart.size} job(s) never completed " +
+          "within the drain cap — lines below are incomplete]"
+      println(f"[rankprof] $q jobs (total $dt%.3f s):$missed")
+      jobLines.toSeq.sortBy(_._1).foreach { case (_, l) => println(l) }
     }
     spark.stop()
   }

@@ -165,55 +165,77 @@ object RankOps {
     * law. */
   def withKeyedRank(df: DataFrame, keyCol: String, rankCol: String,
       order: Column*): DataFrame =
-    keyedRankImpl(df, keyCol, rankCol, None, order)
+    keyedRankImpl("withKeyedRank", df, keyCol, rankCol, None, order)
 
   /** [[withKeyedRank]] plus `totalCol` (the key's total row count) —
     * free from the same census (q_rfm's round-12 single-pass rewrite:
     * rank + per-key n is everything `ntile` arithmetic needs). */
   def withKeyedRankAndTotal(df: DataFrame, keyCol: String,
       rankCol: String, totalCol: String, order: Column*): DataFrame =
-    keyedRankImpl(df, keyCol, rankCol, Some(totalCol), order)
+    keyedRankImpl("withKeyedRankAndTotal", df, keyCol, rankCol,
+      Some(totalCol), order)
 
-  private def keyedRankImpl(df: DataFrame, keyCol: String,
-      rankCol: String, totalCol: Option[String], order: Seq[Column])
-      : DataFrame = {
+  private def keyedRankImpl(caller: String, df: DataFrame,
+      keyCol: String, rankCol: String, totalCol: Option[String],
+      order: Seq[Column]): DataFrame = {
     val (sorted, pid, localIdx) = rangeSortedWithMid(df,
-      "withKeyedRank", Seq(rankCol) ++ totalCol, col(keyCol) +: order)
+      caller, Seq(rankCol) ++ totalCol, col(keyCol) +: order)
     // Driver census: per-(partition, key) row count and the key-run's
     // first local index — bounded rows (object scaladoc).
     val census = sorted
       .groupBy(pid.as("__g_pid"), col(keyCol))
       .agg(count(lit(1)).as("__g_cnt"), min(localIdx).as("__g_min"))
-    val rows = census.collect().sortBy(_.getLong(0))
-    // Per-key exclusive prefix of counts in ascending pid order (range
-    // partitions are assigned ascending (key, order) slices in
-    // ascending pid order), then per-key grand totals.
-    val running = scala.collection.mutable.HashMap[Any, Long]()
-    val offRows = rows.map { r =>
-      val k = r.get(1)
-      val off = running.getOrElse(k, 0L)
-      running(k) = off + r.getLong(2)
-      (r.getLong(0), k, off, r.getLong(3))
-    }
-    val localRows: Seq[Row] = offRows.toIndexedSeq.map { case (p, k, off, m) =>
-      totalCol match {
-        case Some(_) => Row(p, k, off, m, running(k))
-        case None    => Row(p, k, off, m)
-      }
-    }
-    val schema = StructType(Seq(
-      StructField("__g_pid", LongType, nullable = false),
-      census.schema(keyCol).copy(name = keyCol),
-      StructField("__g_off", LongType, nullable = false),
-      StructField("__g_min", LongType, nullable = false)) ++
-      totalCol.map(t => StructField(t, LongType, nullable = false)))
-    val offs = sorted.sparkSession.createDataFrame(
-      new java.util.ArrayList[Row](localRows.asJava), schema)
+    val offs = censusOffsets(census, keyCol,
+      valueAt = _.getLong(2),
+      zero = 0L,
+      plus = (a, b) =>
+        a.asInstanceOf[java.lang.Long] + b.asInstanceOf[java.lang.Long],
+      offType = LongType,
+      extra = Seq(StructField("__g_min", LongType, nullable = false)
+        -> ((r: Row) => r.getLong(3))),
+      totalCol = totalCol)
     sorted.withColumn("__g_pid", pid)
       .join(broadcast(offs), Seq("__g_pid", keyCol))
       .withColumn(rankCol,
         localIdx - col("__g_min") + col("__g_off") + lit(1L))
       .drop("__g_pid", "__g_mid", "__g_off", "__g_min")
+  }
+
+  /** Shared driver-side fold of a keyed census (the bounded
+    * per-(partition, key) frame both keyed operators aggregate): walks
+    * the collected rows in ASCENDING PID ORDER — the invariant every
+    * offset depends on: range partitions are assigned ascending
+    * (key, order) slices in ascending partition-id order — computing
+    * each row's EXCLUSIVE per-key prefix of `valueAt` under
+    * `plus`/`zero`, and (if `totalCol` is set) the per-key grand
+    * totals, read only AFTER the full fold. Returns the offsets as a
+    * LocalRelation DataFrame `(__g_pid, key, __g_off, extra…,
+    * total?)` ready to broadcast — a LocalRelation build runs no job
+    * and its broadcast can never receive a growing input. */
+  private def censusOffsets(census: DataFrame, keyCol: String,
+      valueAt: Row => Any, zero: Any, plus: (Any, Any) => Any,
+      offType: DataType, extra: Seq[(StructField, Row => Any)],
+      totalCol: Option[String]): DataFrame = {
+    val rows = census.collect().sortBy(_.getLong(0))
+    val running = scala.collection.mutable.HashMap[Any, Any]()
+    val offRows = rows.map { r =>
+      val k = r.get(1)
+      val off = running.getOrElse(k, zero)
+      running(k) = plus(off, valueAt(r))
+      (r, k, off)
+    }
+    val localRows: java.util.List[Row] = offRows.toIndexedSeq
+      .map { case (r, k, off) =>
+        Row.fromSeq(Seq(r.getLong(0), k, off) ++
+          extra.map(_._2(r)) ++ totalCol.map(_ => running(k)))
+      }.asJava
+    val schema = StructType(Seq(
+      StructField("__g_pid", LongType, nullable = false),
+      census.schema(keyCol).copy(name = keyCol),
+      StructField("__g_off", offType, nullable = false)) ++
+      extra.map(_._1) ++
+      totalCol.map(t => StructField(t, offType, nullable = false)))
+    census.sparkSession.createDataFrame(localRows, schema)
   }
 
   /** Two-phase per-key PREFIX SUM: appends `cumCol` (running total of
@@ -259,7 +281,6 @@ object RankOps {
     val census = sorted.groupBy(pid.as("__g_pid"), col(keyCol))
       .agg(sum(col(valCol)).as("__g_s"))
     val sumType = census.schema("__g_s").dataType
-    val rows = census.collect().sortBy(_.getLong(0))
     val zero: Any = sumType match {
       case LongType => 0L
       case DoubleType => 0.0d
@@ -277,23 +298,9 @@ object RankOps {
         s"non-null `$valCol` precondition is violated (a partition's " +
         s"`$keyCol` run summed to NULL)")
     }
-    val running = scala.collection.mutable.HashMap[Any, Any]()
-    val offRows = rows.map { r =>
-      val k = r.get(1)
-      val off = running.getOrElse(k, zero)
-      running(k) = plus(off, r.get(2))
-      (r.getLong(0), k, off)
-    }
-    val localRows: Seq[Row] = offRows.toIndexedSeq.map { case (p, k, off) =>
-      Row(p, k, off, running(k))
-    }
-    val schema = StructType(Seq(
-      StructField("__g_pid", LongType, nullable = false),
-      census.schema(keyCol).copy(name = keyCol),
-      StructField("__g_off", sumType, nullable = false),
-      StructField(totalCol, sumType, nullable = false)))
-    val offs = sorted.sparkSession.createDataFrame(
-      new java.util.ArrayList[Row](localRows.asJava), schema)
+    val offs = censusOffsets(census, keyCol,
+      valueAt = _.get(2), zero = zero, plus = plus,
+      offType = sumType, extra = Seq.empty, totalCol = Some(totalCol))
     // Intra-partition running sum: ordered by the sort-time record
     // index, partition-capped by the range exchange above.
     val run = Window.partitionBy(col("__g_pid"), col(keyCol))
