@@ -67,7 +67,9 @@ object CurateQueries {
     "q_filter_blocklist"  -> filterBlocklist _,
     "q_interleave_mix"    -> interleaveMix _,
     "q_select_kcenter"    -> selectKcenter _,
-    "q_select_maxcover"   -> selectMaxcover _
+    "q_select_maxcover"   -> selectMaxcover _,
+    "q_sample_weighted"   -> sampleWeighted _,
+    "q_mix_epochs"        -> mixEpochs _
   )
 
   /** One unrolled greedy max-coverage round of the q_select_maxcover
@@ -782,7 +784,47 @@ object CurateQueries {
         |  round(max(a.d2), 6) AS coverage_d2
         |FROM asg a JOIN cent4 c ON c.center_rank = a.center_rank
         |GROUP BY a.center_rank, c.c_id
-        |ORDER BY a.center_rank""".stripMargin)
+        |ORDER BY a.center_rank""".stripMargin),
+    // Same md5 hex-prefix draw as q_sample_hash/q_export_shards ('0x'
+    // hex parse = Spark's conv(...,16,10)), the exact (h + 0.5)/2³²
+    // uniform (power-of-two divisor — bit-identical), one ln rounded
+    // 9dp, (skey DESC, doc_id) total order on both engines.
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+        |        ::BIGINT + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS skey
+        |  FROM documents)
+        |SELECT doc_id, weight, skey,
+        |  CAST(row_number() OVER (ORDER BY skey DESC, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM keyed ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+    // Exact integer token masses, the q_mix_temperature sqrt/4dp-share
+    // discipline, then pure BIGINT min/max arithmetic: desired =
+    // round(2T · round(q,4)) is integral up to one ulp on both engines.
+    "q_mix_epochs" ->
+      """WITH cnt AS (
+        |  SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_l
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(toks_l) AS BIGINT) AS t_all,
+        |    sum(sqrt(CAST(toks_l AS DOUBLE))) AS s_root
+        |  FROM cnt),
+        |pl AS (
+        |  SELECT lang, toks_l,
+        |    round(sqrt(CAST(toks_l AS DOUBLE)) / s_root, 4) AS share,
+        |    CAST(round(2.0 * CAST(t_all AS DOUBLE)
+        |      * round(sqrt(CAST(toks_l AS DOUBLE)) / s_root, 4), 0)
+        |      AS BIGINT) AS desired_toks
+        |  FROM cnt, tot)
+        |SELECT lang, toks_l, share, desired_toks,
+        |  least(desired_toks, 2 * toks_l) AS planned_toks,
+        |  round(least(CAST(desired_toks AS DOUBLE)
+        |    / CAST(toks_l AS DOUBLE), 2.0), 4) AS epochs,
+        |  greatest(desired_toks - 2 * toks_l, 0) AS deficit_toks
+        |FROM pl ORDER BY lang""".stripMargin
   )
 
   /** One unrolled greedy round of the q_select_kcenter oracle: min
@@ -1860,5 +1902,86 @@ object CurateQueries {
       .select(col("p.rank"), col("p.doc_id"), col("p.n_tokens"),
         col("p.gain"), col("p.covered_total"))
       .orderBy("rank")
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    * k = 100 docs drawn with probability proportional to n_chars — the
+    * length-proportional draw a token-budgeted pipeline uses so the
+    * SAMPLE's token mass, not its doc count, tracks the budget
+    * (`q_sample_hash` draws uniformly; this is the importance-weighted
+    * member of the sampling family). A-ES: each row gets one uniform
+    * u ∈ (0,1) and priority u^(1/w); the k largest priorities ARE a
+    * weighted sample without replacement — a single scan + top-k, no
+    * sequential reservoir, no coordination, which is why it is THE
+    * distributed weighted-sampling algorithm.
+    *
+    * Determinism (SURVEY §7.5): u derives from the same stable md5 draw
+    * as `q_sample_hash` — the first 8 hex chars as a 32-bit integer,
+    * (h + 0.5) / 2³² (exact in double: h + 0.5 is representable, the
+    * divisor a power of two; never 0 or 1) — and the rank key is
+    * ln(u)/w (monotone in u^(1/w)), rounded once to 9dp with doc_id
+    * tiebreak, so both engines select the identical set in the
+    * identical order (the single-`ln` rounding rule, cf. q_text_pmi).
+    * Scale: scan-stage key arithmetic + TakeOrdered k — O(k) state per
+    * map task, no shuffle of the corpus, no window over anything wider
+    * than the 100-row result. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val skey = round(log(u) / col("n_chars").cast("double"), 9)
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        skey.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("skey").desc, col("doc_id")))
+        .cast("long"))
+      .orderBy("rank")
+  }
+
+  /** Epoch allocation under a token budget — the data-constrained
+    * scaling plan (`q_mix_temperature` outputs sampling SHARES; this
+    * turns them into per-language REPEAT factors): given a training
+    * budget of 2× the corpus's token mass and the α = ½ temperature
+    * shares, each language's desired token allocation either fits
+    * within an epoch cap of 2 (repeating a slice more than a few times
+    * stops helping — the data-constrained-LM recipe) or caps out and
+    * reports its deficit, the number the mix designer reads to decide
+    * where new crawling effort goes.
+    *
+    * Determinism: token masses are exact integers; the share q is
+    * sqrt-based (correctly rounded, never libm pow — the
+    * q_mix_temperature rule) and rounded ONCE at 4dp; desired tokens =
+    * round(2T · round(q,4)) is integral up to one ulp; everything
+    * downstream (planned, deficit) is exact BIGINT min/max arithmetic,
+    * and the epochs ratio is one IEEE division rounded 4dp. Scale: one
+    * map-side-combined per-lang token agg touches the corpus; the
+    * (T, Σ√t) scalar rides back onto the ≤#langs frame via a broadcast
+    * 1-row cross join (PlanGuard allowlist, the q_mix_temperature
+    * pattern). */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("toks_l"))
+    val tot = cnt.agg(
+      sum("toks_l").as("t_all"),
+      sum(sqrt(col("toks_l").cast("double"))).as("s_root"))
+    val q = sqrt(col("toks_l").cast("double")) / col("s_root")
+    val desired = round(lit(2.0) * col("t_all").cast("double")
+      * round(q, 4), 0).cast("long")
+    cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("toks_l"),
+        round(q, 4).as("share"),
+        desired.as("desired_toks"),
+        least(desired, lit(2L) * col("toks_l")).as("planned_toks"),
+        round(least(desired.cast("double")
+          / col("toks_l").cast("double"), lit(2.0)), 4).as("epochs"),
+        greatest(desired - lit(2L) * col("toks_l"), lit(0L))
+          .as("deficit_toks"))
+      .orderBy("lang")
   }
 }

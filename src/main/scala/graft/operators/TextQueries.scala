@@ -71,7 +71,10 @@ object TextQueries {
     "q_text_keyness"     -> textKeyness _,
     "q_text_jsd"         -> textJsd _,
     "q_eval_kappa"       -> evalKappa _,
-    "q_bpe_apply"        -> bpeApply _
+    "q_bpe_apply"        -> bpeApply _,
+    "q_text_hapax"       -> textHapax _,
+    "q_text_len_budget"  -> textLenBudget _,
+    "q_text_garbage"     -> textGarbage _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -1007,7 +1010,87 @@ object TextQueries {
         |  round(n_selected::DOUBLE / n_grams, 6) AS density,
         |  round(n_shared::DOUBLE / n_selected, 6) AS shared_frac
         |FROM grams g JOIN perdoc USING (doc_id) ORDER BY doc_id"""
-        .stripMargin
+        .stripMargin,
+    // Same bigram construction as the Spark side (1-based list index,
+    // space-joined), exact integer counts, one 4dp division. The ≥2
+    // token guard matches the Spark filter.
+    "q_text_hapax" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |tf AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] AS bg,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  GROUP BY source, bg)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS bigram_types,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax,
+        |  CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        |  CAST(sum(n) AS BIGINT) AS bigram_tokens,
+        |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS hapax_frac
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+    // Exact integer token/overflow/loss arithmetic; the four fractions
+    // are single IEEE divisions rounded 4dp on both engines.
+    "q_text_len_budget" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tokens,
+        |  CAST(max(tok) AS BIGINT) AS max_tokens,
+        |  CAST(sum(CASE WHEN tok > 32 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS over_32,
+        |  CAST(sum(greatest(tok - 32, 0)) AS BIGINT) AS lost_32,
+        |  round(CAST(sum(CASE WHEN tok > 32 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS over_frac_32,
+        |  round(CAST(sum(greatest(tok - 32, 0)) AS DOUBLE)
+        |    / CAST(sum(tok) AS DOUBLE), 4) AS loss_frac_32,
+        |  CAST(sum(CASE WHEN tok > 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS over_64,
+        |  CAST(sum(greatest(tok - 64, 0)) AS BIGINT) AS lost_64,
+        |  round(CAST(sum(CASE WHEN tok > 64 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS over_frac_64,
+        |  round(CAST(sum(greatest(tok - 64, 0)) AS DOUBLE)
+        |    / CAST(sum(tok) AS DOUBLE), 4) AS loss_frac_64
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // Same in-query augmentation (doc_id ≡ 0 mod 13 gets a '#'-run of
+    // 3 + id%4 plus one mixed token), same regex class over the ASCII
+    // corpus; the flag is pure integer arithmetic, symbol_frac a single
+    // 4dp-rounded division.
+    "q_text_garbage" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN text || ' ' ||
+        |        substr('######', 1, CAST(3 + doc_id % 4 AS INT))
+        |        || ' x9z8q7'
+        |      ELSE text END AS a
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(length(a)
+        |      - length(regexp_replace(a, '[^a-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS symbol_cnt,
+        |    CAST(length(a) AS BIGINT) AS n,
+        |    CAST(coalesce(list_max(list_transform(
+        |      regexp_extract_all(a, '[^a-z0-9 ]+'), r -> length(r))), 0)
+        |      AS BIGINT) AS max_symbol_run,
+        |    CAST(len(list_filter(string_split(a, ' '),
+        |      t -> regexp_matches(t, '[a-z]')
+        |        AND regexp_matches(t, '[0-9]'))) AS BIGINT)
+        |      AS mixed_tokens
+        |  FROM aug)
+        |SELECT doc_id, symbol_cnt,
+        |  round(CAST(symbol_cnt AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |    AS symbol_frac,
+        |  max_symbol_run, mixed_tokens,
+        |  (symbol_cnt >= 3 OR mixed_tokens >= 1) AS garbage
+        |FROM sig ORDER BY doc_id""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -2565,5 +2648,133 @@ object TextQueries {
             / (col("n") - col("nl")).cast("double"))) / lit(2.0), 4)
           .as("jsd"))
       .orderBy("lang")
+  }
+
+  /** Per-source BIGRAM vocabulary-health profile: type count, hapax
+    * (frequency-1) and dis (frequency-2) legomena counts, bigram token
+    * mass, and the hapax fraction — the corpus-health companion to
+    * `q_text_zipf`'s distribution fit: a healthy natural-language source
+    * keeps a fat hapax tail (Zipf ⇒ ~half the TYPES are singletons),
+    * while a templated or boilerplate-heavy source collapses it (every
+    * bigram repeats), so the fraction is the cheap per-source "is this
+    * crawl slice real prose?" gauge data-mix dashboards track. Bigrams,
+    * not unigrams, deliberately: the fixture vocabulary is ~31 words
+    * (FIXTURES.md), so unigram hapax is degenerate zero at every SF,
+    * while the ~V² bigram space keeps a real tail (~40 % measured) —
+    * the same reason `q_text_ngram_lm` models bigrams.
+    *
+    * Determinism: exact integer counts end-to-end, ONE division rounded
+    * 4dp. Scale: the corpus is exploded to bigrams and reduced
+    * immediately by the map-side-combined (source, bigram) count agg —
+    * the one corpus-sized shuffle, keyed on the bigram (vocab-scaled,
+    * never a mega-group); the per-source rollup runs on the
+    * bigram-vocabulary-sized count frame. REF has no text analysis
+    * (main.py:71 is its one parsing act). */
+  def textHapax(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(ngrams(col("toks"), 2)).as("bg"))
+      .groupBy("source", "bg").agg(count(lit(1)).as("n"))
+    tf.groupBy("source")
+      .agg(
+        count(lit(1)).as("bigram_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("dis"),
+        sum("n").as("bigram_tokens"))
+      .select(col("source"), col("bigram_types"), col("hapax"),
+        col("dis"), col("bigram_tokens"),
+        round(col("hapax").cast("double")
+          / col("bigram_types").cast("double"), 4).as("hapax_frac"))
+      .orderBy("source")
+  }
+
+  /** Context-window budget audit per source: whitespace-token mass,
+    * max length, and — at two fixed budgets (32 and 64 tokens,
+    * fixture-scaled stand-ins for the 2k/8k production cutoffs) — the
+    * fraction of DOCS that overflow and the fraction of TOKENS lost to
+    * truncation. This is the table a training-data pipeline reads
+    * before choosing sequence length and packing strategy: doc-overflow
+    * says how many examples truncate, token-loss says how much corpus
+    * mass the cut actually burns (a few huge docs can hold most of the
+    * loss), and `q_text_pack` downstream consumes the budget this audit
+    * justifies.
+    *
+    * Determinism: token counts, overflow counts, and lost-token sums
+    * are exact integers (greatest(n − B, 0) per doc, summed); the four
+    * fractions are one IEEE division each, rounded 4dp. Scale: pure
+    * scan-stage arithmetic (size(split) — codegen'd, zero joins) into
+    * ONE map-side-combined per-source agg; output is ≤ #sources rows. */
+  def textLenBudget(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    documents(s, d)
+      .select(col("source"), nTok.as("tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("tokens"),
+        max("tok").as("max_tokens"),
+        sum(when(col("tok") > 32, 1L).otherwise(0L)).as("over_32"),
+        sum(greatest(col("tok") - 32, lit(0L))).as("lost_32"),
+        sum(when(col("tok") > 64, 1L).otherwise(0L)).as("over_64"),
+        sum(greatest(col("tok") - 64, lit(0L))).as("lost_64"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("max_tokens"), col("over_32"), col("lost_32"),
+        round(col("over_32").cast("double")
+          / col("n_docs").cast("double"), 4).as("over_frac_32"),
+        round(col("lost_32").cast("double")
+          / col("tokens").cast("double"), 4).as("loss_frac_32"),
+        col("over_64"), col("lost_64"),
+        round(col("over_64").cast("double")
+          / col("n_docs").cast("double"), 4).as("over_frac_64"),
+        round(col("lost_64").cast("double")
+          / col("tokens").cast("double"), 4).as("loss_frac_64"))
+      .orderBy("source")
+  }
+
+  /** Garbage/noise-text detection (the C4/Gopher symbol-ratio rule
+    * family `q_text_quality` does not cover): per-doc symbol count and
+    * fraction, longest non-alphanumeric run, and mixed-alphanumeric
+    * token count — the OCR-residue / markup-shrapnel / encoding-noise
+    * signals a crawl-cleaning pass filters on before any model-based
+    * gate runs. The synthetic corpus is pure lowercase prose, so (the
+    * `q_text_pii` convention) every doc with doc_id ≡ 0 (mod 13) is
+    * deterministically augmented IN-QUERY with planted noise built from
+    * its own id — a '#'-run of 3–6 plus one mixed token — and the spec
+    * pins that exactly the planted docs are flagged.
+    *
+    * Determinism: the FLAG is pure integer arithmetic (symbol count ≥ 3
+    * OR a mixed token present — never a float compare); symbol_frac is
+    * surfaced rounded 4dp for dashboards but decides nothing. Counts
+    * use the `q_text_langid` length-difference trick plus
+    * regexp_extract_all run lengths — identical regex semantics on both
+    * engines over the ASCII corpus. Scale: entirely scan-stage codegen
+    * (regexp + HOF), zero shuffles, zero joins — the full-scan-
+    * throughput property that makes rule-based filtering viable at
+    * 100 TB (the q_quality_classifier point). */
+  def textGarbage(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"), lit(" "),
+      expr("substr('######', 1, CAST(3 + doc_id % 4 AS INT))"),
+      lit(" x9z8q7"))
+    val aug = when(pmod(col("doc_id"), lit(13)) === 0, planted)
+      .otherwise(col("text"))
+    val len = length(aug)
+    val sym = len - length(regexp_replace(aug, "[^a-z0-9 ]", ""))
+    val maxRun = coalesce(
+      array_max(transform(
+        regexp_extract_all(aug, lit("[^a-z0-9 ]+"), lit(0)),
+        r => length(r))),
+      lit(0))
+    val mixed = size(filter(split(aug, " "),
+      t => t.rlike("[a-z]") && t.rlike("[0-9]")))
+    documents(s, d)
+      .select(col("doc_id"),
+        sym.cast("long").as("symbol_cnt"),
+        round(sym.cast("double") / len.cast("double"), 4)
+          .as("symbol_frac"),
+        maxRun.cast("long").as("max_symbol_run"),
+        mixed.cast("long").as("mixed_tokens"),
+        (sym >= 3 || mixed >= 1).as("garbage"))
+      .orderBy("doc_id")
   }
 }

@@ -991,4 +991,123 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       s"expected exactly the planted pair at hamming $hNear, " +
         s"got ${pairs.mkString(", ")}")
   }
+
+  test("q_sample_weighted: A-ES invariants — dense ranks, monotone key, " +
+    "length-tilted sample") {
+    val r = graft.operators.CurateQueries.sampleWeighted(spark, sfDir)
+      .collect()
+    assert(r.length === 100, "k=100 < 500 fixture docs — must fill")
+    // rank is dense 1..k in output order, skey non-increasing along it
+    assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to 100L),
+      "rank must be the dense 1..k output order")
+    val keys = r.map(_.getAs[Double]("skey"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b },
+      "skey must be non-increasing with rank (A-ES takes the LARGEST)")
+    // the weighted draw must tilt toward long docs: sampled mean weight
+    // strictly above the corpus mean (deterministic on the fixed draw)
+    val corpusMean = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = r.map(_.getAs[Long]("weight")).sum / 100.0
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean must exceed corpus " +
+        s"mean $corpusMean — the weighting isn't biting")
+  }
+
+  test("q_mix_epochs: budget algebra — cap, deficit, and share identities") {
+    val rows = graft.operators.CurateQueries.mixEpochs(spark, sfDir)
+      .collect()
+    assert(rows.length === 5, "five fixture languages")
+    val tAll = rows.map(_.getAs[Long]("toks_l")).sum
+    rows.foreach { r =>
+      val toks = r.getAs[Long]("toks_l")
+      val desired = r.getAs[Long]("desired_toks")
+      val planned = r.getAs[Long]("planned_toks")
+      val deficit = r.getAs[Long]("deficit_toks")
+      val epochs = r.getAs[Double]("epochs")
+      assert(planned === math.min(desired, 2 * toks),
+        s"${r.getAs[String]("lang")}: planned must be min(desired, cap)")
+      assert(deficit === math.max(desired - 2 * toks, 0L),
+        s"${r.getAs[String]("lang")}: deficit must be the capped excess")
+      assert(epochs <= 2.0 && epochs >= 0.0, "epoch cap is 2")
+      // desired tracks 2T · share within the 4dp share rounding
+      val share = r.getAs[Double]("share")
+      assert(math.abs(desired - 2.0 * tAll * share) <= 1.0,
+        s"desired must be round(2T · share): $desired vs ${2.0 * tAll * share}")
+    }
+    // the temperature shares sum to ~1 (4dp rounding × 5 langs)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) <= 5e-4, s"shares sum $shareSum")
+    // the fixture's lang skew makes the cap BIND somewhere (a
+    // low-resource lang wants > 2 epochs) and NOT bind on en
+    assert(rows.exists(_.getAs[Long]("deficit_toks") > 0),
+      "no lang capped — the fixture skew should make the cap bind")
+    assert(rows.filter(_.getAs[String]("lang") == "en")
+      .forall(_.getAs[Long]("deficit_toks") === 0L),
+      "en is the high-resource lang — the cap must not bind there")
+  }
+
+  test("q_text_hapax: planted bigram frequencies count exactly") {
+    import spark.implicits._
+    // srcA: "a b a b" → bigrams (a b),(b a),(a b): 2 types, hapax=(b a),
+    // dis=(a b). srcB: "x y" → 1 type, 1 hapax. 1-token doc drops out.
+    val docs = Seq(
+      (1L, "a b a b", "en", "srcA", 7L),
+      (2L, "x y", "en", "srcB", 3L),
+      (3L, "z", "en", "srcC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("hapax")("documents" -> docs)
+    val r = graft.operators.TextQueries.textHapax(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5)))
+    assert(r.toSeq === Seq(
+      ("srcA", 2L, 1L, 1L, 3L, 0.5),
+      ("srcB", 1L, 1L, 0L, 1L, 1.0)),
+      s"got ${r.mkString("; ")}")
+  }
+
+  test("q_text_len_budget: overflow and token-loss arithmetic is exact") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      (1L, mk(10), "en", "s", 19L),
+      (2L, mk(70), "en", "s", 139L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("lenbudget")("documents" -> docs)
+    val r = graft.operators.TextQueries.textLenBudget(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("tokens") === 80L)
+    assert(r.getAs[Long]("max_tokens") === 70L)
+    assert(r.getAs[Long]("over_32") === 1L)
+    assert(r.getAs[Long]("lost_32") === 38L, "70 − 32 tokens cut")
+    assert(r.getAs[Long]("over_64") === 1L)
+    assert(r.getAs[Long]("lost_64") === 6L, "70 − 64 tokens cut")
+    assert(r.getAs[Double]("over_frac_64") === 0.5)
+    assert(r.getAs[Double]("loss_frac_64") === 0.075, "6/80")
+  }
+
+  test("q_text_garbage: exactly the planted docs flag, clean docs are " +
+    "all-zero") {
+    val rows = graft.operators.TextQueries.textGarbage(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 13 == 0) {
+        val run = 3 + (id % 4)
+        assert(r.getAs[Boolean]("garbage"), s"planted doc $id must flag")
+        assert(r.getAs[Long]("max_symbol_run") === run,
+          s"doc $id: planted '#'-run is 3 + id%4 = $run")
+        assert(r.getAs[Long]("symbol_cnt") === run,
+          s"doc $id: the run is the only symbol content")
+        assert(r.getAs[Long]("mixed_tokens") === 1L,
+          s"doc $id: exactly the one planted mixed token")
+      } else {
+        assert(!r.getAs[Boolean]("garbage"), s"clean doc $id flagged")
+        assert(r.getAs[Long]("symbol_cnt") === 0L &&
+          r.getAs[Long]("max_symbol_run") === 0L &&
+          r.getAs[Long]("mixed_tokens") === 0L,
+          s"clean doc $id must read all-zero signals")
+      }
+    }
+  }
 }

@@ -54,7 +54,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_bpe_apply",    // 1-row merge-table broadcast (cross)
     "q_embed_mmr",    // 1-row probe broadcast + 16-row candidate
                       // self-join (tiny-frame nested loop by design)
-    "q_select_maxcover" // 1-row covered-total broadcast (cross)
+    "q_select_maxcover", // 1-row covered-total broadcast (cross)
+    "q_mix_epochs"    // 1-row (T, Σ√t) scalar broadcast (cross, the
+                      // q_mix_temperature pattern)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must

@@ -411,6 +411,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("*(1)"), s"projection not codegen'd:\n$plan")
   }
 
+  test("q_text_garbage runs entirely in the scan stage (no exchange)") {
+    // The SURVEY row's 100 TB claim is full-scan-throughput rule
+    // filtering: signals + flag are row-local codegen'd expressions
+    // (the q_text_pii shape); the only allowed exchange is the final
+    // ORDER BY's range partitioning.
+    val plan = finalPlanString(TextQueries.textGarbage(spark, sfDir))
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange "))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$plan")
+    assert(plan.contains("*(1)"), s"signals not codegen'd:\n$plan")
+  }
+
+  test("q_sample_weighted takes the top-k without a global sort") {
+    // A-ES's whole point is scan + top-k: the k largest priorities
+    // arrive via TakeOrderedAndProject (O(k) state per map task),
+    // never a full range-exchange sort of the corpus; the rank window
+    // then runs on the 100-row result only.
+    val plan = finalPlanString(CurateQueries.sampleWeighted(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange rangepartitioning")
+        && !l.contains("rank")),
+      s"corpus-wide range sort leaked into the A-ES plan:\n$plan")
+  }
+
   test("q_embed_stats folds vectors to norms on the scan, pre-shuffle") {
     // The per-vector L2 fold must sit in a Project DIRECTLY over the
     // FileScan — vectors are reduced to scalars before any exchange, so
