@@ -69,7 +69,8 @@ object CurateQueries {
     "q_select_kcenter"    -> selectKcenter _,
     "q_select_maxcover"   -> selectMaxcover _,
     "q_sample_weighted"   -> sampleWeighted _,
-    "q_mix_epochs"        -> mixEpochs _
+    "q_mix_epochs"        -> mixEpochs _,
+    "q_shard_balance"     -> shardBalance _
   )
 
   /** One unrolled greedy max-coverage round of the q_select_maxcover
@@ -824,7 +825,35 @@ object CurateQueries {
         |  round(least(CAST(desired_toks AS DOUBLE)
         |    / CAST(toks_l AS DOUBLE), 2.0), 4) AS epochs,
         |  greatest(desired_toks - 2 * toks_l, 0) AS deficit_toks
-        |FROM pl ORDER BY lang""".stripMargin
+        |FROM pl ORDER BY lang""".stripMargin,
+    // Same (mass DESC, source) total order and zigzag integer
+    // arithmetic; shares/deviations single 4dp divisions.
+    "q_shard_balance" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT source, toks,
+        |    row_number() OVER (ORDER BY toks DESC, source) AS r
+        |  FROM src),
+        |assigned AS (
+        |  SELECT source, toks,
+        |    CAST(CASE WHEN (r - 1) % 16 < 8 THEN (r - 1) % 16
+        |      ELSE 15 - (r - 1) % 16 END AS BIGINT) AS shard
+        |  FROM ranked),
+        |pershard AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(toks) AS BIGINT) AS tokens
+        |  FROM assigned GROUP BY shard),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_all
+        |  FROM pershard)
+        |SELECT shard, n_sources, tokens,
+        |  round(CAST(tokens AS DOUBLE) / CAST(t_all AS DOUBLE), 4)
+        |    AS share,
+        |  round((CAST(tokens AS DOUBLE) * 8 - CAST(t_all AS DOUBLE))
+        |    / CAST(t_all AS DOUBLE), 4) AS dev_from_ideal
+        |FROM pershard, tot ORDER BY shard""".stripMargin
   )
 
   /** One unrolled greedy round of the q_select_kcenter oracle: min
@@ -1983,5 +2012,50 @@ object CurateQueries {
         greatest(desired - lit(2L) * col("toks_l"), lit(0L))
           .as("deficit_toks"))
       .orderBy("lang")
+  }
+
+  /** Balanced shard planning for distributed training: sources ranked
+    * by token mass and dealt BOUSTROPHEDON (zigzag — 1..8 then 8..1,
+    * the classic LPT-style heuristic) across 8 shards, with the
+    * per-shard mass, share, and deviation from the ideal 1/8 surfaced
+    * — the plan a data-parallel trainer reads before pinning sources
+    * to workers (`q_export_shards` hash-shards DOCUMENTS uniformly;
+    * this assigns whole SOURCES, the right grain when per-source state
+    * — tokenizer caches, dedup indexes, licensing — must stay
+    * worker-local, and zigzag dealing keeps the biggest sources from
+    * piling onto the same workers the way plain round-robin does).
+    *
+    * Determinism: token masses exact integers, the rank a total order
+    * on (mass DESC, source), the zigzag pure integer arithmetic;
+    * share/deviation are single divisions rounded 4dp. Scale: ONE
+    * map-side-combined per-source token agg touches the corpus; the
+    * rank window and everything after run on the ≤ #sources frame
+    * (catalog-bounded — the q_mix_temperature lang-frame argument),
+    * with the 1-row total attached by broadcast cross (PlanGuard
+    * allowlist). */
+  def shardBalance(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val src = documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("toks"))
+    val r = row_number().over(
+      Window.orderBy(col("toks").desc, col("source")))
+    val pos = (r - 1) % (2 * nShards)
+    val shard = when(pos < nShards, pos)
+      .otherwise(lit(2 * nShards - 1) - pos)
+    val perShard = src
+      .select(col("source"), col("toks"), shard.cast("long").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_sources"), sum("toks").as("tokens"))
+    val tot = perShard.agg(sum("tokens").as("t_all"))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_sources"), col("tokens"),
+        round(col("tokens").cast("double")
+          / col("t_all").cast("double"), 4).as("share"),
+        round((col("tokens").cast("double") * nShards
+          - col("t_all").cast("double"))
+          / col("t_all").cast("double"), 4).as("dev_from_ideal"))
+      .orderBy("shard")
   }
 }

@@ -49,7 +49,9 @@ object SimilarityQueries {
     "q_embed_knn"     -> embedKnn _,
     "q_eval_ndcg"     -> evalNdcg _,
     "q_embed_kmeans"  -> embedKmeans _,
-    "q_embed_mmr"     -> embedMmr _
+    "q_embed_mmr"     -> embedMmr _,
+    "q_sample_negatives" -> sampleNegatives _,
+    "q_ann_recall"    -> annRecall _
   )
 
   /** Shared cosine-in-double list formula for the MMR oracle. */
@@ -537,7 +539,86 @@ object SimilarityQueries {
          |  inertia, centroid_norm
          |FROM census JOIN norms USING (cid)
          |ORDER BY cluster_id""".stripMargin
-    }
+    },
+    // The q_sim_batch_topk window twin with the label-mismatch gate in
+    // the scored CTE; rank on the rounded cosine with vec_id tiebreak.
+    "q_sample_negatives" -> (
+      s"""WITH p AS (
+        |  SELECT vec_id AS probe_id, label AS probe_label,
+        |    embedding AS pv
+        |  FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT p.probe_id, p.probe_label, e.vec_id,
+        |    e.label AS neg_label,
+        |    ${cosListSql("p.pv", "e.embedding")} AS cos_sim
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.label <> p.probe_label),
+        |ranked AS (
+        |  SELECT probe_id, probe_label, vec_id, neg_label, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT probe_id, probe_label, vec_id, neg_label, cos_sim, rnk
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin),
+    // The q_ann_ivf CTE chain verbatim (same nprobe, same rounded
+    // centroid ranking) overlapped against the exact window twin; both
+    // top-5 cuts ride (rounded cos DESC, vec_id) total orders, so the
+    // intersection count is engine-exact.
+    "q_ann_recall" -> (
+      s"""WITH dims AS (
+        |  SELECT label, i AS pos, embedding[CAST(i AS INT)]::DOUBLE AS v
+        |  FROM (SELECT label, embedding, unnest(range(1, 65)) AS i
+        |        FROM embeddings)),
+        |centroids AS (
+        |  SELECT label AS cl, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(v) AS avg_v FROM dims
+        |        GROUP BY 1, 2)
+        |  GROUP BY label),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+        |  WHERE vec_id < 5),
+        |pc AS (
+        |  SELECT probe_id, pv, cl,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY ${cosListSql("pv", "centroid")} DESC, cl) AS crnk
+        |  FROM probes, centroids),
+        |probeclusters AS (
+        |  SELECT probe_id, pv, cl FROM pc WHERE crnk <= $IvfNprobe),
+        |ivfscored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    ${cosListSql("p.pv", "e.embedding")} AS cos_sim
+        |  FROM probeclusters p JOIN embeddings e
+        |    ON e.label = p.cl AND e.vec_id <> p.probe_id),
+        |ivf AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, vec_id) AS rnk
+        |    FROM ivfscored)
+        |  WHERE rnk <= 5),
+        |exscored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    ${cosListSql("p.pv", "e.embedding")} AS cos_sim
+        |  FROM embeddings e CROSS JOIN probes p
+        |  WHERE e.vec_id <> p.probe_id),
+        |ex AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, vec_id) AS rnk
+        |    FROM exscored)
+        |  WHERE rnk <= 5)
+        |SELECT ex.probe_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0
+        |      END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS recall
+        |FROM ex LEFT JOIN ivf i
+        |  ON i.probe_id = ex.probe_id AND i.vec_id = ex.vec_id
+        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin)
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -1433,5 +1514,89 @@ object SimilarityQueries {
       chosen = chosen.union(pick).localCheckpoint()
     }
     chosen.orderBy("rank")
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * probe (vec_id < 4, the `q_eval_ndcg` probe set), the top-5 most
+    * similar vectors whose label DIFFERS from the probe's — the pairs a
+    * contrastive objective learns the most from (random negatives are
+    * trivially far; hard negatives sit just across the decision
+    * boundary), and the standard mining pass every embedding-model
+    * curriculum runs between epochs. The emitted neg_label also tells
+    * the curator WHICH wrong class confuses each anchor.
+    *
+    * Scale shape: the probe batch broadcasts into ONE corpus scan (the
+    * `q_sim_batch_topk` shape — scores never materialize) with the
+    * label-mismatch gate applied IN the scan stage, and the per-probe
+    * top-5 reduces through the native `graft_topk_by` bounded heap —
+    * O(5) state per probe per map task, wire carries heap partials,
+    * never the score matrix. The ≤ 4·5-row result probes the corpus
+    * once more for the neg labels (AQE broadcasts the tiny side).
+    * Determinism: rank on the ROUNDED 4dp cosine with vec_id tiebreak
+    * — a total order, identical heap merge and window twin. */
+  def sampleNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label"), col("embedding").as("pv"))
+    val top = e.crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("probe_label"))
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+      .groupBy("probe_id", "probe_label")
+      .agg(call_function("graft_topk_by",
+        col("cos_sim"), col("vec_id"), lit(5)).as("top"))
+      .select(col("probe_id"), col("probe_label"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("probe_label"),
+        col("t.id").as("vec_id"), col("t.score").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    top.join(e.select(col("vec_id"), col("label").as("neg_label")),
+        Seq("vec_id"))
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        col("neg_label"), col("cos_sim"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** ANN index-quality evaluation: recall@5 of the IVF probe
+    * (`q_ann_ivf`'s nprobe-pruned search) against the EXACT top-5 for
+    * the same probes — the acceptance gate every approximate index
+    * ships with (an IVF that silently recalls 0.4 poisons every
+    * downstream dedup/serving consumer; this measures it ON the
+    * corpus, per probe, before the index is trusted). Exact side =
+    * the `q_sim_batch_topk` shape (broadcast probes, one corpus scan,
+    * bounded-heap top-5); approximate side = the `q_ann_ivf` pipeline
+    * unchanged; recall = |IVF ∩ exact| / 5 from a left join of two
+    * ≤ 25-row frames.
+    *
+    * Determinism: both sides rank the ROUNDED 4dp cosine with vec_id
+    * tiebreak (total orders), so both top-5 sets — and hence the
+    * overlap count — are engine-identical; recall is one exact
+    * integer division rounded 4dp. Scale: two corpus-linear passes
+    * (the index build amortizes in production; the exact pass is the
+    * one-time audit cost) and a KB-sized overlap join. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(call_function("graft_topk_by",
+        col("cos_sim"), col("vec_id"), lit(5)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.id").as("vec_id"))
+    val ivf = annIvf(s, d)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(ivf, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("probe_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double")
+          / col("n_exact").cast("double"), 4).as("recall"))
+      .orderBy("probe_id")
   }
 }

@@ -2658,8 +2658,9 @@ object TextQueries {
     * while a templated or boilerplate-heavy source collapses it (every
     * bigram repeats), so the fraction is the cheap per-source "is this
     * crawl slice real prose?" gauge data-mix dashboards track. Bigrams,
-    * not unigrams, deliberately: the fixture vocabulary is ~31 words
-    * (FIXTURES.md), so unigram hapax is degenerate zero at every SF,
+    * not unigrams, deliberately: the fixture vocabulary is tiny (31
+    * distinct tokens measured at sf0.01), so unigram hapax is
+    * degenerate zero at every SF,
     * while the ~V² bigram space keeps a real tail (~40 % measured) —
     * the same reason `q_text_ngram_lm` models bigrams.
     *

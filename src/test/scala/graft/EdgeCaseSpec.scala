@@ -1110,4 +1110,104 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  /** Brute-force rounded cosine over the collected fixture embeddings —
+    * the in-order summation both engines use. */
+  private def bruteCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("q_sample_negatives: label gate holds and matches the brute force") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val rows = graft.operators.SimilarityQueries
+      .sampleNegatives(spark, sfDir).collect()
+    assert(rows.length === 20, "4 probes x top-5")
+    rows.foreach { r =>
+      val (pid, plab) = (r.getAs[Long]("probe_id"),
+        r.getAs[Int]("probe_label"))
+      assert(r.getAs[Int]("neg_label") !== plab,
+        s"probe $pid returned a SAME-label vector — not a negative")
+      assert(byId(r.getAs[Long]("vec_id"))._2 === r.getAs[Int]("neg_label"),
+        "neg_label must be the fixture label of the returned vector")
+    }
+    // brute-force the expected top-5 per probe
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (pid, rs) =>
+      val (_, plab, pv) = byId(pid)
+      val expect = vecs.filter(_._2 != plab)
+        .map { case (id, _, v) => (id, bruteCos(v, pv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val got = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("vec_id"))
+      assert(got.toSeq === expect,
+        s"probe $pid: heap top-5 diverges from the brute force")
+    }
+  }
+
+  test("q_ann_recall: per-probe recall equals the recomputed overlap") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val ivf = graft.operators.SimilarityQueries.annIvf(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val out = graft.operators.SimilarityQueries.annRecall(spark, sfDir)
+      .collect()
+    assert(out.map(_.getAs[Long]("probe_id")).toSeq === (0L to 4L),
+      "one row per probe, probe set = vec_id < 5")
+    out.foreach { r =>
+      val pid = r.getAs[Long]("probe_id")
+      val pv = vecs.find(_._1 == pid).get._3
+      val exact = vecs.filter(_._1 != pid)
+        .map { case (id, _, v) => (id, bruteCos(v, pv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      assert(r.getAs[Long]("n_exact") === 5L)
+      val hits = (exact intersect ivf(pid)).size.toLong
+      assert(r.getAs[Long]("n_hit") === hits,
+        s"probe $pid: hit count diverges from the recomputed overlap")
+      assert(r.getAs[Double]("recall") === hits / 5.0,
+        s"probe $pid: recall must be n_hit/5")
+    }
+  }
+
+  test("q_shard_balance: zigzag assignment replayed exactly, mass " +
+    "conserved") {
+    val masses = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).as("t"))
+      .groupBy("source").agg(sum("t").as("toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("toks")))
+    val expected = masses
+      .sortBy { case (s, t) => (-t, s) }.zipWithIndex
+      .map { case ((_, t), i) =>
+        val pos = i % 16
+        (if (pos < 8) pos.toLong else 15L - pos, t)
+      }
+      .groupBy(_._1)
+      .map { case (sh, xs) => sh -> (xs.length.toLong, xs.map(_._2).sum) }
+    val rows = graft.operators.CurateQueries.shardBalance(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("shard")).toSeq === (0L to 7L),
+      "all 8 shards present, ordered")
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shard")
+      val (n, t) = expected(sh)
+      assert(r.getAs[Long]("n_sources") === n, s"shard $sh source count")
+      assert(r.getAs[Long]("tokens") === t, s"shard $sh token mass")
+    }
+    assert(rows.map(_.getAs[Long]("tokens")).sum === masses.map(_._2).sum,
+      "shard masses must conserve the corpus token total")
+  }
 }

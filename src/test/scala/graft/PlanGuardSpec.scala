@@ -55,8 +55,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_embed_mmr",    // 1-row probe broadcast + 16-row candidate
                       // self-join (tiny-frame nested loop by design)
     "q_select_maxcover", // 1-row covered-total broadcast (cross)
-    "q_mix_epochs"    // 1-row (T, Σ√t) scalar broadcast (cross, the
+    "q_mix_epochs",   // 1-row (T, Σ√t) scalar broadcast (cross, the
                       // q_mix_temperature pattern)
+    "q_sample_negatives", // KB probe-batch broadcast (q_sim_batch_topk
+                      // shape, label-gated)
+    "q_ann_recall",   // KB probe-batch broadcast (exact side) + the
+                      // q_ann_ivf centroid cross
+    "q_shard_balance" // 1-row token-total scalar broadcast (cross)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
