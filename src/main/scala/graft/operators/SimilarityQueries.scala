@@ -51,7 +51,8 @@ object SimilarityQueries {
     "q_embed_kmeans"  -> embedKmeans _,
     "q_embed_mmr"     -> embedMmr _,
     "q_sample_negatives" -> sampleNegatives _,
-    "q_ann_recall"    -> annRecall _
+    "q_ann_recall"    -> annRecall _,
+    "q_eval_mrr"      -> evalMrr _
   )
 
   /** Shared cosine-in-double list formula for the MMR oracle. */
@@ -618,7 +619,35 @@ object SimilarityQueries {
         |    / CAST(count(*) AS DOUBLE), 4) AS recall
         |FROM ex LEFT JOIN ivf i
         |  ON i.probe_id = ex.probe_id AND i.vec_id = ex.vec_id
-        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin)
+        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin),
+    // The window twin: rank everything per probe on the same (rounded
+    // cos DESC, vec_id) total order, take the min-rank same-label row
+    // via struct-min — identical to the Spark side's argmax + strictly-
+    // ahead count because the order is total.
+    "q_eval_mrr" -> (
+      s"""WITH p AS (
+        |  SELECT vec_id AS probe_id, label AS probe_label,
+        |    embedding AS pv
+        |  FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+        |    ${cosListSql("p.pv", "e.embedding")} AS cos_sim
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.vec_id <> p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, probe_label, vec_id, label, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rnk
+        |  FROM scored),
+        |best AS (
+        |  SELECT probe_id, probe_label,
+        |    min(struct_pack(r := rnk, v := vec_id, c := cos_sim)) AS b
+        |  FROM ranked WHERE label = probe_label
+        |  GROUP BY probe_id, probe_label)
+        |SELECT probe_id, probe_label, (b).v AS best_vec,
+        |  (b).c AS best_cos, CAST((b).r AS BIGINT) AS first_rank,
+        |  round(1.0 / (b).r, 6) AS rr
+        |FROM best ORDER BY probe_id""".stripMargin)
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -1597,6 +1626,53 @@ object SimilarityQueries {
       .select(col("probe_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double")
           / col("n_exact").cast("double"), 4).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** Mean-reciprocal-rank retrieval evaluation: per probe (vec_id < 4),
+    * the cosine rank of the FIRST same-label vector (label = the
+    * relevance proxy, the `q_eval_ndcg` convention) and its reciprocal
+    * — MRR is the metric for known-item search ("how far down is the
+    * first right answer?") and completes the eval family's retrieval
+    * axis (NDCG grades the whole ranking, recall@k the candidate set;
+    * MRR the first hit). A probe whose label has no other member drops
+    * out (inner semantics, declared; every fixture label has ~n/10
+    * members).
+    *
+    * The scale trick: the first relevant row's RANK is computed WITHOUT
+    * any per-probe sort — pass 1 reduces to the best relevant (cos,
+    * vec_id) struct-min per probe (map-side combined), pass 2 counts
+    * rows strictly ahead of it in the (rounded cos DESC, vec_id) total
+    * order. Two corpus-linear scans with KB broadcasts, no n·log n
+    * anywhere, no score matrix on the wire. Determinism: both the
+    * argmax and the count compare the ROUNDED 4dp cosine with vec_id
+    * tiebreak — engine-identical decisions; rr is one division rounded
+    * 6dp. */
+  def evalMrr(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label"), col("embedding").as("pv"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+    val best = scored.filter(col("label") === col("probe_label"))
+      .groupBy("probe_id")
+      .agg(min(struct((-col("cos_sim")).as("nc"),
+        col("vec_id").as("bv"), col("cos_sim").as("bc"))).as("b"))
+      .select(col("probe_id"), col("b.bv").as("best_vec"),
+        col("b.bc").as("best_cos"))
+    scored.join(broadcast(best), Seq("probe_id"))
+      .groupBy("probe_id", "probe_label", "best_vec", "best_cos")
+      .agg((sum(when(col("cos_sim") > col("best_cos")
+          || (col("cos_sim") === col("best_cos")
+            && col("vec_id") < col("best_vec")), 1L)
+        .otherwise(0L)) + lit(1L)).cast("long").as("first_rank"))
+      .select(col("probe_id"), col("probe_label"), col("best_vec"),
+        col("best_cos"), col("first_rank"),
+        round(lit(1.0) / col("first_rank").cast("double"), 6).as("rr"))
       .orderBy("probe_id")
   }
 }

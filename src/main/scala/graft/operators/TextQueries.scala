@@ -74,7 +74,8 @@ object TextQueries {
     "q_bpe_apply"        -> bpeApply _,
     "q_text_hapax"       -> textHapax _,
     "q_text_len_budget"  -> textLenBudget _,
-    "q_text_garbage"     -> textGarbage _
+    "q_text_garbage"     -> textGarbage _,
+    "q_text_instruct"    -> textInstruct _
   )
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
@@ -1090,6 +1091,31 @@ object TextQueries {
         |    AS symbol_frac,
         |  max_symbol_run, mixed_tokens,
         |  (symbol_cnt >= 3 OR mixed_tokens >= 1) AS garbage
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    // Same in-query augmentation (doc_id ≡ 0 mod 17 wraps the doc as a
+    // question-plus-steps) and the same exact-integer token counts over
+    // the whitespace split; no floats anywhere.
+    "q_text_instruct" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN 'how do you ' || text || ' ? first sort then join'
+        |      ELSE text END AS a
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN string_split(a, ' ')[1]
+        |        IN ('how', 'what', 'why') THEN 1 ELSE 0 END AS BIGINT)
+        |      AS wh_lead,
+        |    CAST(len(list_filter(string_split(a, ' '), x -> x = '?'))
+        |      AS BIGINT) AS q_marks,
+        |    CAST(len(list_filter(string_split(a, ' '),
+        |      x -> x IN ('first', 'then', 'finally'))) AS BIGINT)
+        |      AS step_markers
+        |  FROM aug)
+        |SELECT doc_id, wh_lead, q_marks, step_markers,
+        |  (wh_lead * 2 + q_marks + step_markers) AS instruct_score,
+        |  (wh_lead * 2 + q_marks + step_markers >= 3) AS instruct
         |FROM sig ORDER BY doc_id""".stripMargin
   )
 
@@ -2776,6 +2802,47 @@ object TextQueries {
         maxRun.cast("long").as("max_symbol_run"),
         mixed.cast("long").as("mixed_tokens"),
         (sym >= 3 || mixed >= 1).as("garbage"))
+      .orderBy("doc_id")
+  }
+
+  /** Instruction/QA-format detection: per-doc interrogative-lead flag
+    * (first token ∈ {how, what, why}), question-mark token count,
+    * procedural step-marker count ({first, then, finally}), a weighted
+    * integer score, and the keep flag — the signal a mix designer uses
+    * to SEPARATE instruction-shaped text from plain prose (routing it
+    * to the SFT pool, or excluding it from a pretraining slice the
+    * eval suite draws instruction prompts from — the q_contamination
+    * concern at the FORMAT level). The pure-prose synthetic corpus is
+    * deterministically augmented IN-QUERY (the `q_text_pii`/
+    * `q_text_garbage` convention): docs with doc_id ≡ 0 (mod 17) are
+    * wrapped as a question-plus-steps ("how do you … ? first sort then
+    * join"), and the spec pins that exactly those flag.
+    *
+    * Determinism: every signal is an exact integer token count over
+    * the whitespace split (no regex classes, no floats anywhere —
+    * score = 2·wh_lead + q_marks + step_markers, flag = score ≥ 3).
+    * Scale: entirely scan-stage codegen HOFs, zero shuffles/joins —
+    * format routing at full scan throughput (the q_quality_classifier
+    * point). */
+  def textInstruct(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(lit("how do you "), col("text"),
+      lit(" ? first sort then join"))
+    val aug = when(pmod(col("doc_id"), lit(17)) === 0, planted)
+      .otherwise(col("text"))
+    val t = split(aug, " ")
+    val whLead = element_at(t, 1).isin("how", "what", "why")
+      .cast("long")
+    val qCnt = size(filter(t, x => x === "?")).cast("long")
+    val stepCnt = size(filter(t,
+      x => x.isin("first", "then", "finally"))).cast("long")
+    val score = whLead * 2 + qCnt + stepCnt
+    documents(s, d)
+      .select(col("doc_id"),
+        whLead.as("wh_lead"),
+        qCnt.as("q_marks"),
+        stepCnt.as("step_markers"),
+        score.as("instruct_score"),
+        (score >= 3).as("instruct"))
       .orderBy("doc_id")
   }
 }

@@ -1210,4 +1210,46 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Long]("tokens")).sum === masses.map(_._2).sum,
       "shard masses must conserve the corpus token total")
   }
+
+  test("q_eval_mrr: first-relevant rank matches the brute-force ranking") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val out = graft.operators.SimilarityQueries.evalMrr(spark, sfDir)
+      .collect()
+    assert(out.length === 4, "one row per probe (every label populated)")
+    out.foreach { r =>
+      val pid = r.getAs[Long]("probe_id")
+      val (_, plab, pv) = vecs.find(_._1 == pid).get
+      val ranking = vecs.filter(_._1 != pid)
+        .map { case (id, lab, v) => (id, lab, bruteCos(v, pv)) }
+        .sortBy { case (id, _, c) => (-c, id) }
+      val firstRel = ranking.indexWhere(_._2 == plab)
+      assert(r.getAs[Long]("first_rank") === (firstRel + 1).toLong,
+        s"probe $pid: rank diverges from the brute-force first hit")
+      assert(r.getAs[Long]("best_vec") === ranking(firstRel)._1,
+        s"probe $pid: best_vec diverges")
+    }
+  }
+
+  test("q_text_instruct: exactly the planted docs flag with exact counts") {
+    val rows = graft.operators.TextQueries.textInstruct(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 17 == 0) {
+        assert(r.getAs[Boolean]("instruct"), s"planted doc $id must flag")
+        assert(r.getAs[Long]("wh_lead") === 1L &&
+          r.getAs[Long]("q_marks") === 1L &&
+          r.getAs[Long]("step_markers") === 2L &&
+          r.getAs[Long]("instruct_score") === 5L,
+          s"doc $id: planted wrapper is 1 wh-lead + 1 '?' + 2 steps")
+      } else {
+        assert(!r.getAs[Boolean]("instruct"), s"prose doc $id flagged")
+        assert(r.getAs[Long]("instruct_score") === 0L,
+          s"prose doc $id must score zero")
+      }
+    }
+  }
 }

@@ -61,7 +61,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
                       // shape, label-gated)
     "q_ann_recall",   // KB probe-batch broadcast (exact side) + the
                       // q_ann_ivf centroid cross
-    "q_shard_balance" // 1-row token-total scalar broadcast (cross)
+    "q_shard_balance", // 1-row token-total scalar broadcast (cross)
+    "q_eval_mrr"      // KB probe-batch broadcast (q_sim_batch_topk
+                      // shape) + 4-row best-relevant broadcast
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
