@@ -109,19 +109,33 @@ object RankProf {
       SparkEntry.queries(q)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       // The listener bus is ASYNCHRONOUS: count() returns when the
-      // DAGScheduler finishes, but the final JobEnd event may still be
+      // DAGScheduler finishes, but the final job's events may still be
       // queued — detaching immediately would nondeterministically drop
       // the last (often largest) job from the attribution (round-12
-      // review). Wait for the in-flight starts to drain, capped.
+      // review). A bare in-flight-starts drain is not enough: a job
+      // whose JobStart itself is still QUEUED is invisible to it (the
+      // second round-12 review pass). So first wait for the bus to go
+      // QUIET — recorded event count stable across two checks, the
+      // StreamProf quiesce pattern — then drain any in-flight starts.
       var waited = 0
-      while (jobStart.nonEmpty && waited < 2000) {
+      var stable = 0
+      var last = -1
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(50); waited += 50
+        val n = jobLines.size + jobStart.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      while (jobStart.nonEmpty && waited < 4000) {
         Thread.sleep(50); waited += 50
       }
       spark.sparkContext.removeSparkListener(listener)
       Harness.releaseTransient(spark)
-      val missed = if (jobStart.isEmpty) ""
-        else s"  [WARNING: ${jobStart.size} job(s) never completed " +
-          "within the drain cap — lines below are incomplete]"
+      val missed =
+        if (jobStart.isEmpty && stable >= 2 && jobLines.nonEmpty) ""
+        else s"  [WARNING: bus never went quiet or job(s) never " +
+          s"completed within the drain cap (open starts: " +
+          s"${jobStart.size}, quiet: ${stable >= 2}) — lines below " +
+          "may be incomplete]"
       println(f"[rankprof] $q jobs (total $dt%.3f s):$missed")
       jobLines.toSeq.sortBy(_._1).foreach { case (_, l) => println(l) }
     }

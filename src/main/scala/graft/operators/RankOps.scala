@@ -260,9 +260,14 @@ object RankOps {
     * partition offset + intra-partition running sum. Equals the
     * per-key running-sum window whenever (order…) is a total order
     * within each key — PropertySpec pins the law; exact for integral
-    * `valCol` (the sums never leave BIGINT), and bit-identical for
-    * doubles too (the driver adds the partition sums in the same
-    * ascending-pid order the old census window did).
+    * `valCol` (the sums never leave BIGINT). For DOUBLE valCol the
+    * guarantee is weaker: the driver adds partition sums in ascending
+    * pid order, but an EXCLUSIVE sequential fold is not IEEE-identical
+    * to the old inclusive-running-sum-minus-own-value census window
+    * (fl(fl(s1+s2)+s3) − s3 ≠ fl(s1+s2) in the last ulp when
+    * magnitudes differ wildly) — a future double caller must round
+    * after the sum or quantize to integer units first (the dsir
+    * discipline); every current caller is BIGINT.
     *
     * PRECONDITION: `valCol` must be non-null on every row. SQL `sum`
     * skips NULLs, but a key run whose leading rows in some partition

@@ -1559,31 +1559,35 @@ object SimilarityQueries {
     * label-mismatch gate applied IN the scan stage, and the per-probe
     * top-5 reduces through the native `graft_topk_by` bounded heap —
     * O(5) state per probe per map task, wire carries heap partials,
-    * never the score matrix. The ≤ 4·5-row result probes the corpus
-    * once more for the neg labels (AQE broadcasts the tiny side).
-    * Determinism: rank on the ROUNDED 4dp cosine with vec_id tiebreak
-    * — a total order, identical heap merge and window twin. */
+    * never the score matrix. The neg label rides THROUGH the heap
+    * packed into the BIGINT id (vec_id << 8 | label — labels are a
+    * single byte) and unpacks after the explode, so decorating the
+    * result costs zero extra passes (a join-back would stream the
+    * whole corpus through a BroadcastHashJoin a second time — the
+    * round-12 review finding this packing removed). Determinism: rank
+    * on the ROUNDED 4dp cosine with packed-id tiebreak — vec_ids are
+    * distinct, so the packed order IS the vec_id order and the window
+    * twin ranks identically. */
   def sampleNegatives(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val probes = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("probe_id"),
         col("label").as("probe_label"), col("embedding").as("pv"))
-    val top = e.crossJoin(broadcast(probes))
+    e.crossJoin(broadcast(probes))
       .filter(col("label") =!= col("probe_label"))
-      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+      .select(col("probe_id"), col("probe_label"),
+        (shiftleft(col("vec_id"), 8) + col("label")).as("packed"),
         round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
       .groupBy("probe_id", "probe_label")
       .agg(call_function("graft_topk_by",
-        col("cos_sim"), col("vec_id"), lit(5)).as("top"))
+        col("cos_sim"), col("packed"), lit(5)).as("top"))
       .select(col("probe_id"), col("probe_label"),
         posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("probe_id"), col("probe_label"),
-        col("t.id").as("vec_id"), col("t.score").as("cos_sim"),
+        shiftright(col("t.id"), 8).as("vec_id"),
+        col("t.id").bitwiseAND(lit(255L)).cast("int").as("neg_label"),
+        col("t.score").as("cos_sim"),
         (col("pos") + 1).cast("long").as("rnk"))
-    top.join(e.select(col("vec_id"), col("label").as("neg_label")),
-        Seq("vec_id"))
-      .select(col("probe_id"), col("probe_label"), col("vec_id"),
-        col("neg_label"), col("cos_sim"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
 

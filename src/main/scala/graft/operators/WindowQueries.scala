@@ -333,8 +333,11 @@ object WindowQueries {
     * any carrier at an equal key (price = p−10 k is INSIDE the frame,
     * so the strict-below sum must exclude it — the tag column pins
     * that), contributes nothing to the sum, and its own running total
-    * IS cumLT(p−10 k). Exact DECIMAL key arithmetic, value-identical
-    * to the window definition, no band ever serializes. */
+    * IS cumLT(p−10 k). Keys are the parquet DOUBLE end-to-end (the
+    * fixture's o_totalprice; the p−10 k probe key is the identical
+    * binary subtraction on both engines — see the inline note and the
+    * SURVEY row, both corrected round 12), value-identical to the
+    * window definition, no band ever serializes. */
   def windowNtileRange(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d)
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
