@@ -34,8 +34,25 @@ object FeatureQueries {
     "q_curriculum_order"      -> curriculumOrder _,
     "q_dp_laplace"            -> dpLaplace _,
     "q_feature_woe"           -> featureWoe _,
-    "q_eval_brier"            -> evalBrier _
+    "q_eval_brier"            -> evalBrier _,
+    "q_eval_pass_at_k"        -> evalPassAtK _,
+    "q_eval_fleiss"           -> evalFleiss _,
+    "q_dp_topk"               -> dpTopk _
   )
+
+  /** Exact falling factorial (x)ₖ = x·(x−1)·…·(x−k+1) as a BIGINT
+    * product — the pass@k combinatorics kernel (C(n−c,k)/C(n,k) is a
+    * ratio of two of these; the binomials themselves would overflow
+    * while the k-term ratio never needs them). Caller bounds x so the
+    * product fits a long; under ANSI overflow fails loud, never
+    * corrupts. */
+  private def ff(x: org.apache.spark.sql.Column, k: Int) =
+    (1 until k).foldLeft(x)((acc, i) => acc * (x - lit(i)))
+
+  /** The same k factors as DuckDB SQL text. */
+  private def ffSql(x: String, k: Int): String =
+    (0 until k).map(i => if (i == 0) s"($x)" else s"($x - $i)")
+      .mkString(" * ")
 
   val oracle: Map[String, String] = Map(
     // Cell sums exact BIGINT cents; the global prior is one scalar agg;
@@ -256,7 +273,112 @@ object FeatureQueries {
         |      - CAST(resu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE))
         |      + CAST(relu AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE))),
         |    6) AS decomp_gap
-        |FROM one""".stripMargin
+        |FROM one""".stripMargin,
+    // Falling-factorial ratio over exact BIGINTs (both engines divide
+    // the same two integers once); per-k eligibility via the same CASE;
+    // per-problem values quantized to 1e-6 units before the nation mean.
+    "q_eval_pass_at_k" ->
+      s"""WITH pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |k AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN n - c < 1 THEN 1.0
+        |      ELSE 1.0 - CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END AS p1,
+        |    CASE WHEN n < 5 THEN NULL WHEN n - c < 5 THEN 1.0
+        |      ELSE 1.0 - CAST(${ffSql("n - c", 5)} AS DOUBLE)
+        |        / CAST(${ffSql("n", 5)} AS DOUBLE)
+        |    END AS p5,
+        |    CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0
+        |      ELSE 1.0 - CAST(${ffSql("n - c", 10)} AS DOUBLE)
+        |        / CAST(${ffSql("n", 10)} AS DOUBLE)
+        |    END AS p10
+        |  FROM pc JOIN customer ON c_custkey = o_custkey),
+        |u AS (
+        |  SELECT c_nationkey,
+        |    CAST(round(p1 * 1000000, 0) AS BIGINT) AS u1,
+        |    CAST(round(p5 * 1000000, 0) AS BIGINT) AS u5,
+        |    CAST(round(p10 * 1000000, 0) AS BIGINT) AS u10
+        |  FROM k)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_problems,
+        |  CAST(count(u5) AS BIGINT) AS elig_5,
+        |  CAST(count(u10) AS BIGINT) AS elig_10,
+        |  round(CAST(sum(u1) AS DOUBLE)
+        |    / (CAST(count(u1) AS DOUBLE) * 1000000.0), 6) AS mean_pass1,
+        |  round(CAST(sum(u5) AS DOUBLE)
+        |    / (CAST(count(u5) AS DOUBLE) * 1000000.0), 6) AS mean_pass5,
+        |  round(CAST(sum(u10) AS DOUBLE)
+        |    / (CAST(count(u10) AS DOUBLE) * 1000000.0), 6) AS mean_pass10
+        |FROM u GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    // P_i an exact integer rational quantized to 1e-9 units per item;
+    // p_j² quantized to 1e-12 units per category before the 3-term sum;
+    // kappa one shared double tree over the exact unit sums.
+    "q_eval_fleiss" ->
+      """WITH cell AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS nij
+        |  FROM lineitem GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT l_orderkey, l_returnflag, nij,
+        |    CAST(sum(nij) OVER (PARTITION BY l_orderkey) AS BIGINT) AS ni
+        |  FROM cell),
+        |kept AS (SELECT * FROM c2 WHERE ni >= 2),
+        |item AS (
+        |  SELECT l_orderkey, ni,
+        |    CAST(sum(nij * (nij - 1)) AS BIGINT) AS agree
+        |  FROM kept GROUP BY 1, 2),
+        |iagg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(ni) AS BIGINT) AS n_ratings,
+        |    CAST(sum(CAST(round(CAST(agree AS DOUBLE) * 1.0e9
+        |      / (CAST(ni AS DOUBLE) * CAST(ni - 1 AS DOUBLE)), 0)
+        |      AS BIGINT)) AS BIGINT) AS p_units
+        |  FROM item),
+        |cat AS (
+        |  SELECT l_returnflag, CAST(sum(nij) AS BIGINT) AS tj
+        |  FROM kept GROUP BY 1),
+        |cagg AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      (CAST(tj AS DOUBLE) / CAST(tt AS DOUBLE))
+        |      * (CAST(tj AS DOUBLE) / CAST(tt AS DOUBLE)) * 1.0e12, 0)
+        |      AS BIGINT)) AS BIGINT) AS pe_units
+        |  FROM (SELECT tj, CAST(sum(tj) OVER () AS BIGINT) AS tt
+        |        FROM cat))
+        |SELECT n_items, n_ratings,
+        |  round(CAST(p_units AS DOUBLE)
+        |    / (CAST(n_items AS DOUBLE) * 1.0e9), 6) AS p_bar,
+        |  round(CAST(pe_units AS DOUBLE) / 1.0e12, 6) AS p_e,
+        |  round(CASE WHEN pe_units = 1000000000000 THEN NULL
+        |    ELSE (CAST(p_units AS DOUBLE)
+        |        / (CAST(n_items AS DOUBLE) * 1.0e9)
+        |      - CAST(pe_units AS DOUBLE) / 1.0e12)
+        |      / (1.0 - CAST(pe_units AS DOUBLE) / 1.0e12) END, 6)
+        |    AS kappa
+        |FROM iagg CROSS JOIN cagg""".stripMargin,
+    // Same md5-uniform as q_sample_weighted; the nested ln pair sits
+    // inside the 4dp rounding barrier; selection on the ROUNDED noisy
+    // score with brand tiebreak — both engines release the same set.
+    "q_dp_topk" ->
+      """WITH cnt AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1),
+        |sc AS (
+        |  SELECT p_brand, n,
+        |    -ln(-ln((('0x' || substr(md5(p_brand), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0)) AS g
+        |  FROM cnt),
+        |r AS (
+        |  SELECT p_brand, n, round(g, 4) AS noise,
+        |    round(CAST(n AS DOUBLE) + g, 4) AS noisy,
+        |    CAST(row_number() OVER (
+        |      ORDER BY round(CAST(n AS DOUBLE) + g, 4) DESC, p_brand)
+        |      AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT rank, p_brand, n, noise, noisy
+        |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
   )
 
   /** Smoothed target (mean) encoding of the (nation × segment)
@@ -567,5 +689,148 @@ object FeatureQueries {
         round(noise, 4).as("noise"),
         round(col("n").cast("double") + noise, 4).as("released"))
       .orderBy("c_nationkey")
+  }
+
+  /** pass@k evaluation of sampled generations — the code-eval estimator
+    * (HumanEval-style): per problem with n samples and c successes, the
+    * UNBIASED pass@k = 1 − C(n−c,k)/C(n,k) at k ∈ {1,5,10},
+    * macro-averaged per nation. The naive 1−(1−c/n)ᵏ is biased (it
+    * samples WITH replacement); the falling-factorial ratio is the
+    * exact without-replacement probability that a random k-subset
+    * contains ≥1 success. Problems = customers, samples = their orders,
+    * success = order status 'F' — stand-in data, the estimator is the
+    * operator.
+    *
+    * Exactness: TPC-H order fan-out per customer is BOUNDED by
+    * construction (≤ ~41 at every scale factor), so (n)₁₀ ≤ 41¹⁰ ≈
+    * 1.3e16 fits a long exactly — both engines divide the same two
+    * exact integers ONCE (under ANSI an impossible overflow would fail
+    * loud, never corrupt). Per-k eligibility is declared honestly:
+    * n < k → the estimator is undefined → NULL, excluded from the mean
+    * (count(uₖ) is the eligible denominator); n−c < k → every k-subset
+    * hits a success → exactly 1. Per-problem values are quantized to
+    * 1e-6 BIGINT units before the nation mean (the dsir
+    * order-independence discipline). Scale: one map-side-combined
+    * per-customer agg over orders, a customer-grain equi-join for the
+    * nation (unhinted — AQE broadcasts at small SF, shuffle-joins at
+    * corpus scale), then a ≤25-row rollup. */
+  def evalPassAtK(s: SparkSession, d: String): DataFrame = {
+    val pc = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
+    def passK(k: Int) = {
+      val base = when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(lit(1.0) - ff(col("n") - col("c"), k).cast("double")
+          / ff(col("n"), k).cast("double"))
+      if (k == 1) base
+      else when(col("n") < k, lit(null).cast("double")).otherwise(base)
+    }
+    def units(k: Int) = round(passK(k) * 1000000, 0).cast("long")
+    pc.join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), units(1).as("u1"), units(5).as("u5"),
+        units(10).as("u10"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_problems"),
+        count(col("u5")).as("elig_5"), count(col("u10")).as("elig_10"),
+        round(sum("u1").cast("double")
+          / (count(col("u1")).cast("double") * lit(1000000.0)), 6)
+          .as("mean_pass1"),
+        round(sum("u5").cast("double")
+          / (count(col("u5")).cast("double") * lit(1000000.0)), 6)
+          .as("mean_pass5"),
+        round(sum("u10").cast("double")
+          / (count(col("u10")).cast("double") * lit(1000000.0)), 6)
+          .as("mean_pass10"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Fleiss' kappa multi-rater agreement, generalized to variable
+    * raters-per-item: items = orders, raters = their lineitems,
+    * category = return flag (A/N/R) — "do independent annotators agree
+    * beyond chance?", the acceptance gate on any labeling/rubric
+    * pipeline before its labels train or filter anything
+    * (`q_eval_kappa` is the 2-rater special case; this is the n-rater
+    * panel form). Per-item agreement P_i = Σⱼ n_ij(n_ij−1)/(n_i(n_i−1))
+    * over items with n_i ≥ 2; chance P_e = Σⱼ p_j²; kappa =
+    * (P̄−P_e)/(1−P_e), NULL when P_e = 1 (a single-category corpus has
+    * no chance-corrected scale — the q_feature_woe degenerate-case
+    * discipline).
+    *
+    * Determinism: P_i is an exact integer rational quantized to 1e-9
+    * BIGINT units per item BEFORE the cross-item mean; each p_j² is
+    * quantized to 1e-12 units before the ≤3-term category sum (a raw
+    * double sum over even 3 rows is partition-order-dependent); kappa
+    * is one shared double tree over the exact unit sums. Scale: the
+    * corpus collapses in one map-side-combined (order, flag) count agg;
+    * the per-item frame's window partitions are ≤3 rows (the category
+    * domain — bounded at any scale); the two scalar frames meet in a
+    * 1-row broadcast cross (PlanGuard allowlist). */
+  def evalFleiss(s: SparkSession, d: String): DataFrame = {
+    val cell = lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(count(lit(1)).as("nij"))
+    val kept = cell
+      .withColumn("ni",
+        sum("nij").over(Window.partitionBy("l_orderkey")))
+      .filter(col("ni") >= 2L)
+    val item = kept.groupBy("l_orderkey", "ni")
+      .agg(sum(col("nij") * (col("nij") - 1L)).as("agree"))
+    val pUnits = round(col("agree").cast("double") * lit(1.0e9)
+      / (col("ni").cast("double") * (col("ni") - 1L).cast("double")), 0)
+      .cast("long")
+    val iagg = item.agg(count(lit(1)).as("n_items"),
+      sum("ni").as("n_ratings"), sum(pUnits).as("p_units"))
+    val cat = kept.groupBy("l_returnflag").agg(sum("nij").as("tj"))
+      .withColumn("tt", sum("tj").over(Window.partitionBy()))
+    val pj = col("tj").cast("double") / col("tt").cast("double")
+    val cagg = cat
+      .select(round(pj * pj * lit(1.0e12), 0).cast("long").as("peu"))
+      .agg(sum("peu").as("pe_units"))
+    val pBar = col("p_units").cast("double") /
+      (col("n_items").cast("double") * lit(1.0e9))
+    val pE = col("pe_units").cast("double") / lit(1.0e12)
+    iagg.crossJoin(broadcast(cagg))
+      .select(col("n_items"), col("n_ratings"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        round(when(col("pe_units") === 1000000000000L,
+            lit(null).cast("double"))
+          .otherwise((pBar - pE) / (lit(1.0) - pE)), 6).as("kappa"))
+  }
+
+  /** Differentially-private top-5 brand release via report-noisy-max —
+    * the exponential mechanism through the Gumbel trick (adding
+    * Gumbel(Δ/ε) noise to each score and taking the arg-top-k IS the
+    * k-fold exponential mechanism): per-brand part counts plus
+    * g = −ln(−ln(u)), u the stable md5 draw ((h+0.5)/2³², the
+    * `q_sample_weighted` exact uniform — RNG-free, the `q_dp_laplace`
+    * reproducibility argument). Completes the privacy family: the dq_*
+    * triple audits, `q_dp_laplace` releases counts, THIS releases a
+    * RANKING (the "most common X" publication a raw top-k would leak
+    * through).
+    *
+    * Determinism: u is never 0 or 1 (power-of-two divisor), so the
+    * nested ln pair is finite; it sits inside the 4dp rounding barrier
+    * (the q_dp_laplace ulp rule), and SELECTION orders by the ROUNDED
+    * noisy score with brand tiebreak — both engines release the
+    * identical set in the identical order. Scale: one map-side-combined
+    * keyed count agg; noise is a scan-stage expression and the rank
+    * window sits on the 25-brand frame (catalog-bounded at any scale
+    * factor). */
+  def dpTopk(s: SparkSession, d: String): DataFrame = {
+    val cnt = part(s, d).groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    val h = conv(substring(md5(col("p_brand").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val g = -log(-log(u))
+    cnt.select(col("p_brand"), col("n"), round(g, 4).as("noise"),
+        round(col("n").cast("double") + g, 4).as("noisy"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("noisy").desc, col("p_brand")))
+        .cast("long"))
+      .filter(col("rank") <= 5L)
+      .select(col("rank"), col("p_brand"), col("n"), col("noise"),
+        col("noisy"))
+      .orderBy("rank")
   }
 }

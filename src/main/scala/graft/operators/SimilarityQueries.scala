@@ -52,7 +52,8 @@ object SimilarityQueries {
     "q_embed_mmr"     -> embedMmr _,
     "q_sample_negatives" -> sampleNegatives _,
     "q_ann_recall"    -> annRecall _,
-    "q_eval_mrr"      -> evalMrr _
+    "q_eval_mrr"      -> evalMrr _,
+    "q_contamination_embed" -> contaminationEmbed _
   )
 
   /** Shared cosine-in-double list formula for the MMR oracle. */
@@ -647,7 +648,28 @@ object SimilarityQueries {
         |SELECT probe_id, probe_label, (b).v AS best_vec,
         |  (b).c AS best_cos, CAST((b).r AS BIGINT) AS first_rank,
         |  round(1.0 / (b).r, 6) AS rr
-        |FROM best ORDER BY probe_id""".stripMargin)
+        |FROM best ORDER BY probe_id""".stripMargin),
+    // Packed-BIGINT argmax: (cos-units+10⁴)·64 + (49−bench_id) is
+    // non-negative, so >>6 / &63 unpack identically; cos units are
+    // round(4dp-cos · 10⁴) integers — pack/unpack engine-exact.
+    "q_contamination_embed" -> (
+      s"""WITH b AS (
+        |  SELECT vec_id AS bench_id, embedding AS bv
+        |  FROM embeddings WHERE vec_id < 50),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    (CAST(round(${cosListSql("e.embedding", "b.bv")} * 10000, 0)
+        |      AS BIGINT) + 10000) * 64 + (49 - b.bench_id) AS k
+        |  FROM embeddings e CROSS JOIN b WHERE e.vec_id >= 50),
+        |best AS (
+        |  SELECT vec_id, label, max(k) AS bk FROM sc GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |  49 - (bk & 63) AS best_bench,
+        |  round(CAST((bk >> 6) - 10000 AS DOUBLE) / 10000.0, 4)
+        |    AS max_cos,
+        |  CASE WHEN (bk >> 6) - 10000 >= 4000 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS contam
+        |FROM best ORDER BY (bk >> 6) DESC, vec_id LIMIT 100""".stripMargin)
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -1678,5 +1700,48 @@ object SimilarityQueries {
         col("best_cos"), col("first_rank"),
         round(lit(1.0) / col("first_rank").cast("double"), 6).as("rr"))
       .orderBy("probe_id")
+  }
+
+  /** Embedding-space benchmark contamination scan — the semantic
+    * complement of `q_contamination`'s n-gram overlap (a paraphrased
+    * test item shares no shingles but sits next to the test vector in
+    * embedding space; every serious decontamination pass runs BOTH):
+    * each train vector scored by its max cosine over the benchmark
+    * set, argmax surfaced, top-100 by similarity with the cos ≥ 0.4
+    * contamination flag (the `q_dedup_embed` edge threshold).
+    *
+    * Scale: the benchmark is vec_id < 50 — BOUNDED at every scale
+    * factor (vec_ids are unique, so the filter yields ≤ 50 rows at
+    * 100 TB too; the broadcast is justified by construction, not by
+    * measured luck — the r11 forced-broadcast sweep sees zero growth).
+    * The per-vector best is a map-side-combined MAX over ONE packed
+    * BIGINT ((cos-units+10⁴)·64 + (49−bench_id)) — no per-vector sort
+    * and the (train × bench) matrix never leaves the scan stage; the
+    * wire carries one long per corpus vector. Determinism: cos units
+    * are round(4dp-cos · 10⁴) exact integers (the `q_sample_negatives`
+    * packing discipline), the key is non-negative so >>6 / &63 unpack
+    * identically on both engines, and the final cut orders by
+    * (unpacked units DESC, vec_id) — a total order. */
+  def contaminationEmbed(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val bench = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+    val cu = round(round(cosine(col("embedding"), col("bv")), 4)
+      * 10000, 0).cast("long")
+    val key = (cu + 10000L) * 64L + (lit(49L) - col("bench_id"))
+    val best = e.filter(col("vec_id") >= 50)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("label"), key.as("k"))
+      .groupBy("vec_id", "label")
+      .agg(max("k").as("bk"))
+    val units = shiftright(col("bk"), 6) - 10000L
+    best.select(col("vec_id"), col("label"),
+        (lit(49L) - col("bk").bitwiseAND(63L)).as("best_bench"),
+        round(units.cast("double") / 10000.0, 4).as("max_cos"),
+        when(units >= 4000L, 1L).otherwise(0L).as("contam"),
+        units.as("__u"))
+      .orderBy(col("__u").desc, col("vec_id"))
+      .limit(100)
+      .drop("__u")
   }
 }

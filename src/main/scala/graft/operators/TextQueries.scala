@@ -75,8 +75,22 @@ object TextQueries {
     "q_text_hapax"       -> textHapax _,
     "q_text_len_budget"  -> textLenBudget _,
     "q_text_garbage"     -> textGarbage _,
-    "q_text_instruct"    -> textInstruct _
+    "q_text_instruct"    -> textInstruct _,
+    "q_eval_bleu"        -> evalBleu _
   )
+
+  /** One side's (pid, n, gram) rows for the BLEU twin: DuckDB range is
+    * [a, b) so `range(1, len - n + 2)` is empty when len < n — the same
+    * guard the Spark side's `when(size >= n)` applies. */
+  private def bleuGramSql(side: String, n: Int): String =
+    if (n == 1)
+      s"SELECT pid, 1 AS n, $side[i] AS gram\n" +
+        s"    FROM p, UNNEST(range(1, len($side) + 1)) AS u(i)"
+    else {
+      val g = (0 until n).map(o => s"$side[i + $o]").mkString(" || ' ' || ")
+      s"SELECT pid, $n AS n, $g AS gram\n" +
+        s"    FROM p, UNNEST(range(1, len($side) - ${n - 2})) AS u(i)"
+    }
 
   /** The BM25 score-list CTE chain (ends at `agg(doc_id, score)`) —
     * shared verbatim by q_text_bm25's oracle (top-10 wrapper) and
@@ -1116,7 +1130,77 @@ object TextQueries {
         |SELECT doc_id, wh_lead, q_marks, step_markers,
         |  (wh_lead * 2 + q_marks + step_markers) AS instruct_score,
         |  (wh_lead * 2 + q_marks + step_markers >= 3) AS instruct
-        |FROM sig ORDER BY doc_id""".stripMargin
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    // Matches/totals exact BIGINT sums off gram-keyed count aggs; pₙ
+    // exact-integer divisions (NULL-guarded when a gram order is
+    // empty); the ln/exp pair sits inside the 6dp rounding barrier and
+    // pₙ=0 declares BLEU 0 via the same CASE gate on both engines.
+    "q_eval_bleu" -> (
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT c.doc_id AS pid, c.t AS ct, r.t AS rt
+        |  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1),
+        |cg AS (
+        |  SELECT pid, n, gram, CAST(count(*) AS BIGINT) AS cc FROM (
+        |    ${bleuGramSql("ct", 1)}
+        |    UNION ALL ${bleuGramSql("ct", 2)}
+        |    UNION ALL ${bleuGramSql("ct", 3)}
+        |    UNION ALL ${bleuGramSql("ct", 4)})
+        |  GROUP BY 1, 2, 3),
+        |rg AS (
+        |  SELECT pid, n, gram, CAST(count(*) AS BIGINT) AS rc FROM (
+        |    ${bleuGramSql("rt", 1)}
+        |    UNION ALL ${bleuGramSql("rt", 2)}
+        |    UNION ALL ${bleuGramSql("rt", 3)}
+        |    UNION ALL ${bleuGramSql("rt", 4)})
+        |  GROUP BY 1, 2, 3),
+        |mat AS (
+        |  SELECT n, CAST(sum(least(cc, rc)) AS BIGINT) AS m
+        |  FROM cg JOIN rg USING (pid, n, gram) GROUP BY 1),
+        |tot AS (
+        |  SELECT n, CAST(sum(cc) AS BIGINT) AS tot FROM cg GROUP BY 1),
+        |nt AS (
+        |  SELECT t.n, t.tot, coalesce(m.m, 0) AS m
+        |  FROM tot t LEFT JOIN mat m USING (n)),
+        |piv AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+        |    CAST(sum(CASE WHEN n = 3 THEN m ELSE 0 END) AS BIGINT) AS m3,
+        |    CAST(sum(CASE WHEN n = 4 THEN m ELSE 0 END) AS BIGINT) AS m4,
+        |    CAST(sum(CASE WHEN n = 1 THEN tot ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN n = 2 THEN tot ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN n = 3 THEN tot ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN n = 4 THEN tot ELSE 0 END) AS BIGINT) AS t4
+        |  FROM nt),
+        |lens AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(len(ct)) AS BIGINT) AS cand_tokens,
+        |    CAST(sum(len(rt)) AS BIGINT) AS ref_tokens
+        |  FROM p)
+        |SELECT n_pairs, cand_tokens, ref_tokens, m1, m2, m3, m4,
+        |  CASE WHEN t1 > 0 THEN
+        |    round(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) END AS p1,
+        |  CASE WHEN t2 > 0 THEN
+        |    round(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) END AS p2,
+        |  CASE WHEN t3 > 0 THEN
+        |    round(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE), 6) END AS p3,
+        |  CASE WHEN t4 > 0 THEN
+        |    round(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE), 6) END AS p4,
+        |  round(CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+        |    ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+        |      / CAST(cand_tokens AS DOUBLE)) END, 6) AS bp,
+        |  round(CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 THEN
+        |    (CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+        |      ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+        |        / CAST(cand_tokens AS DOUBLE)) END)
+        |    * exp((ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+        |         + ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+        |         + ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE))
+        |         + ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE))) / 4.0)
+        |    ELSE 0.0 END, 6) AS bleu
+        |FROM piv CROSS JOIN lens""".stripMargin)
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -2844,5 +2928,80 @@ object TextQueries {
         score.as("instruct_score"),
         (score >= 3).as("instruct"))
       .orderBy("doc_id")
+  }
+
+  /** Corpus BLEU between adjacent-document pairs (candidate = doc,
+    * reference = doc_id+1 — the `q_text_editdist` keyed equi-self-join,
+    * no serial lag window): clipped modified n-gram precisions p₁..p₄
+    * (match = Σ min(cand-count, ref-count) per gram — the clipping that
+    * stops "the the the" gaming unigram precision), brevity penalty
+    * min(1, e^(1−R/C)), BLEU = BP·exp(Σ¼ ln pₙ) — THE translation /
+    * generation-fidelity metric, here auditing corpus redundancy at
+    * the pair grain (high BLEU between neighbors = near-duplicate
+    * shingle mass `q_dedup_ngram` will confirm).
+    *
+    * Exactness: matches and totals are exact BIGINT sums off
+    * (pair, n, gram)-keyed count aggs — map-side combined, cand×ref
+    * inner-joined on the fine-grained gram key, never a doc×doc
+    * matrix; pₙ are exact-integer divisions (NULL when a gram order is
+    * empty); the ln/exp pair sits inside the 6dp rounding barrier (the
+    * single-libm rule) and any pₙ=0 declares BLEU 0 via the same CASE
+    * gate both sides. The four gram orders ride ONE explode per side
+    * (array-of-struct flatten), and the two scalar frames meet in a
+    * 1-row broadcast cross (PlanGuard allowlist). */
+  def evalBleu(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val pairs = docs
+      .join(docs.select((col("doc_id") - 1).as("pid"), col("t").as("rt")),
+        col("doc_id") === col("pid"))
+      .select(col("doc_id").as("pid"), col("t").as("ct"), col("rt"))
+    def gramRows(src: Column) = flatten(array((1 to 4).map { n =>
+      when(size(src) >= n,
+        transform(ngrams(src, n),
+          g => struct(lit(n).as("n"), g.as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }: _*))
+    def counted(src: Column, cname: String) = pairs
+      .select(col("pid"), explode(gramRows(src)).as("g"))
+      .select(col("pid"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("pid", "n", "gram")
+      .agg(count(lit(1)).as(cname))
+    val cg = counted(col("ct"), "cc")
+    val rg = counted(col("rt"), "rc")
+    val mat = cg.join(rg, Seq("pid", "n", "gram"))
+      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val nt = cg.groupBy("n").agg(sum("cc").as("tot"))
+      .join(mat, Seq("n"), "left")
+      .select(col("n"), col("tot"), coalesce(col("m"), lit(0L)).as("m"))
+    val piv = nt.agg(
+      sum(when(col("n") === 1, col("m")).otherwise(0L)).as("m1"),
+      sum(when(col("n") === 2, col("m")).otherwise(0L)).as("m2"),
+      sum(when(col("n") === 3, col("m")).otherwise(0L)).as("m3"),
+      sum(when(col("n") === 4, col("m")).otherwise(0L)).as("m4"),
+      sum(when(col("n") === 1, col("tot")).otherwise(0L)).as("t1"),
+      sum(when(col("n") === 2, col("tot")).otherwise(0L)).as("t2"),
+      sum(when(col("n") === 3, col("tot")).otherwise(0L)).as("t3"),
+      sum(when(col("n") === 4, col("tot")).otherwise(0L)).as("t4"))
+    val lens = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(size(col("ct"))).as("cand_tokens"),
+      sum(size(col("rt"))).as("ref_tokens"))
+    val bp = when(col("cand_tokens") >= col("ref_tokens"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_tokens").cast("double")
+        / col("cand_tokens").cast("double")))
+    def pRaw(i: Int) =
+      col(s"m$i").cast("double") / col(s"t$i").cast("double")
+    def pShown(i: Int) =
+      when(col(s"t$i") > 0, round(pRaw(i), 6)).as(s"p$i")
+    val bleu = when(col("m1") > 0 && col("m2") > 0
+        && col("m3") > 0 && col("m4") > 0,
+      bp * exp((log(pRaw(1)) + log(pRaw(2)) + log(pRaw(3))
+        + log(pRaw(4))) / 4))
+      .otherwise(lit(0.0))
+    piv.crossJoin(broadcast(lens))
+      .select(col("n_pairs"), col("cand_tokens"), col("ref_tokens"),
+        col("m1"), col("m2"), col("m3"), col("m4"),
+        pShown(1), pShown(2), pShown(3), pShown(4),
+        round(bp, 6).as("bp"), round(bleu, 6).as("bleu"))
   }
 }

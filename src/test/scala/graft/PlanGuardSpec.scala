@@ -62,8 +62,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_ann_recall",   // KB probe-batch broadcast (exact side) + the
                       // q_ann_ivf centroid cross
     "q_shard_balance", // 1-row token-total scalar broadcast (cross)
-    "q_eval_mrr"      // KB probe-batch broadcast (q_sim_batch_topk
+    "q_eval_mrr",     // KB probe-batch broadcast (q_sim_batch_topk
                       // shape) + 4-row best-relevant broadcast
+    "q_eval_fleiss",  // 1-row item-frame × category-frame scalar cross
+    "q_eval_bleu",    // 1-row match-pivot × length-scalar cross
+    "q_contamination_embed" // ≤50-row benchmark broadcast (bounded by
+                      // vec_id uniqueness at every scale factor)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
