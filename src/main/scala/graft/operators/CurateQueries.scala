@@ -70,7 +70,10 @@ object CurateQueries {
     "q_select_maxcover"   -> selectMaxcover _,
     "q_sample_weighted"   -> sampleWeighted _,
     "q_mix_epochs"        -> mixEpochs _,
-    "q_shard_balance"     -> shardBalance _
+    "q_shard_balance"     -> shardBalance _,
+    "q_filter_waterfall"  -> filterWaterfall _,
+    "q_mix_dro"           -> mixDro _,
+    "q_sample_replicate"  -> sampleReplicate _
   )
 
   /** One unrolled greedy max-coverage round of the q_select_maxcover
@@ -853,7 +856,131 @@ object CurateQueries {
         |    AS share,
         |  round((CAST(tokens AS DOUBLE) * 8 - CAST(t_all AS DOUBLE))
         |    / CAST(t_all AS DOUBLE), 4) AS dev_from_ideal
-        |FROM pershard, tot ORDER BY shard""".stripMargin
+        |FROM pershard, tot ORDER BY shard""".stripMargin,
+    // Every gate is integer arithmetic (letters vs 3·nt / 8·nt
+    // cross-multiplication — no float compare); first-fail CASE order
+    // is the declared stage order; survivors from a killed-only
+    // cumulative window over the ≤6-row stage frame.
+    "q_filter_waterfall" ->
+      """WITH sig AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(string_split(text, ' ')))
+        |      AS BIGINT) AS nd,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('a', 'the'))) AS BIGINT) AS stop_cnt
+        |  FROM documents),
+        |verd AS (
+        |  SELECT nt,
+        |    CASE
+        |      WHEN nt < 8 THEN 1
+        |      WHEN nt > 50 THEN 2
+        |      WHEN n_chars - (nt - 1) < 3 * nt
+        |        OR n_chars - (nt - 1) > 8 * nt THEN 3
+        |      WHEN stop_cnt * 50 < nt THEN 4
+        |      WHEN nd * 2 < nt THEN 5
+        |      ELSE 6 END AS stage
+        |  FROM sig),
+        |st AS (
+        |  SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS tokens
+        |  FROM verd GROUP BY stage),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs FROM st)
+        |SELECT CAST(st.stage AS BIGINT) AS stage,
+        |  CASE st.stage WHEN 1 THEN 'short' WHEN 2 THEN 'long'
+        |    WHEN 3 THEN 'word_len' WHEN 4 THEN 'low_stop'
+        |    WHEN 5 THEN 'repetitive' ELSE 'keep' END AS verdict,
+        |  st.n_docs, st.tokens,
+        |  round(CAST(st.n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE), 4)
+        |    AS frac,
+        |  t_docs - CAST(coalesce(sum(CASE WHEN st.stage <= 5
+        |      THEN st.n_docs END) OVER (ORDER BY st.stage
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS BIGINT) AS n_after
+        |FROM st, tot ORDER BY stage""".stripMargin,
+    // Per-doc ratios quantized 1e-6 at the scan; Σb·L terms and raw
+    // weights quantized 1e-9 before their cross-language sums; the one
+    // libm exp rides engine-identical inputs (the q_dp_laplace rule).
+    "q_mix_dro" ->
+      """WITH sig AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(round(1.0e6
+        |      * CAST(len(list_distinct(string_split(text, ' ')))
+        |          AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 0)
+        |      AS BIGINT) AS dr_units
+        |  FROM documents),
+        |pl AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS tokens,
+        |    CAST(sum(dr_units) AS BIGINT) AS dru
+        |  FROM sig GROUP BY lang),
+        |t AS (
+        |  SELECT lang, n_docs, tokens, dru,
+        |    CAST(sum(tokens) OVER () AS BIGINT) AS t_all
+        |  FROM pl),
+        |x AS (
+        |  SELECT *,
+        |    CAST(dru AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e6)
+        |      AS loss,
+        |    CAST(round((CAST(tokens AS DOUBLE) / CAST(t_all AS DOUBLE))
+        |      * (CAST(dru AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e6))
+        |      * 1.0e9, 0) AS BIGINT) AS bl_units
+        |  FROM t),
+        |y AS (
+        |  SELECT *,
+        |    loss - CAST(sum(bl_units) OVER () AS DOUBLE) / 1.0e9
+        |      AS excess
+        |  FROM x),
+        |z AS (
+        |  SELECT *,
+        |    CAST(round((CAST(tokens AS DOUBLE) / CAST(t_all AS DOUBLE))
+        |      * exp(4.0 * excess) * 1.0e9, 0) AS BIGINT) AS w_units
+        |  FROM y)
+        |SELECT lang, n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) / CAST(t_all AS DOUBLE), 4)
+        |    AS base_share,
+        |  round(loss, 6) AS loss,
+        |  round(excess, 6) AS excess,
+        |  round(CAST(w_units AS DOUBLE)
+        |    / CAST(sum(w_units) OVER () AS DOUBLE), 4) AS weight
+        |FROM z ORDER BY lang""".stripMargin,
+    // The exact q_mix_epochs plan tree (4dp epochs), then the stable
+    // md5 doc draw against frac(epochs) — floor/frac of the same
+    // double, the same u, the same compare on both engines.
+    "q_sample_replicate" ->
+      """WITH cnt AS (
+        |  SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_l
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(toks_l) AS BIGINT) AS t_all,
+        |    sum(sqrt(CAST(toks_l AS DOUBLE))) AS s_root
+        |  FROM cnt),
+        |pl AS (
+        |  SELECT lang,
+        |    round(least(CAST(CAST(round(2.0 * CAST(t_all AS DOUBLE)
+        |        * round(sqrt(CAST(toks_l AS DOUBLE)) / s_root, 4), 0)
+        |        AS BIGINT) AS DOUBLE)
+        |      / CAST(toks_l AS DOUBLE), 2.0), 4) AS epochs
+        |  FROM cnt, tot)
+        |SELECT d.doc_id, d.lang, pl.epochs,
+        |  CAST(floor(pl.epochs) AS BIGINT)
+        |    + CASE WHEN (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
+        |        ::BIGINT + 0.5) / 4294967296.0
+        |        < pl.epochs - floor(pl.epochs)
+        |      THEN 1 ELSE 0 END AS n_copies,
+        |  (CAST(floor(pl.epochs) AS BIGINT)
+        |    + CASE WHEN (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))
+        |        ::BIGINT + 0.5) / 4294967296.0
+        |        < pl.epochs - floor(pl.epochs)
+        |      THEN 1 ELSE 0 END)
+        |    * CAST(len(string_split(d.text, ' ')) AS BIGINT)
+        |    AS tokens_out
+        |FROM documents d JOIN pl ON pl.lang = d.lang
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** One unrolled greedy round of the q_select_kcenter oracle: min
@@ -2057,5 +2184,159 @@ object CurateQueries {
           - col("t_all").cast("double"))
           / col("t_all").cast("double"), 4).as("dev_from_ideal"))
       .orderBy("shard")
+  }
+
+  /** Ordered rule-stack drop attribution — the C4/Gopher-style cleaning
+    * WATERFALL: five gates in declared order (too-short, too-long,
+    * mean-token-length band, stopword floor, repetition ceiling), each
+    * doc attributed to its FIRST failing rule, per-stage kill counts /
+    * token mass / corpus fraction / survivors-after emitted as the
+    * funnel table every crawl-cleaning pass publishes. `q_dq_rules`
+    * counts violations per INDEPENDENT rule; this is the sequential
+    * attribution where a doc killed by gate 1 never reaches gate 2 —
+    * the number that tells a curator which threshold to tune first.
+    *
+    * Determinism: every gate is pure integer arithmetic on scan-stage
+    * signals — mean token length compares letters = n_chars−(nt−1)
+    * against 3·nt / 8·nt by cross-multiplication, never a float; the
+    * verdict is one CASE whose order IS the stage order. Scale: one
+    * map-side-combined per-verdict agg collapses the corpus to ≤6
+    * rows; survivors ride a killed-only cumulative window over that
+    * bounded frame (+ a 1-row total broadcast cross, PlanGuard
+    * allowlist). */
+  def filterWaterfall(s: SparkSession, d: String): DataFrame = {
+    val tc = split(col("text"), " ")
+    val nt = size(tc).cast("long")
+    val nd = size(array_distinct(tc)).cast("long")
+    val stopCnt = size(filter(tc, x => x.isin("a", "the"))).cast("long")
+    val letters = col("n_chars") - (nt - 1L)
+    val stage = when(nt < 8L, 1)
+      .when(nt > 50L, 2)
+      .when(letters < nt * 3L || letters > nt * 8L, 3)
+      .when(stopCnt * 50L < nt, 4)
+      .when(nd * 2L < nt, 5)
+      .otherwise(6)
+    val st = documents(s, d)
+      .select(stage.as("stage"), nt.as("nt"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"))
+    val tot = st.agg(sum("n_docs").as("t_docs"))
+    val w = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st.crossJoin(broadcast(tot))
+      .withColumn("cum_killed", coalesce(
+        sum(when(col("stage") <= 5, col("n_docs"))).over(w), lit(0L)))
+      .select(col("stage").cast("long").as("stage"),
+        when(col("stage") === 1, "short")
+          .when(col("stage") === 2, "long")
+          .when(col("stage") === 3, "word_len")
+          .when(col("stage") === 4, "low_stop")
+          .when(col("stage") === 5, "repetitive")
+          .otherwise("keep").as("verdict"),
+        col("n_docs"), col("tokens"),
+        round(col("n_docs").cast("double")
+          / col("t_docs").cast("double"), 4).as("frac"),
+        (col("t_docs") - col("cum_killed")).as("n_after"))
+      .orderBy("stage")
+  }
+
+  /** Loss-adaptive domain reweighting — the DoReMi-family excess-loss
+    * recipe (`q_mix_temperature` reweights by MASS alone; this moves
+    * weight toward domains a reference model finds HARD): per-language
+    * baseline share b_l = tokens/T, difficulty proxy L_l = mean per-doc
+    * distinct-token ratio (a deterministic stand-in for reference-model
+    * loss — the operator is the reweighting math), excess = L_l −
+    * Σ b_l·L_l, weight ∝ b_l·e^(η·excess) normalized, η = 4.
+    *
+    * Determinism: per-doc ratios are quantized to 1e-6 units at the
+    * scan (exact rational per doc), the Σb·L terms and raw weights to
+    * 1e-9 units before their cross-language sums (a raw double sum
+    * over even the ≤#langs frame is partition-order-dependent); the
+    * one libm exp receives engine-identical inputs and sits inside the
+    * 1e-9 weight quantization + 4dp display barrier (the q_dp_laplace
+    * rule). Scale: one corpus scan → per-lang map-side-combined agg;
+    * everything after runs as windows on the catalog-bounded ≤#langs
+    * frame. */
+  def mixDro(s: SparkSession, d: String): DataFrame = {
+    val tc = split(col("text"), " ")
+    val nt = size(tc).cast("long")
+    val dr = round(lit(1.0e6) * size(array_distinct(tc)).cast("double")
+      / size(tc).cast("double"), 0).cast("long")
+    val pl = documents(s, d)
+      .select(col("lang"), nt.as("nt"), dr.as("dr_units"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+        sum("dr_units").as("dru"))
+    val wAll = Window.partitionBy()
+    val loss = col("dru").cast("double") /
+      (col("n_docs").cast("double") * lit(1.0e6))
+    val t = pl.withColumn("t_all", sum("tokens").over(wAll))
+      .withColumn("loss", loss)
+      .withColumn("bl_units",
+        round((col("tokens").cast("double") / col("t_all").cast("double"))
+          * (col("dru").cast("double")
+            / (col("n_docs").cast("double") * lit(1.0e6)))
+          * lit(1.0e9), 0).cast("long"))
+    val y = t.withColumn("excess",
+      col("loss") - sum("bl_units").over(wAll).cast("double") / lit(1.0e9))
+    val z = y.withColumn("w_units",
+      round((col("tokens").cast("double") / col("t_all").cast("double"))
+        * exp(lit(4.0) * col("excess")) * lit(1.0e9), 0).cast("long"))
+    z.select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("t_all").cast("double"),
+          4).as("base_share"),
+        round(col("loss"), 6).as("loss"),
+        round(col("excess"), 6).as("excess"),
+        round(col("w_units").cast("double")
+          / sum("w_units").over(wAll).cast("double"), 4).as("weight"))
+      .orderBy("lang")
+  }
+
+  /** Fractional-epoch materialization by deterministic stochastic
+    * rounding — `q_mix_epochs` PLANS per-language repeat factors (e.g.
+    * 1.37 epochs); this turns them into per-document INTEGER copy
+    * counts whose expected mass hits the plan exactly: n_copies =
+    * ⌊e⌋ + (u < frac(e)), u the stable md5 doc draw. The materializer
+    * a data loader actually consumes (a document is read 1 or 2 times,
+    * never 1.37), unbiased per doc and reproducible across engines,
+    * layouts, and retries (the `q_dp_laplace` RNG-free argument —
+    * seeded RNG state is partition-order-dependent; md5 of the key is
+    * not).
+    *
+    * Determinism: epochs ride the EXACT q_mix_epochs tree (4dp-rounded,
+    * so floor/frac act on the same double both engines); u =
+    * (h+0.5)/2³² is exact (power-of-two divisor, never 0/1); copies and
+    * token masses are exact integers. Scale: one map-side-combined
+    * per-lang token agg builds the plan (1-row scalar broadcast cross,
+    * the q_mix_epochs pattern — PlanGuard allowlist), the ≤#langs plan
+    * frame joins back onto the corpus scan AQE-sized, and the draw is
+    * scan-stage arithmetic. */
+  def sampleReplicate(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("toks_l"))
+    val tot = cnt.agg(
+      sum("toks_l").as("t_all"),
+      sum(sqrt(col("toks_l").cast("double"))).as("s_root"))
+    val q = sqrt(col("toks_l").cast("double")) / col("s_root")
+    val desired = round(lit(2.0) * col("t_all").cast("double")
+      * round(q, 4), 0).cast("long")
+    val pl = cnt.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        round(least(desired.cast("double")
+          / col("toks_l").cast("double"), lit(2.0)), 4).as("epochs"))
+    val h = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val copies = floor(col("epochs")).cast("long") +
+      when(u < col("epochs") - floor(col("epochs")), 1L).otherwise(0L)
+    documents(s, d).join(pl, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("epochs"),
+        copies.as("n_copies"),
+        (copies * size(split(col("text"), " ")).cast("long"))
+          .as("tokens_out"))
+      .orderBy("doc_id")
   }
 }

@@ -37,7 +37,8 @@ object FeatureQueries {
     "q_eval_brier"            -> evalBrier _,
     "q_eval_pass_at_k"        -> evalPassAtK _,
     "q_eval_fleiss"           -> evalFleiss _,
-    "q_dp_topk"               -> dpTopk _
+    "q_dp_topk"               -> dpTopk _,
+    "q_eval_bradley_terry"    -> evalBradleyTerry _
   )
 
   /** Exact falling factorial (x)ₖ = x·(x−1)·…·(x−k+1) as a BIGINT
@@ -53,6 +54,31 @@ object FeatureQueries {
   private def ffSql(x: String, k: Int): String =
     (0 until k).map(i => if (i == 0) s"($x)" else s"($x - $i)")
       .mkString(" * ")
+
+  /** One unrolled Bradley–Terry MM round for the oracle: per-pair
+    * denominator terms quantized to 1e-9 units before the per-brand
+    * sum, raw strengths quantized to su units, normalized 9dp — the
+    * exact tree the Spark round computes. */
+  private def btRoundSql(r: Int): String =
+    s"""dn$r AS (
+       |  SELECT g.i AS brand,
+       |    CAST(sum(CAST(round(CAST(g.g AS DOUBLE)
+       |      / (si.s + sj.s) * 1.0e9, 0) AS BIGINT)) AS BIGINT)
+       |      AS den_units
+       |  FROM games g
+       |  JOIN s${r - 1} si ON si.brand = g.i
+       |  JOIN s${r - 1} sj ON sj.brand = g.j
+       |  GROUP BY 1),
+       |sr$r AS (
+       |  SELECT w.brand,
+       |    CAST(round((CAST(w.wins AS DOUBLE) * 1.0e9
+       |      / CAST(dn.den_units AS DOUBLE)) * 1.0e9, 0) AS BIGINT)
+       |      AS su
+       |  FROM w JOIN dn$r dn ON dn.brand = w.brand),
+       |s$r AS (
+       |  SELECT brand, round(CAST(su AS DOUBLE)
+       |    / CAST(sum(su) OVER () AS DOUBLE), 9) AS s
+       |  FROM sr$r)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Cell sums exact BIGINT cents; the global prior is one scalar agg;
@@ -314,39 +340,52 @@ object FeatureQueries {
         |    / (CAST(count(u10) AS DOUBLE) * 1000000.0), 6) AS mean_pass10
         |FROM u GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     // P_i an exact integer rational quantized to 1e-9 units per item;
-    // p_j² quantized to 1e-12 units per category before the 3-term sum;
-    // kappa one shared double tree over the exact unit sums.
+    // category masses ride DECLARED-domain conditional sums in the
+    // same per-item agg (A/N/R + a correctness 'other' bucket — no
+    // per-item window, no second corpus pass); p_j² quantized to 1e-12
+    // units per bucket; kappa one shared double tree.
     "q_eval_fleiss" ->
       """WITH cell AS (
         |  SELECT l_orderkey, l_returnflag,
         |    CAST(count(*) AS BIGINT) AS nij
         |  FROM lineitem GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT l_orderkey, l_returnflag, nij,
-        |    CAST(sum(nij) OVER (PARTITION BY l_orderkey) AS BIGINT) AS ni
-        |  FROM cell),
-        |kept AS (SELECT * FROM c2 WHERE ni >= 2),
         |item AS (
-        |  SELECT l_orderkey, ni,
-        |    CAST(sum(nij * (nij - 1)) AS BIGINT) AS agree
-        |  FROM kept GROUP BY 1, 2),
-        |iagg AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(nij) AS BIGINT) AS ni,
+        |    CAST(sum(nij * (nij - 1)) AS BIGINT) AS agree,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN nij ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN nij ELSE 0 END)
+        |      AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN nij ELSE 0 END)
+        |      AS BIGINT) AS nc
+        |  FROM cell GROUP BY 1),
+        |agg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_items,
         |    CAST(sum(ni) AS BIGINT) AS n_ratings,
         |    CAST(sum(CAST(round(CAST(agree AS DOUBLE) * 1.0e9
         |      / (CAST(ni AS DOUBLE) * CAST(ni - 1 AS DOUBLE)), 0)
-        |      AS BIGINT)) AS BIGINT) AS p_units
-        |  FROM item),
-        |cat AS (
-        |  SELECT l_returnflag, CAST(sum(nij) AS BIGINT) AS tj
-        |  FROM kept GROUP BY 1),
-        |cagg AS (
-        |  SELECT CAST(sum(CAST(round(
-        |      (CAST(tj AS DOUBLE) / CAST(tt AS DOUBLE))
-        |      * (CAST(tj AS DOUBLE) / CAST(tt AS DOUBLE)) * 1.0e12, 0)
-        |      AS BIGINT)) AS BIGINT) AS pe_units
-        |  FROM (SELECT tj, CAST(sum(tj) OVER () AS BIGINT) AS tt
-        |        FROM cat))
+        |      AS BIGINT)) AS BIGINT) AS p_units,
+        |    CAST(sum(na) AS BIGINT) AS ta,
+        |    CAST(sum(nb) AS BIGINT) AS tb,
+        |    CAST(sum(nc) AS BIGINT) AS tc,
+        |    CAST(sum(ni - na - nb - nc) AS BIGINT) AS td
+        |  FROM item WHERE ni >= 2),
+        |pe AS (
+        |  SELECT *,
+        |    CAST(round((CAST(ta AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * (CAST(ta AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * 1.0e12, 0) AS BIGINT)
+        |    + CAST(round((CAST(tb AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * (CAST(tb AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * 1.0e12, 0) AS BIGINT)
+        |    + CAST(round((CAST(tc AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * (CAST(tc AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * 1.0e12, 0) AS BIGINT)
+        |    + CAST(round((CAST(td AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * (CAST(td AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+        |      * 1.0e12, 0) AS BIGINT) AS pe_units
+        |  FROM agg)
         |SELECT n_items, n_ratings,
         |  round(CAST(p_units AS DOUBLE)
         |    / (CAST(n_items AS DOUBLE) * 1.0e9), 6) AS p_bar,
@@ -357,7 +396,7 @@ object FeatureQueries {
         |      - CAST(pe_units AS DOUBLE) / 1.0e12)
         |      / (1.0 - CAST(pe_units AS DOUBLE) / 1.0e12) END, 6)
         |    AS kappa
-        |FROM iagg CROSS JOIN cagg""".stripMargin,
+        |FROM pe""".stripMargin,
     // Same md5-uniform as q_sample_weighted; the nested ln pair sits
     // inside the 4dp rounding barrier; selection on the ROUNDED noisy
     // score with brand tiebreak — both engines release the same set.
@@ -378,7 +417,56 @@ object FeatureQueries {
         |      AS BIGINT) AS rank
         |  FROM sc)
         |SELECT rank, p_brand, n, noise, noisy
-        |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    // Exact-integer (cents DESC, brand ASC) winner rule; the corpus
+    // collapses once into the (winner, loser) matrix; five unrolled MM
+    // rounds replay the Spark iteration term-for-term (per-pair
+    // denominator terms and strengths quantized identically).
+    "q_eval_bradley_terry" -> (
+      s"""WITH li AS (
+        |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+        |    p.p_brand AS brand,
+        |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |pr AS (
+        |  SELECT
+        |    CASE WHEN a.cents > b.cents
+        |        OR (a.cents = b.cents AND a.brand < b.brand)
+        |      THEN a.brand ELSE b.brand END AS wi,
+        |    CASE WHEN a.cents > b.cents
+        |        OR (a.cents = b.cents AND a.brand < b.brand)
+        |      THEN b.brand ELSE a.brand END AS lj
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln
+        |  WHERE a.brand <> b.brand),
+        |nij AS (
+        |  SELECT wi, lj, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |games AS (
+        |  SELECT i, j, CAST(sum(n) AS BIGINT) AS g FROM (
+        |    SELECT wi AS i, lj AS j, n FROM nij
+        |    UNION ALL SELECT lj AS i, wi AS j, n FROM nij)
+        |  GROUP BY 1, 2),
+        |br AS (SELECT DISTINCT i AS brand FROM games),
+        |w AS (
+        |  SELECT br.brand, CAST(coalesce(sum(nij.n), 0) AS BIGINT)
+        |    AS wins
+        |  FROM br LEFT JOIN nij ON nij.wi = br.brand GROUP BY 1),
+        |s0 AS (SELECT brand, CAST(1.0 AS DOUBLE) AS s FROM br),
+        |${btRoundSql(1)},
+        |${btRoundSql(2)},
+        |${btRoundSql(3)},
+        |${btRoundSql(4)},
+        |${btRoundSql(5)},
+        |gt AS (
+        |  SELECT i AS brand, CAST(sum(g) AS BIGINT) AS games
+        |  FROM games GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY s5.s DESC, w.brand)
+        |    AS BIGINT) AS rank,
+        |  w.brand, w.wins, gt.games, round(s5.s, 6) AS strength
+        |FROM w
+        |JOIN gt ON gt.brand = w.brand
+        |JOIN s5 ON s5.brand = w.brand
+        |ORDER BY rank""".stripMargin)
   )
 
   /** Smoothed target (mean) encoding of the (nation × segment)
@@ -758,44 +846,56 @@ object FeatureQueries {
     * discipline).
     *
     * Determinism: P_i is an exact integer rational quantized to 1e-9
-    * BIGINT units per item BEFORE the cross-item mean; each p_j² is
-    * quantized to 1e-12 units before the ≤3-term category sum (a raw
-    * double sum over even 3 rows is partition-order-dependent); kappa
-    * is one shared double tree over the exact unit sums. Scale: the
-    * corpus collapses in one map-side-combined (order, flag) count agg;
-    * the per-item frame's window partitions are ≤3 rows (the category
-    * domain — bounded at any scale); the two scalar frames meet in a
-    * 1-row broadcast cross (PlanGuard allowlist). */
+    * BIGINT units per item BEFORE the cross-item mean; each bucket's
+    * p_j² is quantized to 1e-12 units and the buckets combine in ONE
+    * fixed-order expression (never a data-ordered sum); kappa is one
+    * shared double tree over the exact unit sums. Scale: the corpus
+    * collapses in one map-side-combined (order, flag) count agg, and
+    * the per-item rollup is a SECOND keyed agg whose declared-domain
+    * conditional sums carry the category masses — zero windows, zero
+    * joins, one row out. */
   def evalFleiss(s: SparkSession, d: String): DataFrame = {
     val cell = lineitem(s, d)
       .groupBy(col("l_orderkey"), col("l_returnflag"))
       .agg(count(lit(1)).as("nij"))
-    val kept = cell
-      .withColumn("ni",
-        sum("nij").over(Window.partitionBy("l_orderkey")))
+    // Per-item rollup carries the category masses as DECLARED-domain
+    // conditional sums (A/N/R + an 'other' remainder computed as
+    // ni−na−nb−nc, so a rogue flag is still COUNTED as its own mass,
+    // never silently dropped) — no per-item window, no second pass;
+    // the round-12 rewrite of the original PARTITION BY l_orderkey
+    // window, whose cost was the total sort over corpus-many ≤3-row
+    // partitions, not any partition's size.
+    val item = cell.groupBy("l_orderkey")
+      .agg(sum("nij").as("ni"),
+        sum(col("nij") * (col("nij") - 1L)).as("agree"),
+        sum(when(col("l_returnflag") === "A", col("nij")).otherwise(0L))
+          .as("na"),
+        sum(when(col("l_returnflag") === "N", col("nij")).otherwise(0L))
+          .as("nb"),
+        sum(when(col("l_returnflag") === "R", col("nij")).otherwise(0L))
+          .as("nc"))
       .filter(col("ni") >= 2L)
-    val item = kept.groupBy("l_orderkey", "ni")
-      .agg(sum(col("nij") * (col("nij") - 1L)).as("agree"))
     val pUnits = round(col("agree").cast("double") * lit(1.0e9)
       / (col("ni").cast("double") * (col("ni") - 1L).cast("double")), 0)
       .cast("long")
-    val iagg = item.agg(count(lit(1)).as("n_items"),
-      sum("ni").as("n_ratings"), sum(pUnits).as("p_units"))
-    val cat = kept.groupBy("l_returnflag").agg(sum("nij").as("tj"))
-      .withColumn("tt", sum("tj").over(Window.partitionBy()))
-    val pj = col("tj").cast("double") / col("tt").cast("double")
-    val cagg = cat
-      .select(round(pj * pj * lit(1.0e12), 0).cast("long").as("peu"))
-      .agg(sum("peu").as("pe_units"))
+    val agg = item.agg(count(lit(1)).as("n_items"),
+      sum("ni").as("n_ratings"), sum(pUnits).as("p_units"),
+      sum("na").as("ta"), sum("nb").as("tb"), sum("nc").as("tc"),
+      sum(col("ni") - col("na") - col("nb") - col("nc")).as("td"))
+    def peTerm(c: String) = round(
+      (col(c).cast("double") / col("n_ratings").cast("double"))
+        * (col(c).cast("double") / col("n_ratings").cast("double"))
+        * lit(1.0e12), 0).cast("long")
+    val pe = agg.withColumn("pe_units",
+      peTerm("ta") + peTerm("tb") + peTerm("tc") + peTerm("td"))
     val pBar = col("p_units").cast("double") /
       (col("n_items").cast("double") * lit(1.0e9))
     val pE = col("pe_units").cast("double") / lit(1.0e12)
-    iagg.crossJoin(broadcast(cagg))
-      .select(col("n_items"), col("n_ratings"),
-        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
-        round(when(col("pe_units") === 1000000000000L,
-            lit(null).cast("double"))
-          .otherwise((pBar - pE) / (lit(1.0) - pE)), 6).as("kappa"))
+    pe.select(col("n_items"), col("n_ratings"),
+      round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+      round(when(col("pe_units") === 1000000000000L,
+          lit(null).cast("double"))
+        .otherwise((pBar - pE) / (lit(1.0) - pE)), 6).as("kappa"))
   }
 
   /** Differentially-private top-5 brand release via report-noisy-max —
@@ -831,6 +931,94 @@ object FeatureQueries {
       .filter(col("rank") <= 5L)
       .select(col("rank"), col("p_brand"), col("n"), col("noise"),
         col("noisy"))
+      .orderBy("rank")
+  }
+
+  /** Bradley–Terry strength fit from pairwise preferences (5 unrolled
+    * MM rounds, Hunter 2004: sᵢ ← wᵢ / Σⱼ gᵢⱼ/(sᵢ+sⱼ), normalized per
+    * round) — THE preference-data operator of an RLHF pipeline
+    * (pairwise comparisons → latent strengths → ranking; also the
+    * A/B-at-scale estimator). Comparisons here: within each order,
+    * every lineitem pair with distinct brands AND distinct
+    * linenumbers, winner by the exact integer (cents DESC, brand ASC)
+    * rule — stand-in preferences, the fit is the operator. The
+    * synthetic fixture repeats linenumbers within an order (1684
+    * equal-ln pairs at sf0.001); such "simultaneous" rows have no
+    * order for the ln_a < ln_b dedup to key on, so the DECLARED rule
+    * excludes them — both engines drop the identical set.
+    *
+    * Scale: the pair self-join is keyed on the order (groups ≤ 7
+    * lineitems by TPC-H construction → ≤ C(7,2) pairs per order — a
+    * bounded keyed equi-join, never corpus²); the corpus collapses
+    * ONCE into the ≤ |brands|²-row (winner, loser) count matrix
+    * (localCheckpoint — ~10 consumers across rounds), and all five MM
+    * rounds iterate on catalog-bounded frames with lineage cut per
+    * round (the q_embed_kmeans discipline). Determinism: wins/games
+    * exact integers; per-pair denominator terms quantized to 1e-9
+    * units BEFORE the per-brand sum, raw strengths quantized to su
+    * units before the normalization window, s re-quantized 9dp per
+    * round — every round's inputs are engine-identical, so the
+    * unrolled-CTE twin replays the iteration exactly. */
+  def evalBradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .join(part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("p_brand").as("brand"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val a = li.select(col("ok"), col("ln").as("ln_a"),
+      col("brand").as("brand_a"), col("cents").as("cents_a"))
+    val b = li.select(col("ok"), col("ln").as("ln_b"),
+      col("brand").as("brand_b"), col("cents").as("cents_b"))
+    val aWins = col("cents_a") > col("cents_b") ||
+      (col("cents_a") === col("cents_b") &&
+        col("brand_a") < col("brand_b"))
+    val nij = a.join(b, Seq("ok"))
+      .filter(col("ln_a") < col("ln_b") &&
+        col("brand_a") =!= col("brand_b"))
+      .select(when(aWins, col("brand_a")).otherwise(col("brand_b"))
+          .as("wi"),
+        when(aWins, col("brand_b")).otherwise(col("brand_a")).as("lj"))
+      .groupBy("wi", "lj").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val games = nij.select(col("wi").as("i"), col("lj").as("j"), col("n"))
+      .union(nij.select(col("lj").as("i"), col("wi").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("g"))
+      .localCheckpoint()
+    val brands = games.select(col("i").as("brand")).distinct()
+    val w0 = brands
+      .join(nij.groupBy(col("wi").as("brand")).agg(sum("n").as("ww")),
+        Seq("brand"), "left")
+      .select(col("brand"), coalesce(col("ww"), lit(0L)).as("wins"))
+      .localCheckpoint()
+    val wAll = Window.partitionBy()
+    var sF = w0.select(col("brand"), lit(1.0).as("s"))
+    for (_ <- 1 to 5) {
+      val den = games
+        .join(sF.select(col("brand").as("i"), col("s").as("si")),
+          Seq("i"))
+        .join(sF.select(col("brand").as("j"), col("s").as("sj")),
+          Seq("j"))
+        .select(col("i").as("brand"),
+          round(col("g").cast("double") / (col("si") + col("sj"))
+            * lit(1.0e9), 0).cast("long").as("du"))
+        .groupBy("brand").agg(sum("du").as("den_units"))
+      sF = w0.join(den, Seq("brand"))
+        .select(col("brand"),
+          round((col("wins").cast("double") * lit(1.0e9)
+            / col("den_units").cast("double")) * lit(1.0e9), 0)
+            .cast("long").as("su"))
+        .withColumn("s", round(col("su").cast("double")
+          / sum("su").over(wAll).cast("double"), 9))
+        .select(col("brand"), col("s"))
+        .localCheckpoint()
+    }
+    val gt = games.groupBy(col("i").as("brand")).agg(sum("g").as("games"))
+    w0.join(gt, Seq("brand")).join(sF, Seq("brand"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("s").desc, col("brand"))).cast("long"))
+      .select(col("rank"), col("brand"), col("wins"), col("games"),
+        round(col("s"), 6).as("strength"))
       .orderBy("rank")
   }
 }

@@ -34,7 +34,8 @@ object GraphQueries {
     "q_graph_label_prop" -> graphLabelProp _,
     "q_graph_linkpred" -> graphLinkpred _,
     "q_graph_kcore" -> graphKcore _,
-    "q_graph_modularity" -> graphModularity _
+    "q_graph_modularity" -> graphModularity _,
+    "q_graph_assortativity" -> graphAssortativity _
   )
 
   /** The transitive-closure CTE chain (cos ≥ 0.4 edges → undirected →
@@ -288,6 +289,52 @@ object GraphQueries {
     // Same cos >= 0.4 edge CTE; intra counts / degree sums / m exact
     // integers, Q terms one shared tree quantized to 1e-6 units before
     // the cross-label total; m = 0 declared zero terms.
+    // All five sufficient statistics are exact BIGINT sums; r is one
+    // closed-form double tree over them — no quantization needed.
+    "q_graph_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.4),
+        |dir AS (
+        |  SELECT v1 AS src, v2 AS dst FROM pairs
+        |  UNION ALL SELECT v2, v1 FROM pairs),
+        |deg AS (
+        |  SELECT src AS v, CAST(count(*) AS BIGINT) AS dg
+        |  FROM dir GROUP BY 1),
+        |ed AS (
+        |  SELECT ds.dg AS x, dd.dg AS y
+        |  FROM dir
+        |  JOIN deg ds ON ds.v = dir.src
+        |  JOIN deg dd ON dd.v = dir.dst),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS mm,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM ed),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, (mm >> 1) AS n_edges,
+        |  round(CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE), 6)
+        |    AS mean_end_deg,
+        |  round(CASE WHEN CAST(sxx AS DOUBLE) / CAST(mm AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE)) = 0
+        |    THEN NULL
+        |    ELSE (CAST(sxy AS DOUBLE) / CAST(mm AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE)))
+        |      / (CAST(sxx AS DOUBLE) / CAST(mm AS DOUBLE)
+        |        - (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE))
+        |          * (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE)))
+        |    END, 6) AS assortativity
+        |FROM m, nn""".stripMargin,
     "q_graph_modularity" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -986,5 +1033,53 @@ object GraphQueries {
         round(sum("q_units").over(wAll).cast("double") / 1000000.0, 6)
           .as("q_total"))
       .orderBy("label")
+  }
+
+  /** Degree assortativity of the near-dup graph — Newman's r, the
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * list (both directions of each undirected edge): r > 0 = hub-hub
+    * wiring (dup clusters of dup clusters — collapse aggressively, the
+    * core is redundant); r < 0 = hub-leaf wiring (template + many
+    * one-off variants — the fringe needs per-leaf review). The
+    * one-number STRUCTURE summary read next to `q_graph_comp_sizes`'
+    * size histogram; completes the family's global-metrics axis
+    * (`q_graph_modularity` asks whether metadata explains the
+    * structure, this asks what the structure is).
+    *
+    * Determinism: all five sufficient statistics (M, Σx, Σxy, Σx²,
+    * n_nodes) are exact BIGINT sums off the degree-joined edge list —
+    * no quantization needed anywhere; by the both-directions symmetry
+    * Σy = Σx and Σy² = Σx², so r = (Σxy/M − (Σx/M)²)/(Σx²/M − (Σx/M)²)
+    * is ONE closed-form double tree over exact integers rounded 6; a
+    * regular graph's zero variance is exact in double and declares r
+    * NULL via the same CASE. Scale: reads the stage-once edge store,
+    * one degree agg, two keyed degree joins, one global moment agg
+    * (the 1-row node count rides a broadcast cross — PlanGuard
+    * allowlist). */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val pairs = SimilarityQueries.embedPairs(s, d).select("v1", "v2")
+    val dir = pairs.select(col("v1").as("src"), col("v2").as("dst"))
+      .union(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+    val deg = dir.select(col("src").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val ed = dir
+      .join(deg.select(col("v").as("src"), col("dg").as("x")),
+        Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("dg").as("y")),
+        Seq("dst"))
+    val m = ed.agg(count(lit(1)).as("mm"), sum("x").as("sx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val meanX = col("sx").cast("double") / col("mm").cast("double")
+    val num = col("sxy").cast("double") / col("mm").cast("double") -
+      meanX * meanX
+    val den = col("sxx").cast("double") / col("mm").cast("double") -
+      meanX * meanX
+    m.crossJoin(broadcast(nn))
+      .select(col("n_nodes"), shiftright(col("mm"), 1).as("n_edges"),
+        round(meanX, 6).as("mean_end_deg"),
+        round(when(den === 0.0, lit(null).cast("double"))
+          .otherwise(num / den), 6).as("assortativity"))
   }
 }

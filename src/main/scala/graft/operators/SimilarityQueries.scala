@@ -53,8 +53,16 @@ object SimilarityQueries {
     "q_sample_negatives" -> sampleNegatives _,
     "q_ann_recall"    -> annRecall _,
     "q_eval_mrr"      -> evalMrr _,
-    "q_contamination_embed" -> contaminationEmbed _
+    "q_contamination_embed" -> contaminationEmbed _,
+    "q_dedup_sweep"   -> dedupSweep _,
+    "q_eval_rbo"      -> evalRbo _,
+    "q_eval_cluster_purity" -> evalClusterPurity _
   )
+
+  /** EXACT decimal literals of 0.9^(d−1) — BigDecimal text, parsed to
+    * the identical nearest double by both engines (no libm pow). */
+  private[operators] val rboWeights: Seq[String] =
+    (1 to 10).map(d => BigDecimal("0.9").pow(d - 1).toString)
 
   /** Shared cosine-in-double list formula for the MMR oracle. */
   private def cosListSql(a: String, b: String): String =
@@ -669,7 +677,144 @@ object SimilarityQueries {
         |    AS max_cos,
         |  CASE WHEN (bk >> 6) - 10000 >= 4000 THEN CAST(1 AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS contam
-        |FROM best ORDER BY (bk >> 6) DESC, vec_id LIMIT 100""".stripMargin)
+        |FROM best ORDER BY (bk >> 6) DESC, vec_id LIMIT 100""".stripMargin),
+    // Same exact pair scan as the q_dedup_embed twin; thresholds
+    // compare the ROUNDED 4dp cosine on both engines; counts exact.
+    "q_dedup_sweep" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |p AS (SELECT * FROM scored WHERE cos_sim >= 0.4),
+        |x AS (
+        |  SELECT t.threshold, p.v1, p.v2
+        |  FROM p, UNNEST([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[])
+        |    AS t(threshold)
+        |  WHERE p.cos_sim >= t.threshold),
+        |pc AS (
+        |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM x GROUP BY 1),
+        |dc AS (
+        |  SELECT threshold, CAST(count(DISTINCT v) AS BIGINT)
+        |    AS n_docs_affected
+        |  FROM (SELECT threshold, unnest([v1, v2]) AS v FROM x)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings)
+        |SELECT pc.threshold, pc.n_pairs, dc.n_docs_affected,
+        |  round(CAST(dc.n_docs_affected AS DOUBLE)
+        |    / CAST(n_corpus AS DOUBLE), 4) AS affected_frac
+        |FROM pc JOIN dc USING (threshold), tot
+        |ORDER BY threshold""".stripMargin,
+    // Lists ride the shared BM25 chain and the q_sim_topk cosine tree;
+    // weights are exact decimal literals of 0.9^k; per-depth terms
+    // quantized 1e-9 before the cumulative window.
+    "q_eval_rbo" -> (
+      graft.operators.TextQueries.bm25ScoresSql + s""",
+        |la AS (
+        |  SELECT doc_id, ra FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS ra
+        |    FROM agg) WHERE ra <= 10),
+        |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id, ${cosListSql("e.embedding", "p.pv")} AS c
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> 0),
+        |lb AS (
+        |  SELECT vec_id, rb FROM (
+        |    SELECT vec_id, CAST(row_number() OVER (
+        |      ORDER BY c DESC, vec_id) AS BIGINT) AS rb
+        |    FROM cs) WHERE rb <= 10),
+        |com AS (
+        |  SELECT greatest(la.ra, lb.rb) AS m
+        |  FROM la JOIN lb ON lb.vec_id = la.doc_id),
+        |ov AS (
+        |  SELECT CAST(d.d AS BIGINT) AS depth,
+        |    CAST(count(com.m) AS BIGINT) AS n_overlap
+        |  FROM range(1, 11) AS d(d)
+        |  LEFT JOIN com ON com.m <= d.d
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT depth, n_overlap,
+        |    CASE depth ${rboWeights.zipWithIndex.map { case (w, i) =>
+            s"WHEN ${i + 1} THEN CAST($w AS DOUBLE)"
+          }.mkString(" ")} END AS weight
+        |  FROM ov),
+        |u AS (
+        |  SELECT *, CAST(round((weight * CAST(n_overlap AS DOUBLE)
+        |    / CAST(depth AS DOUBLE)) * 1.0e9, 0) AS BIGINT) AS tu
+        |  FROM w)
+        |SELECT depth, n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / CAST(depth AS DOUBLE), 6)
+        |    AS agreement,
+        |  weight,
+        |  round(0.1 * CAST(sum(tu) OVER (ORDER BY depth
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) / 1.0e9, 6) AS rbo_cum
+        |FROM u ORDER BY depth""".stripMargin),
+    // Contingency/marginals exact integers; every ln term quantized
+    // 1e-9 per cell before its sum; majority by min-struct (count
+    // DESC, label ASC); zero-entropy corpora declare NMI NULL.
+    "q_eval_cluster_purity" ->
+      """WITH pts AS (
+        |  SELECT CAST(4 * CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |    + 2 * CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS cluster, label
+        |  FROM embeddings),
+        |cont AS (
+        |  SELECT cluster, label, CAST(count(*) AS BIGINT) AS n
+        |  FROM pts GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT cluster, CAST(sum(n) AS BIGINT) AS n_c,
+        |    (min(struct_pack(neg := -n, lbl := label))).lbl AS maj_label,
+        |    CAST(-(min(struct_pack(neg := -n, lbl := label))).neg
+        |      AS BIGINT) AS n_major
+        |  FROM cont GROUP BY 1),
+        |lm AS (
+        |  SELECT label, CAST(sum(n) AS BIGINT) AS n_j
+        |  FROM cont GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cont),
+        |iu AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      (CAST(c.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * ln(CAST(t.nn AS DOUBLE) * CAST(c.n AS DOUBLE)
+        |        / (CAST(m.n_c AS DOUBLE) * CAST(l.n_j AS DOUBLE)))
+        |      * 1.0e9, 0) AS BIGINT)) AS BIGINT) AS mi_units
+        |  FROM cont c
+        |  JOIN cm m ON m.cluster = c.cluster
+        |  JOIN lm l ON l.label = c.label
+        |  CROSS JOIN tot t),
+        |hc AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      -(CAST(n_c AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * ln(CAST(n_c AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * 1.0e9, 0) AS BIGINT)) AS BIGINT) AS hc_units
+        |  FROM cm CROSS JOIN tot t),
+        |hl AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      -(CAST(n_j AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * ln(CAST(n_j AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * 1.0e9, 0) AS BIGINT)) AS BIGINT) AS hl_units
+        |  FROM lm CROSS JOIN tot t),
+        |pu AS (SELECT CAST(sum(n_major) AS BIGINT) AS maj_tot FROM cm)
+        |SELECT cm.cluster, cm.n_c AS n, cm.maj_label, cm.n_major,
+        |  round(CAST(cm.n_major AS DOUBLE) / CAST(cm.n_c AS DOUBLE), 6)
+        |    AS maj_share,
+        |  round(CAST(pu.maj_tot AS DOUBLE) / CAST(t.nn AS DOUBLE), 6)
+        |    AS purity,
+        |  round(CASE WHEN hc.hc_units = 0 OR hl.hl_units = 0 THEN NULL
+        |    ELSE (CAST(iu.mi_units AS DOUBLE) / 1.0e9)
+        |      / sqrt((CAST(hc.hc_units AS DOUBLE) / 1.0e9)
+        |        * (CAST(hl.hl_units AS DOUBLE) / 1.0e9)) END, 6) AS nmi
+        |FROM cm, tot t, iu, hc, hl, pu
+        |ORDER BY cm.cluster""".stripMargin
   )
 
   /** Brute-force cosine top-k against one probe vector (vec_id 0): the
@@ -1743,5 +1888,187 @@ object SimilarityQueries {
       .orderBy(col("__u").desc, col("vec_id"))
       .limit(100)
       .drop("__u")
+  }
+
+  /** Dedup-threshold sensitivity sweep over the staged cos-edge store:
+    * at each declared threshold 0.4–0.9, the surviving near-dup pair
+    * count, distinct affected documents, and affected corpus fraction
+    * — the "how aggressive should dedup be" decision table a curator
+    * reads BEFORE committing a threshold (`q_dedup_embed` materializes
+    * pairs at ONE threshold; this shows the knee of the curve, where
+    * one more 0.1 stops buying coverage).
+    *
+    * Scale: reads the stage-once bucketed ≥0.4 edge store (KB-scale —
+    * the corpus pair scan is NOT re-paid; the sweep costs one
+    * edge-store read regardless of corpus size), replicates each edge
+    * ×6 in the scan stage, and collapses per threshold in two
+    * map-side-combined aggs + a 1-row corpus-count broadcast cross
+    * (PlanGuard allowlist). Determinism: every comparison is against
+    * the ROUNDED 4dp cosine (both engines cut identically); counts are
+    * exact integers; thresholds are exact double literals shared by
+    * both frames' join key. */
+  def dedupSweep(s: SparkSession, d: String): DataFrame = {
+    val thr = array((4 to 9).map(t => lit(t / 10.0)): _*)
+    val x = embedPairs(s, d)
+      .select(explode(thr).as("threshold"), col("v1"), col("v2"),
+        col("cos_sim"))
+      .filter(col("cos_sim") >= col("threshold"))
+    val pc = x.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val dc = x
+      .select(col("threshold"),
+        explode(array(col("v1"), col("v2"))).as("v"))
+      .groupBy("threshold")
+      .agg(count_distinct(col("v")).as("n_docs_affected"))
+    val tot = embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
+    pc.join(dc, Seq("threshold"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_pairs"), col("n_docs_affected"),
+        round(col("n_docs_affected").cast("double")
+          / col("n_corpus").cast("double"), 4).as("affected_frac"))
+      .orderBy("threshold")
+  }
+
+  /** Rank-biased overlap (RBO, p = 0.9, truncated at depth 10) between
+    * the lexical BM25 top-10 and the semantic cosine top-10 for the
+    * same probe — the rank-correlation-for-RANKINGS metric (Kendall /
+    * Spearman need one shared item set; RBO handles disjoint-prefix
+    * lists and weights the top, which is what retrieval cares about).
+    * The "do my two retrievers even agree" audit read before fusing
+    * them (`q_search_rrf` fuses; this measures whether fusion adds
+    * diversity or redundancy).
+    *
+    * Determinism: both lists ride existing single-sources-of-truth
+    * (the shared BM25 score chain, the q_sim_topk cosine tree), ranked
+    * on ROUNDED scores with id tiebreaks; overlaps are exact integers;
+    * the geometric weights are EXACT decimal literals of 0.9^k parsed
+    * identically by both engines (no libm pow); per-depth terms are
+    * quantized to 1e-9 units before the cumulative window. Scale: two
+    * corpus-linear list builds, then every frame is ≤10 rows — the
+    * declared ≤100-element non-equi depth join is the q_ts_theilsen
+    * bounded-frame precedent (PlanGuard allowlist). */
+  def evalRbo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Both cuts are TakeOrdered LIMITs; the rank windows run on the
+    // already-cut 10-row frames (the q_sample_weighted pattern — an
+    // unpartitioned window over the pre-cut score list would be a
+    // corpus-scaled single partition).
+    val la = graft.operators.TextQueries.bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("ra", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("ra"))
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"))
+    val lb = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("pv")), 4).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(10)
+      .withColumn("rb", row_number()
+        .over(Window.orderBy(col("c").desc, col("vec_id")))
+        .cast("long"))
+      .select(col("vec_id"), col("rb"))
+    val com = la.join(lb, col("vec_id") === col("doc_id"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    val depths = (1 to 10).map(_.toLong).toDF("depth")
+    val ov = depths.join(com, col("m") <= col("depth"), "left")
+      .groupBy("depth").agg(count(col("m")).as("n_overlap"))
+    val weight = rboWeights.zipWithIndex.foldLeft(lit(null)
+        .cast("double")) { case (acc, (w, i)) =>
+      when(col("depth") === (i + 1).toLong, lit(w.toDouble))
+        .otherwise(acc)
+    }
+    val tu = round((col("weight") * col("n_overlap").cast("double")
+      / col("depth").cast("double")) * lit(1.0e9), 0).cast("long")
+    val wCum = Window.orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ov.withColumn("weight", weight)
+      .withColumn("tu", tu)
+      .select(col("depth"), col("n_overlap"),
+        round(col("n_overlap").cast("double")
+          / col("depth").cast("double"), 6).as("agreement"),
+        col("weight"),
+        round(lit(0.1) * sum("tu").over(wCum).cast("double")
+          / lit(1.0e9), 6).as("rbo_cum"))
+      .orderBy("depth")
+  }
+
+  /** Clustering-quality evaluation (purity + NMI) of a DECLARED
+    * partition — the sign-octant clustering (cluster = sign bits of
+    * embedding dims 1–3, the `q_ann_rp` hyperplane idea at its
+    * cheapest) scored against the metadata labels. Completes the
+    * clustering family: `q_embed_kmeans` builds a partition,
+    * `q_graph_modularity` scores one against GRAPH structure, this
+    * scores one against LABELS — the "is this partition usable as a
+    * sharding/curriculum key" number.
+    *
+    * Determinism: contingency and marginal counts are exact integers
+    * off two keyed map-side-combined aggs; every entropy/MI term is an
+    * exact-int-input ln quantized to 1e-9 units per cell BEFORE its
+    * sum (the dsir discipline); purity is an exact-integer rational;
+    * NMI = I/√(H_C·H_L) is one √ inside the 6dp barrier, declared
+    * NULL when either entropy is zero (a single-cluster or
+    * single-label corpus has no normalized scale). Majority label by
+    * min-struct (count DESC, label ASC). Scale: after the corpus
+    * collapses into the ≤8×|labels| contingency, everything is
+    * windows and equi-joins on catalog-bounded frames (the 1-row
+    * total rides a broadcast cross — PlanGuard allowlist). */
+  def evalClusterPurity(s: SparkSession, d: String): DataFrame = {
+    def bit(i: Int, v: Int) =
+      when(element_at(col("embedding"), i) > 0f, v).otherwise(0)
+    val cont = embeddings(s, d)
+      .select((bit(1, 4) + bit(2, 2) + bit(3, 1)).cast("long")
+        .as("cluster"), col("label"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cm = cont.groupBy("cluster")
+      .agg(sum("n").as("n_c"),
+        min(struct((-col("n")).as("neg"), col("label").as("lbl")))
+          .as("b"))
+      .select(col("cluster"), col("n_c"),
+        col("b.lbl").as("maj_label"), (-col("b.neg")).as("n_major"))
+    val lm = cont.groupBy("label").agg(sum("n").as("n_j"))
+    val tot = cont.agg(sum("n").as("nn"))
+    val miTerm = round(
+      (col("n").cast("double") / col("nn").cast("double"))
+        * log(col("nn").cast("double") * col("n").cast("double")
+          / (col("n_c").cast("double") * col("n_j").cast("double")))
+        * lit(1.0e9), 0).cast("long")
+    val iu = cont
+      .join(cm.select(col("cluster"), col("n_c")), Seq("cluster"))
+      .join(lm, Seq("label"))
+      .crossJoin(broadcast(tot))
+      .select(miTerm.as("t")).agg(sum("t").as("mi_units"))
+    def entUnits(frame: DataFrame, c: String, alias: String) = frame
+      .crossJoin(broadcast(tot))
+      .select(round(-(col(c).cast("double") / col("nn").cast("double"))
+        * log(col(c).cast("double") / col("nn").cast("double"))
+        * lit(1.0e9), 0).cast("long").as("t"))
+      .agg(sum("t").as(alias))
+    val hc = entUnits(cm.select(col("n_c")), "n_c", "hc_units")
+    val hl = entUnits(lm.select(col("n_j")), "n_j", "hl_units")
+    val pu = cm.agg(sum("n_major").as("maj_tot"))
+    val nmi = when(col("hc_units") === 0L || col("hl_units") === 0L,
+        lit(null).cast("double"))
+      .otherwise((col("mi_units").cast("double") / lit(1.0e9))
+        / sqrt((col("hc_units").cast("double") / lit(1.0e9))
+          * (col("hl_units").cast("double") / lit(1.0e9))))
+    cm.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(iu))
+      .crossJoin(broadcast(hc))
+      .crossJoin(broadcast(hl))
+      .crossJoin(broadcast(pu))
+      .select(col("cluster"), col("n_c").as("n"), col("maj_label"),
+        col("n_major"),
+        round(col("n_major").cast("double")
+          / col("n_c").cast("double"), 6).as("maj_share"),
+        round(col("maj_tot").cast("double")
+          / col("nn").cast("double"), 6).as("purity"),
+        round(nmi, 6).as("nmi"))
+      .orderBy("cluster")
   }
 }

@@ -40,6 +40,22 @@ object SqlQueries {
         |FROM orders
         |GROUP BY ALL
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    // Explicit GROUPING SETS — the general lattice ROLLUP/CUBE are
+    // sugar for. The CASTs on GROUPING() are part of the portable
+    // text: Spark returns TINYINT, DuckDB BIGINT, and the level
+    // column must be the same BIGINT on both reads.
+    "q_sql_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT)
+        |    + CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY lvl, flag, status""".stripMargin,
     // TPC-H Q17 shape: per-part correlated SCALAR subquery — the
     // decorrelation stress test. Catalyst must rewrite the correlated
     // aggregate into a grouped aggregate + join (PlanShapeSpec pins no

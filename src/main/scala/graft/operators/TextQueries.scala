@@ -76,7 +76,8 @@ object TextQueries {
     "q_text_len_budget"  -> textLenBudget _,
     "q_text_garbage"     -> textGarbage _,
     "q_text_instruct"    -> textInstruct _,
-    "q_eval_bleu"        -> evalBleu _
+    "q_eval_bleu"        -> evalBleu _,
+    "q_eval_perplexity"  -> evalPerplexity _
   )
 
   /** One side's (pid, n, gram) rows for the BLEU twin: DuckDB range is
@@ -1200,7 +1201,51 @@ object TextQueries {
         |         + ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE))
         |         + ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE))) / 4.0)
         |    ELSE 0.0 END, 6) AS bleu
-        |FROM piv CROSS JOIN lens""".stripMargin)
+        |FROM piv CROSS JOIN lens""".stripMargin),
+    // Same md5-nibble split as q_split_hash; counts exact integers;
+    // per-test-bigram ln quantized to 1e-6 units before the per-lang
+    // sum; unseen grams fall to the same coalesce(·,0) both sides.
+    "q_eval_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) AS nib
+        |  FROM documents),
+        |tb AS (
+        |  SELECT lang, t[i] AS w1, t[i + 1] AS w2
+        |  FROM d, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE nib IN ('e', 'f')),
+        |trb AS (
+        |  SELECT lang, t[i] AS w1, t[i + 1] AS w2
+        |  FROM d, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE nib NOT IN ('c', 'd', 'e', 'f')),
+        |cbg AS (
+        |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS cbg
+        |  FROM trb GROUP BY 1, 2, 3),
+        |tru AS (
+        |  SELECT lang, unnest(t) AS tok FROM d
+        |  WHERE nib NOT IN ('c', 'd', 'e', 'f')),
+        |cu AS (
+        |  SELECT lang, tok AS w1, CAST(count(*) AS BIGINT) AS cu
+        |  FROM tru GROUP BY 1, 2),
+        |v AS (
+        |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        |  FROM tru GROUP BY 1),
+        |sc AS (
+        |  SELECT tb.lang,
+        |    CAST(round(ln(CAST(coalesce(cbg.cbg, 0) + 1 AS DOUBLE)
+        |      / CAST(coalesce(cu.cu, 0) + v.vs AS DOUBLE)) * 1.0e6, 0)
+        |      AS BIGINT) AS lp_units
+        |  FROM tb
+        |  LEFT JOIN cbg ON cbg.lang = tb.lang AND cbg.w1 = tb.w1
+        |    AND cbg.w2 = tb.w2
+        |  LEFT JOIN cu ON cu.lang = tb.lang AND cu.w1 = tb.w1
+        |  JOIN v ON v.lang = tb.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(lp_units) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1.0e6), 6) AS avg_nll,
+        |  round(exp(-CAST(sum(lp_units) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1.0e6)), 4) AS ppl
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** Normalized text column shared by dedup ops: lower, collapse runs of
@@ -3003,5 +3048,65 @@ object TextQueries {
         col("m1"), col("m2"), col("m3"), col("m4"),
         pShown(1), pShown(2), pShown(3), pShown(4),
         round(bp, 6).as("bp"), round(bleu, 6).as("bleu"))
+  }
+
+  /** Held-out bigram perplexity per language — the train/test-
+    * disciplined LM eval (`q_text_ngram_lm` scores the corpus against
+    * itself; this holds out a hash split so the number measures
+    * GENERALIZATION — the actual "is this slice learnable / is that
+    * slice garbage" signal a mix designer reads). Split by the
+    * `q_split_hash` md5-nibble convention (train = nibble ∉ c–f, test
+    * = e–f); model = add-1-smoothed train bigrams, p(w₂|w₁) =
+    * (c(w₁,w₂)+1)/(c(w₁)+V_lang); ppl = e^(−Σ ln p / N).
+    *
+    * Determinism: counts are exact integers off (lang, gram)-keyed
+    * map-side-combined aggs; each test bigram's ln is quantized to
+    * 1e-6 units BEFORE the per-language sum (an avg of raw doubles is
+    * partition-order-dependent — the q_select_dsir discipline); the
+    * final ln/exp pair sits inside the 4dp barrier. Unseen grams fall
+    * to the same coalesce(·, 0) on both engines; a language with no
+    * train split drops by the inner V join (declared). Scale: the
+    * test-side joins probe the vocab-scaled model on the fine-grained
+    * (lang, w1[, w2]) key — never a corpus×corpus pair — and the
+    * ≤#langs V frame rides an unhinted equi-join AQE sizes. */
+  def evalPerplexity(s: SparkSession, d: String): DataFrame = {
+    val nib = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"),
+        nib.as("nib"))
+    val train = docs.filter(!col("nib").isin("c", "d", "e", "f"))
+    val test = docs.filter(col("nib").isin("e", "f"))
+    def bigrams(df: DataFrame) = df
+      .filter(size(col("t")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bigrams(train).groupBy("lang", "w1", "w2")
+      .agg(count(lit(1)).as("cbg"))
+    val tru = train.select(col("lang"), explode(col("t")).as("tok"))
+    val cu = tru.select(col("lang"), col("tok").as("w1"))
+      .groupBy("lang", "w1").agg(count(lit(1)).as("cu"))
+    val v = tru.groupBy("lang").agg(count_distinct(col("tok")).as("vs"))
+    val logp = log((coalesce(col("cbg"), lit(0L)) + 1L).cast("double")
+      / (coalesce(col("cu"), lit(0L)) + col("vs")).cast("double"))
+    bigrams(test)
+      .join(cbg, Seq("lang", "w1", "w2"), "left")
+      .join(cu, Seq("lang", "w1"), "left")
+      .join(v, Seq("lang"))
+      .select(col("lang"),
+        round(logp * lit(1.0e6), 0).cast("long").as("lp_units"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_units").as("lpu"))
+      .select(col("lang"), col("n_bigrams"),
+        round(-col("lpu").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1.0e6)), 6)
+          .as("avg_nll"),
+        round(exp(-col("lpu").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1.0e6))), 4)
+          .as("ppl"))
+      .orderBy("lang")
   }
 }

@@ -1252,4 +1252,607 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  /** The Spark-round twin: BigDecimal.valueOf + HALF_UP, what round(x,s)
+    * computes on a double. */
+  private def rnd(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_eval_pass_at_k: nation means replay the exact falling-" +
+    "factorial estimator") {
+    def ff(x: Long, k: Int): Long = (0 until k).map(x - _).product
+    def passK(n: Long, c: Long, k: Int): Option[Double] =
+      if (n < k) None
+      else if (n - c < k) Some(1.0)
+      else Some(1.0 - ff(n - c, k).toDouble / ff(n, k).toDouble)
+    val nat = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perCust = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_orderstatus").collect()
+      .groupBy(_.getLong(0))
+      .map { case (ck, rs) =>
+        (nat(ck), rs.length.toLong,
+          rs.count(_.getString(1) == "F").toLong)
+      }.toSeq
+    val expected = perCust.groupBy(_._1).map { case (nk, xs) =>
+      // A nation with zero k-eligible problems has a NULL mean (the
+      // query's declared semantics) — never a NaN division here.
+      def mean(k: Int): (Long, Option[Double]) = {
+        val us = xs.flatMap { case (_, n, c) =>
+          passK(n, c, k).map(p => rnd(p * 1000000, 0).toLong)
+        }
+        (us.length.toLong,
+          if (us.isEmpty) None
+          else Some(rnd(us.sum.toDouble / (us.length * 1000000.0), 6)))
+      }
+      val (e1, m1) = mean(1); val (e5, m5) = mean(5)
+      val (e10, m10) = mean(10)
+      nk -> (xs.length.toLong, e5, e10, m1, m5, m10)
+    }
+    val rows = graft.operators.FeatureQueries
+      .evalPassAtK(spark, sfDir).collect()
+    assert(rows.length === expected.size, "one row per nation")
+    def checkMean(r: org.apache.spark.sql.Row, cname: String,
+        exp: Option[Double], nk: Int): Unit = exp match {
+      case Some(v) => assert(r.getAs[Double](cname) === v,
+        s"nation $nk $cname")
+      case None => assert(r.isNullAt(r.fieldIndex(cname)),
+        s"nation $nk $cname must be NULL with zero eligible problems")
+    }
+    rows.foreach { r =>
+      val nk = r.getAs[Int]("c_nationkey")
+      val (np, e5, e10, m1, m5, m10) = expected(nk)
+      assert(r.getAs[Long]("n_problems") === np, s"nation $nk problems")
+      assert(r.getAs[Long]("elig_5") === e5, s"nation $nk elig_5")
+      assert(r.getAs[Long]("elig_10") === e10, s"nation $nk elig_10")
+      checkMean(r, "mean_pass1", m1, nk)
+      checkMean(r, "mean_pass5", m5, nk)
+      checkMean(r, "mean_pass10", m10, nk)
+    }
+  }
+
+  test("q_eval_fleiss: kappa replays the variable-rater formula") {
+    val cells = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag").collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .map { case ((ok, f), rs) => (ok, f, rs.length.toLong) }.toSeq
+    val ni = cells.groupBy(_._1).map { case (ok, xs) =>
+      ok -> xs.map(_._3).sum
+    }
+    val kept = cells.filter(c => ni(c._1) >= 2L)
+    val items = kept.groupBy(_._1).map { case (ok, xs) =>
+      val n = ni(ok)
+      val agree = xs.map(c => c._3 * (c._3 - 1)).sum
+      rnd(agree.toDouble * 1.0e9 / (n.toDouble * (n - 1).toDouble), 0)
+        .toLong
+    }
+    val nItems = items.size.toLong
+    // keys is a Set — mapping it through ni would COLLAPSE orders whose
+    // rating counts coincide (Set.map dedups outputs); force a Seq.
+    val nRatings = kept.groupBy(_._1).keys.toSeq.map(ni).sum
+    val pUnits = items.sum
+    val tt = kept.map(_._3).sum.toDouble
+    val peUnits = kept.groupBy(_._2)
+      .map { case (_, xs) =>
+        val pj = xs.map(_._3).sum / tt
+        rnd(pj * pj * 1.0e12, 0).toLong
+      }.sum
+    val pBar = pUnits.toDouble / (nItems * 1.0e9)
+    val pE = peUnits.toDouble / 1.0e12
+    val r = graft.operators.FeatureQueries.evalFleiss(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_items") === nItems)
+    assert(r.getAs[Long]("n_ratings") === nRatings)
+    assert(r.getAs[Double]("p_bar") === rnd(pBar, 6))
+    assert(r.getAs[Double]("p_e") === rnd(pE, 6))
+    assert(r.getAs[Double]("kappa") === rnd((pBar - pE) / (1.0 - pE), 6),
+      "kappa must be the chance-corrected ratio of the unit sums")
+  }
+
+  test("q_dp_topk: the released ranking replays the md5-Gumbel draw") {
+    val cnt = spark.read.parquet(s"$sfDir/part.parquet")
+      .groupBy("p_brand").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val scored = cnt.map { case (b, n) =>
+      val h = java.lang.Long.parseLong(md5Hex(b).take(8), 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val g = -math.log(-math.log(u))
+      (b, n, rnd(g, 4), rnd(n.toDouble + g, 4))
+    }
+    val top = scored.sortBy { case (b, _, _, ny) => (-ny, b) }.take(5)
+    val rows = graft.operators.FeatureQueries.dpTopk(spark, sfDir)
+      .collect()
+    assert(rows.length === 5, "exactly five released rows")
+    rows.zip(top).zipWithIndex.foreach {
+      case ((r, (b, n, noise, noisy)), i) =>
+        assert(r.getAs[Long]("rank") === i + 1L)
+        assert(r.getAs[String]("p_brand") === b, s"rank ${i + 1} brand")
+        assert(r.getAs[Long]("n") === n)
+        assert(r.getAs[Double]("noise") === noise)
+        assert(r.getAs[Double]("noisy") === noisy)
+    }
+  }
+
+  test("q_contamination_embed: top-100 replays the brute-force " +
+    "benchmark argmax") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val bench = vecs.filter(_._1 < 50)
+    assert(bench.length === 50, "fixture must hold the full bench set")
+    val best = vecs.filter(_._1 >= 50).map { case (vid, lbl, v) =>
+      val (bid, cu) = bench.map { case (b, _, bv) =>
+        (b, rnd(bruteCos(v, bv) * 10000, 0).toLong)
+      }.maxBy { case (b, c) => (c, -b) }
+      (vid, lbl, bid, cu)
+    }
+    val expected = best.sortBy { case (vid, _, _, cu) => (-cu, vid) }
+      .take(100)
+    val rows = graft.operators.SimilarityQueries
+      .contaminationEmbed(spark, sfDir).collect()
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach {
+      case (r, (vid, lbl, bid, cu)) =>
+        assert(r.getAs[Long]("vec_id") === vid, "selection order")
+        assert(r.getAs[Int]("label") === lbl)
+        assert(r.getAs[Long]("best_bench") === bid,
+          s"vec $vid argmax bench (smallest id on cos ties)")
+        assert(r.getAs[Double]("max_cos") === rnd(cu / 10000.0, 4))
+        assert(r.getAs[Long]("contam") === (if (cu >= 4000L) 1L else 0L))
+    }
+  }
+
+  test("q_eval_bleu: the corpus score replays clipped precisions, " +
+    "brevity penalty, and the geometric mean") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val pairs = docs.toSeq.flatMap { case (id, ct) =>
+      docs.get(id + 1).map(rt => (ct, rt))
+    }
+    def grams(t: Array[String], n: Int): Seq[String] =
+      if (t.length < n) Seq.empty
+      else (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+    val m = Array.fill(5)(0L); val tt = Array.fill(5)(0L)
+    pairs.foreach { case (ct, rt) =>
+      (1 to 4).foreach { n =>
+        val cg = grams(ct, n).groupBy(identity).map { case (g, xs) =>
+          g -> xs.length.toLong
+        }
+        val rg = grams(rt, n).groupBy(identity).map { case (g, xs) =>
+          g -> xs.length.toLong
+        }
+        m(n) += cg.map { case (g, c) =>
+          math.min(c, rg.getOrElse(g, 0L))
+        }.sum
+        tt(n) += cg.values.sum
+      }
+    }
+    val candTok = pairs.map(_._1.length.toLong).sum
+    val refTok = pairs.map(_._2.length.toLong).sum
+    val bp = if (candTok >= refTok) 1.0
+      else math.exp(1.0 - refTok.toDouble / candTok.toDouble)
+    val bleu = if ((1 to 4).forall(n => m(n) > 0))
+      bp * math.exp((1 to 4).map(n =>
+        math.log(m(n).toDouble / tt(n).toDouble)).sum / 4)
+    else 0.0
+    val r = graft.operators.TextQueries.evalBleu(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(r.getAs[Long]("cand_tokens") === candTok)
+    assert(r.getAs[Long]("ref_tokens") === refTok)
+    (1 to 4).foreach { n =>
+      assert(r.getAs[Long](s"m$n") === m(n), s"clipped matches n=$n")
+      assert(r.getAs[Double](s"p$n") ===
+        rnd(m(n).toDouble / tt(n).toDouble, 6), s"precision n=$n")
+    }
+    assert(r.getAs[Double]("bp") === rnd(bp, 6))
+    assert(r.getAs[Double]("bleu") === rnd(bleu, 6),
+      "BLEU must be BP times the 4-gram geometric mean")
+  }
+
+  test("q_filter_waterfall: first-fail attribution and survivors " +
+    "replay the declared gate order") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text", "n_chars").collect()
+      .map(r => (r.getString(0).split(" ", -1), r.getLong(1)))
+    val staged = docs.map { case (t, nc) =>
+      val nt = t.length.toLong
+      val nd = t.distinct.length.toLong
+      val stop = t.count(x => x == "a" || x == "the").toLong
+      val letters = nc - (nt - 1)
+      val st =
+        if (nt < 8) 1
+        else if (nt > 50) 2
+        else if (letters < 3 * nt || letters > 8 * nt) 3
+        else if (stop * 50 < nt) 4
+        else if (nd * 2 < nt) 5
+        else 6
+      (st, nt)
+    }
+    val byStage = staged.groupBy(_._1).map { case (st, xs) =>
+      st -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val total = staged.length.toLong
+    val rows = graft.operators.CurateQueries
+      .filterWaterfall(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("stage")).toSeq ===
+      byStage.keys.toSeq.sorted.map(_.toLong), "stages present, ordered")
+    var killed = 0L
+    rows.foreach { r =>
+      val st = r.getAs[Long]("stage").toInt
+      val (n, tok) = byStage(st)
+      if (st <= 5) killed += n
+      assert(r.getAs[Long]("n_docs") === n, s"stage $st kill count")
+      assert(r.getAs[Long]("tokens") === tok, s"stage $st token mass")
+      assert(r.getAs[Double]("frac") === rnd(n.toDouble / total, 4))
+      assert(r.getAs[Long]("n_after") === total - killed,
+        s"stage $st survivors must be total minus cumulative kills")
+    }
+    assert(rows.exists(_.getAs[String]("verdict") == "keep"),
+      "the fixture must keep something — a kill-everything rule stack " +
+        "tests nothing")
+  }
+
+  test("q_mix_dro: weights replay the quantized excess-loss recipe") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val perLang = docs.groupBy(_._1).map { case (l, xs) =>
+      val nt = xs.map(_._2.length.toLong).sum
+      val dru = xs.map { case (_, t) =>
+        rnd(1.0e6 * t.distinct.length.toDouble / t.length, 0).toLong
+      }.sum
+      l -> (xs.length.toLong, nt, dru)
+    }
+    val tAll = perLang.values.map(_._2).sum.toDouble
+    val blUnits = perLang.map { case (_, (n, tok, dru)) =>
+      rnd((tok / tAll) * (dru.toDouble / (n * 1.0e6)) * 1.0e9, 0).toLong
+    }.sum
+    val lBar = blUnits.toDouble / 1.0e9
+    val wUnits = perLang.map { case (l, (n, tok, dru)) =>
+      val excess = dru.toDouble / (n * 1.0e6) - lBar
+      l -> rnd((tok / tAll) * math.exp(4.0 * excess) * 1.0e9, 0).toLong
+    }
+    val wSum = wUnits.values.sum.toDouble
+    val rows = graft.operators.CurateQueries.mixDro(spark, sfDir)
+      .collect()
+    assert(rows.length === perLang.size, "one row per language")
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val (n, tok, dru) = perLang(l)
+      val loss = dru.toDouble / (n * 1.0e6)
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("tokens") === tok)
+      assert(r.getAs[Double]("base_share") === rnd(tok / tAll, 4))
+      assert(r.getAs[Double]("loss") === rnd(loss, 6))
+      assert(r.getAs[Double]("excess") === rnd(loss - lBar, 6))
+      assert(r.getAs[Double]("weight") === rnd(wUnits(l) / wSum, 4),
+        s"lang $l: weight must be the normalized quantized b·e^(4x)")
+    }
+    val wTot = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wTot - 1.0) < 1e-3,
+      "weights must normalize to ~1 (4dp rounding slack)")
+  }
+
+  test("q_dedup_sweep: per-threshold counts replay the brute-force " +
+    "pair scan") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val pairs = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      c = bruteCos(vecs(i)._2, vecs(j)._2) if c >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1, c)
+    val rows = graft.operators.SimilarityQueries.dedupSweep(spark, sfDir)
+      .collect()
+    val present = (4 to 9).map(_ / 10.0)
+      .filter(t => pairs.exists(_._3 >= t))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq === present,
+      "one row per threshold that retains at least one pair")
+    rows.foreach { r =>
+      val t = r.getAs[Double]("threshold")
+      val keep = pairs.filter(_._3 >= t)
+      val docs = keep.flatMap(p => Seq(p._1, p._2)).distinct.length
+      assert(r.getAs[Long]("n_pairs") === keep.length.toLong,
+        s"threshold $t pair count")
+      assert(r.getAs[Long]("n_docs_affected") === docs.toLong,
+        s"threshold $t affected docs")
+      assert(r.getAs[Double]("affected_frac") ===
+        rnd(docs.toDouble / vecs.length, 4))
+    }
+    assert(rows.map(_.getAs[Long]("n_pairs")).toSeq ===
+      rows.map(_.getAs[Long]("n_pairs")).toSeq.sorted.reverse,
+      "pair counts must be monotone non-increasing in the threshold")
+  }
+
+  test("q_eval_bradley_terry: strengths replay the 5-round quantized " +
+    "MM iteration") {
+    val brand = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), brand(r.getLong(2)),
+        rnd(r.getDouble(3) * 100, 0).toLong))
+    val nij = scala.collection.mutable.Map[(String, String), Long]()
+    li.groupBy(_._1).values.foreach { xs =>
+      val s = xs.sortBy(_._2)
+      for (i <- s.indices; j <- (i + 1) until s.length) {
+        val (a, b) = (s(i), s(j))
+        // Equal-linenumber pairs are EXCLUDED by the query's declared
+        // ln_a < ln_b rule (the synthetic fixture repeats linenumbers
+        // within an order — such "simultaneous" comparisons have no
+        // order to tie-break on, so the operator drops them; 1684 of
+        // them exist at sf0.001, which is why this replay must too).
+        if (a._2 != b._2 && a._3 != b._3) {
+          val aWins = a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+          val k = if (aWins) (a._3, b._3) else (b._3, a._3)
+          nij(k) = nij.getOrElse(k, 0L) + 1
+        }
+      }
+    }
+    val games = scala.collection.mutable.Map[(String, String), Long]()
+    nij.foreach { case ((i, j), n) =>
+      games((i, j)) = games.getOrElse((i, j), 0L) + n
+      games((j, i)) = games.getOrElse((j, i), 0L) + n
+    }
+    val brands = games.keys.map(_._1).toSeq.distinct.sorted
+    val wins = brands.map(b =>
+      b -> nij.filter(_._1._1 == b).values.sum).toMap
+    var s = brands.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val den = brands.map { b =>
+        b -> games.collect { case ((i, j), g) if i == b =>
+          rnd(g.toDouble / (s(i) + s(j)) * 1.0e9, 0).toLong
+        }.sum
+      }.toMap
+      val su = brands.map { b =>
+        b -> rnd((wins(b).toDouble * 1.0e9 / den(b).toDouble) * 1.0e9, 0)
+          .toLong
+      }.toMap
+      val tot = su.values.sum.toDouble
+      s = brands.map(b => b -> rnd(su(b) / tot, 9)).toMap
+    }
+    val expected = brands.sortBy(b => (-s(b), b))
+    val rows = graft.operators.FeatureQueries
+      .evalBradleyTerry(spark, sfDir).collect()
+    assert(rows.length === brands.length, "one row per compared brand")
+    rows.zip(expected).zipWithIndex.foreach { case ((r, b), i) =>
+      assert(r.getAs[Long]("rank") === i + 1L)
+      assert(r.getAs[String]("brand") === b, s"rank ${i + 1} brand")
+      assert(r.getAs[Long]("wins") === wins(b), s"$b wins")
+      assert(r.getAs[Long]("games") ===
+        games.collect { case ((x, _), g) if x == b => g }.sum, s"$b games")
+      assert(r.getAs[Double]("strength") === rnd(s(b), 6), s"$b strength")
+    }
+    val sTot = rows.map(_.getAs[Double]("strength")).sum
+    assert(math.abs(sTot - 1.0) < 1e-4,
+      "normalized strengths must sum to ~1")
+  }
+
+  test("q_graph_assortativity: r replays the exact degree-moment " +
+    "formula") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val und = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if bruteCos(vecs(i)._2, vecs(j)._2) >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1)
+    val dir = und ++ und.map { case (a, b) => (b, a) }
+    val deg = dir.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.length.toLong
+    }
+    val xy = dir.map { case (a, b) => (deg(a), deg(b)) }
+    val mm = xy.length.toLong
+    val sx = xy.map(_._1).sum
+    val sxy = xy.map { case (x, y) => x * y }.sum
+    val sxx = xy.map(x => x._1 * x._1).sum
+    val meanX = sx.toDouble / mm
+    val den = sxx.toDouble / mm - meanX * meanX
+    val num = sxy.toDouble / mm - meanX * meanX
+    val r = graft.operators.GraphQueries
+      .graphAssortativity(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_nodes") === deg.size.toLong)
+    assert(r.getAs[Long]("n_edges") === und.length.toLong)
+    assert(r.getAs[Double]("mean_end_deg") === rnd(meanX, 6))
+    if (den == 0.0)
+      assert(r.isNullAt(r.fieldIndex("assortativity")),
+        "a regular graph has no degree variance to correlate")
+    else
+      assert(r.getAs[Double]("assortativity") === rnd(num / den, 6),
+        "assortativity must be the exact-moment Pearson r")
+  }
+
+  test("q_sample_replicate: copy counts replay the stochastic " +
+    "rounding and hit the planned mass in expectation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val toks = docs.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.map(_._3).sum
+    }
+    val tAll = toks.values.sum.toDouble
+    val sRoot = toks.values.map(t => math.sqrt(t.toDouble)).sum
+    val epochs = toks.map { case (l, t) =>
+      val desired = rnd(2.0 * tAll * rnd(math.sqrt(t.toDouble) / sRoot,
+        4), 0)
+      l -> rnd(math.min(desired / t.toDouble, 2.0), 4)
+    }
+    val rows = graft.operators.CurateQueries
+      .sampleReplicate(spark, sfDir).collect()
+    assert(rows.length === docs.length, "one row per document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (_, l, nt) = docs.find(_._1 == id).get
+      val e = epochs(l)
+      val h = java.lang.Long.parseLong(md5Hex(id.toString).take(8), 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val exp = math.floor(e).toLong +
+        (if (u < e - math.floor(e)) 1L else 0L)
+      assert(r.getAs[Double]("epochs") === e, s"doc $id epochs")
+      assert(r.getAs[Long]("n_copies") === exp, s"doc $id copies")
+      assert(r.getAs[Long]("tokens_out") === exp * nt, s"doc $id mass")
+    }
+    // Unbiasedness at the corpus grain: realized mass within 10 % of
+    // the fractional plan (md5 draws are uniform enough at 500 docs).
+    val planned = docs.map { case (_, l, nt) => epochs(l) * nt }.sum
+    val realized = rows.map(_.getAs[Long]("tokens_out")).sum.toDouble
+    assert(math.abs(realized - planned) / planned < 0.10,
+      s"realized mass $realized vs planned $planned drifted >10%")
+  }
+
+  test("q_eval_rbo: overlaps and the truncated RBO replay the " +
+    "two-list brute force") {
+    val la = graft.operators.TextQueries.textBm25(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val pv = vecs.find(_._1 == 0L).get._2
+    val lb = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, bruteCos(v, pv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val ra = la.zipWithIndex.toMap
+    val rb = lb.zipWithIndex.toMap
+    val ms = la.toSet.intersect(lb.toSet).toSeq
+      .map(id => math.max(ra(id), rb(id)) + 1)
+    val weights = (1 to 10).map(d => BigDecimal("0.9").pow(d - 1))
+    var cum = 0L
+    val rows = graft.operators.SimilarityQueries.evalRbo(spark, sfDir)
+      .collect()
+    assert(rows.length === 10, "one row per depth 1..10")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val d = i + 1
+      val ov = ms.count(_ <= d).toLong
+      assert(r.getAs[Long]("depth") === d.toLong)
+      assert(r.getAs[Long]("n_overlap") === ov, s"depth $d overlap")
+      assert(r.getAs[Double]("agreement") === rnd(ov.toDouble / d, 6))
+      assert(r.getAs[Double]("weight") === weights(i).toDouble)
+      cum += rnd((weights(i).toDouble * ov.toDouble / d) * 1.0e9, 0)
+        .toLong
+      assert(r.getAs[Double]("rbo_cum") === rnd(0.1 * cum / 1.0e9, 6),
+        s"depth $d cumulative RBO")
+    }
+    // Both lists hold 10 items, so overlap at depth 10 is the true
+    // intersection size and RBO is bounded by the final agreement.
+    assert(rows.last.getAs[Long]("n_overlap") === ms.length.toLong)
+  }
+
+  test("q_eval_cluster_purity: purity and NMI replay the octant " +
+    "contingency") {
+    val pts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map { r =>
+        val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val c = (if (e(0) > 0) 4 else 0) + (if (e(1) > 0) 2 else 0) +
+          (if (e(2) > 0) 1 else 0)
+        (c.toLong, r.getAs[Int]("label"))
+      }
+    val cont = pts.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong
+    }
+    val nn = pts.length.toDouble
+    val nC = cont.groupBy(_._1._1).map { case (c, xs) =>
+      c -> xs.values.sum
+    }
+    val nJ = cont.groupBy(_._1._2).map { case (l, xs) =>
+      l -> xs.values.sum
+    }
+    val miUnits = cont.map { case ((c, l), n) =>
+      rnd((n / nn) * math.log(nn * n / (nC(c).toDouble * nJ(l))) * 1.0e9,
+        0).toLong
+    }.sum
+    def entU(m: Map[_, Long]) = m.values.map(v =>
+      rnd(-(v / nn) * math.log(v / nn) * 1.0e9, 0).toLong).sum
+    val (hcU, hlU) = (entU(nC.toMap), entU(nJ.toMap))
+    val majPer = cont.groupBy(_._1._1).map { case (c, xs) =>
+      val (lbl, n) = xs.map { case ((_, l), n) => (l, n) }.toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      c -> (lbl, n)
+    }
+    val purity = rnd(majPer.values.map(_._2).sum / nn, 6)
+    val nmi =
+      if (hcU == 0L || hlU == 0L) None
+      else Some(rnd((miUnits / 1.0e9) /
+        math.sqrt((hcU / 1.0e9) * (hlU / 1.0e9)), 6))
+    val rows = graft.operators.SimilarityQueries
+      .evalClusterPurity(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("cluster")).toSeq ===
+      nC.keys.toSeq.sorted, "one row per populated octant, ordered")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      val (lbl, nMaj) = majPer(c)
+      assert(r.getAs[Long]("n") === nC(c), s"cluster $c size")
+      assert(r.getAs[Int]("maj_label") === lbl, s"cluster $c majority")
+      assert(r.getAs[Long]("n_major") === nMaj)
+      assert(r.getAs[Double]("maj_share") ===
+        rnd(nMaj.toDouble / nC(c), 6))
+      assert(r.getAs[Double]("purity") === purity)
+      nmi match {
+        case Some(v) => assert(r.getAs[Double]("nmi") === v,
+          s"cluster $c NMI")
+        case None => assert(r.isNullAt(r.fieldIndex("nmi")),
+          "zero-entropy corpus must declare NMI NULL")
+      }
+    }
+  }
+
+  test("q_eval_perplexity: per-lang ppl replays the held-out add-1 " +
+    "bigram model") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1)))
+    def nib(id: Long) = md5Hex(id.toString).head
+    val train = docs.filter(d => !"cdef".contains(nib(d._1)))
+    val test = docs.filter(d => "ef".contains(nib(d._1)))
+    def bigrams(t: Array[String]) =
+      if (t.length < 2) Seq.empty
+      else (0 until t.length - 1).map(i => (t(i), t(i + 1)))
+    val cbg = train.flatMap { case (_, l, t) =>
+      bigrams(t).map(b => (l, b))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val cu = train.flatMap { case (_, l, t) => t.map(w => (l, w)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val vs = train.flatMap { case (_, l, t) => t.map(w => (l, w)) }
+      .distinct.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val expected = test.flatMap { case (_, l, t) =>
+      bigrams(t).map { case (w1, w2) =>
+        val p = (cbg.getOrElse((l, (w1, w2)), 0L) + 1).toDouble /
+          (cu.getOrElse((l, w1), 0L) + vs(l)).toDouble
+        (l, rnd(math.log(p) * 1.0e6, 0).toLong)
+      }
+    }.groupBy(_._1).map { case (l, xs) =>
+      val n = xs.length.toLong
+      val nll = -xs.map(_._2).sum.toDouble / (n * 1.0e6)
+      l -> (n, rnd(nll, 6), rnd(math.exp(nll), 4))
+    }
+    val rows = graft.operators.TextQueries.evalPerplexity(spark, sfDir)
+      .collect()
+    assert(rows.length === expected.size,
+      "one row per language with test bigrams")
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val (n, nll, ppl) = expected(l)
+      assert(r.getAs[Long]("n_bigrams") === n, s"lang $l bigram count")
+      assert(r.getAs[Double]("avg_nll") === nll, s"lang $l NLL")
+      assert(r.getAs[Double]("ppl") === ppl, s"lang $l perplexity")
+      assert(ppl >= 1.0, "perplexity is bounded below by 1")
+    }
+  }
 }

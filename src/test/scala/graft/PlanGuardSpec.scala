@@ -64,10 +64,21 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_shard_balance", // 1-row token-total scalar broadcast (cross)
     "q_eval_mrr",     // KB probe-batch broadcast (q_sim_batch_topk
                       // shape) + 4-row best-relevant broadcast
-    "q_eval_fleiss",  // 1-row item-frame × category-frame scalar cross
     "q_eval_bleu",    // 1-row match-pivot × length-scalar cross
-    "q_contamination_embed" // ≤50-row benchmark broadcast (bounded by
+    "q_contamination_embed", // ≤50-row benchmark broadcast (bounded by
                       // vec_id uniqueness at every scale factor)
+    "q_filter_waterfall", // 1-row doc-total broadcast cross onto the
+                      // ≤6-row stage frame
+    "q_eval_rbo",     // ≤100-element non-equi depth join + 1-row probe
+                      // broadcast (the q_ts_theilsen bounded precedent)
+    "q_dedup_sweep",  // 1-row corpus-count broadcast cross onto the
+                      // ≤6-row threshold frame
+    "q_graph_assortativity", // 1-row node-count broadcast cross onto
+                      // the 1-row moment frame
+    "q_sample_replicate", // 1-row (T, Σ√t) scalar broadcast cross (the
+                      // q_mix_epochs plan tree)
+    "q_eval_cluster_purity" // 1-row total/MI/entropy scalar broadcasts
+                      // onto the ≤8-row cluster frame
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
