@@ -73,7 +73,8 @@ object CurateQueries {
     "q_shard_balance"     -> shardBalance _,
     "q_filter_waterfall"  -> filterWaterfall _,
     "q_mix_dro"           -> mixDro _,
-    "q_sample_replicate"  -> sampleReplicate _
+    "q_sample_replicate"  -> sampleReplicate _,
+    "q_split_leakage"     -> splitLeakage _
   )
 
   /** One unrolled greedy max-coverage round of the q_select_maxcover
@@ -980,7 +981,45 @@ object CurateQueries {
         |    * CAST(len(string_split(d.text, ' ')) AS BIGINT)
         |    AS tokens_out
         |FROM documents d JOIN pl ON pl.lang = d.lang
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // Identity = the q_dedup_exact normalization, split = the
+    // q_split_hash nibble; the md5 fingerprint is the only shuffle key
+    // and the 3-pair counts come off one conditional-sum agg.
+    "q_split_leakage" ->
+      """WITH g AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+        |      AS nh,
+        |    CAST(sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+        |      NOT IN ('c', 'd', 'e', 'f') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+        |      IN ('c', 'd') THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    CAST(sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+        |      IN ('e', 'f') THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM documents GROUP BY 1),
+        |one AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN n_train > 0 AND n_val > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tv_g,
+        |    CAST(sum(CASE WHEN n_train > 0 AND n_val > 0
+        |      THEN n_train + n_val + n_test ELSE 0 END) AS BIGINT)
+        |      AS tv_d,
+        |    CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tt_g,
+        |    CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+        |      THEN n_train + n_val + n_test ELSE 0 END) AS BIGINT)
+        |      AS tt_d,
+        |    CAST(sum(CASE WHEN n_val > 0 AND n_test > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS vt_g,
+        |    CAST(sum(CASE WHEN n_val > 0 AND n_test > 0
+        |      THEN n_train + n_val + n_test ELSE 0 END) AS BIGINT)
+        |      AS vt_d
+        |  FROM g)
+        |SELECT 'train_test' AS pair, tt_g AS n_shared_groups,
+        |  tt_d AS n_docs_in_shared FROM one
+        |UNION ALL SELECT 'train_val', tv_g, tv_d FROM one
+        |UNION ALL SELECT 'val_test', vt_g, vt_d FROM one
+        |ORDER BY pair""".stripMargin
   )
 
   /** One unrolled greedy round of the q_select_kcenter oracle: min
@@ -2338,5 +2377,56 @@ object CurateQueries {
         (copies * size(split(col("text"), " ")).cast("long"))
           .as("tokens_out"))
       .orderBy("doc_id")
+  }
+
+  /** Train/val/test split-leakage audit: per split pair, the number of
+    * distinct normalized-text groups present in BOTH splits and the
+    * document mass those groups carry — the "my held-out set is in my
+    * training set" check every hash-split pipeline runs AFTER dedup
+    * but BEFORE eval numbers are trusted. `q_contamination` audits
+    * corpus-vs-BENCHMARK overlap; this audits the pipeline's OWN split
+    * boundary, which an exact dedup keyed on a different normalization
+    * can silently miss. Identity = the `q_dedup_exact` normalization
+    * (shared [[TextQueries.normText]] — one source of truth); splits =
+    * the `q_split_hash` md5-nibble convention.
+    *
+    * Scale: the md5 fingerprint of the normalized text is the ONLY
+    * shuffle key (the chunkDedup rule — text never shuffles); per-hash
+    * split counts ride one map-side-combined agg, the 3-pair counts
+    * one conditional-sum rollup to a single row, exploded to the 3-row
+    * report. Zero joins, zero windows. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val nib = hex1(col("doc_id"))
+    val g = documents(s, d)
+      .select(
+        md5(TextQueries.normText(col("text")).cast("binary")).as("nh"),
+        when(nib.isin("c", "d"), 1)
+          .when(nib.isin("e", "f"), 2).otherwise(0).as("sp"))
+      .groupBy("nh")
+      .agg(sum(when(col("sp") === 0, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("sp") === 1, 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("sp") === 2, 1L).otherwise(0L)).as("n_test"))
+    val docs = col("n_train") + col("n_val") + col("n_test")
+    def pairAgg(a: String, b: String, g2: String, d2: String) = Seq(
+      sum(when(col(a) > 0 && col(b) > 0, 1L).otherwise(0L)).as(g2),
+      sum(when(col(a) > 0 && col(b) > 0, docs).otherwise(0L)).as(d2))
+    val aggs = pairAgg("n_train", "n_val", "tv_g", "tv_d") ++
+      pairAgg("n_train", "n_test", "tt_g", "tt_d") ++
+      pairAgg("n_val", "n_test", "vt_g", "vt_d")
+    val one = g.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(
+        struct(lit("train_val").as("pair"),
+          col("tv_g").as("n_shared_groups"),
+          col("tv_d").as("n_docs_in_shared")),
+        struct(lit("train_test").as("pair"),
+          col("tt_g").as("n_shared_groups"),
+          col("tt_d").as("n_docs_in_shared")),
+        struct(lit("val_test").as("pair"),
+          col("vt_g").as("n_shared_groups"),
+          col("vt_d").as("n_docs_in_shared")))).as("r"))
+      .select(col("r.pair").as("pair"),
+        col("r.n_shared_groups").as("n_shared_groups"),
+        col("r.n_docs_in_shared").as("n_docs_in_shared"))
+      .orderBy("pair")
   }
 }

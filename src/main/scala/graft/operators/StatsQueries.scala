@@ -74,7 +74,8 @@ object StatsQueries {
     "q_agg_theil_u"     -> aggTheilU _,
     "q_survival_km"     -> survivalKm _,
     "q_agg_effectsize"  -> aggEffectSize _,
-    "q_agg_ratio_delta" -> aggRatioDelta _
+    "q_agg_ratio_delta" -> aggRatioDelta _,
+    "q_sample_balanced" -> sampleBalanced _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1347,7 +1348,35 @@ object StatsQueries {
         |SELECT n AS n_customers, round(hx, 6) AS h_x,
         |  round(hxy, 6) AS h_x_given_y,
         |  CASE WHEN hx > 0 THEN round((hx - hxy) / hx, 6) END AS theil_u
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    // Rates are exact-integer rationals (min-count / class-count — the
+    // same double both engines), the draw the exact md5 uniform; per
+    // class the realized keep count is an exact conditional sum.
+    "q_sample_balanced" ->
+      """WITH cls AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_class
+        |  FROM embeddings GROUP BY 1),
+        |mn AS (SELECT CAST(min(n_class) AS BIGINT) AS n_min FROM cls),
+        |kept AS (
+        |  SELECT e.label,
+        |    CASE WHEN (('0x' || substr(md5(e.vec_id::VARCHAR), 1, 8))
+        |        ::BIGINT + 0.5) / 4294967296.0
+        |        < CAST(mn.n_min AS DOUBLE) / CAST(c.n_class AS DOUBLE)
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM embeddings e
+        |  JOIN cls c ON c.label = e.label
+        |  CROSS JOIN mn)
+        |SELECT k.label, c.n_class,
+        |  round(CAST(mn.n_min AS DOUBLE) / CAST(c.n_class AS DOUBLE), 6)
+        |    AS keep_rate,
+        |  CAST(sum(k.keep) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(k.keep) AS DOUBLE) / CAST(c.n_class AS DOUBLE),
+        |    6) AS realized_rate
+        |FROM kept k
+        |JOIN cls c ON c.label = k.label
+        |CROSS JOIN mn
+        |GROUP BY k.label, c.n_class, mn.n_min
+        |ORDER BY k.label""".stripMargin
   )
 
   /** Moment statistics per return flag: stddev/variance and the
@@ -3100,5 +3129,47 @@ object StatsQueries {
           round(exp(col("cum_units").cast("double") / 1000000.0), 6))
           .otherwise(0.0).as("surv"))
       .orderBy("dur_days")
+  }
+
+  /** Class-balanced downsampling to the minority class (expected-count):
+    * per label, keep-rate = min-class-count / class-count, a row kept
+    * when its stable md5 uniform falls under the rate — the imbalance
+    * fix applied before contrastive/classifier training when the
+    * majority class would drown the loss. `q_sample_stratified` applies
+    * DECLARED per-stratum rates; here the rates are DERIVED from the
+    * observed class histogram (the usual production case), and per-label
+    * realized counts sit next to the planned rate for the audit.
+    *
+    * Expected-count, not exact-count, BY DESIGN: exact-k per class
+    * needs a per-class rank — a mega-group at corpus scale — while the
+    * binomial spread is √n-negligible at any real class size (the
+    * q_sample_replicate unbiasedness argument). Determinism: the rate
+    * is an exact-integer rational (the same double both engines), the
+    * draw the exact (h+0.5)/2³² uniform, the audit counts exact
+    * conditional sums. Scale: one keyed class-count agg, a 1-row min
+    * broadcast cross (PlanGuard allowlist), the ≤#labels plan joins
+    * back AQE-sized, and the thinning is scan-stage. */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val cls = embeddings(s, d).groupBy("label")
+      .agg(count(lit(1)).as("n_class"))
+    val mn = cls.agg(min("n_class").as("n_min"))
+    val plan = cls.crossJoin(broadcast(mn))
+    val u = (conv(substring(
+        md5(col("vec_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val rate = col("n_min").cast("double") / col("n_class").cast("double")
+    embeddings(s, d).join(plan, Seq("label"))
+      .select(col("label"), col("n_class"), col("n_min"),
+        when(u < rate, 1L).otherwise(0L).as("keep"))
+      .groupBy("label", "n_class", "n_min")
+      .agg(sum("keep").as("n_kept"))
+      .select(col("label"), col("n_class"),
+        round(col("n_min").cast("double")
+          / col("n_class").cast("double"), 6).as("keep_rate"),
+        col("n_kept"),
+        round(col("n_kept").cast("double")
+          / col("n_class").cast("double"), 6).as("realized_rate"))
+      .orderBy("label")
   }
 }

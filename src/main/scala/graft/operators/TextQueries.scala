@@ -1248,9 +1248,10 @@ object TextQueries {
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
   )
 
-  /** Normalized text column shared by dedup ops: lower, collapse runs of
-    * spaces, trim — byte-identical to the DuckDB side. */
-  private def normText(c: Column): Column =
+  /** Normalized text column shared by dedup ops (and the split-leakage
+    * audit in CurateQueries): lower, collapse runs of spaces, trim —
+    * byte-identical to the DuckDB side. */
+  private[operators] def normText(c: Column): Column =
     trim(regexp_replace(lower(c), " +", " "))
 
   private def toks(c: Column): Column = split(c, " ")

@@ -1639,6 +1639,77 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       "normalized strengths must sum to ~1")
   }
 
+  test("q_split_leakage: pair counts replay the norm-text split masks") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.replaceAll(" +", " ").trim))
+    def split(id: Long): Int = md5Hex(id.toString).head match {
+      case 'c' | 'd' => 1
+      case 'e' | 'f' => 2
+      case _ => 0
+    }
+    val byNorm = docs.groupBy(_._2).values.map { xs =>
+      val sp = xs.map(d => split(d._1))
+      (sp.count(_ == 0).toLong, sp.count(_ == 1).toLong,
+        sp.count(_ == 2).toLong)
+    }.toSeq
+    def pair(a: (Long, Long, Long) => Long, b: (Long, Long, Long) => Long)
+        : (Long, Long) = {
+      val hit = byNorm.filter(x => a.tupled(x) > 0 && b.tupled(x) > 0)
+      (hit.length.toLong, hit.map(x => x._1 + x._2 + x._3).sum)
+    }
+    val (tvG, tvD) = pair((t, _, _) => t, (_, v, _) => v)
+    val (ttG, ttD) = pair((t, _, _) => t, (_, _, s) => s)
+    val (vtG, vtD) = pair((_, v, _) => v, (_, _, s) => s)
+    val rows = graft.operators.CurateQueries.splitLeakage(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("pair")).toSeq ===
+      Seq("train_test", "train_val", "val_test"), "ordered pair rows")
+    val m = rows.map(r => r.getAs[String]("pair") ->
+      (r.getAs[Long]("n_shared_groups"),
+        r.getAs[Long]("n_docs_in_shared"))).toMap
+    assert(m("train_val") === ((tvG, tvD)), "train/val leakage")
+    assert(m("train_test") === ((ttG, ttD)), "train/test leakage")
+    assert(m("val_test") === ((vtG, vtD)), "val/test leakage")
+  }
+
+  test("q_sample_balanced: derived rates and kept counts replay the " +
+    "md5 thinning") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val cls = labels.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.length.toLong
+    }
+    val nMin = cls.values.min
+    val expected = labels.groupBy(_._2).map { case (l, xs) =>
+      val rate = nMin.toDouble / cls(l)
+      val kept = xs.count { case (id, _) =>
+        val h = java.lang.Long.parseLong(md5Hex(id.toString).take(8), 16)
+        (h.toDouble + 0.5) / 4294967296.0 < rate
+      }.toLong
+      l -> kept
+    }
+    val rows = graft.operators.StatsQueries.sampleBalanced(spark, sfDir)
+      .collect()
+    assert(rows.length === cls.size, "one row per label")
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert(r.getAs[Long]("n_class") === cls(l), s"label $l size")
+      assert(r.getAs[Double]("keep_rate") ===
+        rnd(nMin.toDouble / cls(l), 6))
+      assert(r.getAs[Long]("n_kept") === expected(l), s"label $l kept")
+      assert(r.getAs[Double]("realized_rate") ===
+        rnd(expected(l).toDouble / cls(l), 6))
+    }
+    // The minority class keeps everything (rate 1.0 ⇒ u < 1.0 always).
+    val minLabel = cls.minBy(_._2)._1
+    val minRow = rows.find(_.getAs[Int]("label") == minLabel).get
+    assert(minRow.getAs[Long]("n_kept") === nMin,
+      "the minority class must survive intact")
+  }
+
   test("q_graph_assortativity: r replays the exact degree-moment " +
     "formula") {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")

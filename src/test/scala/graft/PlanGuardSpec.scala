@@ -77,8 +77,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
                       // the 1-row moment frame
     "q_sample_replicate", // 1-row (T, Σ√t) scalar broadcast cross (the
                       // q_mix_epochs plan tree)
-    "q_eval_cluster_purity" // 1-row total/MI/entropy scalar broadcasts
+    "q_eval_cluster_purity", // 1-row total/MI/entropy scalar broadcasts
                       // onto the ≤8-row cluster frame
+    "q_sample_balanced" // 1-row minority-count broadcast cross (the
+                      // q_mix_epochs scalar pattern)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
