@@ -29,8 +29,97 @@ package graft
   * `pass_totals` lists ALL passes, `window` names the selected triple,
   * `pass_spread_pct`/`drift` describe the SELECTED window (what the
   * medians are computed from — the ≤2 % trust rule reads unchanged),
-  * and `full_spread_pct` keeps the whole-run spread visible. */
+  * and `full_spread_pct` keeps the whole-run spread visible.
+  *
+  * LOAD-GATED ADMISSION (round 13 — all thirteen round-12 runs were
+  * poisoned by an external tenant; passive windowing is exhausted):
+  * each timed pass is ADMITTED only when the box is quiet. Two
+  * admission paths, both logged and stamped into the artifact:
+  * (a) 1-min /proc/loadavg < SPARK_GRAFT_BENCH_LOAD_GATE (default
+  * 1.5) — the direct "nobody else is running" read; (b) five
+  * consecutive 1-second /proc/stat samples whose NON-SELF busy-CPU
+  * count is under the same gate — this admits while our OWN previous
+  * pass's load contribution is still decaying (1-min load has a 60 s
+  * time constant; waiting out our own decay would burn ~3 min per
+  * gate for no information). The spin-wait is bounded
+  * (SPARK_GRAFT_BENCH_GATE_TIMEOUT_S, default 600 s/pass) and a
+  * timeout admission is stamped as such — the artifact never hides
+  * that a pass started dirty. Set SPARK_GRAFT_BENCH_LOAD_GATE=off to
+  * disable (dev runs on a box you are deliberately sharing with a
+  * compile).
+  *
+  * PER-PASS TENANT ATTRIBUTION: around each timed pass the harness
+  * reads aggregate /proc/stat busy jiffies and /proc/self/stat
+  * utime+stime; `pass_ext_cpu_s[i]` = (Δbusy_total − Δself) / HZ is
+  * the CPU-seconds an external tenant burned DURING pass i — the
+  * difference between "self-flagged, cause unknown" and
+  * "self-flagged, external tenant measured 412 CPU-s in pass 3". */
 object Bench {
+  /** 1-minute load average; −1.0 when /proc is unreadable (non-Linux
+    * dev box) — gating degrades to immediate admission, stamped. */
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Aggregate busy jiffies (all CPUs): total minus idle minus iowait
+    * from the first line of /proc/stat. −1 when unreadable. */
+  private def busyJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
+    } catch { case _: Throwable => -1L }
+
+  /** This JVM's utime+stime jiffies (/proc/self/stat fields 14/15,
+    * 1-indexed; comm is parenthesized and may contain spaces, so parse
+    * from the LAST ')'). −1 when unreadable. */
+  private def selfJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      val line = try src.mkString finally src.close()
+      val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
+      // rest(0) is field 3 (state); utime/stime are fields 14/15.
+      rest(11).toLong + rest(12).toLong
+    } catch { case _: Throwable => -1L }
+
+  private val HZ = 100.0 // USER_HZ; Linux fixes this at 100 for /proc
+
+  /** Spin-wait (bounded) until the box is quiet; returns
+    * (loadAtAdmission, waitedSeconds, admittedBy). admittedBy ∈
+    * load | instant | timeout | unreadable | off. */
+  private def admitPass(gate: Double, timeoutS: Int,
+      pass: Int): (Double, Double, String) = {
+    val t0 = System.nanoTime()
+    def waited = (System.nanoTime() - t0) / 1e9
+    var quietStreak = 0
+    var iter = 0
+    while (true) {
+      val l = load1()
+      if (l < 0) return (l, waited, "unreadable")
+      if (l < gate) return (l, waited, "load")
+      // Non-self instantaneous busy CPUs over a 1 s sample: admits
+      // while our own just-finished pass's loadavg residue decays.
+      val b0 = busyJiffies(); val s0 = selfJiffies()
+      Thread.sleep(1000)
+      val db = busyJiffies() - b0; val ds = selfJiffies() - s0
+      val extBusyCpus =
+        if (b0 < 0 || s0 < 0) Double.MaxValue
+        else (db - ds).max(0L) / HZ
+      quietStreak = if (extBusyCpus < gate) quietStreak + 1 else 0
+      if (quietStreak >= 5) return (l, waited, "instant")
+      if (waited > timeoutS) return (l, waited, "timeout")
+      iter += 1
+      if (iter % 15 == 0)
+        System.err.println(f"[bench] pass $pass gate: load1=$l%.2f " +
+          f"ext_busy=$extBusyCpus%.2f cpus, waited ${waited}%.0f s")
+      Thread.sleep(1000)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -55,7 +144,25 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map[String, Array[Option[Double]]]()
     names.foreach(n => times(n) = Array.fill[Option[Double]](passes)(None))
+    val gateEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5")
+    val gateOn = !Set("off", "0", "false").contains(gateEnv.toLowerCase)
+    val gate = if (gateOn) gateEnv.toDouble else 0.0
+    val gateTimeoutS = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_GATE_TIMEOUT_S", "600").toInt
+    // Per-pass admission + tenant-attribution records, JSON-ready.
+    val gateRecs = scala.collection.mutable.ArrayBuffer[String]()
+    val extCpu = scala.collection.mutable.ArrayBuffer[Double]()
+    val selfCpu = scala.collection.mutable.ArrayBuffer[Double]()
     val passTotals = (1 to passes).map { pass =>
+      val (admitLoad, waitS, admitBy) =
+        if (gateOn) admitPass(gate, gateTimeoutS, pass)
+        else (load1(), 0.0, "off")
+      if (admitBy == "timeout")
+        System.err.println(f"[bench] pass $pass admitted by TIMEOUT at " +
+          f"load1=$admitLoad%.2f after $waitS%.0f s — pass starts dirty")
+      gateRecs += f"""{"load":$admitLoad%.2f,"wait_s":$waitS%.1f,""" +
+        s""""by":"$admitBy"}"""
+      val b0 = busyJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (name, fn) =>
         val q0 = System.nanoTime()
@@ -70,7 +177,12 @@ object Bench {
         // memory pressure (the round-7 drift — see releaseTransient).
         Harness.releaseTransient(spark)
       }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val db = busyJiffies() - b0; val ds = selfJiffies() - s0
+      selfCpu += (if (s0 < 0) -1.0 else math.rint(ds / HZ * 10) / 10)
+      extCpu += (if (b0 < 0 || s0 < 0) -1.0
+                 else math.rint((db - ds).max(0L) / HZ * 10) / 10)
+      wall
     }
     def spreadOf(ts: Seq[Double]): Double =
       if (ts.size < 2 || ts.min <= 0) 0.0
@@ -132,7 +244,11 @@ object Bench {
     val driftJson =
       s""""pass_spread_pct":$spreadPct,"full_spread_pct":$fullSpreadPct,""" +
         s""""window":[${winStart + 1},${winStart + winLen}],""" +
-        s""""drift":"$drift""""
+        s""""drift":"$drift",""" +
+        s""""load_gate":${if (gateOn) gate.toString else "null"},""" +
+        s""""pass_gate":${gateRecs.mkString("[", ",", "]")},""" +
+        s""""pass_ext_cpu_s":${extCpu.mkString("[", ",", "]")},""" +
+        s""""pass_self_cpu_s":${selfCpu.mkString("[", ",", "]")}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""passes":$passes,"runs":$runs,""" +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -314,11 +314,13 @@ object FeatureQueries {
         |    CASE WHEN n - c < 1 THEN 1.0
         |      ELSE 1.0 - CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE)
         |    END AS p1,
-        |    CASE WHEN n < 5 THEN NULL WHEN n - c < 5 THEN 1.0
+        |    CASE WHEN n < 5 OR n > 80 THEN NULL
+        |      WHEN n - c < 5 THEN 1.0
         |      ELSE 1.0 - CAST(${ffSql("n - c", 5)} AS DOUBLE)
         |        / CAST(${ffSql("n", 5)} AS DOUBLE)
         |    END AS p5,
-        |    CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0
+        |    CASE WHEN n < 10 OR n > 80 THEN NULL
+        |      WHEN n - c < 10 THEN 1.0
         |      ELSE 1.0 - CAST(${ffSql("n - c", 10)} AS DOUBLE)
         |        / CAST(${ffSql("n", 10)} AS DOUBLE)
         |    END AS p10
@@ -406,8 +408,8 @@ object FeatureQueries {
         |  FROM part GROUP BY 1),
         |sc AS (
         |  SELECT p_brand, n,
-        |    -ln(-ln((('0x' || substr(md5(p_brand), 1, 8))::BIGINT + 0.5)
-        |      / 4294967296.0)) AS g
+        |    -ln(round(-ln((('0x' || substr(md5(p_brand), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0) * 1.0e12, 0) / 1.0e12) AS g
         |  FROM cnt),
         |r AS (
         |  SELECT p_brand, n, round(g, 4) AS noise,
@@ -792,8 +794,9 @@ object FeatureQueries {
     * Exactness: TPC-H order fan-out per customer is BOUNDED by
     * construction (≤ ~41 at every scale factor), so (n)₁₀ ≤ 41¹⁰ ≈
     * 1.3e16 fits a long exactly — both engines divide the same two
-    * exact integers ONCE (under ANSI an impossible overflow would fail
-    * loud, never corrupt). Per-k eligibility is declared honestly:
+    * exact integers ONCE. The bound is now ENFORCED, not just prose:
+    * n > 80 (where (n)₁₀ approaches BIGINT overflow) → NULL on the
+    * k ≥ 5 paths in both engines. Per-k eligibility is declared honestly:
     * n < k → the estimator is undefined → NULL, excluded from the mean
     * (count(uₖ) is the eligible denominator); n−c < k → every k-subset
     * hits a success → exactly 1. Per-problem values are quantized to
@@ -811,7 +814,14 @@ object FeatureQueries {
         .otherwise(lit(1.0) - ff(col("n") - col("c"), k).cast("double")
           / ff(col("n"), k).cast("double"))
       if (k == 1) base
-      else when(col("n") < k, lit(null).cast("double")).otherwise(base)
+      // n > 80 → NULL enforces the no-overflow bound IN CODE (round-12
+      // advice): (n)₁₀ overflows BIGINT near n ≈ 85, and the "TPC-H
+      // fan-out ≤ ~41" argument was empirical prose. TPC-H never
+      // produces such a customer, so the cut changes no fixture row;
+      // on data that does, the estimator reads "ineligible" instead of
+      // failing in the ANSI overflow path.
+      else when(col("n") < k || col("n") > 80, lit(null).cast("double"))
+        .otherwise(base)
     }
     def units(k: Int) = round(passK(k) * 1000000, 0).cast("long")
     pc.join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
@@ -922,7 +932,17 @@ object FeatureQueries {
     val h = conv(substring(md5(col("p_brand").cast("binary")), 1, 8),
       16, 10).cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
-    val g = -log(-log(u))
+    // The inner −ln(u) is quantized to 1e-12 units BEFORE the outer ln
+    // (round-12 advice): chaining two libm calls stretches the single-
+    // libm-inside-a-rounding-barrier discipline — a 1-ulp cross-engine
+    // difference in the inner ln would feed the outer ln and could flip
+    // the 4dp rounding (and hence the released set) at boundary values.
+    // u is never 0 or 1 (power-of-two divisor), so −ln(u) ≥ ~1.2e-10 and
+    // the quantized value stays strictly positive — the outer ln is
+    // always finite. Same per-term pattern as q_mix_dro /
+    // q_eval_cluster_purity.
+    val innerQ = round(-log(u) * lit(1.0e12), 0) / lit(1.0e12)
+    val g = -log(innerQ)
     cnt.select(col("p_brand"), col("n"), round(g, 4).as("noise"),
         round(col("n").cast("double") + g, 4).as("noisy"))
       .withColumn("rank", row_number()
@@ -950,16 +970,83 @@ object FeatureQueries {
     * Scale: the pair self-join is keyed on the order (groups ≤ 7
     * lineitems by TPC-H construction → ≤ C(7,2) pairs per order — a
     * bounded keyed equi-join, never corpus²); the corpus collapses
-    * ONCE into the ≤ |brands|²-row (winner, loser) count matrix
-    * (localCheckpoint — ~10 consumers across rounds), and all five MM
-    * rounds iterate on catalog-bounded frames with lineage cut per
-    * round (the q_embed_kmeans discipline). Determinism: wins/games
-    * exact integers; per-pair denominator terms quantized to 1e-9
-    * units BEFORE the per-brand sum, raw strengths quantized to su
-    * units before the normalization window, s re-quantized 9dp per
-    * round — every round's inputs are engine-identical, so the
-    * unrolled-CTE twin replays the iteration exactly. */
+    * ONCE into the ≤ |brands|²-row (winner, loser) count matrix, and
+    * the five MM rounds run as an [[IterOps]] DRIVER FOLD over that
+    * collected matrix (round 13 — the bounded-frame iteration
+    * primitive): the distributed round loop paid tiny-frame join +
+    * localCheckpoint job overhead ×5 (~3 s of pure scheduling at any
+    * SF; it made this the suite's most expensive query at ~3.9 s).
+    * The collect is catalog-bounded (≤ |brands|·(|brands|−1) rows —
+    * 600 at TPC-H's 25 brands — enforced by collectBounded at 10 000),
+    * the same driver-hop class as the RankOps census. Determinism:
+    * wins/games exact integers; per-pair denominator terms quantized
+    * to 1e-9 units (sparkRound — Catalyst Round semantics) BEFORE the
+    * per-brand LONG sum (order-independent), raw strengths quantized
+    * to su units, s re-quantized 9dp per round — the fold transcribes
+    * the distributed expression tree in evaluation order, so the
+    * unrolled-CTE twin still replays the iteration exactly, and
+    * PropertySpec pins fold ≡ [[evalBradleyTerryDistributed]]. */
   def evalBradleyTerry(s: SparkSession, d: String): DataFrame = {
+    import IterOps.{sparkRound, roundUnits}
+    val rows = IterOps.collectBounded(btPairCounts(s, d), 10000,
+      "q_eval_bradley_terry (winner, loser) count matrix " +
+        "(bound: |brand catalog|² = 625 at every TPC-H SF)")
+    val nij: Map[(String, String), Long] =
+      rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // games: symmetrized pair totals — exact long sums.
+    val g = scala.collection.mutable.HashMap[(String, String), Long]()
+      .withDefaultValue(0L)
+    nij.foreach { case ((i, j), n) => g((i, j)) += n; g((j, i)) += n }
+    val brands = g.keysIterator.map(_._1).toSeq.distinct.sorted
+    val wins: Map[String, Long] = brands.map { b =>
+      b -> nij.iterator.collect { case ((`b`, _), n) => n }.sum
+    }.toMap
+    var sMap: Map[String, Double] = brands.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      // den_units(i) = Σⱼ round(g/(sᵢ+sⱼ)·1e9) — longs, exact sum.
+      val den: Map[String, Long] = brands.map { i =>
+        i -> g.iterator.collect { case ((`i`, j), gij) =>
+          roundUnits(gij.toDouble / (sMap(i) + sMap(j)) * 1.0e9)
+        }.sum
+      }.toMap
+      val su: Map[String, Long] = brands.map { i =>
+        i -> roundUnits((wins(i).toDouble * 1.0e9 / den(i).toDouble)
+          * 1.0e9)
+      }.toMap
+      val sumSu = su.valuesIterator.sum
+      sMap = brands.map(i =>
+        i -> sparkRound(su(i).toDouble / sumSu.toDouble, 9)).toMap
+    }
+    val gt: Map[String, Long] = brands.map { b =>
+      b -> g.iterator.collect { case ((`b`, _), n) => n }.sum
+    }.toMap
+    // row_number over (s DESC, brand ASC) — brands are ASCII, so Scala
+    // string order matches Spark's binary UTF8 order.
+    val ranked = brands
+      .sortBy(b => (sMap(b), b))(Ordering.Tuple2(
+        Ordering[Double].reverse, Ordering[String]))
+      .zipWithIndex
+      .map { case (b, idx) =>
+        Row((idx + 1).toLong, b, wins(b), gt(b), sparkRound(sMap(b), 6))
+      }
+    IterOps.localRelation(s, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("brand",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("wins",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("games",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("strength",
+        org.apache.spark.sql.types.DoubleType, nullable = false))), ranked)
+  }
+
+  /** The ONE corpus stage of Bradley–Terry: lineitem⋈part brand/price
+    * frame → per-order pair self-join → (winner, loser) count matrix
+    * (≤ |brands|² rows). Shared by the driver fold and the distributed
+    * reference form. */
+  private def btPairCounts(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .join(part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
@@ -973,14 +1060,24 @@ object FeatureQueries {
     val aWins = col("cents_a") > col("cents_b") ||
       (col("cents_a") === col("cents_b") &&
         col("brand_a") < col("brand_b"))
-    val nij = a.join(b, Seq("ok"))
+    a.join(b, Seq("ok"))
       .filter(col("ln_a") < col("ln_b") &&
         col("brand_a") =!= col("brand_b"))
       .select(when(aWins, col("brand_a")).otherwise(col("brand_b"))
           .as("wi"),
         when(aWins, col("brand_b")).otherwise(col("brand_a")).as("lj"))
       .groupBy("wi", "lj").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+  }
+
+  /** The pre-round-13 DISTRIBUTED MM loop, kept as the reference form
+    * the PropertySpec fold-equivalence law replays against
+    * [[evalBradleyTerry]]'s driver fold (same hashes by construction —
+    * the fold transcribes this expression tree). Not registered: its
+    * five rounds of tiny-frame join + localCheckpoint jobs are the
+    * ~3 s fixed overhead the fold removes. */
+  private[graft] def evalBradleyTerryDistributed(
+      s: SparkSession, d: String): DataFrame = {
+    val nij = btPairCounts(s, d).localCheckpoint()
     val games = nij.select(col("wi").as("i"), col("lj").as("j"), col("n"))
       .union(nij.select(col("lj").as("i"), col("wi").as("j"), col("n")))
       .groupBy("i", "j").agg(sum("n").as("g"))

@@ -706,11 +706,17 @@ object SimilarityQueries {
         |  FROM (SELECT threshold, unnest([v1, v2]) AS v FROM x)
         |  GROUP BY 1),
         |tot AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings)
-        |SELECT pc.threshold, pc.n_pairs, dc.n_docs_affected,
-        |  round(CAST(dc.n_docs_affected AS DOUBLE)
+        |  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings),
+        |base AS (
+        |  SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[])
+        |    AS threshold)
+        |SELECT base.threshold,
+        |  coalesce(pc.n_pairs, 0) AS n_pairs,
+        |  coalesce(dc.n_docs_affected, 0) AS n_docs_affected,
+        |  round(CAST(coalesce(dc.n_docs_affected, 0) AS DOUBLE)
         |    / CAST(n_corpus AS DOUBLE), 4) AS affected_frac
-        |FROM pc JOIN dc USING (threshold), tot
+        |FROM base LEFT JOIN pc USING (threshold)
+        |  LEFT JOIN dc USING (threshold), tot
         |ORDER BY threshold""".stripMargin,
     // Lists ride the shared BM25 chain and the q_sim_topk cosine tree;
     // weights are exact decimal literals of 0.9^k; per-depth terms
@@ -1908,6 +1914,7 @@ object SimilarityQueries {
     * exact integers; thresholds are exact double literals shared by
     * both frames' join key. */
   def dedupSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val thr = array((4 to 9).map(t => lit(t / 10.0)): _*)
     val x = embedPairs(s, d)
       .select(explode(thr).as("threshold"), col("v1"), col("v2"),
@@ -1920,10 +1927,19 @@ object SimilarityQueries {
       .groupBy("threshold")
       .agg(count_distinct(col("v")).as("n_docs_affected"))
     val tot = embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
-    pc.join(dc, Seq("threshold"))
+    // Anchor on the declared 6-row threshold list so a threshold that
+    // retains ZERO pairs still appears (n_pairs = 0) — the sweep's whole
+    // point is the knee of the curve, and "this cut keeps nothing" is
+    // exactly the row a reader needs; an inner join silently dropped it
+    // (round-12 advice).
+    val base = (4 to 9).map(t => t / 10.0).toDF("threshold")
+    base.join(pc, Seq("threshold"), "left")
+      .join(dc, Seq("threshold"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("threshold"), col("n_pairs"), col("n_docs_affected"),
-        round(col("n_docs_affected").cast("double")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        round(coalesce(col("n_docs_affected"), lit(0L)).cast("double")
           / col("n_corpus").cast("double"), 4).as("affected_frac"))
       .orderBy("threshold")
   }
@@ -1945,7 +1961,17 @@ object SimilarityQueries {
     * quantized to 1e-9 units before the cumulative window. Scale: two
     * corpus-linear list builds, then every frame is ≤10 rows — the
     * declared ≤100-element non-equi depth join is the q_ts_theilsen
-    * bounded-frame precedent (PlanGuard allowlist). */
+    * bounded-frame precedent (PlanGuard allowlist).
+    *
+    * ID-SPACE ASSUMPTION (stand-in data caveat, like MediaOps' decode
+    * kernel): the overlap join `lb.vec_id = la.doc_id` treats the BM25
+    * list's doc_ids (documents table) and the cosine list's vec_ids
+    * (embeddings table) as ONE id space — true of the synthetic fixture,
+    * where embeddings.vec_id IS the embedded document's doc_id. On a
+    * corpus where the two id ranges diverge the overlap (and hence RBO)
+    * degenerates to 0 without signalling it; a production deployment
+    * must key both lists off the same table (or join embeddings back to
+    * their source doc ids) before comparing. */
   def evalRbo(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Both cuts are TakeOrdered LIMITs; the rank windows run on the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,12 +66,14 @@ object TextQueries {
     "q_text_novelty"     -> textNovelty _,
     "q_text_codeswitch"  -> textCodeswitch _,
     "q_text_winnowing"   -> textWinnowing _,
+    "q_dedup_spans"      -> dedupSpans _,
     "q_text_nfc"         -> textNfc _,
     "q_text_span_mask"   -> textSpanMask _,
     "q_text_keyness"     -> textKeyness _,
     "q_text_jsd"         -> textJsd _,
     "q_eval_kappa"       -> evalKappa _,
     "q_bpe_apply"        -> bpeApply _,
+    "q_bpe_train"        -> bpeTrain _,
     "q_text_hapax"       -> textHapax _,
     "q_text_len_budget"  -> textLenBudget _,
     "q_text_garbage"     -> textGarbage _,
@@ -357,6 +359,29 @@ object TextQueries {
     // The Spark fold replayed as four sequential recursive CTEs carrying
     // the symbol LIST (w0 -> w4); the merge table is the same census
     // top-4 met by one cross join; pure string/array ops throughout.
+    // Training twin: top-1000 vocab, then 10 chained census→argmax→
+    // merge rounds (bpeTrainRoundSql); a pairless round's mm row is
+    // all-NULL and filtered from the output on both engines.
+    "q_bpe_train" -> (
+      """WITH RECURSIVE wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 1 GROUP BY 1),
+        |v0 AS (SELECT word, freq FROM wf
+        |       ORDER BY freq DESC, word LIMIT 1000),
+        |w0 AS MATERIALIZED (
+        |  SELECT word, freq, CAST(length(word) AS BIGINT) AS n,
+        |    list_transform(range(1, length(word) + 1),
+        |      i -> word[i:i]) AS syms
+        |  FROM v0),""".stripMargin
+        + "\n" + (1 to 10).map(bpeTrainRoundSql).mkString(",\n") + "\n"
+        + "SELECT * FROM (\n"
+        + (1 to 10).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged," +
+              s" n FROM mm$r WHERE a IS NOT NULL")
+          .mkString("\nUNION ALL\n")
+        + "\n) ORDER BY round"),
     "q_bpe_apply" -> (
       """WITH RECURSIVE wf AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1001,6 +1026,51 @@ object TextQueries {
         |    + ln(2.0) * (CAST(n - nl - bmass AS DOUBLE)
         |      / CAST(n - nl AS DOUBLE))) / 2.0, 4) AS jsd
         |FROM agg ORDER BY lang""".stripMargin,
+    // Span-dedup twin: same gram digests (md5 of the space-joined
+    // 8-token window), first-owner = min doc_id over distinct owners,
+    // marked positions unioned as a DISTINCT set, reconstruction via
+    // DuckDB's 1-based indexed lambda (Spark's 0-based `idx + 1`
+    // mirrors it). array_to_string of an empty list is NULL in DuckDB
+    // where Spark's array_join gives '' — hence the coalesce.
+    "q_dedup_spans" ->
+      """WITH toksq AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+        |    md5(array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)],
+        |      ' ')) AS g
+        |  FROM toksq, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |own AS (
+        |  SELECT g, min(doc_id) AS first_doc
+        |  FROM (SELECT DISTINCT doc_id, g FROM occ)
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT o.doc_id, o.p FROM occ o JOIN own w ON w.g = o.g
+        |  WHERE o.doc_id <> w.first_doc),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+        |  FROM marked GROUP BY 1),
+        |rmpos AS (
+        |  SELECT DISTINCT doc_id, p + j AS pos
+        |  FROM marked, unnest(range(1, 9)) AS v(j)),
+        |rm AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+        |    list(pos) AS rp
+        |  FROM rmpos GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  coalesce(h.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(r.n_removed, 0) AS n_removed,
+        |  round(CAST(len(d.t) - coalesce(r.n_removed, 0) AS DOUBLE)
+        |    / CAST(len(d.t) AS DOUBLE), 6) AS kept_frac,
+        |  coalesce(array_to_string(list_transform(list_filter(
+        |    list_transform(d.t, (tok, i) -> struct_pack(tok := tok,
+        |      i := i)),
+        |    x -> NOT coalesce(list_contains(r.rp, x.i), FALSE)),
+        |    y -> y.tok), ' '), '') AS dedup_text
+        |FROM toksq d LEFT JOIN hits h USING (doc_id)
+        |  LEFT JOIN rm r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1437,6 +1507,43 @@ object TextQueries {
        |    CAST(len(out) + 1 AS BIGINT) AS n
        |  FROM rec$r WHERE i = n)""".stripMargin
 
+  /** One TRAINING round of the q_bpe_train oracle: census over the
+    * working symbol lists, argmax pair via min-struct (count DESC, then
+    * (a, b) lexicographic — struct field order is the tie rule), then
+    * the bpeRoundSql-style merge walk against the COMPUTED pair. The
+    * cen/mm/w CTEs are MATERIALIZED: without the barriers the 10-deep
+    * recursive chain re-evaluates every upstream round per reference
+    * (prototyped: hang at depth 10 vs 0.4 s with barriers). */
+  private def bpeTrainRoundSql(r: Int): String =
+    s"""cen$r AS MATERIALIZED (
+       |  SELECT x.syms[CAST(i AS INT)] AS a,
+       |    x.syms[CAST(i + 1 AS INT)] AS b,
+       |    CAST(sum(x.freq) AS BIGINT) AS n
+       |  FROM w${r - 1} x, unnest(range(1, x.n)) AS u$r(i)
+       |  GROUP BY 1, 2),
+       |mm$r AS MATERIALIZED (
+       |  SELECT (s).a AS a, (s).b AS b, CAST(-(s).nm AS BIGINT) AS n
+       |  FROM (SELECT min(struct_pack(nm := -n, a := a, b := b)) AS s
+       |        FROM cen$r)),
+       |rec$r AS (
+       |  SELECT x.word, x.freq, x.n, x.syms, CAST(1 AS BIGINT) AS i,
+       |    x.syms[1] AS pending, CAST([] AS VARCHAR[]) AS out
+       |  FROM w${r - 1} x
+       |  UNION ALL
+       |  SELECT x.word, x.freq, x.n, x.syms, i + 1,
+       |    CASE WHEN m.a IS NOT NULL AND pending = m.a
+       |           AND x.syms[CAST(i + 1 AS INT)] = m.b
+       |         THEN pending || x.syms[CAST(i + 1 AS INT)]
+       |         ELSE x.syms[CAST(i + 1 AS INT)] END,
+       |    CASE WHEN m.a IS NOT NULL AND pending = m.a
+       |           AND x.syms[CAST(i + 1 AS INT)] = m.b
+       |         THEN out ELSE list_append(out, pending) END
+       |  FROM rec$r x, mm$r m WHERE i < x.n),
+       |w$r AS MATERIALIZED (
+       |  SELECT word, freq, CAST(len(out) + 1 AS BIGINT) AS n,
+       |    list_append(out, pending) AS syms
+       |  FROM rec$r WHERE i = n)""".stripMargin
+
   /** One left-to-right merge pass over a symbol array: adjacent (a, b)
     * becomes the concatenated symbol, the merged symbol re-enters as
     * `pending` (so it can chain only if it equals `a` again — the
@@ -1515,6 +1622,99 @@ object TextQueries {
         round(col("n_chars").cast("double")
           / size(col("syms")).cast("double"), 4).as("compression"))
       .orderBy("word")
+  }
+
+  /** Left-to-right BPE merge pass over a symbol array — the exact
+    * semantics of [[bpeMergePass]] (merged symbol re-enters as pending
+    * so it can chain), in plain Scala for [[bpeTrain]]'s driver fold. */
+  private def bpeMergeLocal(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var pending = syms(0)
+    var i = 1
+    while (i < syms.length) {
+      val x = syms(i)
+      if (pending == a && x == b) pending = pending + x
+      else { out += pending; pending = x }
+      i += 1
+    }
+    out += pending
+    out.toArray
+  }
+
+  /** BPE vocabulary TRAINING (10 rounds of argmax-pair + re-pair) —
+    * the actual tokenizer-training kernel: `q_bpe_pairs` counts one
+    * round's candidates and `q_bpe_apply` applies a GIVEN merge list;
+    * this learns the list. Each round counts frequency-weighted
+    * adjacent symbol pairs over the working vocabulary, selects the
+    * argmax pair (count DESC, then (a, b) lexicographic — the exact
+    * tie rule both engines replay), merges it everywhere, and repeats
+    * on the CHANGED pair landscape — the sequential dependence that
+    * makes this the second consumer of the [[IterOps]] bounded-frame
+    * iteration primitive.
+    *
+    * THE BOUND (collectBounded precondition): training runs on the
+    * TOP-1000 words by (freq DESC, word) — a DECLARED config bound,
+    * the standard frequency-truncated trainer (pair mass concentrates
+    * in the head; GPT-2-class BPE trains on word counts, not the raw
+    * stream). The corpus is touched exactly ONCE (the word-count
+    * shuffle + TakeOrdered 1000); the 10-round recurrence then runs on
+    * a ≤1000-row frame whose per-round cost is microseconds driver-side
+    * vs ~0.6-0.8 s of tiny-frame job overhead per distributed round.
+    *
+    * Determinism: counts are exact long sums; the argmax tie-break is
+    * total; merge passes are pure string ops (ASCII fixture, the
+    * MediaSql caveat). The DuckDB twin replays the identical 10 rounds
+    * as chained recursive CTEs with MATERIALIZED barriers (without
+    * them the 10-deep chain re-evaluates upstream rounds — measured
+    * hang at round depth 10, 0.4 s with barriers). A round with no
+    * pairs left emits nothing and later rounds no-op (null merge
+    * flushes) — both engines agree. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(1000)
+    val rows = IterOps.collectBounded(vocab, 1000,
+      "q_bpe_train working vocabulary (declared config bound: " +
+        "TakeOrdered 1000)")
+    var state: Array[(Array[String], Long)] =
+      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[Row]()
+    for (round <- 1 to 10) {
+      val cnt = scala.collection.mutable
+        .HashMap[(String, String), Long]().withDefaultValue(0L)
+      state.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          cnt((syms(i), syms(i + 1))) += f
+          i += 1
+        }
+      }
+      if (cnt.nonEmpty) {
+        val ((a, b), n) = cnt.minBy { case ((pa, pb), pn) =>
+          (-pn, pa, pb)
+        }
+        merges += Row(round.toLong, a, b, a + b, n)
+        state = state.map { case (syms, f) =>
+          (bpeMergeLocal(syms, a, b), f)
+        }
+      }
+    }
+    IterOps.localRelation(s, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("merged",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+      merges.toSeq)
   }
 
   /** Hashing-trick text vectorization: each document's token counts
@@ -2635,6 +2835,82 @@ object TextQueries {
           col("n_grams").cast("double"), 6).as("density"),
         round(col("n_shared").cast("double") /
           col("n_selected").cast("double"), 6).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document exact-substring SPAN dedup (the RefinedWeb/Gopher
+    * "remove duplicated spans corpus-wide" pass, at w = 8 tokens): every
+    * 8-token span appearing in ≥ 2 distinct documents keeps its FIRST
+    * owner (min doc_id) and is EXCISED from every other document — this
+    * operator EMITS the deduplicated corpus, where `q_dup_span_frac`
+    * only measures within-pair overlap and `q_text_winnowing` only
+    * fingerprints. Overlapping hit spans union naturally (token
+    * positions are marked, then subtracted as a set); per-doc audit
+    * columns carry the span-hit count, tokens removed, and kept
+    * fraction next to the surviving text.
+    *
+    * Scale shape (the suffix-array-free formulation): gram explode is
+    * scan-stage; the cross-doc pass is ONE (gram-digest → min-doc,
+    * doc-count) map-side-combined shuffle over md5-narrowed keys — the
+    * q_dedup_ngram postings discipline, never an all-pairs join — and
+    * only grams with ≥ 2 distinct owners flow into the gram-keyed mark
+    * join. Span subtraction is doc-local array surgery (collect_set of
+    * marked positions is bounded by the document's own length, the
+    * q_text_pack per-doc-array precedent). At 100 TB the production
+    * swaps are md5 → xxhash64 digests and w·stride winnowing sampling
+    * of the mark space (both noted in q_text_winnowing's scaladoc);
+    * the plan shape is unchanged by either.
+    *
+    * Determinism: token positions are exact integers; first-owner is a
+    * min; the surviving text is a pure positional filter — no floats
+    * except the final exact-rational kept_frac rounding. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    // Feeds the gram pipeline AND the final reconstruction join — one
+    // materialization (the winnowing lineage-cut discipline).
+    val t = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .localCheckpoint()
+    val occ = t.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(ngrams(col("t"), w)).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"),
+        md5(col("gram").cast("binary")).as("g"))
+      .localCheckpoint()
+    val own = occ.select("doc_id", "g").distinct()
+      .groupBy("g")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val marked = occ.join(own, Seq("g"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), col("p"))
+      .localCheckpoint()
+    val hits = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"))
+    // 1-based token positions covered by any marked span (p is the
+    // 0-based gram index, so the span is tokens p+1 .. p+w).
+    val rm = marked
+      .select(col("doc_id"),
+        explode(sequence(col("p") + 1, col("p") + lit(w))).as("pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("rp"))
+    t.join(hits, Seq("doc_id"), "left")
+      .join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(size(col("rp")), lit(0)).cast("long").as("n_removed"),
+        col("t"), col("rp"))
+      .withColumn("rp2", coalesce(col("rp"), array().cast("array<int>")))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("n_removed"),
+        round((col("n_tokens") - col("n_removed")).cast("double")
+          / col("n_tokens").cast("double"), 6).as("kept_frac"),
+        array_join(
+          expr("transform(filter(transform(t, (tok, idx) -> " +
+            "struct(tok AS tok, idx + 1 AS i)), " +
+            "x -> NOT array_contains(rp2, x.i)), y -> y.tok)"), " ")
+          .as("dedup_text"))
       .orderBy("doc_id")
   }
 

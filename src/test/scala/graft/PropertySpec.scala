@@ -641,4 +641,153 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("dedup_spans: reconstruction identity + independent full replay") {
+    import spark.implicits._
+    val out = graft.operators.TextQueries.dedupSpans(spark, sfDir)
+      .collect()
+    // Identity: the surviving text has exactly n_tokens − n_removed
+    // tokens (array_join of an empty keep-list is '', which splits to
+    // [""], hence the special case).
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val rm = r.getAs[Long]("n_removed")
+      val txt = r.getAs[String]("dedup_text")
+      val kept = if (txt.isEmpty) 0L else txt.split(" ", -1).length.toLong
+      assert(kept === n - rm,
+        s"doc ${r.getLong(0)}: kept $kept != $n - $rm")
+      assert(rm <= n)
+      val hits = r.getAs[Long]("n_dup_spans")
+      assert((hits == 0L) === (rm == 0L),
+        s"doc ${r.getLong(0)}: hits $hits vs removed $rm")
+    }
+    // Independent replay: recompute the whole operator from the raw
+    // fixture in plain Scala (grams → first-owner → position-set
+    // subtraction) and pin full equality per doc.
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.map { case (d, t) => d -> t.split(" ", -1) }.toMap
+    val occ = toks.toSeq.flatMap { case (d, tl) =>
+      if (tl.length >= 8)
+        (0 to tl.length - 8).map(p => (d, p, tl.slice(p, p + 8)
+          .mkString(" ")))
+      else Seq.empty
+    }
+    val owners = occ.groupBy(_._3).collect {
+      case (g, os) if os.map(_._1).distinct.size >= 2 =>
+        g -> os.map(_._1).min
+    }
+    val expect = docs.map { case (d, _) =>
+      val tl = toks(d)
+      val markedP = occ.filter(o => o._1 == d &&
+        owners.get(o._3).exists(_ != d)).map(_._2)
+      val rp = markedP.flatMap(p => (p + 1) to (p + 8)).toSet
+      val kept = tl.zipWithIndex.collect {
+        case (tok, i) if !rp.contains(i + 1) => tok }
+      d -> ((tl.length.toLong, markedP.size.toLong, rp.size.toLong,
+        kept.mkString(" ")))
+    }.toMap
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val got = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("dedup_text"))
+      assert(got === expect(d), s"doc $d diverged from replay")
+    }
+    assert(out.exists(_.getAs[Long]("n_removed") > 0L),
+      "fixture has no cross-doc shared 8-token span — every assertion " +
+        "above was vacuously clean; lower w or pick another fixture")
+  }
+
+  test("bpe_train: independent replay of the 10-round merge selection") {
+    // Re-derive the merge list with a from-scratch implementation over
+    // the same top-1000 vocabulary and pin full equality — the fold's
+    // census/argmax/merge loop verified against an independent coding.
+    val vocab = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        split(col("text"), " ")).as("word"))
+      .filter(org.apache.spark.sql.functions.length(col("word")) >= 1)
+      .groupBy("word")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(1000)
+      .collect()
+    var state = vocab.map(r =>
+      (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+    val exp = scala.collection.mutable.ArrayBuffer[(Long, String, String,
+      String, Long)]()
+    for (round <- 1 to 10) {
+      val cnt = scala.collection.mutable.HashMap[(String, String), Long]()
+      state.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(x, y) =>
+            cnt((x, y)) = cnt.getOrElse((x, y), 0L) + f
+          case _ => ()
+        }
+      }
+      if (cnt.nonEmpty) {
+        val ((a, b), n) = cnt.toSeq.sortBy { case ((x, y), m) =>
+          (-m, x, y) }.head
+        exp += ((round.toLong, a, b, a + b, n))
+        state = state.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var pending = syms.head
+          syms.tail.foreach { x =>
+            if (pending == a && x == b) pending = pending + x
+            else { out += pending; pending = x }
+          }
+          out += pending
+          (out.toVector, f)
+        }
+      }
+    }
+    val got = graft.operators.TextQueries.bpeTrain(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === exp.toSeq, "bpe_train diverged from independent replay")
+    assert(got.nonEmpty, "fixture produced no merges — vacuous")
+  }
+
+  test("IterOps fold law: Bradley-Terry driver fold ≡ distributed MM") {
+    // The round-13 bounded-frame iteration primitive's exactness
+    // contract: the driver fold must transcribe the distributed
+    // expression tree bit for bit (IterOps.sparkRound = Catalyst Round,
+    // long sums order-independent). Full-row equality, not approximate.
+    val fold = graft.operators.FeatureQueries
+      .evalBradleyTerry(spark, sfDir).collect().toSeq
+    val dist = graft.operators.FeatureQueries
+      .evalBradleyTerryDistributed(spark, sfDir).collect().toSeq
+    assert(fold === dist,
+      "driver fold diverged from the distributed MM reference")
+  }
+
+  test("IterOps.sparkRound matches Catalyst round() on adversarial values") {
+    import spark.implicits._
+    // Half-way values, values whose shortest-decimal form differs from
+    // their binary expansion, and the scales the fold uses (0, 9, 6).
+    val xs = Seq(0.5, 1.5, 2.5, -0.5, -1.5, 0.285, 1.0050000000000001,
+      12345.6789012345, 1e-9, 123456789.4999999, 0.0405, 2.675,
+      5e-10, 1.0 / 3.0, 0.1 + 0.2)
+    for (scale <- Seq(0, 4, 6, 9)) {
+      val got = xs.map(graft.operators.IterOps.sparkRound(_, scale))
+      val exp = xs.toDF("x")
+        .select(round(col("x"), scale)).collect().map(_.getDouble(0)).toSeq
+      assert(got === exp, s"scale=$scale: sparkRound diverged from " +
+        "Catalyst Round")
+    }
+  }
+
+  test("IterOps.collectBounded enforces the dimension bound loudly") {
+    val big = Tables.lineitem(spark, sfDir).select("l_orderkey")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.IterOps.collectBounded(big, 10, "test frame")
+    }
+    assert(e.getMessage.contains("bounded-frame precondition violated"))
+    // In-bounds frames come back whole.
+    val ok = graft.operators.IterOps.collectBounded(
+      Tables.nation(spark, sfDir), 100, "nation")
+    assert(ok.length === 25)
+  }
+
 }
