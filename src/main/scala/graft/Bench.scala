@@ -33,27 +33,49 @@ package graft
   *
   * LOAD-GATED ADMISSION (round 13 — all thirteen round-12 runs were
   * poisoned by an external tenant; passive windowing is exhausted):
-  * each timed pass is ADMITTED only when the box is quiet. Two
-  * admission paths, both logged and stamped into the artifact:
-  * (a) 1-min /proc/loadavg < SPARK_GRAFT_BENCH_LOAD_GATE (default
-  * 1.5) — the direct "nobody else is running" read; (b) five
-  * consecutive 1-second /proc/stat samples whose NON-SELF busy-CPU
-  * count is under the same gate — this admits while our OWN previous
-  * pass's load contribution is still decaying (1-min load has a 60 s
-  * time constant; waiting out our own decay would burn ~3 min per
-  * gate for no information). The spin-wait is bounded
-  * (SPARK_GRAFT_BENCH_GATE_TIMEOUT_S, default 600 s/pass) and a
-  * timeout admission is stamped as such — the artifact never hides
-  * that a pass started dirty. Set SPARK_GRAFT_BENCH_LOAD_GATE=off to
-  * disable (dev runs on a box you are deliberately sharing with a
-  * compile).
+  * each timed pass is ADMITTED only when the box is quiet. Passive
+  * stage, both paths logged and stamped: (a) 1-min /proc/loadavg <
+  * SPARK_GRAFT_BENCH_LOAD_GATE (default 1.5) — the direct "nobody
+  * else is running on this VM" read; (b) five consecutive 1-second
+  * /proc/stat samples whose NON-SELF busy-CPU count is under the same
+  * gate — this admits while our OWN previous pass's load contribution
+  * is still decaying (1-min load has a 60 s time constant; waiting
+  * out our own decay would burn ~3 min per gate for no information).
+  * ACTIVE stage: the passive gates CANNOT see a hypervisor neighbor —
+  * steal time is only charged while our vCPUs are runnable, so an
+  * idle-box probe reads quiet no matter how loaded the host is (the
+  * two first round-13 runs: admission clean, then 370-650 CPU-s of
+  * steal inside the pass). A 2 s all-core busy-spin [[stealProbe]]
+  * demands the cpus and measures what the host actually delivers;
+  * admission additionally requires steal < gate/2 (quiet-slot floor
+  * measured ~0.3-0.4 stolen cpus, noisy slot 1.0-2.3). The spin-wait
+  * is bounded (SPARK_GRAFT_BENCH_GATE_TIMEOUT_S, default 600 s/pass)
+  * and a timeout admission is stamped as such — the artifact never
+  * hides that a pass started dirty. Set SPARK_GRAFT_BENCH_LOAD_GATE=
+  * off to disable (dev runs on a box you are deliberately sharing
+  * with a compile).
+  *
+  * RETRY-ON-CONTAMINATION: admission probing is necessary but not
+  * sufficient — the neighbor bursts MID-pass (run 3: every admission
+  * probed 0.01-0.07 stolen cpus, then passes 3-5 lost 258-683 CPU-s
+  * while the clean passes measured ~12). A pass whose steal RATE
+  * exceeds gate/6 (default 0.25 stolen cpus; clean floor ~0.05,
+  * poisoned ≥ ~1 — two orders apart) is discarded and re-run, bounded
+  * by SPARK_GRAFT_BENCH_PASS_RETRIES (default 2) per pass with a
+  * shared global budget. Every discarded attempt is stamped in
+  * `pass_discarded` (total, steal) — contamination control with the
+  * exclusion criterion external, objective, and auditable.
   *
   * PER-PASS TENANT ATTRIBUTION: around each timed pass the harness
   * reads aggregate /proc/stat busy jiffies and /proc/self/stat
   * utime+stime; `pass_ext_cpu_s[i]` = (Δbusy_total − Δself) / HZ is
-  * the CPU-seconds an external tenant burned DURING pass i — the
-  * difference between "self-flagged, cause unknown" and
-  * "self-flagged, external tenant measured 412 CPU-s in pass 3". */
+  * the CPU-seconds an external tenant burned DURING pass i, and
+  * `pass_steal_s` / `pass_iowait_s` split the diagnosis: steal ≈ ext
+  * means a host-level neighbor (unfixable from here — wait for a
+  * quiet slot), process-busy means something on this VM, iowait means
+  * shared-disk contention. The difference between "self-flagged,
+  * cause unknown" and "self-flagged, neighbor VM stole 559 CPU-s in
+  * pass 2". */
 object Bench {
   /** 1-minute load average; −1.0 when /proc is unreadable (non-Linux
     * dev box) — gating degrades to immediate admission, stamped. */
@@ -63,15 +85,40 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
-  /** Aggregate busy jiffies (all CPUs): total minus idle minus iowait
-    * from the first line of /proc/stat. −1 when unreadable. */
-  private def busyJiffies(): Long =
+  /** First-line /proc/stat fields (user nice system idle iowait irq
+    * softirq steal …); empty when unreadable. */
+  private def statFields(): Array[Long] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       val line = try src.getLines().next() finally src.close()
-      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
-    } catch { case _: Throwable => -1L }
+      line.trim.split("\\s+").drop(1).map(_.toLong)
+    } catch { case _: Throwable => Array.empty[Long] }
+
+  /** Aggregate busy jiffies (all CPUs): total minus idle minus iowait —
+    * NOTE this includes STEAL (field 8), so ext-CPU attribution catches
+    * hypervisor neighbors as well as same-VM processes; [[stealJiffies]]
+    * and [[iowaitJiffies]] split the diagnosis (round 13: the 11:00-slot
+    * run measured idle-box steal ~0.6 CPUs — a host-level tenant that
+    * same-VM process accounting would never see). −1 when unreadable. */
+  private def busyJiffies(): Long = {
+    val f = statFields()
+    if (f.isEmpty) -1L
+    else f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
+  }
+
+  /** Hypervisor steal jiffies (runnable but not scheduled on the host).
+    * −1 when unreadable. */
+  private def stealJiffies(): Long = {
+    val f = statFields()
+    if (f.length > 7) f(7) else -1L
+  }
+
+  /** I/O-wait jiffies — shared-disk contention shows here and in wall
+    * time while leaving CPU attribution clean. −1 when unreadable. */
+  private def iowaitJiffies(): Long = {
+    val f = statFields()
+    if (f.length > 4) f(4) else -1L
+  }
 
   /** This JVM's utime+stime jiffies (/proc/self/stat fields 14/15,
     * 1-indexed; comm is parenthesized and may contain spaces, so parse
@@ -87,34 +134,80 @@ object Bench {
 
   private val HZ = 100.0 // USER_HZ; Linux fixes this at 100 for /proc
 
+  /** ACTIVE steal probe (round 13): hypervisor steal is only accounted
+    * while our vCPUs are RUNNABLE — an idle box can never see the
+    * co-located neighbor, which is exactly why both round-13 passive
+    * gates admitted passes that then lost 370-650 CPU-s to steal
+    * (pass_steal_s ≈ pass_ext_cpu_s in the 11:00-slot artifacts; iowait
+    * ~1.5 s — the tenant is a neighboring VM, not a process here). The
+    * probe DEMANDS the cpus for `ms` (busy-spin on all of them) and
+    * returns the steal rate the host actually charges under load —
+    * stolen CPUs, comparable to the loadavg gate value. */
+  private def stealProbe(cpus: Int, ms: Long): Double = {
+    val st0 = stealJiffies()
+    if (st0 < 0) return -1.0
+    val t0 = System.nanoTime()
+    val end = t0 + ms * 1000000L
+    val threads = (1 to cpus).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (System.nanoTime() < end) { x += 1 }
+        if (x == Long.MinValue) println(x) // keep the loop un-elidable
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    (stealJiffies() - st0).max(0L) / HZ / dt
+  }
+
   /** Spin-wait (bounded) until the box is quiet; returns
-    * (loadAtAdmission, waitedSeconds, admittedBy). admittedBy ∈
-    * load | instant | timeout | unreadable | off. */
+    * (loadAtAdmission, stealProbeCpus, waitedSeconds, admittedBy).
+    * admittedBy ∈ load+steal | instant+steal | timeout | unreadable |
+    * off. Two-stage admission: (1) the passive gates (loadavg, or five
+    * consecutive quiet non-self busy samples while our own load residue
+    * decays) catch same-VM contention; (2) the ACTIVE [[stealProbe]]
+    * catches the hypervisor neighbor the passive gates cannot see —
+    * both must agree before a pass starts. */
   private def admitPass(gate: Double, timeoutS: Int,
-      pass: Int): (Double, Double, String) = {
+      pass: Int): (Double, Double, Double, String) = {
     val t0 = System.nanoTime()
     def waited = (System.nanoTime() - t0) / 1e9
     var quietStreak = 0
     var iter = 0
     while (true) {
       val l = load1()
-      if (l < 0) return (l, waited, "unreadable")
-      if (l < gate) return (l, waited, "load")
-      // Non-self instantaneous busy CPUs over a 1 s sample: admits
-      // while our own just-finished pass's loadavg residue decays.
-      val b0 = busyJiffies(); val s0 = selfJiffies()
-      Thread.sleep(1000)
-      val db = busyJiffies() - b0; val ds = selfJiffies() - s0
-      val extBusyCpus =
-        if (b0 < 0 || s0 < 0) Double.MaxValue
-        else (db - ds).max(0L) / HZ
-      quietStreak = if (extBusyCpus < gate) quietStreak + 1 else 0
-      if (quietStreak >= 5) return (l, waited, "instant")
-      if (waited > timeoutS) return (l, waited, "timeout")
+      if (l < 0) return (l, -1.0, waited, "unreadable")
+      var passive: String = null
+      if (l < gate) passive = "load"
+      else {
+        // Non-self instantaneous busy CPUs over a 1 s sample: admits
+        // while our own just-finished pass's loadavg residue decays.
+        val b0 = busyJiffies(); val s0 = selfJiffies()
+        Thread.sleep(1000)
+        val db = busyJiffies() - b0; val ds = selfJiffies() - s0
+        val extBusyCpus =
+          if (b0 < 0 || s0 < 0) Double.MaxValue
+          else (db - ds).max(0L) / HZ
+        quietStreak = if (extBusyCpus < gate) quietStreak + 1 else 0
+        if (quietStreak >= 5) passive = "instant"
+      }
+      if (passive != null) {
+        val cpus = Runtime.getRuntime.availableProcessors()
+        val sp = stealProbe(cpus, 2000)
+        // Probe threshold: the measured quiet-slot steal floor is
+        // ~0.3-0.4 CPUs and the noisy slot runs 1.0-2.3; half the gate
+        // (default 0.75) separates them.
+        if (sp < 0 || sp < gate / 2) return (l, sp, waited, passive + "+steal")
+        quietStreak = 0 // neighbor active: re-earn the passive quiet too
+        System.err.println(f"[bench] pass $pass gate: steal probe " +
+          f"$sp%.2f cpus (>= ${gate / 2}%.2f), waiting")
+      }
+      if (waited > timeoutS) return (l, -1.0, waited, "timeout")
       iter += 1
       if (iter % 15 == 0)
         System.err.println(f"[bench] pass $pass gate: load1=$l%.2f " +
-          f"ext_busy=$extBusyCpus%.2f cpus, waited ${waited}%.0f s")
+          f"waited ${waited}%.0f s")
       Thread.sleep(1000)
     }
     throw new IllegalStateException("unreachable")
@@ -153,36 +246,82 @@ object Bench {
     val gateRecs = scala.collection.mutable.ArrayBuffer[String]()
     val extCpu = scala.collection.mutable.ArrayBuffer[Double]()
     val selfCpu = scala.collection.mutable.ArrayBuffer[Double]()
+    val stealS = scala.collection.mutable.ArrayBuffer[Double]()
+    val iowaitS = scala.collection.mutable.ArrayBuffer[Double]()
+    // RETRY-ON-CONTAMINATION (round 13, run-3 lesson): the steal probe
+    // admits at the neighbor's idle floor (0.01-0.07 cpus measured) and
+    // the neighbor then bursts MID-pass (683 CPU-s inside pass 3 of a
+    // run whose every admission probed clean). A pass whose measured
+    // steal rate exceeds the threshold is a CORRUPTED TRIAL — the
+    // exclusion criterion is external, objective, and stamped below
+    // (`pass_discarded`), so discarding is contamination control, not
+    // cherry-picking: the clean floor reads ~0.05 stolen cpus and a
+    // poisoned pass ≥ ~1, two orders apart. Retries are bounded
+    // (SPARK_GRAFT_BENCH_PASS_RETRIES per pass, default 2, shared
+    // global budget of the same size × passes) — a neighbor that never
+    // relents still yields a finished, self-flagged artifact.
+    val stealRateMax = gate / 6 // 1.5 → 0.25 stolen cpus
+    val maxRetries = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_PASS_RETRIES", "2").toInt.max(0)
+    var retryBudget = maxRetries * passes
+    val discarded = scala.collection.mutable.ArrayBuffer[String]()
     val passTotals = (1 to passes).map { pass =>
-      val (admitLoad, waitS, admitBy) =
-        if (gateOn) admitPass(gate, gateTimeoutS, pass)
-        else (load1(), 0.0, "off")
-      if (admitBy == "timeout")
-        System.err.println(f"[bench] pass $pass admitted by TIMEOUT at " +
-          f"load1=$admitLoad%.2f after $waitS%.0f s — pass starts dirty")
-      gateRecs += f"""{"load":$admitLoad%.2f,"wait_s":$waitS%.1f,""" +
-        s""""by":"$admitBy"}"""
-      val b0 = busyJiffies(); val s0 = selfJiffies()
-      val t0 = System.nanoTime()
-      SparkEntry.queries.foreach { case (name, fn) =>
-        val q0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          times(name)(pass - 1) = Some((System.nanoTime() - q0) / 1e9)
-        } catch { case t: Throwable =>
-          System.err.println(s"[bench] $name failed: ${t.getMessage}")
+      var recorded = -1.0
+      var done = false
+      while (!done) {
+        val (admitLoad, admitSteal, waitS, admitBy) =
+          if (gateOn) admitPass(gate, gateTimeoutS, pass)
+          else (load1(), -1.0, 0.0, "off")
+        if (admitBy == "timeout")
+          System.err.println(f"[bench] pass $pass admitted by TIMEOUT " +
+            f"at load1=$admitLoad%.2f after $waitS%.0f s — starts dirty")
+        val b0 = busyJiffies(); val s0 = selfJiffies()
+        val st0 = stealJiffies(); val io0 = iowaitJiffies()
+        val t0 = System.nanoTime()
+        val attempt = scala.collection.mutable
+          .Map[String, Double]()
+        SparkEntry.queries.foreach { case (name, fn) =>
+          val q0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            attempt(name) = (System.nanoTime() - q0) / 1e9
+          } catch { case t: Throwable =>
+            System.err.println(s"[bench] $name failed: ${t.getMessage}")
+          }
+          // Outside the per-query timer: each invocation's dead
+          // localCheckpoint blocks must not become the NEXT query's
+          // memory pressure (the round-7 drift — see releaseTransient).
+          Harness.releaseTransient(spark)
         }
-        // Outside the per-query timer: each invocation's dead
-        // localCheckpoint blocks must not become the NEXT query's
-        // memory pressure (the round-7 drift — see releaseTransient).
-        Harness.releaseTransient(spark)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val db = busyJiffies() - b0; val ds = selfJiffies() - s0
+        val dst = if (st0 < 0) -1.0 else (stealJiffies() - st0) / HZ
+        val stealRate = if (dst < 0) -1.0 else dst / wall
+        val dirty = gateOn && stealRate > stealRateMax && retryBudget > 0
+        if (dirty) {
+          retryBudget -= 1
+          discarded += f"""{"pass":$pass,"total":$wall%.1f,""" +
+            f""""steal_s":$dst%.1f,"steal_cpus":$stealRate%.2f}"""
+          System.err.println(f"[bench] pass $pass DISCARDED: steal " +
+            f"$dst%.1f CPU-s ($stealRate%.2f cpus > $stealRateMax%.2f)" +
+            f" — retrying (${retryBudget} retries left)")
+        } else {
+          attempt.foreach { case (n, t) => times(n)(pass - 1) = Some(t) }
+          gateRecs += f"""{"load":$admitLoad%.2f,""" +
+            f""""steal":$admitSteal%.2f,"wait_s":$waitS%.1f,""" +
+            f""""by":"$admitBy"}"""
+          selfCpu += (if (s0 < 0) -1.0 else math.rint(ds / HZ * 10) / 10)
+          extCpu += (if (b0 < 0 || s0 < 0) -1.0
+                     else math.rint((db - ds).max(0L) / HZ * 10) / 10)
+          stealS += (if (dst < 0) -1.0 else math.rint(dst * 10) / 10)
+          iowaitS += (if (io0 < 0) -1.0
+                      else math.rint((iowaitJiffies() - io0) / HZ * 10)
+                        / 10)
+          recorded = wall
+          done = true
+        }
       }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val db = busyJiffies() - b0; val ds = selfJiffies() - s0
-      selfCpu += (if (s0 < 0) -1.0 else math.rint(ds / HZ * 10) / 10)
-      extCpu += (if (b0 < 0 || s0 < 0) -1.0
-                 else math.rint((db - ds).max(0L) / HZ * 10) / 10)
-      wall
+      recorded
     }
     def spreadOf(ts: Seq[Double]): Double =
       if (ts.size < 2 || ts.min <= 0) 0.0
@@ -248,7 +387,10 @@ object Bench {
         s""""load_gate":${if (gateOn) gate.toString else "null"},""" +
         s""""pass_gate":${gateRecs.mkString("[", ",", "]")},""" +
         s""""pass_ext_cpu_s":${extCpu.mkString("[", ",", "]")},""" +
-        s""""pass_self_cpu_s":${selfCpu.mkString("[", ",", "]")}"""
+        s""""pass_self_cpu_s":${selfCpu.mkString("[", ",", "]")},""" +
+        s""""pass_steal_s":${stealS.mkString("[", ",", "]")},""" +
+        s""""pass_iowait_s":${iowaitS.mkString("[", ",", "]")},""" +
+        s""""pass_discarded":${discarded.mkString("[", ",", "]")}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""passes":$passes,"runs":$runs,""" +

@@ -713,8 +713,9 @@ object SimilarityQueries {
         |SELECT base.threshold,
         |  coalesce(pc.n_pairs, 0) AS n_pairs,
         |  coalesce(dc.n_docs_affected, 0) AS n_docs_affected,
-        |  round(CAST(coalesce(dc.n_docs_affected, 0) AS DOUBLE)
-        |    / CAST(n_corpus AS DOUBLE), 4) AS affected_frac
+        |  CASE WHEN n_corpus = 0 THEN NULL
+        |    ELSE round(CAST(coalesce(dc.n_docs_affected, 0) AS DOUBLE)
+        |      / CAST(n_corpus AS DOUBLE), 4) END AS affected_frac
         |FROM base LEFT JOIN pc USING (threshold)
         |  LEFT JOIN dc USING (threshold), tot
         |ORDER BY threshold""".stripMargin,
@@ -1939,8 +1940,13 @@ object SimilarityQueries {
       .select(col("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
-        round(coalesce(col("n_docs_affected"), lit(0L)).cast("double")
-          / col("n_corpus").cast("double"), 4).as("affected_frac"))
+        // Empty corpus: the threshold rows still exist (that is the
+        // point of the left join) but 0/0 is undefined — NULL, not an
+        // ANSI divide-by-zero throw.
+        when(col("n_corpus") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            coalesce(col("n_docs_affected"), lit(0L)).cast("double")
+              / col("n_corpus").cast("double"), 4)).as("affected_frac"))
       .orderBy("threshold")
   }
 

@@ -79,6 +79,7 @@ object TextQueries {
     "q_text_garbage"     -> textGarbage _,
     "q_text_instruct"    -> textInstruct _,
     "q_eval_bleu"        -> evalBleu _,
+    "q_eval_rouge"       -> evalRouge _,
     "q_eval_perplexity"  -> evalPerplexity _
   )
 
@@ -359,6 +360,46 @@ object TextQueries {
     // The Spark fold replayed as four sequential recursive CTEs carrying
     // the symbol LIST (w0 -> w4); the merge table is the same census
     // top-4 met by one cross join; pure string/array ops throughout.
+    // ROUGE-L twin: the LCS DP replayed as a recursive CTE carrying the
+    // row vector; new[j] = max(prev[j], max_{k<=j}(prev[k-1] + eq(k)))
+    // removes the within-row sequential dependence. Bounded 50-pair
+    // eval set, 40-token truncation — identical on the Spark side.
+    "q_eval_rouge" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT c.doc_id, string_split(c.text, ' ')[1:40] AS a,
+        |    string_split(r.text, ' ')[1:40] AS b
+        |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+        |  WHERE c.doc_id < 50),
+        |rec AS (
+        |  SELECT doc_id, a, b,
+        |    list_transform(range(1, len(b) + 1), x -> 0) AS p,
+        |    CAST(0 AS BIGINT) AS i
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT doc_id, a, b,
+        |    list_transform(range(1, len(b) + 1), j ->
+        |      greatest(p[CAST(j AS INT)],
+        |        list_max(list_transform(range(1, j + 1), k ->
+        |          (CASE WHEN k = 1 THEN 0
+        |           ELSE p[CAST(k - 1 AS INT)] END)
+        |          + (CASE WHEN a[CAST(i + 1 AS INT)] = b[CAST(k AS INT)]
+        |             THEN 1 ELSE 0 END))))) AS p,
+        |    i + 1 AS i
+        |  FROM rec WHERE i < len(a)),
+        |done AS (
+        |  SELECT doc_id, CAST(len(a) AS BIGINT) AS n_cand,
+        |    CAST(len(b) AS BIGINT) AS n_ref,
+        |    CAST(CASE WHEN len(b) = 0 THEN 0 ELSE p[len(b)] END
+        |      AS BIGINT) AS lcs
+        |  FROM rec WHERE i = len(a))
+        |SELECT doc_id, n_cand, n_ref, lcs,
+        |  round(CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+        |    AS rouge_p,
+        |  round(CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE), 6)
+        |    AS rouge_r,
+        |  round(2.0 * CAST(lcs AS DOUBLE) / CAST(n_cand + n_ref
+        |    AS DOUBLE), 6) AS rouge_f1
+        |FROM done ORDER BY doc_id""".stripMargin,
     // Training twin: top-1000 vocab, then 10 chained census→argmax→
     // merge rounds (bpeTrainRoundSql); a pairless round's mm row is
     // all-NULL and filtered from the output on both engines.
@@ -3250,6 +3291,78 @@ object TextQueries {
         score.as("instruct_score"),
         (score >= 3).as("instruct"))
       .orderBy("doc_id")
+  }
+
+  /** ROUGE-L between adjacent-document pairs on a BOUNDED eval set
+    * (candidate = docs 0..49, reference = doc_id+1, both truncated to
+    * their first 40 tokens): token-level LCS length, precision
+    * LCS/|cand|, recall LCS/|ref|, and F1 — THE summarization /
+    * generation-overlap metric next to `q_eval_bleu`'s n-gram
+    * precision (BLEU rewards exact n-gram runs; ROUGE-L rewards
+    * in-order coverage with gaps, which is what summary eval needs).
+    *
+    * THE BOUND IS THE SEMANTICS: generation eval runs on an EVAL SET —
+    * config-bounded by nature, never corpus-scaled (the
+    * `q_contamination_embed` benchmark-side precedent). That makes the
+    * O(|a|·|b|) LCS dynamic program a bounded 50×40×40 computation and
+    * this the third [[IterOps]] consumer: the pair frame collects
+    * (collectBounded 50) and the DP folds driver-side in exact integer
+    * arithmetic. F1 is computed from the EXACT integers
+    * (2·LCS/(|a|+|b|) ≡ 2pr/(p+r) — no compounded rounding); all three
+    * ratios round 6dp via sparkRound. The DuckDB twin replays the DP
+    * as a recursive CTE carrying the row vector, with new[j] =
+    * max(prev[j], max_{k≤j}(prev[k−1] + eq(k))) — the prefix-max form
+    * that removes the within-row sequential dependence (prototyped
+    * exact vs the classic DP). */
+  def evalRouge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cand = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), slice(toks(col("text")), 1, 40).as("a"))
+    val ref = docs
+      .select((col("doc_id") - 1).as("doc_id"),
+        slice(toks(col("text")), 1, 40).as("b"))
+    val rows = IterOps.collectBounded(cand.join(ref, Seq("doc_id")), 50,
+      "q_eval_rouge eval set (declared bound: doc_id < 50)")
+    val out = rows.sortBy(_.getLong(0)).map { r =>
+      val a = r.getSeq[String](1).toArray
+      val b = r.getSeq[String](2).toArray
+      val m = b.length
+      var prev = new Array[Int](m + 1)
+      var i = 0
+      while (i < a.length) {
+        val cur = new Array[Int](m + 1)
+        var j = 1
+        while (j <= m) {
+          val diag = prev(j - 1) + (if (a(i) == b(j - 1)) 1 else 0)
+          cur(j) = math.max(math.max(prev(j), cur(j - 1)), diag)
+          j += 1
+        }
+        prev = cur
+        i += 1
+      }
+      val l = prev(m).toLong
+      val (nc, nr) = (a.length.toLong, b.length.toLong)
+      Row(r.getLong(0), nc, nr, l,
+        IterOps.sparkRound(l.toDouble / nc.toDouble, 6),
+        IterOps.sparkRound(l.toDouble / nr.toDouble, 6),
+        IterOps.sparkRound(2.0 * l.toDouble / (nc + nr).toDouble, 6))
+    }
+    IterOps.localRelation(s, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_cand",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_ref",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lcs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rouge_p",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rouge_r",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rouge_f1",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+      out.toIndexedSeq)
   }
 
   /** Corpus BLEU between adjacent-document pairs (candidate = doc,

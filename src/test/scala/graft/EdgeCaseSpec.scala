@@ -1553,10 +1553,12 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     } yield (vecs(i)._1, vecs(j)._1, c)
     val rows = graft.operators.SimilarityQueries.dedupSweep(spark, sfDir)
       .collect()
-    val present = (4 to 9).map(_ / 10.0)
-      .filter(t => pairs.exists(_._3 >= t))
-    assert(rows.map(_.getAs[Double]("threshold")).toSeq === present,
-      "one row per threshold that retains at least one pair")
+    // Round-13 contract (ADVICE fix): EVERY declared threshold appears,
+    // zero-retention ones with explicit zeros — a reader must be able
+    // to tell "this cut keeps nothing" from "this cut was not run".
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ===
+      (4 to 9).map(_ / 10.0),
+      "one row per declared threshold, zero-pair cuts included")
     rows.foreach { r =>
       val t = r.getAs[Double]("threshold")
       val keep = pairs.filter(_._3 >= t)

@@ -749,6 +749,39 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty, "fixture produced no merges — vacuous")
   }
 
+  test("eval_rouge: LCS fold replays an independent memoized LCS") {
+    // Different algorithm (top-down memoized recursion) against the
+    // operator's bottom-up DP — catches transcription slips in either.
+    def lcsMemo(a: Array[String], b: Array[String]): Int = {
+      val memo = scala.collection.mutable.HashMap[(Int, Int), Int]()
+      def go(i: Int, j: Int): Int =
+        if (i == 0 || j == 0) 0
+        else memo.getOrElseUpdate((i, j),
+          if (a(i - 1) == b(j - 1)) go(i - 1, j - 1) + 1
+          else math.max(go(i - 1, j), go(i, j - 1)))
+      go(a.length, b.length)
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.TextQueries.evalRouge(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val a = docs(d).split(" ", -1).take(40)
+      val b = docs(d + 1).split(" ", -1).take(40)
+      val l = lcsMemo(a, b).toLong
+      assert(r.getAs[Long]("lcs") === l, s"doc $d LCS")
+      assert(r.getAs[Long]("n_cand") === a.length.toLong)
+      assert(r.getAs[Long]("n_ref") === b.length.toLong)
+      val f1 = r.getAs[Double]("rouge_f1")
+      assert(f1 === graft.operators.IterOps.sparkRound(
+        2.0 * l / (a.length + b.length), 6), s"doc $d F1")
+      assert(f1 >= 0.0 && f1 <= 1.0)
+    }
+  }
+
   test("IterOps fold law: Bradley-Terry driver fold ≡ distributed MM") {
     // The round-13 bounded-frame iteration primitive's exactness
     // contract: the driver fold must transcribe the distributed
