@@ -61,10 +61,13 @@ package graft
   * while the clean passes measured ~12). A pass whose steal RATE
   * exceeds gate/6 (default 0.25 stolen cpus; clean floor ~0.05,
   * poisoned ≥ ~1 — two orders apart) is discarded and re-run, bounded
-  * by SPARK_GRAFT_BENCH_PASS_RETRIES (default 2) per pass with a
-  * shared global budget. Every discarded attempt is stamped in
-  * `pass_discarded` (total, steal) — contamination control with the
-  * exclusion criterion external, objective, and auditable.
+  * by a GLOBAL retry budget of SPARK_GRAFT_BENCH_PASS_RETRIES
+  * (default 2) × passes, shared across passes (a quiet-then-noisy run
+  * spends it where the noise is; once exhausted, passes record
+  * as-measured and the artifact self-flags). Every discarded attempt
+  * is stamped in `pass_discarded` (total, steal) — contamination
+  * control with the exclusion criterion external, objective, and
+  * auditable.
   *
   * PER-PASS TENANT ATTRIBUTION: around each timed pass the harness
   * reads aggregate /proc/stat busy jiffies and /proc/self/stat
