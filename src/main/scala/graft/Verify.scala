@@ -25,15 +25,6 @@ object Verify {
     }
     val spark = Harness.session()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-      Harness.releaseTransient(spark)
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,10 +37,30 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The manifest is static — write it BEFORE the multi-minute query
+    // sweep. Round 13's kill-yields-nothing lesson: a run that dies
+    // mid-sweep must still leave oracle_sql.json plus every parquet
+    // written so far, so the driver's compare sees a partial result
+    // instead of an empty round.
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    var done = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (keep(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        done += 1
+        if (done % 50 == 0)
+          System.err.println(s"[verify] $done queries dumped")
+      }
+      Harness.releaseTransient(spark)
+    }
+    System.err.println(s"[verify] complete: $done queries dumped")
     spark.stop()
   }
 }

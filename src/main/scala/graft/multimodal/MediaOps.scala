@@ -118,6 +118,31 @@ object MediaOps {
     }
   }
 
+  /** Per-frame energy: decode every frame and fold it to one Long (sum
+    * of unsigned bytes) INSIDE the decode kernel — the envelope a VAD /
+    * silence-trim stage consumes. The frame bytes never leave the
+    * mapPartitions task: at 100 TB the shuffle carries (media_id,
+    * frame_idx, energy) triples, three orders of magnitude smaller than
+    * the decoded frames themselves. A real kernel computes RMS over PCM
+    * samples here; the fold shape (iterator-in/iterator-out, one codec
+    * init per partition, scalar out) is identical. */
+  def frameEnergy(media: Dataset[MediaRow],
+      frameLen: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // (real kernel: open codec context here, once per partition)
+      rows.flatMap { m =>
+        (0 until m.meta.nFrames).iterator.map { f =>
+          val fr = fakeDecodeFrame(m.payload, f, frameLen)
+          var e = 0L
+          var i = 0
+          while (i < fr.length) { e += fr(i) & 0xff; i += 1 }
+          (m.media_id, f, e)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "energy")
+  }
+
   /** Resize: pure metadata transform (target dims recorded; payload
     * untouched until a decode stage consumes it — lazy resize, the only
     * sane contract at 100 TB where most media is filtered out before any
@@ -138,7 +163,8 @@ object MediaQueries {
     "q_multimodal_frames"   -> multimodalFrames _,
     "q_multimodal_ann"      -> multimodalAnn _,
     "q_multimodal_dedup"    -> multimodalDedup _,
-    "q_multimodal_pairs"    -> multimodalPairs _
+    "q_multimodal_pairs"    -> multimodalPairs _,
+    "q_multimodal_vad"      -> multimodalVad _
   )
 
   /** Twin-SQL generator for the FAKE DECODE KERNEL: `fakeDecodeFrame`'s
@@ -355,7 +381,69 @@ object MediaQueries {
         |  CAST(min(media_id) AS BIGINT) AS first_media,
         |  CAST(sum(cap_chars) AS BIGINT) AS sum_cap_chars
         |FROM paired GROUP BY kind, verdict
-        |ORDER BY kind, verdict""".stripMargin
+        |ORDER BY kind, verdict""".stripMargin,
+    // The q_multimodal_frames recursive kernel replay, audio subset,
+    // EVERY frame, accumulating the unsigned-byte sum (the energy
+    // envelope) instead of the hex digest; then mean-threshold activity
+    // and islands-and-gaps segment stats — all exact integers after the
+    // one avg() double division both engines compute identically from
+    // exact long sums.
+    "q_multimodal_vad" ->
+      """WITH RECURSIVE
+        |media AS (
+        |  SELECT doc_id AS media_id,
+        |    hex(encode(text)) AS ph,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+        |    CAST((n_chars % 16) + 1 AS BIGINT) AS nframes
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT media_id, ph, plen,
+        |    CAST(unnest(range(0, nframes)) AS BIGINT) AS frame_idx
+        |  FROM media),
+        |step AS (
+        |  SELECT media_id, frame_idx, ph, plen, CAST(0 AS BIGINT) AS i,
+        |    CAST(1125899906842597 AS HUGEINT) + frame_idx * 31 AS h,
+        |    CAST(0 AS BIGINT) AS es
+        |  FROM f
+        |  UNION ALL
+        |  SELECT media_id, frame_idx, ph, plen, i + 1 AS i, hn AS h,
+        |    es + CAST((hn // 16777216) % 256 AS BIGINT) AS es
+        |  FROM (
+        |    SELECT *,
+        |      (((CAST(31 AS HUGEINT) * h + bv)
+        |          % CAST(18446744073709551616 AS HUGEINT))
+        |        + CAST(18446744073709551616 AS HUGEINT))
+        |        % CAST(18446744073709551616 AS HUGEINT) AS hn
+        |    FROM (
+        |      SELECT *, CASE WHEN plen = 0 THEN 0
+        |                     WHEN ub > 127 THEN ub - 256 ELSE ub END AS bv
+        |      FROM (
+        |        SELECT *, CASE WHEN plen = 0 THEN 0
+        |          ELSE CAST(('0x' || substr(ph,
+        |            CAST((i % plen) * 2 + 1 AS BIGINT), 2)) AS BIGINT)
+        |          END AS ub
+        |        FROM step WHERE i < 64) a) b) c),
+        |fr AS (SELECT media_id, frame_idx, es AS energy
+        |       FROM step WHERE i = 64),
+        |stats AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |          avg(energy) AS me FROM fr GROUP BY 1),
+        |act AS (SELECT f2.media_id, f2.frame_idx,
+        |    f2.frame_idx - row_number()
+        |      OVER (PARTITION BY f2.media_id ORDER BY f2.frame_idx)
+        |      AS grp
+        |  FROM fr f2 JOIN stats s USING (media_id)
+        |  WHERE f2.energy > s.me),
+        |segs AS (SELECT media_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM act GROUP BY 1, 2),
+        |agg AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(len) AS BIGINT) AS n_active, max(len) AS longest_seg
+        |  FROM segs GROUP BY 1)
+        |SELECT s.media_id, s.n_frames,
+        |  coalesce(a.n_active, CAST(0 AS BIGINT)) AS n_active,
+        |  coalesce(a.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+        |  coalesce(a.longest_seg, CAST(0 AS BIGINT)) AS longest_seg
+        |FROM stats s LEFT JOIN agg a USING (media_id)
+        |ORDER BY media_id""".stripMargin
   )
 
   /** Metadata + fingerprint scan with a metadata predicate — demonstrates
@@ -505,5 +593,51 @@ object MediaQueries {
         min("media_id").as("first_media"),
         sum("cap_chars").as("sum_cap_chars"))
       .orderBy("kind", "verdict")
+  }
+
+  /** Voice-activity detection over the audio subset: per-frame energy
+    * envelope ([[MediaOps.frameEnergy]] — the fold runs INSIDE the
+    * decode kernel, frame bytes never shuffle) → active = energy
+    * strictly above the medium's mean → consecutive active frames
+    * coalesce into segments (islands-and-gaps: frame_idx − row_number
+    * per medium) → per-medium speech stats. The silence-trim /
+    * speech-share audit an audio training pipeline runs before paying
+    * for transcription; at 100 TB the shuffled rows are (media_id,
+    * frame_idx, energy) triples — three orders smaller than PCM — and
+    * the metadata predicate (kind='audio') prunes 2/3 of the corpus
+    * BEFORE any decode. Exactness: energies are exact longs (sums of
+    * unsigned bytes); the one per-medium mean is a single IEEE double
+    * division the twin replays identically (both engines sum the ≤16
+    * small longs exactly); comparisons strict; segment arithmetic is
+    * all integers. The DuckDB twin replays the fake kernel's 64-step
+    * rolling hash per frame as a recursive CTE (the
+    * `q_multimodal_frames` route) and accumulates the byte sum instead
+    * of the hex digest. */
+  def multimodalVad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = MediaOps.mediaTable(s, d)
+      .filter(col("meta.kind") === "audio")
+      .as[MediaRow]
+    val fr = MediaOps.frameEnergy(media)
+    val act = fr
+      .withColumn("mean_e", avg(col("energy")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("media_id")))
+      .filter(col("energy") > col("mean_e"))
+      .withColumn("grp", col("frame_idx") -
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame_idx")))
+    val segs = act.groupBy("media_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("len")).as("n_active"),
+        max(col("len")).as("longest_seg"))
+    fr.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      .join(segs, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_seg"), lit(0L)).as("longest_seg"))
+      .orderBy("media_id")
   }
 }

@@ -74,7 +74,9 @@ object CurateQueries {
     "q_filter_waterfall"  -> filterWaterfall _,
     "q_mix_dro"           -> mixDro _,
     "q_sample_replicate"  -> sampleReplicate _,
-    "q_split_leakage"     -> splitLeakage _
+    "q_split_leakage"     -> splitLeakage _,
+    "q_dataset_card"      -> datasetCard _,
+    "q_ccnet_bucket"      -> ccnetBucket _
   )
 
   /** One unrolled greedy max-coverage round of the q_select_maxcover
@@ -180,6 +182,43 @@ object CurateQueries {
 
   lazy val oracle: Map[String, String] = Map(
     "q_dedup_bloom" -> bloomTwinSql,
+    // Per-source documentation rollup; dup flag via the same
+    // (source, md5) window, all exact longs before the two roundings.
+    "q_dataset_card" ->
+      """WITH m AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CASE WHEN count(*) OVER (PARTITION BY source, md5(text)) > 1
+        |         THEN 1 ELSE 0 END AS is_dup
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_toks) AS BIGINT) AS tok_total,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_share
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // Per-language terciles over (chars-per-token desc, doc_id) — the
+    // same total order, ntile semantics (first n mod 3 buckets take the
+    // extra row) agree across engines; stats off exact long sums.
+    "q_ccnet_bucket" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(n_chars AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(ntile AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS tok_total,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 6) AS cpt
+        |FROM (
+        |  SELECT lang, n_chars, n_toks,
+        |    ntile(3) OVER (PARTITION BY lang
+        |                   ORDER BY score DESC, doc_id) AS ntile
+        |  FROM scored) t
+        |GROUP BY lang, ntile ORDER BY lang, bucket""".stripMargin,
     // The unrolled greedy with exact-integer gains throughout — no
     // floats anywhere in this query.
     "q_select_maxcover" -> (
@@ -2428,5 +2467,70 @@ object CurateQueries {
         col("r.n_shared_groups").as("n_shared_groups"),
         col("r.n_docs_in_shared").as("n_docs_in_shared"))
       .orderBy("pair")
+  }
+
+  /** Dataset card (round 14): the per-source documentation rollup every
+    * released training corpus ships — doc counts, language breadth,
+    * token mass, mean length, and exact-duplicate share, one row per
+    * source. The dup share reuses the q_dedup_exact fingerprint
+    * (md5 of raw text) counted per (source, digest) via ONE window over
+    * the same shuffle key prefix the final groupBy(source) consumes.
+    * Scale: two keyed shuffles over scalar columns (never the text —
+    * the md5 folds it in the scan stage); output is |sources| rows.
+    * Exactness: counts/sums are exact longs; avg_chars and dup_share
+    * are single double divisions off exact longs, rounded once. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), md5(col("text")))
+    documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        when(count(lit(1)).over(w) > 1, 1L).otherwise(0L).as("is_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("tok_total"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(sum(col("is_dup")).cast("double") / count(lit(1)), 6)
+          .as("dup_share"))
+      .orderBy("source")
+  }
+
+  /** CCNet-style quality buckets (round 14): per-language terciles of a
+    * quality score (head/middle/tail — the public CCNet pipeline's
+    * perplexity bucketing, with chars-per-token standing in for the LM
+    * score so the statistic is exact-rational), the sampling knob a
+    * curation pipeline turns to oversample "head" data per language.
+    * Tercile assignment over a TOTAL order (score desc, doc_id — ties
+    * deterministic) — NOT a per-lang ntile window, whose groups are
+    * corpus-scaled (one serialized task per language at 100 TB — the
+    * PlanShapeSpec growth sweep flagged exactly this in round 14):
+    * instead the two-phase range-partitioned keyed rank
+    * ([[RankOps.withKeyedRankAndTotal]], the q_rfm shape) + the exact
+    * [[RankOps.ntileFromRank]] arithmetic, which together emit the
+    * IDENTICAL ntile(3) values with P parallel sorts of n/P rows.
+    * Score DESC rides the negated double (IEEE negation is exact).
+    * Then a tiny (lang, bucket) agg. Exactness: the per-doc score is
+    * one IEEE double division of two exact longs (identical both
+    * engines, never re-aggregated); bucket stats re-derive from exact
+    * long sums with ONE final division each, rounded once. */
+  def ccnetBucket(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("score",
+        col("n_chars").cast("double") / col("n_toks").cast("double"))
+      .withColumn("__neg_score", -col("score"))
+    val ranked = RankOps.withKeyedRankAndTotal(scored, "lang",
+      "__rk", "__n", col("__neg_score"), col("doc_id"))
+    ranked
+      .withColumn("bucket",
+        RankOps.ntileFromRank(col("__rk"), col("__n"), 3))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tok_total"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_toks")), 6)
+          .as("cpt"))
+      .orderBy("lang", "bucket")
   }
 }

@@ -1040,6 +1040,8 @@ object FeatureQueries {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("strength",
         org.apache.spark.sql.types.DoubleType, nullable = false))), ranked)
+      // Twin declares ORDER BY rank; pin it (≤25-row frame, no-op cost).
+      .orderBy("rank")
   }
 
   /** The ONE corpus stage of Bradley–Terry: lineitem⋈part brand/price

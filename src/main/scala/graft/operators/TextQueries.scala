@@ -1756,6 +1756,8 @@ object TextQueries {
       org.apache.spark.sql.types.StructField("n",
         org.apache.spark.sql.types.LongType, nullable = false))),
       merges.toSeq)
+      // Twin declares ORDER BY round; pin it (≤10-row frame, no-op cost).
+      .orderBy("round")
   }
 
   /** Hashing-trick text vectorization: each document's token counts
@@ -3363,6 +3365,10 @@ object TextQueries {
       org.apache.spark.sql.types.StructField("rouge_f1",
         org.apache.spark.sql.types.DoubleType, nullable = false))),
       out.toIndexedSeq)
+      // The twin declares ORDER BY doc_id; pin the LocalRelation's order
+      // explicitly rather than relying on insertion order surviving
+      // every future plan change (no-op cost on a ≤49-row frame).
+      .orderBy("doc_id")
   }
 
   /** Corpus BLEU between adjacent-document pairs (candidate = doc,

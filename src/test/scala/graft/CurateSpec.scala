@@ -276,4 +276,53 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     assert(minSep >= maxCov - 1e-6,
       s"greedy separation violated: minSep=$minSep < maxCov=$maxCov")
   }
+
+  test("q_dataset_card: conservation, dup-share bounds, driver replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val out = CurateQueries.datasetCard(spark, sfDir).collect()
+    // One row per source; doc counts conserve the corpus.
+    assert(out.map(_.getAs[String]("source")).distinct.length === out.length)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    val bySource = docs.groupBy(_._1)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = bySource(src)
+      assert(r.getAs[Long]("n_docs") === g.length.toLong)
+      assert(r.getAs[Long]("n_langs") === g.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("tok_total") ===
+        g.map(_._3.split(" ", -1).length.toLong).sum)
+      val dup = r.getAs[Double]("dup_share")
+      assert(dup >= 0.0 && dup <= 1.0)
+      // Driver replay of the dup share off the same fingerprint.
+      val counts = g.groupBy(_._3).view.mapValues(_.length)
+      val nDup = g.count(d => counts(d._3) > 1)
+      assert(math.abs(dup - nDup.toDouble / g.length) < 1e-6,
+        s"dup_share mismatch for $src")
+    }
+  }
+
+  test("q_ccnet_bucket: terciles balanced, ordered by quality, conserve") {
+    val out = CurateQueries.ccnetBucket(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === total)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val byB = rows.map(r =>
+        r.getAs[Long]("bucket") -> r.getAs[Long]("n_docs")).toMap
+      // ntile(3): bucket sizes differ by at most one, buckets are 1..k.
+      assert(byB.keySet.subsetOf(Set(1L, 2L, 3L)), s"$lang buckets")
+      assert(byB.values.max - byB.values.min <= 1L,
+        s"$lang tercile sizes unbalanced: $byB")
+      // Head buckets carry higher chars-per-token than tail buckets.
+      val cpt = rows.sortBy(_.getAs[Long]("bucket"))
+        .map(_.getAs[Double]("cpt"))
+      // Weighted bucket means inherit the per-doc ordering (bucket 1's
+      // min per-doc score >= bucket 2's max), up to the 6dp rounding.
+      assert(cpt.zip(cpt.tail).forall { case (a, b) => a >= b - 1e-6 },
+        s"$lang cpt not non-increasing: ${cpt.toSeq}")
+    }
+  }
 }

@@ -137,4 +137,65 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("payload"),
       "payload leaked into the pair-assembly plan")
   }
+
+  test("q_multimodal_vad: segments re-derived independently per medium") {
+    import spark.implicits._
+    val out = MediaQueries.multimodalVad(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    // Audio subset only, one row per audio medium.
+    val audio = media.filter(_.meta.kind == "audio").collect()
+    assert(out.keySet === audio.map(_.media_id).toSet)
+    // Brute-force replay with an INDEPENDENT transcription of the fake
+    // kernel's rolling hash, driver-side: energy = unsigned-byte sum per
+    // frame, active = strictly above mean, segments = maximal runs of
+    // consecutive active frame indices.
+    def frameEnergyRef(payload: Array[Byte], frameIdx: Int): Long = {
+      var h = 1125899906842597L + frameIdx * 31L
+      var e = 0L
+      var i = 0
+      while (i < 64) {
+        h = 31 * h + (if (payload.isEmpty) 0 else payload(i % payload.length))
+        e += (h >>> 24) & 0xff
+        i += 1
+      }
+      e
+    }
+    audio.foreach { m =>
+      val energies: Seq[Long] =
+        (0 until m.meta.nFrames).map(f => frameEnergyRef(m.payload, f))
+      val mean = energies.sum.toDouble / energies.size
+      val active = energies.zipWithIndex.collect {
+        case (e, i) if e > mean => i
+      }
+      val segs = active.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), i) if h.head == i - 1 => (i :: h) :: t
+        case (acc, i) => List(i) :: acc
+      }
+      val (nf, na, ns, lg) = out(m.media_id)
+      assert(nf === m.meta.nFrames.toLong)
+      assert(na === active.size.toLong, s"media ${m.media_id} n_active")
+      assert(ns === segs.size.toLong, s"media ${m.media_id} n_segments")
+      assert(lg === (if (segs.isEmpty) 0L
+                     else segs.map(_.size).max.toLong),
+        s"media ${m.media_id} longest_seg")
+    }
+  }
+
+  test("frameEnergy is partitioning-independent and frame-complete") {
+    import spark.implicits._
+    val a = MediaOps.frameEnergy(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = MediaOps.frameEnergy(media.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a === b, "energy must not depend on physical partitioning")
+    // Every frame of every medium appears exactly once.
+    val expected = media.collect()
+      .flatMap(m => (0 until m.meta.nFrames).map(f => (m.media_id, f)))
+      .toSet
+    assert(a.keySet === expected)
+    // Energies are sums of 64 unsigned bytes: [0, 64*255].
+    assert(a.values.forall(e => e >= 0L && e <= 64L * 255))
+  }
 }
