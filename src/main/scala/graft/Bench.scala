@@ -289,7 +289,11 @@ object Bench {
     // deadline — a neighbor that never relents still yields a finished,
     // self-flagged artifact inside the external driver's patience.
     var gateBudgetS = envDouble("SPARK_GRAFT_BENCH_GATE_BUDGET_S", 180.0)
-    val deadlineS = envDouble("SPARK_GRAFT_BENCH_DEADLINE_S", 2700.0)
+    // 3000 s: the last driver run that FINISHED took 3214 s of sbt time
+    // end-to-end (so the external timeout is above that); 3000 s of
+    // main time + sbt/compile overhead stays under it while fitting
+    // warmups + ~5 sf0.1 passes + a couple of discard-retries.
+    val deadlineS = envDouble("SPARK_GRAFT_BENCH_DEADLINE_S", 3000.0)
     val maxRetries = envInt("SPARK_GRAFT_BENCH_PASS_RETRIES", 2).max(0)
 
     // SPARK_GRAFT_BENCH_WARMUPS (round 14, dev knob): 2 = both untimed

@@ -80,7 +80,9 @@ object TextQueries {
     "q_text_instruct"    -> textInstruct _,
     "q_eval_bleu"        -> evalBleu _,
     "q_eval_rouge"       -> evalRouge _,
-    "q_eval_perplexity"  -> evalPerplexity _
+    "q_eval_perplexity"  -> evalPerplexity _,
+    "q_text_burstiness"  -> textBurstiness _,
+    "q_vocab_growth"     -> vocabGrowth _
   )
 
   /** One side's (pid, n, gram) rows for the BLEU twin: DuckDB range is
@@ -134,6 +136,59 @@ object TextQueries {
       |        FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Church–Gale VMR off exact long sums; zeros folded algebraically
+    // ((n·Σx² − cf²)/(n·cf)), one double division, 6dp.
+    "q_text_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS x
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) >= 1
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |per AS (
+        |  SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(x) AS BIGINT) AS cf,
+        |    CAST(sum(x * x) AS BIGINT) AS sq
+        |  FROM dt GROUP BY 1),
+        |top AS (SELECT * FROM per ORDER BY df DESC, term LIMIT 20)
+        |SELECT term, df, cf,
+        |  round(CAST(nn.n * sq - cf * cf AS DOUBLE)
+        |    / CAST(nn.n * cf AS DOUBLE), 6) AS vmr
+        |FROM top, nn ORDER BY df DESC, term""".stripMargin,
+    // Heaps'-law curve: per-token first doc → per-slice first-occurrence
+    // counts → 10-row cumsum; slice = doc_id*10 // (max_id+1), exact
+    // integer arithmetic both engines.
+    "q_vocab_growth" ->
+      """WITH mx AS (
+        |  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+        |dt AS (
+        |  SELECT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) >= 1),
+        |tok_b AS (
+        |  SELECT CAST((doc_id * 10) // nd AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM dt, mx GROUP BY 1),
+        |new_b AS (
+        |  SELECT CAST((first_doc * 10) // nd AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_new_types
+        |  FROM (SELECT tok, min(doc_id) AS first_doc FROM dt GROUP BY 1),
+        |    mx
+        |  GROUP BY 1)
+        |SELECT t.bucket, t.n_tokens,
+        |  coalesce(w.n_new_types, CAST(0 AS BIGINT)) AS n_new_types,
+        |  CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(coalesce(w.n_new_types, 0)) OVER (ORDER BY t.bucket)
+        |    AS BIGINT) AS cum_types,
+        |  round(CAST(sum(coalesce(w.n_new_types, 0))
+        |        OVER (ORDER BY t.bucket) AS DOUBLE)
+        |    / CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS DOUBLE),
+        |    6) AS ttr
+        |FROM tok_b t LEFT JOIN new_b w USING (bucket)
+        |ORDER BY bucket""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |  min(n_chars) AS n_chars
@@ -3504,5 +3559,81 @@ object TextQueries {
           / (col("n_bigrams").cast("double") * lit(1.0e6))), 4)
           .as("ppl"))
       .orderBy("lang")
+  }
+
+  /** Term burstiness (round 14): variance-to-mean ratio (VMR) of
+    * per-document counts for the top-20 terms by document frequency —
+    * the Church–Gale statistic separating CONTENT terms (bursty: absent
+    * from most docs, repeated where present, VMR ≫ 1) from FUNCTION
+    * words (Poisson-like, VMR ≈ 1); the signal a curation pipeline
+    * reads to pick topical anchors (dedup shingle salts, keyness
+    * baselines) vs stopword lists (`q_text_keyness` compares two
+    * corpora; THIS is the within-corpus dispersion audit). Zero-count
+    * docs are in the population by definition: VMR = (n·Σx² − cf²)
+    * / (n·cf) with n = |corpus|, cf = Σx, both sums over APPEARING
+    * docs only — the algebra folds the zeros in exactly, so no dense
+    * doc×term frame ever exists. Scale: one (doc, term) count agg
+    * (map-side combined) → per-term agg → TakeOrdered 20; the 1-row
+    * corpus count broadcasts onto the 20-row frame (PlanGuard
+    * allowlist). Exactness: all sums exact longs (< 2⁵³ through sf0.1;
+    * production promotes to DECIMAL(38), plan unchanged), ONE double
+    * division, rounded once. */
+  def textBurstiness(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dt = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("x"))
+    val per = dt.groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("x")).as("cf"),
+        sum(col("x") * col("x")).as("sq"))
+      .orderBy(col("df").desc, col("term")).limit(20)
+    val n = docs.agg(count(lit(1)).as("n"))
+    per.crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("cf"),
+        round((col("n") * col("sq") - col("cf") * col("cf"))
+            .cast("double")
+          / (col("n") * col("cf")).cast("double"), 6).as("vmr"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  /** Vocabulary growth curve (round 14): cumulative distinct types vs
+    * cumulative tokens across ten doc_id-order corpus slices — the
+    * Heaps'-law audit (V ≈ K·Nᵝ) a tokenizer team reads before sizing
+    * a vocabulary: a curve still climbing at the last decile means more
+    * data keeps buying new types (multilingual/noisy corpus); a flat
+    * tail means the vocab has saturated. The distributed trick: a
+    * type's contribution to the cumulative curve is its FIRST document
+    * (min doc_id per token — one keyed agg), so "distinct types up to
+    * slice k" = Σ first-occurrences in slices ≤ k, a 10-row cumsum —
+    * no cumulative-distinct state ever exists. Scale: two keyed
+    * map-side-combined aggs (per-token min, per-slice counts) + a
+    * 10-row window; the 1-row max-id frame broadcasts (PlanGuard
+    * allowlist). Slice = doc_id·10 div (max_id+1) — exact integer
+    * arithmetic, identical both engines. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val mx = docs.agg((max(col("doc_id")) + 1).as("nd"))
+    val dt = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val tokPerB = dt.crossJoin(broadcast(mx))
+      .select(expr("(doc_id * 10) div nd").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val newPerB = dt.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .select(expr("(first_doc * 10) div nd").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokPerB.join(newPerB, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .withColumn("ttr",
+        round(col("cum_types").cast("double")
+          / col("cum_tokens").cast("double"), 6))
+      .orderBy("bucket")
   }
 }

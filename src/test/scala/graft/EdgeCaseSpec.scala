@@ -1928,4 +1928,70 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       assert(ppl >= 1.0, "perplexity is bounded below by 1")
     }
   }
+
+  test("q_text_burstiness: VMR replays the zero-folded moment algebra") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    val perDoc = docs.map { case (_, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+    }
+    val stats = perDoc.flatMap(_.keys).distinct.map { t =>
+      val xs = perDoc.flatMap(_.get(t))
+      (t, xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val top = stats.sortBy { case (t, df, _, _) => (-df, t) }.take(20)
+    val out = graft.operators.TextQueries.textBurstiness(spark, sfDir)
+      .collect()
+    assert(out.length === top.length)
+    out.zip(top).foreach { case (r, (t, df, cf, sq)) =>
+      assert(r.getAs[String]("term") === t, "top-df order")
+      assert(r.getAs[Long]("df") === df, s"term $t df")
+      assert(r.getAs[Long]("cf") === cf, s"term $t cf")
+      // Zero-count docs folded algebraically: VMR = (n·Σx² − cf²)/(n·cf).
+      val vmr = rnd((n * sq - cf * cf).toDouble / (n * cf).toDouble, 6)
+      assert(r.getAs[Double]("vmr") === vmr, s"term $t vmr")
+      // Dispersion floor: with any doc missing the term, variance > 0.
+      if (df < n) assert(r.getAs[Double]("vmr") > 0.0)
+    }
+  }
+
+  test("q_vocab_growth: curve replays first-occurrence counting") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nd = docs.map(_._1).max + 1
+    def bucket(id: Long) = id * 10 / nd
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(id -> _)
+    }
+    val tokPerB = toks.groupBy(x => bucket(x._1))
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val newPerB = toks.groupBy(_._2).toSeq
+      .map { case (_, xs) => bucket(xs.map(_._1).min) }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val out = graft.operators.TextQueries.vocabGrowth(spark, sfDir)
+      .collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq ===
+      tokPerB.keys.toSeq.sorted, "one row per non-empty slice, ordered")
+    var cumT = 0L
+    var cumV = 0L
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("n_tokens") === tokPerB(b), s"slice $b tokens")
+      assert(r.getAs[Long]("n_new_types") === newPerB.getOrElse(b, 0L),
+        s"slice $b new types")
+      cumT += tokPerB(b)
+      cumV += newPerB.getOrElse(b, 0L)
+      assert(r.getAs[Long]("cum_tokens") === cumT, s"slice $b cum tokens")
+      assert(r.getAs[Long]("cum_types") === cumV, s"slice $b cum types")
+      assert(r.getAs[Double]("ttr") ===
+        rnd(cumV.toDouble / cumT.toDouble, 6), s"slice $b ttr")
+    }
+    // The curve ends at the whole-corpus truth.
+    assert(cumV === toks.map(_._2).distinct.length.toLong)
+    assert(cumT === toks.length.toLong)
+  }
 }

@@ -79,8 +79,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
                       // q_mix_epochs plan tree)
     "q_eval_cluster_purity", // 1-row total/MI/entropy scalar broadcasts
                       // onto the ≤8-row cluster frame
-    "q_sample_balanced" // 1-row minority-count broadcast cross (the
+    "q_sample_balanced", // 1-row minority-count broadcast cross (the
                       // q_mix_epochs scalar pattern)
+    "q_text_burstiness", // 1-row corpus-count broadcast cross onto the
+                      // 20-row top-df frame
+    "q_vocab_growth"  // 1-row max-id broadcast cross (slice arithmetic)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
