@@ -81,8 +81,10 @@ package graft
   * RATE exceeds SPARK_GRAFT_BENCH_STEAL_DISCARD (default 0.25 stolen
   * cpus — its own knob since round 14; clean floor ~0.05, poisoned
   * ≥ ~1, two orders apart) is discarded and re-run, bounded by a
-  * GLOBAL retry budget of SPARK_GRAFT_BENCH_PASS_RETRIES (default 2)
-  * × passes AND by the run deadline. Every discarded attempt is
+  * GLOBAL run-total retry budget of SPARK_GRAFT_BENCH_PASS_RETRIES
+  * (default 4 — a flat total since round 14; the round-13 per-pass
+  * multiplier allowed 10, enough for retries alone to out-wait the
+  * external driver) AND by the run deadline. Every discarded attempt is
   * stamped in `pass_discarded` — contamination control with the
   * exclusion criterion external, objective, and auditable.
   *
@@ -294,7 +296,7 @@ object Bench {
     // main time + sbt/compile overhead stays under it while fitting
     // warmups + ~5 sf0.1 passes + a couple of discard-retries.
     val deadlineS = envDouble("SPARK_GRAFT_BENCH_DEADLINE_S", 3000.0)
-    val maxRetries = envInt("SPARK_GRAFT_BENCH_PASS_RETRIES", 2).max(0)
+    val maxRetries = envInt("SPARK_GRAFT_BENCH_PASS_RETRIES", 4).max(0)
 
     // SPARK_GRAFT_BENCH_WARMUPS (round 14, dev knob): 2 = both untimed
     // sweeps (the official configuration), 1 = tiny-sf only, 0 = none
@@ -308,23 +310,6 @@ object Bench {
     // kill used to leave a tail of pure log spam. ERROR-level logging
     // keeps the tail dominated by our own JSON lines.
     spark.sparkContext.setLogLevel("ERROR")
-    if (warmups >= 1)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        Harness.releaseTransient(spark)
-      }
-    // Warmup (2): one untimed sweep at the TARGET scale factor. Its wall
-    // time seeds the per-pass cost estimate the deadline logic uses
-    // before any timed pass has completed.
-    var passEstimateS = 0.0
-    if (warmups >= 2) {
-      val warm2T0 = System.nanoTime()
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        Harness.releaseTransient(spark)
-      }
-      passEstimateS = (System.nanoTime() - warm2T0) / 1e9
-    }
 
     // Per-query, PER-PASS times (None = that pass crashed for that
     // query). A crashed run must not masquerade as a (misleadingly
@@ -339,7 +324,7 @@ object Bench {
     val selfCpu = scala.collection.mutable.ArrayBuffer[Double]()
     val stealS = scala.collection.mutable.ArrayBuffer[Double]()
     val iowaitS = scala.collection.mutable.ArrayBuffer[Double]()
-    var retryBudget = maxRetries * passes
+    var retryBudget = maxRetries // flat run total (round 14), not × passes
     val discarded = scala.collection.mutable.ArrayBuffer[String]()
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
     var deadlineStopped = false
@@ -458,10 +443,12 @@ object Bench {
     @volatile var shuttingDown = false
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       shuttingDown = true
+      // Mute UNCONDITIONALLY: even a finished run's spark.stop() can
+      // log after the final JSON line and push it out of the tail.
+      try org.apache.logging.log4j.core.config.Configurator
+        .setRootLevel(org.apache.logging.log4j.Level.OFF)
+      catch { case _: Throwable => () }
       if (!finalized.get && lastAbridged != null) {
-        try org.apache.logging.log4j.core.config.Configurator
-          .setRootLevel(org.apache.logging.log4j.Level.OFF)
-        catch { case _: Throwable => () }
         if (lastFull != null) persist(lastFull) // survives a dead stdout pipe
         var i = 0
         while (i < 3) {
@@ -474,6 +461,36 @@ object Bench {
         }
       }
     }))
+
+    // Artifact-delivery layer 1b (round 14): seed the hook's artifact
+    // BEFORE the warmups. The two untimed sweeps are the longest
+    // artifact-free window in the run (~5-10 min at sf0.1, plus sbt
+    // compile before them), and the round-13 postmortem showed a kill
+    // in any such window yields a tail of raw Spark shutdown stacks. A
+    // kill from here on ends stdout with a parseable, self-flagged
+    // degenerate line ("passes_done":0,"drift":"degenerate").
+    locally {
+      val (f0, a0) = render(partial = true)
+      persist(f0); lastFull = f0; lastAbridged = a0
+    }
+    // Warmup (1): one untimed sweep at tiny sf — JIT + codegen caches.
+    if (warmups >= 1)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        Harness.releaseTransient(spark)
+      }
+    // Warmup (2): one untimed sweep at the TARGET scale factor. Its wall
+    // time seeds the per-pass cost estimate the deadline logic uses
+    // before any timed pass has completed.
+    var passEstimateS = 0.0
+    if (warmups >= 2) {
+      val warm2T0 = System.nanoTime()
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        Harness.releaseTransient(spark)
+      }
+      passEstimateS = (System.nanoTime() - warm2T0) / 1e9
+    }
 
     var pass = 1
     while (pass <= passes && !deadlineStopped) {

@@ -22,8 +22,10 @@ import graft.Tables._
   *     a pure row-local predicate on a stable key hash — no shuffle, no
   *     coordination, the filter runs inside the scan stage, and every
   *     engine that implements md5 draws the identical sample;
-  *   - `q_approx_quantile` (KLL-style sketch) is the scale path where the
-  *     exact `q_percentiles` sort-based answer would shuffle the world.
+  *   - `q_approx_quantile` (exact two-phase range-partitioned rank since
+  *     round 14) never concentrates a group in one task; its GK-sketch
+  *     sibling [[approxQuantileSketch]] stays the bounded-memory
+  *     single-shuffle path when rank error 1e-4 is acceptable.
   */
 object StatsQueries {
 
@@ -321,8 +323,14 @@ object StatsQueries {
         |  (min(struct_pack(nn := -n, et := event_type))).et AS top_type,
         |  max(n) AS top_n
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // q_approx_quantile: no oracle — sketch-based, not hash-matchable;
-    // PropertySpec bounds it against the exact percentiles.
+    // Exact interpolated quantiles since round 14 (the GK sketch moved
+    // to the spec-only approxQuantileSketch variant): quantile_cont is
+    // the identical h=(n−1)p lerp, so the hash matches.
+    "q_approx_quantile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sample_hash" ->
       """SELECT l_returnflag,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -1417,10 +1425,65 @@ object StatsQueries {
         count(lit(1)).as("n"))
       .orderBy("n_regionkey")
 
-  /** Approximate p50/p90 per event type via the quantile sketch
-    * (mergeable, bounded memory — the 100 TB path; the exact variant is
-    * q_percentiles). Accuracy 10000 ⇒ rank error ≤ 0.01%. */
-  def approxQuantile(s: SparkSession, d: String): DataFrame =
+  /** EXACT p50/p90 per event type via the two-phase range-partitioned
+    * rank ([[RankOps.withKeyedRankAndTotal]] over (value, event_id) —
+    * a total order, so the k-th order statistic is well-defined), then
+    * linear interpolation at h = (n−1)·p between order statistics
+    * ⌊h⌋+1 and ⌊h⌋+2 — the SQL-standard `percentile_cont` recurrence,
+    * so DuckDB's `quantile_cont` hash-matches it (round 14: this
+    * replaced the GK `percentile_approx` sketch, whose merge-order-
+    * dependent register state was one of the four declared rows-only
+    * barriers; the sketch survives as [[approxQuantileSketch]],
+    * StatsGraphSpec-bounded against this exact answer).
+    *
+    * Scale shape: ONE range exchange over events + the bounded
+    * per-(partition, key) census; each group then keeps at most 4 rows
+    * (the two bracketing order statistics per percentile) before the
+    * final tiny agg — nothing ever concentrates a key in one task,
+    * unlike `percentile()`'s per-group value map. At 100 TB this is
+    * the same plan q_window_ntile_range runs; the sketch variant
+    * remains the cheaper one-shuffle path when rank error 1e-4 is
+    * acceptable. */
+  def approxQuantile(s: SparkSession, d: String): DataFrame = {
+    val ranked = RankOps.withKeyedRankAndTotal(
+      events(s, d).select(col("event_type"), col("value"), col("event_id")),
+      "event_type", "rk", "n", col("value"), col("event_id"))
+    // 1-based bracketing ranks of percentile p: lo = ⌊(n−1)p⌋+1 and
+    // lo+1 (capped at n — when h is integral both brackets coincide
+    // and the interpolation weight on the upper one is 0).
+    def lo(p: Double): Column =
+      floor((col("n") - lit(1L)).cast("double") * lit(p)).cast("long") +
+        lit(1L)
+    def hi(p: Double): Column = least(lo(p) + lit(1L), col("n"))
+    val keep = ranked.filter(
+      col("rk") === lo(0.5) || col("rk") === hi(0.5) ||
+        col("rk") === lo(0.9) || col("rk") === hi(0.9))
+    val brackets = keep.groupBy("event_type").agg(
+      first(col("n")).as("n"),
+      max(when(col("rk") === lo(0.5), col("value"))).as("v50l"),
+      max(when(col("rk") === hi(0.5), col("value"))).as("v50h"),
+      max(when(col("rk") === lo(0.9), col("value"))).as("v90l"),
+      max(when(col("rk") === hi(0.9), col("value"))).as("v90h"))
+    // v_lo + (h−⌊h⌋)·(v_hi − v_lo): identical double expression to
+    // DuckDB's quantile_cont interpolator, so round 4 is cosmetic, not
+    // drift absorption.
+    def interp(p: Double, vl: String, vh: String): Column = {
+      val h = (col("n") - lit(1L)).cast("double") * lit(p)
+      round(col(vl) + (h - floor(h)) * (col(vh) - col(vl)), 4)
+    }
+    brackets.select(col("event_type"),
+      interp(0.5, "v50l", "v50h").as("p50"),
+      interp(0.9, "v90l", "v90h").as("p90"))
+      .orderBy("event_type")
+  }
+
+  /** The mergeable GK-sketch variant of [[approxQuantile]] (accuracy
+    * 10000 ⇒ rank error ≤ 1e-4) — the bounded-memory single-shuffle
+    * path for when exactness is not required; not a declared query
+    * (its register state is merge-order-dependent, so no engine-
+    * independent oracle exists), StatsGraphSpec bounds it against the
+    * exact answer. */
+  def approxQuantileSketch(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy("event_type")
       .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),

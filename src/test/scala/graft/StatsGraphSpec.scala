@@ -11,24 +11,34 @@ import graft.sources.SourceQueries
   * source/sink round-trips. */
 class StatsGraphSpec extends AnyFunSuite with SparkFixture {
 
-  test("approx quantiles land within sketch tolerance of the exact answer") {
-    val approx = StatsQueries.approxQuantile(spark, sfDir)
+  test("exact two-phase quantiles equal percentile(); sketch lands within " +
+      "tolerance of them") {
+    val exactQ = StatsQueries.approxQuantile(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
-    val exact = Tables.events(spark, sfDir)
+    // The declared query is EXACT since round 14: it must agree with
+    // Spark's own interpolated percentile() to the declared rounding.
+    val builtin = Tables.events(spark, sfDir)
       .groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.9)").as("p90"))
+      .agg(expr("round(percentile(value, 0.5), 4)").as("p50"),
+        expr("round(percentile(value, 0.9), 4)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for ((k, (e50, e90)) <- exactQ) {
+      assert(e50 === builtin(k)._1, s"$k p50: $e50 vs ${builtin(k)._1}")
+      assert(e90 === builtin(k)._2, s"$k p90: $e90 vs ${builtin(k)._2}")
+    }
+    // The sketch variant: accuracy 10000 ⇒ rank error 1e-4, but it
+    // returns an actual data point while the exact path interpolates —
+    // allow the gap between adjacent order statistics (relative 2%).
+    val approx = StatsQueries.approxQuantileSketch(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
     for ((k, (a50, a90)) <- approx) {
-      // accuracy 10000 ⇒ rank error 1e-4, but the sketch returns an actual
-      // data point while exact `percentile` interpolates — allow the gap
-      // between adjacent order statistics (relative 2%).
       def close(a: Double, e: Double) =
         math.abs(a - e) <= math.max(0.05, 0.02 * math.abs(e))
-      assert(close(a50, exact(k)._1), s"$k p50: $a50 vs ${exact(k)._1}")
-      assert(close(a90, exact(k)._2), s"$k p90: $a90 vs ${exact(k)._2}")
+      assert(close(a50, exactQ(k)._1), s"$k p50: $a50 vs ${exactQ(k)._1}")
+      assert(close(a90, exactQ(k)._2), s"$k p90: $a90 vs ${exactQ(k)._2}")
     }
   }
 
