@@ -1766,20 +1766,35 @@ object TextQueries {
     * hang at round depth 10, 0.4 s with barriers). A round with no
     * pairs left emits nothing and later rounds no-op (null merge
     * flushes) — both engines agree. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainConfigured(s, d, rounds = 10, vocabBound = 1000)
+
+  /** [[bpeTrain]] with the two config knobs EXPLICIT (round 14 — the
+    * declared query pins rounds=10 / vocabBound=1000, so its oracle is
+    * unchanged; a production trainer passes its own depth): `rounds`
+    * merge rounds over the top-`vocabBound` words by (freq DESC, word).
+    * BPE merge selection is a pure function of the working vocabulary,
+    * so the merge list is PREFIX-STABLE in `rounds` — merges 1..k of
+    * any deeper run equal the k-round run's list (PropertySpec pins the
+    * law) — and training deeper only appends. */
+  def bpeTrainConfigured(s: SparkSession, d: String, rounds: Int,
+      vocabBound: Int): DataFrame = {
+    require(rounds >= 1 && vocabBound >= 1,
+      s"bpeTrainConfigured: rounds=$rounds vocabBound=$vocabBound " +
+        "must both be >= 1")
     val vocab = documents(s, d)
       .select(explode(toks(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word"))
-      .limit(1000)
-    val rows = IterOps.collectBounded(vocab, 1000,
+      .limit(vocabBound)
+    val rows = IterOps.collectBounded(vocab, vocabBound,
       "q_bpe_train working vocabulary (declared config bound: " +
-        "TakeOrdered 1000)")
+        s"TakeOrdered $vocabBound)")
     var state: Array[(Array[String], Long)] =
       rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer[Row]()
-    for (round <- 1 to 10) {
+    for (round <- 1 to rounds) {
       val cnt = scala.collection.mutable
         .HashMap[(String, String), Long]().withDefaultValue(0L)
       state.foreach { case (syms, f) =>

@@ -749,6 +749,29 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty, "fixture produced no merges — vacuous")
   }
 
+  test("bpe_train: merge list is prefix-stable in the round count") {
+    // Each round's argmax is a pure function of the working vocabulary
+    // after the previous merges, so training deeper can only APPEND:
+    // merges 1..k of any deeper run equal the k-round run's list
+    // (round-14 law backing the configurable trainer depth — a
+    // production run can extend a shallow vocabulary without
+    // invalidating it).
+    def merges(rounds: Int) = graft.operators.TextQueries
+      .bpeTrainConfigured(spark, sfDir, rounds, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val deep = merges(14)
+    val mid = merges(10)
+    val shallow = merges(4)
+    assert(deep.take(mid.size) === mid,
+      "10-round merge list is not a prefix of the 14-round list")
+    assert(mid.take(shallow.size) === shallow,
+      "4-round merge list is not a prefix of the 10-round list")
+    assert(shallow.size === 4 && mid.size === 10,
+      "fixture exhausted pairs before the declared depth — vacuous")
+  }
+
   test("eval_rouge: LCS fold replays an independent memoized LCS") {
     // Different algorithm (top-down memoized recursion) against the
     // operator's bottom-up DP — catches transcription slips in either.
