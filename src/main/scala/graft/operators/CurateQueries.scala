@@ -76,7 +76,8 @@ object CurateQueries {
     "q_sample_replicate"  -> sampleReplicate _,
     "q_split_leakage"     -> splitLeakage _,
     "q_dataset_card"      -> datasetCard _,
-    "q_ccnet_bucket"      -> ccnetBucket _
+    "q_ccnet_bucket"      -> ccnetBucket _,
+    "q_split_temporal"    -> splitTemporal _
   )
 
   /** One unrolled greedy max-coverage round of the q_select_maxcover
@@ -1024,6 +1025,34 @@ object CurateQueries {
     // Identity = the q_dedup_exact normalization, split = the
     // q_split_hash nibble; the md5 fingerprint is the only shuffle key
     // and the 3-pair counts come off one conditional-sum agg.
+    // Integer epoch-µs cutoff arithmetic on both sides (BIGINT * 8 //
+    // 10 — exact); DuckDB's sum(BIGINT) widens to HUGEINT, so the event
+    // totals cast back.
+    "q_split_temporal" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        |pu AS (
+        |  SELECT event_type, user_id,
+        |    count(*) FILTER (WHERE us <= mn + ((mx - mn) * 8) // 10)
+        |      AS n_tr,
+        |    count(*) FILTER (WHERE us > mn + ((mx - mn) * 8) // 10)
+        |      AS n_te
+        |  FROM ev, b GROUP BY event_type, user_id)
+        |SELECT event_type,
+        |  CAST(sum(n_tr) AS BIGINT) AS n_train,
+        |  CAST(sum(n_te) AS BIGINT) AS n_test,
+        |  CAST(count(*) FILTER (WHERE n_tr > 0) AS BIGINT)
+        |    AS users_train,
+        |  CAST(count(*) FILTER (WHERE n_te > 0) AS BIGINT)
+        |    AS users_test,
+        |  CAST(count(*) FILTER (WHERE n_tr > 0 AND n_te > 0) AS BIGINT)
+        |    AS users_both,
+        |  CASE WHEN count(*) FILTER (WHERE n_te > 0) > 0 THEN
+        |    round(CAST(count(*) FILTER (WHERE n_tr > 0 AND n_te > 0)
+        |        AS DOUBLE)
+        |      / count(*) FILTER (WHERE n_te > 0), 4) END AS leak_frac
+        |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_split_leakage" ->
       """WITH g AS (
         |  SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
@@ -2532,5 +2561,44 @@ object CurateQueries {
         round(sum(col("n_chars")).cast("double") / sum(col("n_toks")), 6)
           .as("cpt"))
       .orderBy("lang", "bucket")
+  }
+
+  /** Temporal train/test split audit at the 80% time cutoff — the OTHER
+    * standard split next to `q_split_hash`'s random one: time-series and
+    * recommendation training must split BY TIME (a random split trains
+    * on the future), and the first question about a temporal split is
+    * its user leakage — how many test-period users also appear in
+    * training (fine for personalization, fatal for cold-start eval).
+    * Cutoff = min_ts + (max_ts − min_ts)·8/10 in EXACT epoch-µs integer
+    * arithmetic (one 2-value aggregate broadcast back — the
+    * q_survival_km max-date pattern); per event type: train/test event
+    * counts, distinct users on each side, users on BOTH (the leakage),
+    * and leak share of test users.
+    *
+    * Scale shape: one (type, user) reduce — map-side combined, ≤ |users|
+    * × |types| rows — then a tiny per-type rollup; the cutoff compare is
+    * a scan-stage integer predicate. No windows, no distincts beyond the
+    * keyed reduce. */
+  def splitTemporal(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min("us").as("mn"), max("us").as("mx"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_train",
+        col("us") <= col("mn") + expr("((mx - mn) * 8) div 10"))
+      .groupBy("event_type", "user_id")
+      .agg(count_if(col("is_train")).as("n_tr"),
+        count_if(!col("is_train")).as("n_te"))
+    perUser.groupBy("event_type")
+      .agg(sum("n_tr").as("n_train"),
+        sum("n_te").as("n_test"),
+        count_if(col("n_tr") > 0).as("users_train"),
+        count_if(col("n_te") > 0).as("users_test"),
+        count_if(col("n_tr") > 0 && col("n_te") > 0).as("users_both"))
+      .withColumn("leak_frac",
+        when(col("users_test") > 0,
+          round(col("users_both").cast("double")
+            / col("users_test").cast("double"), 4)))
+      .orderBy("event_type")
   }
 }

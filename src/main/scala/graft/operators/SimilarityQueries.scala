@@ -56,7 +56,8 @@ object SimilarityQueries {
     "q_contamination_embed" -> contaminationEmbed _,
     "q_dedup_sweep"   -> dedupSweep _,
     "q_eval_rbo"      -> evalRbo _,
-    "q_eval_cluster_purity" -> evalClusterPurity _
+    "q_eval_cluster_purity" -> evalClusterPurity _,
+    "q_align_margin"  -> alignMargin _
   )
 
   /** EXACT decimal literals of 0.9^(d−1) — BigDecimal text, parsed to
@@ -657,6 +658,60 @@ object SimilarityQueries {
         |  (b).c AS best_cos, CAST((b).r AS BIGINT) AS first_rank,
         |  round(1.0 / (b).r, 6) AS rr
         |FROM best ORDER BY probe_id""".stripMargin),
+    // Top-4 masses as EXACT unit sums on both engines (the ordered
+    // list(... ORDER BY cos DESC, id) slice replays the bounded heap's
+    // (score DESC, id ASC) array; round(l[i]·10⁴) recovers the same
+    // integer from the same 4dp double) — an average of 4dp values
+    // sits on the .xxxx5 lattice where the two engines' double
+    // rounding disagrees, so no rounded average is ever emitted.
+    "q_align_margin" -> (
+      s"""WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+        |  WHERE vec_id < 50),
+        |cands AS (
+        |  SELECT vec_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id >= 50),
+        |scored AS (
+        |  SELECT probe_id, vec_id,
+        |    ${cosListSql("pv", "cv")} AS cos_sim
+        |  FROM probes, cands),
+        |fwd AS (
+        |  SELECT probe_id,
+        |    (CAST(round(l[1] * 10000) AS BIGINT)
+        |      + coalesce(CAST(round(l[2] * 10000) AS BIGINT), 0)
+        |      + coalesce(CAST(round(l[3] * 10000) AS BIGINT), 0)
+        |      + coalesce(CAST(round(l[4] * 10000) AS BIGINT), 0))
+        |      AS fwd_units
+        |  FROM (SELECT probe_id,
+        |          list(cos_sim ORDER BY cos_sim DESC, vec_id) AS l
+        |        FROM scored GROUP BY probe_id)),
+        |bwd AS (
+        |  SELECT vec_id,
+        |    (CAST(round(l[1] * 10000) AS BIGINT)
+        |      + coalesce(CAST(round(l[2] * 10000) AS BIGINT), 0)
+        |      + coalesce(CAST(round(l[3] * 10000) AS BIGINT), 0)
+        |      + coalesce(CAST(round(l[4] * 10000) AS BIGINT), 0))
+        |      AS bwd_units
+        |  FROM (SELECT vec_id,
+        |          list(cos_sim ORDER BY cos_sim DESC, probe_id) AS l
+        |        FROM scored GROUP BY vec_id)),
+        |m AS (
+        |  SELECT s.probe_id, s.vec_id, s.cos_sim,
+        |    f.fwd_units, b.bwd_units,
+        |    round(s.cos_sim * 2
+        |      / ((f.fwd_units + b.bwd_units)::DOUBLE / 40000.0), 4)
+        |      AS margin
+        |  FROM scored s
+        |  JOIN fwd f USING (probe_id) JOIN bwd b USING (vec_id)),
+        |best AS (
+        |  SELECT probe_id, vec_id, cos_sim, fwd_units, bwd_units,
+        |    margin,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY margin DESC, vec_id) AS rk
+        |  FROM m)
+        |SELECT probe_id, vec_id AS match_id, cos_sim,
+        |  fwd_units, bwd_units, margin
+        |FROM best WHERE rk = 1 ORDER BY probe_id""".stripMargin),
     // Packed-BIGINT argmax: (cos-units+10⁴)·64 + (49−bench_id) is
     // non-negative, so >>6 / &63 unpack identically; cos units are
     // round(4dp-cos · 10⁴) integers — pack/unpack engine-exact.
@@ -2102,5 +2157,78 @@ object SimilarityQueries {
           / col("nn").cast("double"), 6).as("purity"),
         round(nmi, 6).as("nmi"))
       .orderBy("cluster")
+  }
+
+  /** Margin-based pair mining over the embedding corpus — the
+    * bitext/parallel-pair scorer (Artetxe & Schwenk's ratio margin, the
+    * CCMatrix/LASER mining criterion): raw cosine is miscalibrated by
+    * HUBS — a vector with many near neighbors scores high against
+    * everything — so each candidate pair's cosine is normalized by the
+    * mean of the two sides' average top-4 similarity:
+    * margin(x,y) = 2·cos(x,y) / (avg₄ cos(x,·) + avg₄ cos(y,·)).
+    * Probe side = vec_id < 50 (the declared eval-set grain,
+    * q_contamination_embed precedent); candidate side = the rest;
+    * output = each probe's best candidate by (margin DESC, id).
+    *
+    * Scale shape: the scored frame is corpus × |probes| — bounded by
+    * the DECLARED probe count, built as one broadcast-probe join
+    * (q_sim_topk's shape) and staged ONCE (localCheckpoint) for its
+    * three consumers. Both top-4 averages ride the native
+    * [[graft.functions.TopKByAgg]] bounded heap (wire carries O(keys·4),
+    * never a sort of the score column); the forward averages are
+    * |probes| rows → broadcast; the backward join is keyed on the
+    * candidate id — co-partitioned with the scored frame, no skew (every
+    * candidate has exactly |probes| rows). At 100 TB the candidate side
+    * would first be LSH/IVF-pruned (q_ann_ivf) and this margin pass runs
+    * unchanged on the surviving pairs.
+    *
+    * Determinism: cosines are rounded 4dp BEFORE ranking (SURVEY §7.5)
+    * and the heap order (score DESC, id ASC) is total. The top-4
+    * masses surface as EXACT INTEGER UNIT SUMS (Σ round(cos·10⁴) over
+    * the heap — engine-exact), NOT rounded averages: an average of
+    * 4dp-quantized values lands on the .xxxx5 lattice half the time,
+    * exactly where Spark's decimal HALF_UP and DuckDB's binary-scaled
+    * round disagree (measured on first contact: both engines held the
+    * identical double 0.24634999999999999 and rounded it apart). The
+    * margin divides by the exact unit sum ((f+b)/4·10⁴ ≡ mean of the
+    * two averages) in ONE IEEE division, then rounds — off-lattice, so
+    * the boundary exposure drops back to the ordinary ~2⁻⁵² per row. */
+  def alignMargin(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.filter(col("vec_id") >= 50)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("pv")), 4).as("cos_sim"))
+      .localCheckpoint()
+    def top4Units(key: String, idCol: String, out: String): DataFrame =
+      scored.groupBy(key)
+        .agg(call_function("graft_topk_by",
+          col("cos_sim"), col(idCol), lit(4)).as("t"))
+        .select(col(key),
+          expr("aggregate(t, 0L, " +
+            "(a, x) -> a + cast(round(x.score * 10000) as long))")
+            .as(out))
+    val fwd = top4Units("probe_id", "vec_id", "fwd_units")
+    val bwd = top4Units("vec_id", "probe_id", "bwd_units")
+    scored
+      .join(broadcast(fwd), Seq("probe_id"))
+      .join(bwd, Seq("vec_id"))
+      .withColumn("margin",
+        round(col("cos_sim") * 2
+          / ((col("fwd_units") + col("bwd_units")).cast("double")
+            / lit(40000.0)), 4))
+      .groupBy("probe_id")
+      .agg(max(struct(col("margin"),
+        (-col("vec_id")).as("nid"), col("cos_sim").as("cs"),
+        col("fwd_units").as("fu"), col("bwd_units").as("bu"))).as("b"))
+      .select(col("probe_id"),
+        (-col("b.nid")).as("match_id"),
+        col("b.cs").as("cos_sim"),
+        col("b.fu").as("fwd_units"),
+        col("b.bu").as("bwd_units"),
+        col("b.margin").as("margin"))
+      .orderBy("probe_id")
   }
 }

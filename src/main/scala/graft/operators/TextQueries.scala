@@ -82,7 +82,8 @@ object TextQueries {
     "q_eval_rouge"       -> evalRouge _,
     "q_eval_perplexity"  -> evalPerplexity _,
     "q_text_burstiness"  -> textBurstiness _,
-    "q_vocab_growth"     -> vocabGrowth _
+    "q_vocab_growth"     -> vocabGrowth _,
+    "q_eval_distinct_n"  -> evalDistinctN _
   )
 
   /** One side's (pid, n, gram) rows for the BLEU twin: DuckDB range is
@@ -419,6 +420,38 @@ object TextQueries {
     // row vector; new[j] = max(prev[j], max_{k<=j}(prev[k-1] + eq(k)))
     // removes the within-row sequential dependence. Bounded 50-pair
     // eval set, 40-token truncation — identical on the Spark side.
+    // Row-local n-gram diversity: both engines build the same
+    // space-joined gram windows (range(1, len-n+2) == the Spark
+    // sequence guard), count via list_distinct, and apply one rounded
+    // division over exact integers.
+    "q_eval_distinct_n" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE doc_id < 50),
+        |g AS (
+        |  SELECT doc_id, len(tk) AS nt, tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1]) AS g2,
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+        |  FROM t)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CASE WHEN nt >= 1
+        |    THEN CAST(len(list_distinct(tk)) AS BIGINT) END AS u1,
+        |  CASE WHEN nt >= 2
+        |    THEN CAST(len(list_distinct(g2)) AS BIGINT) END AS u2,
+        |  CASE WHEN nt >= 3
+        |    THEN CAST(len(list_distinct(g3)) AS BIGINT) END AS u3,
+        |  CASE WHEN nt >= 1 THEN
+        |    round(CAST(len(list_distinct(tk)) AS DOUBLE) / nt, 4)
+        |    END AS distinct1,
+        |  CASE WHEN nt >= 2 THEN
+        |    round(CAST(len(list_distinct(g2)) AS DOUBLE) / (nt - 1), 4)
+        |    END AS distinct2,
+        |  CASE WHEN nt >= 3 THEN
+        |    round(CAST(len(list_distinct(g3)) AS DOUBLE) / (nt - 2), 4)
+        |    END AS distinct3
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_eval_rouge" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT c.doc_id, string_split(c.text, ' ')[1:40] AS a,
@@ -3650,5 +3683,38 @@ object TextQueries {
         round(col("cum_types").cast("double")
           / col("cum_tokens").cast("double"), 6))
       .orderBy("bucket")
+  }
+
+  /** Distinct-n generation-diversity metrics over the declared 50-doc
+    * eval set (doc_id < 50, the `q_eval_rouge` grain): per candidate,
+    * unique n-grams / total n-grams for n = 1..3 — THE mode-collapse
+    * audit for sampled generations (Li et al.'s distinct-1/2;
+    * low distinct-n = the model loops, next to `q_text_repetition`'s
+    * within-doc run detector and `q_text_novelty`'s cross-doc
+    * first-occurrence fraction — this one is WITHIN-candidate n-gram
+    * diversity on the eval grain, the decoding-quality dial).
+    *
+    * Zero shuffles: every metric is a row-local array expression in the
+    * scan stage (ngram windows via the shared [[ngrams]] helper,
+    * `array_distinct` counts) — at any corpus scale this is a
+    * projection. Docs shorter than n emit NULL for that n (declared;
+    * the same `when(size ≥ n)` guard both engines apply). Counts are
+    * exact integers; each ratio is ONE division rounded 4dp. */
+  def evalDistinctN(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    def grams(n: Int): Column = if (n == 1) t else ngrams(t, n)
+    def uniq(n: Int): Column =
+      when(size(t) >= n, size(array_distinct(grams(n))).cast("long"))
+    def total(n: Int): Column = (size(t) - (n - 1)).cast("long")
+    def ratio(n: Int): Column =
+      when(size(t) >= n, round(
+        size(array_distinct(grams(n))).cast("double")
+          / total(n).cast("double"), 4))
+    documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        uniq(1).as("u1"), uniq(2).as("u2"), uniq(3).as("u3"),
+        ratio(1).as("distinct1"), ratio(2).as("distinct2"),
+        ratio(3).as("distinct3"))
+      .orderBy("doc_id")
   }
 }

@@ -325,4 +325,42 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
         s"$lang cpt not non-increasing: ${cpt.toSeq}")
     }
   }
+
+  test("q_split_temporal: conservation, leakage bounds, cutoff replay") {
+    val out = CurateQueries.splitTemporal(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (mn, mx) = (ev.map(_._3).min, ev.map(_._3).max)
+    val cut = mn + (mx - mn) * 8 / 10
+    assert(out.map(_.getString(0)).toSet === ev.map(_._1).toSet)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val mine = ev.filter(_._1 == t)
+      val (nTrain, nTest, uTrain, uTest, uBoth) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      // Conservation: the split partitions the type's events exactly.
+      assert(nTrain + nTest === mine.length.toLong, s"$t events")
+      // Independent cutoff replay.
+      assert(nTrain === mine.count(_._3 <= cut).toLong, s"$t cutoff")
+      // User accounting: both-side users bounded by each side; side
+      // counts bounded by the type's distinct users.
+      val users = mine.map(_._2).distinct.length.toLong
+      assert(uBoth <= math.min(uTrain, uTest), s"$t both bound")
+      assert(uTrain <= users && uTest <= users, s"$t user bound")
+      // Train + test users cover every user (each user has >= 1 event
+      // on some side) without double-counting beyond the overlap.
+      assert(uTrain + uTest - uBoth === users, s"$t inclusion-exclusion")
+      if (uTest > 0)
+        assert(r.getDouble(6) ===
+          graft.operators.IterOps.sparkRound(
+            uBoth.toDouble / uTest.toDouble, 4), s"$t leak_frac")
+    }
+    // The 80% cutoff actually lands most events in train globally.
+    val trainFrac = out.map(_.getLong(1)).sum.toDouble / ev.length
+    assert(trainFrac > 0.5 && trainFrac < 1.0,
+      s"global train fraction $trainFrac outside (0.5, 1)")
+  }
 }

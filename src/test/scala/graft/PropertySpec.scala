@@ -846,4 +846,78 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(ok.length === 25)
   }
 
+  test("align_margin: brute-force margin replay picks the same matches") {
+    // From-scratch replay on collected embeddings: fused-loop cosine
+    // (dot + both norms per index, the FloatVecCosine order), 4dp
+    // rounding via sparkRound, top-4 best-first averages, ratio margin,
+    // (margin DESC, id) argmax — the full pipeline re-derived without
+    // Spark aggregates.
+    import graft.operators.IterOps.sparkRound
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeIds = vecs.keys.filter(_ < 50).toSeq.sorted
+    val candIds = vecs.keys.filter(_ >= 50).toSeq.sorted
+    val score = (for (p <- probeIds; c <- candIds)
+      yield (p, c) -> sparkRound(cos(vecs(p), vecs(c)), 4)).toMap
+    def top4Units(ss: Seq[Double]): Long =
+      ss.sorted(Ordering[Double].reverse).take(4)
+        .map(v => sparkRound(v * 10000, 0).toLong).sum
+    val fu = probeIds.map(p =>
+      p -> top4Units(candIds.map(c => score((p, c))))).toMap
+    val bu = candIds.map(c =>
+      c -> top4Units(probeIds.map(p => score((p, c))))).toMap
+    val exp = probeIds.map { p =>
+      val best = candIds.map { c =>
+        (sparkRound(score((p, c)) * 2
+          / ((fu(p) + bu(c)).toDouble / 40000.0), 4), c)
+      }.minBy { case (m, c) => (-m, c) }
+      (p, best._2, best._1)
+    }
+    val got = SimilarityQueries.alignMargin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("margin")))
+      .toSeq.sortBy(_._1)
+    assert(got === exp, "align_margin diverged from brute-force replay")
+    assert(got.size === probeIds.size, "one row per probe")
+  }
+
+  test("eval_distinct_n: sliding-window replay and the de Bruijn bound") {
+    import graft.operators.IterOps.sparkRound
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val got = TextQueries.evalDistinctN(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet === docs.keySet)
+    got.foreach { r =>
+      val tk = docs(r.getLong(0))
+      def uniq(n: Int): Option[Long] =
+        if (tk.size >= n)
+          Some(tk.sliding(n).map(_.mkString(" ")).toSet.size.toLong)
+        else None
+      assert(r.getLong(1) === tk.size.toLong)
+      for ((i, n) <- Seq(2 -> 1, 3 -> 2, 4 -> 3)) {
+        val u = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        assert(u === uniq(n), s"doc ${r.getLong(0)} u$n")
+        val ratio = if (r.isNullAt(i + 3)) None
+          else Some(r.getDouble(i + 3))
+        assert(ratio === uniq(n).map(x =>
+          sparkRound(x.toDouble / (tk.size - (n - 1)), 4)),
+          s"doc ${r.getLong(0)} distinct$n")
+      }
+      // A sequence visiting k distinct unigrams walks >= k-1 distinct
+      // de Bruijn edges (bigrams).
+      for ((u1, u2) <- uniq(1).zip(uniq(2)))
+        assert(u2 >= u1 - 1, s"doc ${r.getLong(0)} de Bruijn bound")
+    }
+  }
+
 }
