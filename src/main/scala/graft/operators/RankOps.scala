@@ -79,8 +79,10 @@ object RankOps {
     * 648/15000 wrong quartiles under Verify's coalesce(1) write).
     *
     * Returns the materialized frame plus the (pid, localIdx) column
-    * pair derived from `__g_mid`. */
-  private def rangeSortedWithMid(df: DataFrame, caller: String,
+    * pair derived from `__g_mid`. (private[operators] since round 14:
+    * WindowQueries' fused ntile-range pass builds its dual census on
+    * this same prologue.) */
+  private[operators] def rangeSortedWithMid(df: DataFrame, caller: String,
       outCols: Seq[String], sortCols: Seq[Column])
       : (DataFrame, Column, Column) = {
     val taken = Seq("__g_mid", "__g_pid", "__g_off", "__g_min",
@@ -211,8 +213,9 @@ object RankOps {
     * totals, read only AFTER the full fold. Returns the offsets as a
     * LocalRelation DataFrame `(__g_pid, key, __g_off, extra…,
     * total?)` ready to broadcast — a LocalRelation build runs no job
-    * and its broadcast can never receive a growing input. */
-  private def censusOffsets(census: DataFrame, keyCol: String,
+    * and its broadcast can never receive a growing input.
+    * (private[operators] since round 14 — see [[rangeSortedWithMid]].) */
+  private[operators] def censusOffsets(census: DataFrame, keyCol: String,
       valueAt: Row => Any, zero: Any, plus: (Any, Any) => Any,
       offType: DataType, extra: Seq[(StructField, Row => Any)],
       totalCol: Option[String]): DataFrame = {

@@ -604,9 +604,12 @@ object TextQueries {
     "q_text_tokcount" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))
+        |    AS BIGINT) AS re_tokens,
         |  CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
         |    AS bpe_est,
         |  CAST(greatest(len(string_split(text, ' ')),
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')),
         |       ceil(length(replace(text, ' ', '')) / 4.0)) AS BIGINT)
         |    AS est_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -2023,16 +2026,25 @@ object TextQueries {
           round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
-  /** Token counting: whitespace tokens + a compression-style estimate
-    * (chars/4, the BPE rule of thumb), and the max of the two. */
+  /** Token counting three ways: whitespace tokens, a BPE-ish REGEX
+    * pretokenizer count (letter runs | digit runs | punctuation runs —
+    * the GPT-2 pattern's ASCII core, the pre-merge segmentation every
+    * BPE tokenizer starts from; round 14, the mandate's named
+    * "whitespace + a BPE-ish regex" pair), a compression-style estimate
+    * (chars/4, the BPE rule of thumb), and the max of the three. All
+    * row-local scan-stage expressions; the regex is a literal shared
+    * with the twin (Java and RE2 agree on this ASCII-class alternation). */
   def textTokCount(s: SparkSession, d: String): DataFrame = {
     val ws = size(toks(col("text")))
+    val re = size(regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0)))
     val bpe = ceil(length(regexp_replace(col("text"), " ", "")) / lit(4.0))
     documents(s, d).select(
       col("doc_id"),
       ws.cast("long").as("ws_tokens"),
+      re.cast("long").as("re_tokens"),
       bpe.cast("long").as("bpe_est"),
-      greatest(ws, bpe).cast("long").as("est_tokens"))
+      greatest(ws, re, bpe).cast("long").as("est_tokens"))
       .orderBy("doc_id")
   }
 

@@ -323,63 +323,112 @@ object WindowQueries {
     * (price, orderkey) ordering is total) — plus a value-RANGE frame
     * count per priority band.
     *
-    * The range frame [p−10 k, p] is NOT a per-band window either
-    * (r11 — a priority band is corpus/5, the mega-group class): every
-    * row at the same (band, price) shares the same frame count, so the
-    * count resolves at the LEVEL grain as n_in_band(p) = cumLE(p) −
-    * cumLT(p−10 k), and BOTH cumulative lookups come out of ONE
-    * [[RankOps.withKeyedPrefixSum]] pass over the level table unioned
-    * with zero-count PROBE rows at key p−10 k: a probe sorts BEFORE
-    * any carrier at an equal key (price = p−10 k is INSIDE the frame,
-    * so the strict-below sum must exclude it — the tag column pins
-    * that), contributes nothing to the sum, and its own running total
-    * IS cumLT(p−10 k). Keys are the parquet DOUBLE end-to-end (the
-    * fixture's o_totalprice; the p−10 k probe key is the identical
-    * binary subtraction on both engines — see the inline note and the
-    * SURVEY row, both corrected round 12), value-identical to the
-    * window definition, no band ever serializes. */
+    * FUSED single-exchange form (round 14 — the r13 verdict's named
+    * ask; the previous form ran TWO full range passes: a global rank
+    * over orders plus a keyed prefix sum over a separately-aggregated
+    * level table, each with its own checkpoint barrier and census):
+    * every order row emits a CARRIER (key = price, weight 1) and a
+    * PROBE (key = price − 10 k, weight 0, tagged with its origin
+    * level), and ONE range exchange on the (key, weight, orderkey)
+    * total order serves everything —
+    *   - global census (Σ weight per partition, ≤ parts rows) →
+    *     prefix offsets → carrier rank = offset + running Σ weight,
+    *     exactly [[RankOps.withGlobalRank]]'s rank because probes
+    *     carry weight 0 and sort before carriers at an equal key;
+    *   - keyed census (Σ weight per (partition, band) — the bounded
+    *     key-domain precondition) → per-band offsets broadcast back;
+    *     the per-band running sum rides the SAME pid-partitioned
+    *     window as the global one, as |bands| conditional sums (the
+    *     band domain comes off the census the driver already holds),
+    *     so ONE WindowExec (one clustering exchange) computes both;
+    *   - a probe's band-cumulative IS cumLT(p−10 k) (strictly below:
+    *     probes sort before equal-key carriers — price = p−10 k is
+    *     INSIDE the [p−10 k, p] frame, so the strict-below sum must
+    *     exclude it); a level's cumLE(p) is the max carrier
+    *     cumulative in its (band, level) group; n_in_band = cumLE −
+    *     cumLT pivots out of one (band, level) aggregation over the
+    *     same staged frame — no second range pass, no separate level
+    *     aggregation, ONE checkpoint instead of two.
+    * Keys are the parquet DOUBLE end-to-end (the p−10 k probe key is
+    * the identical binary subtraction on both engines); the (key,
+    * weight, orderkey) ordering is total, so the range partitioner
+    * never splits a tie group it cares about. */
   def windowNtileRange(s: SparkSession, d: String): DataFrame = {
-    val base = orders(s, d)
-      .select("o_orderkey", "o_totalprice", "o_orderpriority")
-    val ranked = RankOps.withGlobalRank(base, "__rk", "__n",
-      col("o_totalprice"), col("o_orderkey"))
-    val levels = base.groupBy("o_orderpriority", "o_totalprice")
-      .agg(count(lit(1)).as("__c"))
-    // Carrier + probe come out of ONE explode over the level row
-    // (round 12) instead of a self-union: a union consumes `levels`
-    // twice, and the prefix sum's boundary sampling re-executes its
-    // input once more — the level aggregation ran 4× per query. The
-    // explode keeps it a single subtree (2 executions total: sampling
-    // + exchange), same rows, same types (both keys are the parquet
-    // double).
-    val merged = RankOps.withKeyedPrefixSum(
-      levels.select(col("o_orderpriority"),
-          explode(array(
-            struct(col("o_totalprice").as("__key"), lit(1).as("__tag"),
-              col("__c").as("__c"), col("o_totalprice").as("__lvl")),
-            struct((col("o_totalprice") - 10000).as("__key"),
-              lit(0).as("__tag"), lit(0L).as("__c"),
-              col("o_totalprice").as("__lvl")))).as("__t"))
-        .select(col("o_orderpriority"), col("__t.__key").as("__key"),
-          col("__t.__tag").as("__tag"), col("__t.__c").as("__c"),
-          col("__t.__lvl").as("__lvl")),
-      "o_orderpriority", "__c",
-      "__cum", "__tot", col("__key"), col("__tag"), col("__lvl"))
-    // Each (band, level) owns exactly two merged rows — its carrier
-    // (cumLE) and its probe (cumLT) — so the difference pivots out of
-    // ONE keyed aggregation; a filter-split + self-join would consume
-    // `merged` twice and re-execute everything past its checkpoint per
-    // leg.
-    val levelAns = merged
-      .groupBy(col("o_orderpriority"), col("__lvl"))
-      .agg((max(when(col("__tag") === 1, col("__cum")))
-        - max(when(col("__tag") === 0, col("__cum")))).as("n_in_band"))
-      .select(col("o_orderpriority"),
-        col("__lvl").as("o_totalprice"), col("n_in_band"))
-    ranked.join(levelAns, Seq("o_orderpriority", "o_totalprice"))
+    val pairs = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("__lvl"),
+        explode(array(
+          struct(col("o_totalprice").as("__key"), lit(1L).as("__w")),
+          struct((col("o_totalprice") - 10000).as("__key"),
+            lit(0L).as("__w")))).as("__t"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("__lvl"),
+        col("__t.__key").as("__key"), col("__t.__w").as("__w"))
+    val (sorted, pid, _) = RankOps.rangeSortedWithMid(pairs,
+      "windowNtileRange", Seq("__rk", "__c", "n_in_band", "quartile"),
+      Seq(col("__key"), col("__w"), col("o_orderkey")))
+    // Global census: carrier count (Σ weight) per partition → exclusive
+    // prefix offsets + grand total, the withGlobalRank fold.
+    val gc = sorted.groupBy(pid.as("__g_pid"))
+      .agg(sum(col("__w")).as("__cnt")).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1)))
+    val total = gc.iterator.map(_._2).sum
+    val nParts = gc.iterator.map(_._1 + 1).foldLeft(0)(_ max _)
+    val offs = new Array[Long](nParts.max(1))
+    gc.foreach { case (pi, c) => offs(pi) = c }
+    var acc = 0L
+    var i = 0
+    while (i < offs.length) { val c = offs(i); offs(i) = acc; acc += c
+      i += 1 }
+    // Keyed census: carrier count per (partition, band) → per-band
+    // exclusive offsets as a broadcast LocalRelation; its collected
+    // keys also hand the driver the band domain for the conditional
+    // window sums below (config-bounded by the RankOps precondition).
+    val kc = sorted.groupBy(pid.as("__g_pid"), col("o_orderpriority"))
+      .agg(sum(col("__w")).as("__s"))
+    val kOffs = RankOps.censusOffsets(kc, "o_orderpriority",
+      valueAt = _.getLong(2), zero = 0L,
+      plus = (a, b) =>
+        a.asInstanceOf[java.lang.Long] + b.asInstanceOf[java.lang.Long],
+      offType = org.apache.spark.sql.types.LongType,
+      extra = Seq.empty, totalCol = None)
+    val bands = kOffs.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).sorted
+    // ONE pid-clustered window carries the global running weight AND
+    // every band's conditional running weight (1 + |bands| sums in a
+    // single WindowExec — a per-band partitionBy would be the
+    // mega-group serialization this query exists to avoid).
+    val w = Window.partitionBy(col("__g_pid")).orderBy(col("__g_mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reduceRight: `otherwise` only chains onto an OPEN when() — a
+    // left fold would call it on an already-closed CASE and throw. An
+    // empty corpus has an empty band domain (EmptyInputSpec's contract:
+    // evaluate, don't throw) — the zero literal is never read.
+    val bandRun =
+      if (bands.isEmpty) lit(0L)
+      else bands.map(b =>
+        when(col("o_orderpriority") === b,
+          sum(when(col("o_orderpriority") === b, col("__w"))
+            .otherwise(lit(0L))).over(w)))
+        .reduceRight[org.apache.spark.sql.Column]((a, b) => a.otherwise(b))
+    val cum = sorted.withColumn("__g_pid", pid)
+      .join(broadcast(kOffs), Seq("__g_pid", "o_orderpriority"))
+      .withColumn("__rk",
+        element_at(typedlit(offs.toSeq),
+          (col("__g_pid") + lit(1L)).cast("int"))
+          + sum(col("__w")).over(w))
+      .withColumn("__c", col("__g_off") + bandRun)
+    // cumLE(level) − cumLT(level) at the (band, level) grain: the
+    // carrier max is the tie group's last running total (ties at a
+    // price share one RANGE frame), the probe rows all carry the
+    // strict-below total for their origin level.
+    val levelAns = cum.groupBy(col("o_orderpriority"), col("__lvl"))
+      .agg((max(when(col("__w") === 1L, col("__c")))
+        - max(when(col("__w") === 0L, col("__c")))).as("n_in_band"))
+    cum.filter(col("__w") === 1L)
+      .join(levelAns, Seq("o_orderpriority", "__lvl"))
       .select(
         col("o_orderkey"),
-        RankOps.ntileFromRank(col("__rk"), col("__n"), 4).as("quartile"),
+        RankOps.ntileFromRank(col("__rk"), lit(total), 4).as("quartile"),
         col("n_in_band"))
       .orderBy("o_orderkey")
   }

@@ -83,7 +83,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
                       // q_mix_epochs scalar pattern)
     "q_text_burstiness", // 1-row corpus-count broadcast cross onto the
                       // 20-row top-df frame
-    "q_vocab_growth"  // 1-row max-id broadcast cross (slice arithmetic)
+    "q_vocab_growth", // 1-row max-id broadcast cross (slice arithmetic)
+    "q_align_margin", // ≤50-row probe broadcast (q_sim_batch_topk
+                      // shape) + |probes|-row forward-average broadcast
+    "q_split_temporal" // 1-row (min, max) ts-bounds broadcast (cross,
+                      // the q_event_dau pattern)
   )
   // q_dedup_embed / q_dedup_cc are intentionally ABSENT: since the blocked
   // pair-join rewrite their exact pair scan is a gid equi-join and must
