@@ -79,6 +79,7 @@ object TextQueries {
     "q_text_garbage"     -> textGarbage _,
     "q_text_instruct"    -> textInstruct _,
     "q_eval_bleu"        -> evalBleu _,
+    "q_eval_chrf"        -> evalChrf _,
     "q_eval_rouge"       -> evalRouge _,
     "q_eval_perplexity"  -> evalPerplexity _,
     "q_text_burstiness"  -> textBurstiness _,
@@ -420,6 +421,103 @@ object TextQueries {
     // row vector; new[j] = max(prev[j], max_{k<=j}(prev[k-1] + eq(k)))
     // removes the within-row sequential dependence. Bounded 50-pair
     // eval set, 40-token truncation — identical on the Spark side.
+    // Char-grain BLEU machinery: per-n clipped matches and totals are
+    // exact BIGINT sums; the three ratio means and the F2 fold are the
+    // identical left-associated double expressions on both engines,
+    // rounded 6dp only at the end.
+    "q_eval_chrf" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(replace(text, ' ', ''), 1, 200) AS x
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT c.doc_id AS pid, c.x AS cx, r.x AS rx
+        |  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+        |  WHERE c.doc_id < 50),
+        |cgrams AS (
+        |  SELECT pid, 1 AS n, unnest(list_transform(
+        |      range(1, length(cx) + 1),
+        |      i -> substr(cx, CAST(i AS INT), 1))) AS gram FROM pairs
+        |  UNION ALL
+        |  SELECT pid, 2, unnest(list_transform(
+        |      range(1, length(cx)),
+        |      i -> substr(cx, CAST(i AS INT), 2))) FROM pairs
+        |  UNION ALL
+        |  SELECT pid, 3, unnest(list_transform(
+        |      range(1, length(cx) - 1),
+        |      i -> substr(cx, CAST(i AS INT), 3))) FROM pairs),
+        |rgrams AS (
+        |  SELECT pid, 1 AS n, unnest(list_transform(
+        |      range(1, length(rx) + 1),
+        |      i -> substr(rx, CAST(i AS INT), 1))) AS gram FROM pairs
+        |  UNION ALL
+        |  SELECT pid, 2, unnest(list_transform(
+        |      range(1, length(rx)),
+        |      i -> substr(rx, CAST(i AS INT), 2))) FROM pairs
+        |  UNION ALL
+        |  SELECT pid, 3, unnest(list_transform(
+        |      range(1, length(rx) - 1),
+        |      i -> substr(rx, CAST(i AS INT), 3))) FROM pairs),
+        |cg AS (SELECT pid, n, gram, CAST(count(*) AS BIGINT) AS cc
+        |       FROM cgrams GROUP BY 1, 2, 3),
+        |rg AS (SELECT pid, n, gram, CAST(count(*) AS BIGINT) AS rc
+        |       FROM rgrams GROUP BY 1, 2, 3),
+        |mat AS (
+        |  SELECT n, CAST(sum(least(cc, rc)) AS BIGINT) AS m
+        |  FROM cg JOIN rg USING (pid, n, gram) GROUP BY n),
+        |nt AS (
+        |  SELECT n,
+        |    coalesce(tc, 0) AS tc, coalesce(tr, 0) AS tr,
+        |    coalesce(m, 0) AS m
+        |  FROM (SELECT n, CAST(sum(cc) AS BIGINT) AS tc FROM cg
+        |        GROUP BY n)
+        |  FULL JOIN (SELECT n, CAST(sum(rc) AS BIGINT) AS tr FROM rg
+        |             GROUP BY n) USING (n)
+        |  LEFT JOIN mat USING (n)),
+        |piv AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT)
+        |      AS m1,
+        |    CAST(sum(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT)
+        |      AS m2,
+        |    CAST(sum(CASE WHEN n = 3 THEN m ELSE 0 END) AS BIGINT)
+        |      AS m3,
+        |    CAST(sum(CASE WHEN n = 1 THEN tc ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN n = 2 THEN tc ELSE 0 END) AS BIGINT)
+        |      AS c2,
+        |    CAST(sum(CASE WHEN n = 3 THEN tc ELSE 0 END) AS BIGINT)
+        |      AS c3,
+        |    CAST(sum(CASE WHEN n = 1 THEN tr ELSE 0 END) AS BIGINT)
+        |      AS r1,
+        |    CAST(sum(CASE WHEN n = 2 THEN tr ELSE 0 END) AS BIGINT)
+        |      AS r2,
+        |    CAST(sum(CASE WHEN n = 3 THEN tr ELSE 0 END) AS BIGINT)
+        |      AS r3
+        |  FROM nt),
+        |meta AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(length(cx)) AS BIGINT) AS cand_chars,
+        |    CAST(sum(length(rx)) AS BIGINT) AS ref_chars
+        |  FROM pairs),
+        |calc AS (
+        |  SELECT *,
+        |    (((CAST(m1 AS DOUBLE) / c1) + (CAST(m2 AS DOUBLE) / c2))
+        |      + (CAST(m3 AS DOUBLE) / c3)) / 3 AS p,
+        |    (((CAST(m1 AS DOUBLE) / r1) + (CAST(m2 AS DOUBLE) / r2))
+        |      + (CAST(m3 AS DOUBLE) / r3)) / 3 AS r
+        |  FROM piv)
+        |SELECT n_pairs, cand_chars, ref_chars,
+        |  m1, m2, m3, c1, c2, c3, r1, r2, r3,
+        |  CASE WHEN c1 > 0 AND r1 > 0 AND c2 > 0 AND r2 > 0
+        |        AND c3 > 0 AND r3 > 0 THEN round(p, 6) END AS chrp,
+        |  CASE WHEN c1 > 0 AND r1 > 0 AND c2 > 0 AND r2 > 0
+        |        AND c3 > 0 AND r3 > 0 THEN round(r, 6) END AS chrr,
+        |  CASE WHEN c1 > 0 AND r1 > 0 AND c2 > 0 AND r2 > 0
+        |        AND c3 > 0 AND r3 > 0 THEN
+        |    round(CASE WHEN p + r > 0
+        |      THEN 5.0 * p * r / (4.0 * p + r) ELSE 0.0 END, 6)
+        |    END AS chrf2
+        |FROM calc, meta""".stripMargin,
     // Row-local n-gram diversity: both engines build the same
     // space-joined gram windows (range(1, len-n+2) == the Spark
     // sequence guard), count via list_distinct, and apply one rounded
@@ -3559,6 +3657,84 @@ object TextQueries {
         col("m1"), col("m2"), col("m3"), col("m4"),
         pShown(1), pShown(2), pShown(3), pShown(4),
         round(bp, 6).as("bp"), round(bleu, 6).as("bleu"))
+  }
+
+  /** chrF2 — the character n-gram F-score (Popović 2015), the third
+    * standard generation metric beside `q_eval_bleu` (token n-gram
+    * precision + brevity penalty) and `q_eval_rouge` (in-order LCS
+    * coverage): char-level matching is tokenization-free and robust to
+    * morphology/diacritics, which is why WMT reports it alongside
+    * BLEU. Same corpus-pair grain as BLEU (candidate = doc, reference
+    * = doc_id+1, the declared 50-pair eval set); chrF convention
+    * strips whitespace, here plus a declared 200-char truncation that
+    * bounds the SQL twin. Per n ∈ 1..3: clipped matches Σ min(cand
+    * count, ref count) per gram, cand/ref gram totals — all exact
+    * BIGINT sums off (pair, n, gram)-keyed map-side-combined aggs, the
+    * BLEU machinery at char grain. CHRP/CHRR = arithmetic means of
+    * the three per-n ratios, chrF2 = 5·P·R/(4·P+R) (β = 2: recall
+    * weighted double — the validated-against-humans setting); every
+    * division is IEEE-identical on both engines and only the final
+    * three metrics round (6dp).
+    *
+    * Scale: char n-grams multiply row counts by ~|doc|·3, but the
+    * frame is the DECLARED eval set — generation eval is
+    * config-bounded by nature (the q_eval_rouge precedent); at any
+    * corpus scale this is a fixed-size computation. */
+  def evalChrf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      substring(regexp_replace(col("text"), " ", ""), 1, 200).as("x"))
+    val pairs = docs.filter(col("doc_id") < 50)
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+        col("x").as("rx")), Seq("doc_id"))
+      .select(col("doc_id").as("pid"), col("x").as("cx"), col("rx"))
+    def gramRows(src: String) = flatten(array((1 to 3).map { n =>
+      when(length(col(src)) >= n,
+        expr(s"transform(sequence(1, length($src) - ${n - 1}), " +
+          s"i -> named_struct('n', $n, 'gram', substr($src, i, $n)))"))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }: _*))
+    def counted(src: String, cname: String) = pairs
+      .select(col("pid"), explode(gramRows(src)).as("g"))
+      .select(col("pid"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("pid", "n", "gram")
+      .agg(count(lit(1)).as(cname))
+    val cg = counted("cx", "cc")
+    val rg = counted("rx", "rc")
+    val mat = cg.join(rg, Seq("pid", "n", "gram"))
+      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val nt = cg.groupBy("n").agg(sum("cc").as("tc"))
+      .join(rg.groupBy("n").agg(sum("rc").as("tr")), Seq("n"), "full")
+      .join(mat, Seq("n"), "left")
+      .select(col("n"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("tr"), lit(0L)).as("tr"),
+        coalesce(col("m"), lit(0L)).as("m"))
+    def pick(src: String, i: Int) =
+      sum(when(col("n") === i, col(src)).otherwise(0L))
+    val piv = nt.agg(
+      pick("m", 1).as("m1"), pick("m", 2).as("m2"), pick("m", 3).as("m3"),
+      pick("tc", 1).as("c1"), pick("tc", 2).as("c2"),
+      pick("tc", 3).as("c3"),
+      pick("tr", 1).as("r1"), pick("tr", 2).as("r2"),
+      pick("tr", 3).as("r3"))
+    val meta = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(length(col("cx"))).as("cand_chars"),
+      sum(length(col("rx"))).as("ref_chars"))
+    def ratio(mi: Int, tot: String) =
+      col(s"m$mi").cast("double") / col(s"$tot$mi").cast("double")
+    val p = (ratio(1, "c") + ratio(2, "c") + ratio(3, "c")) / 3
+    val r = (ratio(1, "r") + ratio(2, "r") + ratio(3, "r")) / 3
+    val defined = (1 to 3).map(i => col(s"c$i") > 0 && col(s"r$i") > 0)
+      .reduce(_ && _)
+    val f = when(p + r > 0, lit(5.0) * p * r / (lit(4.0) * p + r))
+      .otherwise(lit(0.0))
+    piv.crossJoin(broadcast(meta)).select(
+      col("n_pairs"), col("cand_chars"), col("ref_chars"),
+      col("m1"), col("m2"), col("m3"),
+      col("c1"), col("c2"), col("c3"),
+      col("r1"), col("r2"), col("r3"),
+      when(defined, round(p, 6)).as("chrp"),
+      when(defined, round(r, 6)).as("chrr"),
+      when(defined, round(f, 6)).as("chrf2"))
   }
 
   /** Held-out bigram perplexity per language — the train/test-

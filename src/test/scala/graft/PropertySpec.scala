@@ -890,6 +890,42 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(got.size === probeIds.size, "one row per probe")
   }
 
+  test("eval_chrf: independent char-ngram clipped-count replay") {
+    import graft.operators.IterOps.sparkRound
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).replace(" ", "").take(200))
+      .toMap
+    val prs = docs.keys.filter(k => k < 50 && docs.contains(k + 1))
+      .toSeq.sorted.map(k => (docs(k), docs(k + 1)))
+    def cnt(s: String, n: Int): Map[String, Long] =
+      if (s.length < n) Map.empty
+      else s.sliding(n).toSeq.groupBy(identity)
+        .map { case (g, o) => g -> o.size.toLong }
+    val (ms, cs, rs) = (1 to 3).map { n =>
+      val per = prs.map { case (c, r) =>
+        val (cc, rc) = (cnt(c, n), cnt(r, n))
+        val m = cc.keysIterator
+          .map(g => math.min(cc(g), rc.getOrElse(g, 0L))).sum
+        (m, cc.values.sum, rc.values.sum)
+      }
+      (per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+    }.unzip3
+    val p = ((ms(0).toDouble / cs(0) + ms(1).toDouble / cs(1))
+      + ms(2).toDouble / cs(2)) / 3
+    val r = ((ms(0).toDouble / rs(0) + ms(1).toDouble / rs(1))
+      + ms(2).toDouble / rs(2)) / 3
+    val f = if (p + r > 0) 5.0 * p * r / (4.0 * p + r) else 0.0
+    val row = TextQueries.evalChrf(spark, sfDir).collect().head
+    assert(row.getLong(0) === prs.size.toLong)
+    assert((3 to 5).map(row.getLong) === ms, "clipped matches")
+    assert((6 to 8).map(row.getLong) === cs, "cand totals")
+    assert((9 to 11).map(row.getLong) === rs, "ref totals")
+    assert(row.getDouble(12) === sparkRound(p, 6), "chrp")
+    assert(row.getDouble(13) === sparkRound(r, 6), "chrr")
+    assert(row.getDouble(14) === sparkRound(f, 6), "chrf2")
+  }
+
   test("eval_distinct_n: sliding-window replay and the de Bruijn bound") {
     import graft.operators.IterOps.sparkRound
     val docs = Tables.documents(spark, sfDir)
