@@ -65,6 +65,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     "q_eval_mrr",     // KB probe-batch broadcast (q_sim_batch_topk
                       // shape) + 4-row best-relevant broadcast
     "q_eval_bleu",    // 1-row match-pivot × length-scalar cross
+    "q_eval_chrf",    // 1-row per-n pivot × 1-row pair-meta scalar
+                      // cross (the q_eval_bleu plan tree at char grain)
     "q_contamination_embed", // ≤50-row benchmark broadcast (bounded by
                       // vec_id uniqueness at every scale factor)
     "q_filter_waterfall", // 1-row doc-total broadcast cross onto the
