@@ -420,12 +420,25 @@ object WindowQueries {
     // cumLE(level) − cumLT(level) at the (band, level) grain: the
     // carrier max is the tie group's last running total (ties at a
     // price share one RANGE frame), the probe rows all carry the
-    // strict-below total for their origin level.
-    val levelAns = cum.groupBy(col("o_orderpriority"), col("__lvl"))
-      .agg((max(when(col("__w") === 1L, col("__c")))
-        - max(when(col("__w") === 0L, col("__c")))).as("n_in_band"))
-    cum.filter(col("__w") === 1L)
-      .join(levelAns, Seq("o_orderpriority", "__lvl"))
+    // strict-below total for their origin level. Resolved as a SECOND
+    // window over the (band, level) tie group rather than a groupBy +
+    // self-join (round 14 optimization pass): `cum` consumed twice made
+    // everything past the checkpoint — the pid exchange, the offsets
+    // broadcast join, and the |bands|+1-sum WindowExec — EXECUTE TWICE
+    // (two Window nodes in the settled plan), plus the level agg's own
+    // exchange pair and the re-attach join. The group window keeps the
+    // tree linear: every node runs once, and the (band, level)
+    // partition is a price TIE GROUP — bounded by duplicate-price
+    // multiplicity, never corpus-scaled (the windows-over-mega-groups
+    // trap does not apply). Measured 1.32 → 0.97 s BenchOne median
+    // (same JVM, sf0.1); plan: 2 Window + 5 Exchange + 1 join → 2
+    // Window + 3 Exchange + 0 joins past the offsets broadcast.
+    val wg = Window.partitionBy(col("o_orderpriority"), col("__lvl"))
+    cum
+      .withColumn("n_in_band",
+        max(when(col("__w") === 1L, col("__c"))).over(wg)
+          - max(when(col("__w") === 0L, col("__c"))).over(wg))
+      .filter(col("__w") === 1L)
       .select(
         col("o_orderkey"),
         RankOps.ntileFromRank(col("__rk"), lit(total), 4).as("quartile"),
