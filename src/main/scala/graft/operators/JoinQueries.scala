@@ -487,8 +487,17 @@ object JoinQueries {
     * Databricks' range-join optimization and genomics overlap joins):
     * choose a cell width ≥ the max interval length (14 days), explode
     * each interval to the grid cells it touches (≤ 2 here), equi-join on
-    * the cell id, then apply the exact overlap predicate and
-    * de-duplicate pairs that met in two shared cells. Pair work is
+    * the cell id, then apply the exact overlap predicate. Pairs that
+    * met in two shared cells are NOT de-duplicated by a distinct pass
+    * (round 14 optimization: `dropDuplicates(k1, k2)` was a full extra
+    * exchange + aggregation over the whole pair set) — each pair
+    * reports only from its CANONICAL cell, the one containing the
+    * overlap's start max(s_k1, s_k2): that point lies inside both
+    * intervals whenever they overlap (max ≥ each start; max ≤ each end
+    * because the overlap is non-empty), so both sides registered that
+    * cell and exactly one joined row per pair survives the
+    * `cell = max(s1, s2) div w` predicate — uniqueness by
+    * construction, one shuffle fewer. Pair work is
     * confined to cell-local populations — the join is a plain shuffled
     * equi hash/merge join (PlanShapeSpec pins no BNLJ/cartesian), and
     * the ≤2× explode is the entire overhead. Cell width tunes the
@@ -511,11 +520,12 @@ object JoinQueries {
       .withColumn("cell",
         explode(sequence(expr(s"s_k2 div $cell"), expr(s"e_k2 div $cell"))))
     a.join(b, Seq("cell"))
-      .filter(col("s_k1") <= col("e_k2") && col("s_k2") <= col("e_k1"))
+      .filter(col("s_k1") <= col("e_k2") && col("s_k2") <= col("e_k1")
+        && col("cell") === call_function("div",
+          greatest(col("s_k1"), col("s_k2")), lit(cell.toLong)))
       .select(col("k1"), col("k2"),
         (least(col("e_k1"), col("e_k2"))
           - greatest(col("s_k1"), col("s_k2")) + 1).as("overlap_days"))
-      .dropDuplicates("k1", "k2")
       .orderBy("k1", "k2")
   }
 
