@@ -2956,11 +2956,19 @@ object TextQueries {
     * docs; within-doc repeats alone don't qualify (both engines apply
     * the same distinct-doc rule). */
   def dedupLines(s: SparkSession, d: String): DataFrame = {
+    // Staged once + xxhash64 long fingerprints (round 14 optimization):
+    // `sent` feeds both the doc-frequency aggregation and the rejoin —
+    // left lazy, the split + hash scan executed twice; and the
+    // fingerprint is purely internal (never output), so the 8-byte
+    // xxhash64 replaces the 32-char md5 hex on every shuffle and
+    // compare (the shingle-pipeline trade, same accepted 2⁻⁶⁵ collision
+    // channel; the oracle groups raw sentences).
     val sent = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
       .filter(length(col("sent")) > 0)
-      .select(col("doc_id"), md5(col("sent")).as("h"),
+      .select(col("doc_id"), xxhash64(col("sent")).as("h"),
         length(col("sent")).cast("long").as("len"))
+      .localCheckpoint()
     val docFreq = sent.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("ndocs"))
     sent.join(docFreq, Seq("h"))
@@ -2993,11 +3001,20 @@ object TextQueries {
     * under 3 tokens have no shingles and are excluded (declared, both
     * engines). */
   def textNovelty(s: SparkSession, d: String): DataFrame = {
+    // Staged once + xxhash64 long fingerprints (round 14 optimization,
+    // the scaladoc's own "production swaps in xxhash64" trade applied):
+    // `sh` feeds both the first-occurrence aggregation and the rejoin —
+    // left lazy, the tokenize + shingle explode executed twice; and the
+    // shingle string was the shuffle key where 8 bytes carry the same
+    // decision (fingerprint internal, oracle on raw strings, accepted
+    // 2⁻⁶⁵ collision channel).
     val sh = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(shingles(col("t")))).as("sh"))
+        explode(transform(array_distinct(shingles(col("t"))),
+          xxhash64(_))).as("sh"))
+      .localCheckpoint()
     val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
     sh.join(first, Seq("sh"))
       .groupBy("doc_id")
