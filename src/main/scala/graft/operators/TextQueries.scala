@@ -3652,11 +3652,19 @@ object TextQueries {
       .agg(count(lit(1)).as(cname))
     val cg = counted(col("ct"), "cc")
     val rg = counted(col("rt"), "rc")
-    val mat = cg.join(rg, Seq("pid", "n", "gram"))
-      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("m"))
-    val nt = cg.groupBy("n").agg(sum("cc").as("tot"))
-      .join(mat, Seq("n"), "left")
-      .select(col("n"), col("tot"), coalesce(col("m"), lit(0L)).as("m"))
+    // Clipped matches and candidate totals out of ONE aggregation over
+    // the left join (round 14 optimization): the former inner-join
+    // `mat` + separate `tot` agg + re-join consumed `cg` twice — a
+    // second execution of its whole subtree. An unmatched gram
+    // contributes 0 to m and its cc to tot — exactly the old two-path
+    // arithmetic. The isNotNull guard is load-bearing: Spark's `least`
+    // SKIPS nulls (least(cc, NULL) = cc), so a bare
+    // coalesce(least(...)) would count every unmatched candidate gram
+    // as clipped-matched.
+    val nt = cg.join(rg, Seq("pid", "n", "gram"), "left")
+      .groupBy("n").agg(sum("cc").as("tot"),
+        sum(when(col("rc").isNotNull, least(col("cc"), col("rc")))
+          .otherwise(lit(0L))).as("m"))
     val piv = nt.agg(
       sum(when(col("n") === 1, col("m")).otherwise(0L)).as("m1"),
       sum(when(col("n") === 2, col("m")).otherwise(0L)).as("m2"),
