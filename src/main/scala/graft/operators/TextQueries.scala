@@ -1619,8 +1619,16 @@ object TextQueries {
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val t = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // tf is the ONE corpus-sized reduction; df falls out of it for free
+    // (tf holds exactly one row per (doc, term), so rows-per-term over
+    // tf IS the document frequency). The former t.distinct().groupBy
+    // re-exploded and re-shuffled the whole token stream for a value the
+    // tf table already determines (round-14 optimization — one corpus
+    // explode and one corpus exchange fewer). The checkpoint serves the
+    // df agg and the score join; tf is vocabulary×doc-grain, skinny.
     val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfTerm = t.distinct().groupBy("term")
+      .localCheckpoint()
+    val dfTerm = tf.groupBy("term")
       .agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf
@@ -1669,12 +1677,22 @@ object TextQueries {
   private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val t = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // Every BM25 input reduces from the ONE (doc, term) count table:
+    // dl (doc length) = Σ tf per doc, df = rows-per-term over tf (one
+    // row per (doc, term) by construction), Σdl = Σ tf. The former form
+    // exploded the corpus three times — tf, a doc-keyed length count,
+    // and a full (doc, term) DISTINCT re-shuffle for df (round-14
+    // optimization: one corpus explode + exchange instead of three).
+    // The checkpoint serves the four derived frames and the score join;
+    // this is the shared scorer behind q_text_bm25, q_search_rerank,
+    // and q_search_rrf, so the trim lands in all three.
     val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfTerm = t.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val q = dfTerm.orderBy(col("df").desc, col("term")).limit(5)
     val st = docs.agg(count(lit(1)).as("nd"))
-      .crossJoin(dl.agg(sum(col("dl")).as("sdl")))
+      .crossJoin(tf.agg(sum(col("tf")).as("sdl")))
     val avgdl = col("sdl").cast("double") / col("nd")
     val scored = tf
       .join(broadcast(q), "term")
@@ -2738,6 +2756,12 @@ object TextQueries {
     * drift ~1e-12 — far inside the rounding). */
   def textNgramLm(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // The bigram stream feeds the model count AND the scoring rejoin —
+    // the 52ef747 rejoin shape: left lazy, the tokenize + bigram explode
+    // ran twice. One localCheckpoint of the skinny (doc_id, w1, w2)
+    // frame serves both (round-14 optimization). V likewise reduces
+    // from the unigram count table (vocabulary size = its row count)
+    // instead of a second count_distinct pass over the exploded corpus.
     val bg = docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -2746,11 +2770,13 @@ object TextQueries {
           struct(element_at(col("t"), i).as("w1"),
             element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
     val toksAll = docs.select(explode(toks(col("text"))).as("tok"))
     val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
     val ugc = toksAll.groupBy("tok").agg(count(lit(1)).as("cu"))
       .withColumnRenamed("tok", "w1")
-    val v = toksAll.agg(count_distinct(col("tok")).as("vs"))
+      .localCheckpoint() // vocab-sized; feeds the V scalar AND the rejoin
+    val v = ugc.agg(count(lit(1)).as("vs"))
     val logp = log((col("cbg") + 1).cast("double") /
       (col("cu") + col("vs")).cast("double"))
     bg.join(bgc, Seq("w1", "w2"))
@@ -3067,41 +3093,46 @@ object TextQueries {
     * selection density + cross-doc match accounting (how many selected
     * fingerprints appear in ≥2 docs).
     *
-    * Scale shape: gram explode and window-min are doc-local (scan stage
-    * + a doc-partitioned window), so only SELECTED fingerprints — ~1/w
-    * of the gram volume — reach the cross-doc (fingerprint → doc-count)
-    * shuffle: the same postings discipline as `q_dedup_ngram` at a
-    * fraction of the key volume, which is the point of winnowing as a
-    * corpus-overlap detector. Fingerprints shuffle as md5 strings here
-    * for the oracle twin; production swaps xxhash64 longs
-    * (q_dup_span_frac's documented trade). */
+    * Scale shape: the ENTIRE per-doc pipeline — gram hashing, the w=4
+    * sliding window minima, and the per-doc distinct fingerprint set —
+    * is array HOFs in the scan stage (round-14 optimization; the gram
+    * explode, its corpus-sized localCheckpoint, the doc-keyed
+    * WindowExec exchange+sort, and the (doc_id, wmin) distinct shuffle
+    * of the old form are gone, and n_grams = |toks|−3 by construction
+    * needs no count at all). Only SELECTED fingerprints — ~1/w of the
+    * gram volume — ever leave the scan stage, into the one cross-doc
+    * (fingerprint → doc-count) shuffle: the same postings discipline as
+    * `q_dedup_ngram` at a fraction of the key volume, which is the
+    * point of winnowing as a corpus-overlap detector. Fingerprints
+    * shuffle as md5 strings here for the oracle twin; production swaps
+    * xxhash64 longs (q_dup_span_frac's documented trade). */
   def textWinnowing(s: SparkSession, d: String): DataFrame = {
-    // g feeds both the per-doc gram count and the selection pipeline,
-    // and sel feeds both the fingerprint-df agg and the join back —
-    // without the lineage cuts each consumer re-runs the explode +
-    // window-min upstream (the corpus pipeline ×3). localCheckpoint
-    // here; the staged-layout fixture (BucketedLayout) is the
-    // cross-query variant of the same discipline.
-    val g = documents(s, d)
+    // slice(hs, i, 4) truncates at the array end exactly like the old
+    // ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING frame (the last w−1
+    // positions select over their shorter trailing windows — the
+    // declared semantics; PropertySpec pins the equivalence), and
+    // array_min over md5 hex strings is the same lexicographic order
+    // the window min used. One materialization (base: doc_id, n_grams,
+    // fps) serves all three consumers — the selection explode feeding
+    // the df agg, the same explode feeding the join back, and the final
+    // n_grams join; fps is ~1/w of the old checkpointed gram table.
+    val hs = transform(ngrams(col("toks"), 4), g => md5(g.cast("binary")))
+    val base = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 4)
       .select(col("doc_id"),
-        posexplode(ngrams(col("toks"), 4)).as(Seq("p", "gram")))
-      .select(col("doc_id"), col("p"),
-        md5(col("gram").cast("binary")).as("h"))
+        (size(col("toks")) - 3).cast("long").as("n_grams"), hs.as("hs"))
+      .select(col("doc_id"), col("n_grams"),
+        array_distinct(transform(sequence(lit(1), size(col("hs"))),
+          i => array_min(slice(col("hs"), i, lit(4))))).as("fps"))
       .localCheckpoint()
-    val win = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(Window.currentRow, 3)
-    val sel = g.select(col("doc_id"), min("h").over(win).as("wmin"))
-      .distinct()
-      .localCheckpoint()
-    val grams = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sel = base.select(col("doc_id"), explode(col("fps")).as("wmin"))
     val df = sel.groupBy("wmin").agg(count(lit(1)).as("nd"))
     val perdoc = sel.join(df, Seq("wmin"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_selected"),
         count_if(col("nd") > 1).as("n_shared"))
-    grams.join(perdoc, Seq("doc_id"))
+    base.select(col("doc_id"), col("n_grams")).join(perdoc, Seq("doc_id"))
       .select(col("doc_id"), col("n_grams"), col("n_selected"),
         col("n_shared"),
         round(col("n_selected").cast("double") /

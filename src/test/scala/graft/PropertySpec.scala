@@ -517,6 +517,60 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winnowing HOF minima ≡ window-frame reference (incl. trailing)") {
+    import spark.implicits._
+    // The round-14 rewrite computes each position's w=4 window min with
+    // array_min(slice(hs, i, 4)) instead of a doc-keyed WindowExec with
+    // ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING. The two must agree
+    // EVERYWHERE, including the last w−1 positions whose frames are
+    // shorter than w (slice truncates at the array end exactly like the
+    // window frame) — randomized docs with token counts 4..30 hit every
+    // trailing-window length, and repeated tokens exercise duplicate
+    // gram hashes inside one window.
+    val rnd = new scala.util.Random(1314)
+    val docs = (1L to 60L).map { id =>
+      val n = 4 + rnd.nextInt(27)
+      (id, (1 to n).map(_ => s"t${rnd.nextInt(8)}").mkString(" "))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-winnow-eq").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Reference: the pre-rewrite formulation, explode + window frame.
+    val g = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - 3), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))
+        .as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"),
+        md5(col("gram").cast("binary")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)
+    val ref = g.select(col("doc_id"), min("h").over(win).as("wmin"))
+      .distinct().groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.operators.TextQueries.textWinnowing(spark, dir)
+      .select("doc_id", "n_selected", "n_grams")
+      .collect()
+    assert(got.length === docs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === ref(id),
+        s"doc $id: HOF selection count ${r.getLong(1)} != window " +
+          s"reference ${ref(id)}")
+      val nToks = docs(id.toInt - 1)._2.split(" ").length
+      assert(r.getLong(2) === nToks - 3L,
+        s"doc $id: n_grams ${r.getLong(2)} != |toks|-3 ${nToks - 3}")
+    }
+  }
+
   test("two-phase global rank ≡ single-partition window (scalacheck)") {
     // RankOps is the machinery behind every global ntile/rank in the
     // repo — its contract is EXACT equivalence with the unpartitioned
