@@ -2325,12 +2325,20 @@ object TextQueries {
     * PropertySpec drives adversarial mass-dup corpora through both the
     * bound and the recovery paths.
     *
-    * Returns the UNFILTERED verified pairs (d1, d2, common, n1, n2);
-    * [[dedupNgram]] (Jaccard ≥ 0.6) and [[dedupContainment]]
-    * (containment ≥ 0.8) are final-score filters over this one shared
-    * pipeline. */
+    * Returns the verified pairs (d1, d2, common, n1, n2) that satisfy
+    * `keep` — [[dedupNgram]]'s Jaccard ≥ 0.6 / [[dedupContainment]]'s
+    * containment ≥ 0.8 final-score cut over this one shared pipeline.
+    * The cut is applied to BOTH union branches BEFORE the (d1, d2)
+    * dedup aggregation (round-14 optimization): a pair appearing in
+    * both branches carries IDENTICAL (common, n1, n2) — the grpPairs
+    * condition is full-set identity, where the verified branch's
+    * common_cold + |h1∩h2| also equals n — so the filter commutes with
+    * the dedup, and the dedup exchange carries only QUALIFYING pairs
+    * (measured 1.13M → ~10³ rows at sf0.1: the candidate pair space is
+    * wire-dominated by sub-threshold pairs this cut drops map-side). */
   private[operators] def ngramPairScores(
-      s: SparkSession, d: String): DataFrame = {
+      s: SparkSession, d: String,
+      keep: org.apache.spark.sql.Column): DataFrame = {
     // Plan shape (measured, not guessed): the two corpus-linear shared
     // tables — `cold` (df-cut doc/shingle postings) and `docs` (per-doc
     // verify rows) — are STAGED ONCE as bucketed parquet by
@@ -2417,8 +2425,11 @@ object TextQueries {
         col("x.n").as("common"), col("x.n").as("n1"), col("y.n").as("n2"))
     // Identical-set pairs that also share cold shingles appear on both
     // paths with identical (common, n1, n2) values — union + distinct
-    // keeps one row, matching the oracle's UNION.
-    verified.unionByName(grpPairs).dropDuplicates("d1", "d2")
+    // keeps one row, matching the oracle's UNION. Each branch is score-
+    // cut first (see scaladoc: equal duplicate values make the filter
+    // and the dedup commute).
+    verified.filter(keep).unionByName(grpPairs.filter(keep))
+      .dropDuplicates("d1", "d2")
   }
 
   /** n-gram Jaccard near-dup pairs (≥ 0.6) over the verified candidate
@@ -2427,8 +2438,7 @@ object TextQueries {
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val jac = col("common").cast("double") /
       (col("n1") + col("n2") - col("common"))
-    ngramPairScores(s, d)
-      .filter(jac >= 0.6)
+    ngramPairScores(s, d, jac >= 0.6)
       .select(col("d1"), col("d2"), col("common"),
         round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
@@ -2448,8 +2458,7 @@ object TextQueries {
     * unchanged. */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val cont = col("common").cast("double") / least(col("n1"), col("n2"))
-    ngramPairScores(s, d)
-      .filter(cont >= 0.8)
+    ngramPairScores(s, d, cont >= 0.8)
       .select(col("d1"), col("d2"), col("common"),
         round(cont, 4).as("containment"))
       .orderBy("d1", "d2")
